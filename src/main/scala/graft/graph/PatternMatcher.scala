@@ -1,0 +1,338 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType, LongType}
+import PatternParser._
+import PropertyGraph.{ID, SRC, DST, EID, LABEL}
+
+/** Compiles Cypher MATCH patterns into Catalyst join plans.
+  *
+  * Reference analog: the MATCH translation in src/translator.ts (node
+  * scans + edge joins over the generic SQLite tables, recursive CTEs for
+  * var-length). Spark-first re-expression: each pattern variable becomes
+  * one struct column; fixed-length hops are equi-joins over per-type edge
+  * frames (Catalyst picks broadcast/sort-merge, AQE re-plans), var-length
+  * hops are iterative frontier joins with trail semantics (an edge-id set
+  * per path prevents edge reuse, matching Cypher's relationship-
+  * uniqueness / trail model).
+  *
+  * Unlabeled nodes and untyped relationships match every consistent
+  * (label, edge-class) combination — compiled as a union of the per-
+  * assignment plans with struct schemas harmonized (missing props null).
+  *
+  * @param varLengthCap expansion bound for `*..`/`*n..` patterns with no
+  *   upper bound — a driver-side safety net, not a semantic limit.
+  */
+final class PatternMatcher(g: PropertyGraph, varLengthCap: Int = 10) {
+
+  /** True when walking left→right follows the edge's src→dst. */
+  private final case class RelChoice(et: EdgeType, forward: Boolean)
+
+  // ------------------------------------------------------------------
+  // public API
+  // ------------------------------------------------------------------
+
+  def compile(pattern: String, known: Map[String, String] = Map.empty): DataFrame = {
+    val paths = PatternParser.parse(pattern)
+    val assigns = enumerateAssignments(paths, known)
+    require(assigns.nonEmpty,
+      s"Pattern matches no label assignment in this graph: $pattern")
+    val branches = assigns.map(a => compileAssignment(paths, a))
+    val unioned = harmonizeUnion(branches)
+    val withUniq = relUniquenessFilters(paths, unioned)
+    // anonymous variables are implementation detail — drop them
+    val anon = (paths.flatMap(_.nodes).filter(_.anonymous).map(_.name) ++
+      paths.flatMap(_.rels).filter(_.anonymous).map(_.name)).distinct
+    withUniq.drop(anon: _*)
+  }
+
+  /** OPTIONAL MATCH: left-join `pattern` onto `base` via shared variables. */
+  def optional(base: DataFrame, pattern: String,
+      known: Map[String, String] = Map.empty): DataFrame = {
+    val pat = compile(pattern, known)
+    val shared = base.columns.toSet.intersect(pat.columns.toSet).toSeq.sorted
+    val renamed = shared.foldLeft(pat)((d, v) => d.withColumnRenamed(v, s"__opt_$v"))
+    val cond = shared.map(v => col(s"$v.$ID") === col(s"__opt_$v.$ID"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    base.join(renamed, cond, "left_outer").drop(shared.map(v => s"__opt_$v"): _*)
+  }
+
+  // ------------------------------------------------------------------
+  // label assignment enumeration
+  // ------------------------------------------------------------------
+
+  private def enumerateAssignments(paths: Vector[PathPat],
+      known: Map[String, String]): Seq[Map[String, String]] = {
+    // fixed labels from explicit pattern labels + caller-known bindings
+    val fixed = scala.collection.mutable.Map[String, String]() ++ known
+    for (p <- paths; n <- p.nodes; l <- n.label) {
+      fixed.get(n.name).foreach { prev =>
+        require(prev == l, s"Variable ${n.name} labeled both $prev and $l")
+      }
+      fixed(n.name) = l
+    }
+    val allVars = paths.flatMap(_.nodes.map(_.name)).distinct
+    val free = allVars.filterNot(fixed.contains)
+    // rel constraints: (leftVar, rightVar, relPat)
+    val cons = for {
+      p <- paths; i <- p.rels.indices
+    } yield (p.nodes(i).name, p.nodes(i + 1).name, p.rels(i))
+
+    def relSatisfiable(a: Map[String, String], c: (String, String, RelPat)): Boolean = {
+      val (lv, rv, r) = c
+      (a.get(lv), a.get(rv)) match {
+        case (Some(ll), Some(rl)) => choicesFor(r, ll, rl).nonEmpty
+        case (Some(ll), None) =>
+          r.dir match {
+            case Out => g.edgeTypesFor(r.relType, Some(ll), None).nonEmpty
+            case In => g.edgeTypesFor(r.relType, None, Some(ll)).nonEmpty
+            case Undirected =>
+              g.edgeTypesFor(r.relType, Some(ll), None).nonEmpty ||
+              g.edgeTypesFor(r.relType, None, Some(ll)).nonEmpty
+          }
+        case (None, Some(rl)) =>
+          r.dir match {
+            case Out => g.edgeTypesFor(r.relType, None, Some(rl)).nonEmpty
+            case In => g.edgeTypesFor(r.relType, Some(rl), None).nonEmpty
+            case Undirected =>
+              g.edgeTypesFor(r.relType, None, Some(rl)).nonEmpty ||
+              g.edgeTypesFor(r.relType, Some(rl), None).nonEmpty
+          }
+        case _ => true
+      }
+    }
+
+    val out = Seq.newBuilder[Map[String, String]]
+    def dfs(remaining: List[String], acc: Map[String, String]): Unit = remaining match {
+      case Nil => out += acc
+      case v :: rest =>
+        for (l <- g.labels) {
+          val a2 = acc + (v -> l)
+          if (cons.forall(c => relSatisfiable(a2, c))) dfs(rest, a2)
+        }
+    }
+    val base = fixed.toMap
+    if (cons.forall(c => relSatisfiable(base, c))) dfs(free.toList, base)
+    out.result()
+  }
+
+  private def choicesFor(r: RelPat, leftLabel: String, rightLabel: String): Seq[RelChoice] =
+    r.dir match {
+      case Out =>
+        g.edgeTypesFor(r.relType, Some(leftLabel), Some(rightLabel)).map(RelChoice(_, forward = true))
+      case In =>
+        g.edgeTypesFor(r.relType, Some(rightLabel), Some(leftLabel)).map(RelChoice(_, forward = false))
+      case Undirected =>
+        g.edgeTypesFor(r.relType, Some(leftLabel), Some(rightLabel)).map(RelChoice(_, forward = true)) ++
+        g.edgeTypesFor(r.relType, Some(rightLabel), Some(leftLabel)).map(RelChoice(_, forward = false))
+    }
+
+  // ------------------------------------------------------------------
+  // single-assignment compilation
+  // ------------------------------------------------------------------
+
+  private def nodeStruct(label: String, pat: NodePat): DataFrame = {
+    val raw = g.nodeFrameHinted(label)
+    val filtered = pat.props.foldLeft(raw) { case (d, (k, v)) =>
+      require(raw.columns.contains(k),
+        s"Node ${pat.name}:$label has no property '$k'")
+      d.filter(col(k) === lit(v))
+    }
+    val fields = filtered.columns.map(col) :+ lit(label).as(LABEL)
+    filtered.select(struct(fields.toIndexedSeq: _*).as(pat.name))
+  }
+
+  /** Edge view for one choice: rel struct + flat __from/__to join helpers. */
+  private def edgeView(r: RelPat, c: RelChoice): DataFrame = {
+    val raw = g.edgeFrameHinted(c.et)
+    val filtered = r.props.foldLeft(raw) { case (d, (k, v)) =>
+      require(raw.columns.contains(k),
+        s"Relationship ${r.name}:${c.et.relType} has no property '$k'")
+      d.filter(col(k) === lit(v))
+    }
+    val fields = filtered.columns.map(col) :+ lit(c.et.relType).as(LABEL)
+    val fromCol = if (c.forward) SRC else DST
+    val toCol = if (c.forward) DST else SRC
+    filtered.select(
+      struct(fields.toIndexedSeq: _*).as(r.name),
+      col(fromCol).as(s"${r.name}__from"),
+      col(toCol).as(s"${r.name}__to"))
+  }
+
+  private def compileAssignment(paths: Vector[PathPat],
+      assign: Map[String, String]): DataFrame = {
+    var df: DataFrame = null
+    val bound = scala.collection.mutable.Set[String]()
+
+    def bindStart(n: NodePat): Unit = {
+      if (!bound(n.name)) {
+        val nd = nodeStruct(assign(n.name), n)
+        df = if (df == null) nd else df.crossJoin(nd)
+        bound += n.name
+      }
+    }
+
+    for (path <- paths) {
+      bindStart(path.nodes.head)
+      for (i <- path.rels.indices) {
+        val leftVar = path.nodes(i).name
+        val r = path.rels(i)
+        val rightPat = path.nodes(i + 1)
+        val choices = choicesFor(r, assign(leftVar), assign(rightPat.name))
+        require(choices.nonEmpty, s"No edge class for ${r} between " +
+          s"${assign(leftVar)} and ${assign(rightPat.name)}")
+        if (r.isVarLength) {
+          df = expandVarLength(df, leftVar, r, choices)
+        } else {
+          val ev = harmonizeUnion(choices.map(c => edgeView(r, c)))
+          df = df.join(ev, col(s"$leftVar.$ID") === col(s"${r.name}__from"))
+        }
+        val toCol = col(s"${r.name}__to")
+        if (bound(rightPat.name)) {
+          df = df.filter(toCol === col(s"${rightPat.name}.$ID"))
+        } else {
+          val nd = nodeStruct(assign(rightPat.name), rightPat)
+          df = df.join(nd, toCol === col(s"${rightPat.name}.$ID"))
+          bound += rightPat.name
+        }
+        df = df.drop(s"${r.name}__from", s"${r.name}__to")
+      }
+    }
+    df
+  }
+
+  /** Iterative frontier expansion for `-[:T*min..max]->`.
+    *
+    * Trail semantics: each path carries its set of used edge ids and an
+    * edge may not repeat (Cypher relationship uniqueness within a path).
+    * Result binds the rel variable to a struct {_hops, _eids, _label} and
+    * leaves flat `<rel>__from` / `<rel>__to` columns for the caller to
+    * join the terminal node (dropped afterwards like fixed-length rels).
+    *
+    * Scale: each hop is one equi-join on the frontier's current node id;
+    * the frontier stays a DataFrame (no driver collect). Bounded depth =
+    * bounded plan size. Whole-graph reachability at extreme depth should
+    * use graft.algos BFS instead.
+    */
+  private def expandVarLength(df0: DataFrame, leftVar: String, r: RelPat,
+      choices: Seq[RelChoice]): DataFrame = {
+    val cur = s"${r.name}__cur"
+    val eidsC = s"${r.name}__eids"
+    // minimal normalized edge relation (from, to, eid) unioned over choices
+    val edgesN = choices.map { c =>
+      val raw = g.edgeFrameHinted(c.et)
+      val filtered = r.props.foldLeft(raw) { case (d, (k, v)) =>
+        d.filter(col(k) === lit(v))
+      }
+      val fromCol = if (c.forward) SRC else DST
+      val toCol = if (c.forward) DST else SRC
+      filtered.select(col(fromCol).as("__vl_from"), col(toCol).as("__vl_to"),
+        col(EID).as("__vl_eid"))
+    }.reduce(_ unionByName _)
+
+    val maxH = r.maxHops.getOrElse(varLengthCap)
+    require(maxH >= r.minHops && maxH >= 1, s"Bad hop range in $r")
+
+    val base = df0
+      .withColumn(cur, col(s"$leftVar.$ID"))
+      .withColumn(eidsC, typedLit(Array.empty[Long]))
+
+    val levels = Seq.newBuilder[DataFrame]
+    if (r.minHops == 0) levels += base
+    var frontier = base
+    for (h <- 1 to maxH) {
+      frontier = frontier
+        .join(edgesN, col(cur) === col("__vl_from"))
+        .filter(!array_contains(col(eidsC), col("__vl_eid")))
+        .withColumn(cur, col("__vl_to"))
+        .withColumn(eidsC, concat(col(eidsC), array(col("__vl_eid"))))
+        .drop("__vl_from", "__vl_to", "__vl_eid")
+      if (h >= math.max(r.minHops, 1)) levels += frontier
+    }
+    val unioned = levels.result().reduce(_ unionByName _)
+    val relTypeLit: Column =
+      if (choices.map(_.et.relType).distinct.size == 1) lit(choices.head.et.relType)
+      else lit(null).cast("string")
+    unioned
+      .withColumn(r.name, struct(
+        size(col(eidsC)).cast(LongType).as("_hops"),
+        col(eidsC).as("_eids"),
+        relTypeLit.as(LABEL)))
+      .withColumn(s"${r.name}__from", col(s"$leftVar.$ID"))
+      .withColumn(s"${r.name}__to", col(cur))
+      .drop(cur, eidsC)
+  }
+
+  // ------------------------------------------------------------------
+  // struct harmonization + uniqueness
+  // ------------------------------------------------------------------
+
+  /** Union DataFrames whose identically-named struct columns may have
+    * different field sets (heterogeneous labels): pad every struct to the
+    * union of fields (nulls for missing), then unionByName.
+    */
+  private def harmonizeUnion(dfs: Seq[DataFrame]): DataFrame = {
+    if (dfs.size == 1) return dfs.head
+    val colNames = dfs.head.columns.toSeq
+    // target field list per struct column: ordered union, first-seen dtype
+    val targets: Map[String, Seq[StructField]] = colNames.map { c =>
+      val fields = scala.collection.mutable.LinkedHashMap[String, StructField]()
+      dfs.foreach { d =>
+        d.schema(c).dataType match {
+          case st: StructType =>
+            st.fields.foreach(f => if (!fields.contains(f.name)) fields(f.name) = f)
+          case _ => // non-struct column: no harmonization
+        }
+      }
+      c -> fields.values.toSeq
+    }.toMap
+    val padded = dfs.map { d =>
+      val cols = colNames.map { c =>
+        d.schema(c).dataType match {
+          case st: StructType =>
+            val have = st.fieldNames.toSet
+            val fs = targets(c).map { f =>
+              if (have(f.name)) col(s"`$c`.`${f.name}`").as(f.name)
+              else lit(null).cast(f.dataType).as(f.name)
+            }
+            struct(fs.toIndexedSeq: _*).as(c)
+          case _ => col(c)
+        }
+      }
+      d.select(cols.toIndexedSeq: _*)
+    }
+    padded.reduce(_ unionByName _)
+  }
+
+  /** Cypher relationship uniqueness: two relationship bindings in one
+    * MATCH never share an edge. Applied pairwise to rels whose possible
+    * types overlap (edge ids are type-salted, so cross-type pairs can't
+    * collide and need no predicate).
+    */
+  private def relUniquenessFilters(paths: Vector[PathPat], df: DataFrame): DataFrame = {
+    val rels = paths.flatMap(_.rels)
+    def possibleTypes(r: RelPat): Set[String] = r.relType match {
+      case Some(t) => Set(t)
+      case None => g.edges.keys.map(_.relType).toSet
+    }
+    var out = df
+    for {
+      i <- rels.indices; j <- (i + 1) until rels.size
+      a = rels(i); b = rels(j)
+      if possibleTypes(a).intersect(possibleTypes(b)).nonEmpty
+    } {
+      (a.isVarLength, b.isVarLength) match {
+        case (false, false) =>
+          out = out.filter(col(s"${a.name}.$EID") =!= col(s"${b.name}.$EID"))
+        case (true, false) =>
+          out = out.filter(!array_contains(col(s"${a.name}._eids"), col(s"${b.name}.$EID")))
+        case (false, true) =>
+          out = out.filter(!array_contains(col(s"${b.name}._eids"), col(s"${a.name}.$EID")))
+        case (true, true) =>
+          out = out.filter(!arrays_overlap(col(s"${a.name}._eids"), col(s"${b.name}._eids")))
+      }
+    }
+    out
+  }
+}
