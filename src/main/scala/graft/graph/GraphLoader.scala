@@ -1,29 +1,60 @@
 package graft.graph
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import scala.collection.concurrent.TrieMap
 
 /** Builds the test-corpus property graph from the TPC-H-ish parquet star
   * schema (see /root/repo/SURVEY.md §3).
   *
   * Mirrors the reference benchmark's graph shape (User-TRIGGERED->Event,
   * Item RELATED_TO Item; reference: benchmark/src/queries.ts) over the
-  * richer TPC-H entities. Everything here is lazy DataFrame definitions —
-  * building the graph schedules no jobs.
+  * richer TPC-H entities. All table reads are lazy memoized thunks — a
+  * query forces only the tables its pattern touches, and the built graph
+  * is cached per (session, dir) so repeated queries share schema
+  * inference and the persisted derived-edge frame.
   */
 object GraphLoader {
   import PropertyGraph.{ID, SRC, DST, EID}
 
+  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS); Spark 4 only reads it
+    * with spark.sql.legacy.parquet.nanosAsLong=true (else
+    * PARQUET_TYPE_ILLEGAL at schema inference). Callers building sessions
+    * must set it; this re-asserts it for ad-hoc sessions.
+    */
+  def lenient(s: SparkSession): SparkSession = {
+    s.conf.set("spark.sql.ansi.enabled", "false")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    lenient(spark).read.parquet(s"$dir/$name.parquet")
+
+  /** events with `ts` converted from raw nanos (long) back to a proper
+    * timestamp column (microsecond precision — Spark's native resolution).
+    */
+  def eventsTable(spark: SparkSession, dir: String): DataFrame = {
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType.typeName match {
+      case "long" | "bigint" =>
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case _ => raw
+    }
+  }
 
   /** Derived Part->Part co-occurrence edges: two parts appearing in the
     * same order, directed by key order (acyclic by construction — keeps
     * var-length traversals finite and mirrors the reference benchmark's
-    * RELATED_TO). Scale note: per-order pair blowup is quadratic in order
-    * size; TPC-H orders are ≤7 lines, and real deployments should cap
-    * per-group size before pairing (documented, enforced via the
-    * maxPerGroup arg).
+    * RELATED_TO). Persisted on first use: a derived shuffle-heavy frame
+    * must compute once per graph, not once per hop level of every
+    * var-length query (on a real cluster, checkpoint/write to parquet
+    * instead of memory-and-disk cache).
+    *
+    * Scale note: per-order pair blowup is quadratic in order size; TPC-H
+    * orders are ≤7 lines, and real deployments should cap per-group size
+    * before pairing (enforced via maxPerGroup).
     */
   def relatedToEdges(li: DataFrame, maxPerGroup: Int = 50): DataFrame = {
     val pairs = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
@@ -39,74 +70,77 @@ object GraphLoader {
       .withColumn(EID, xxhash64(lit("RELATED_TO"), col(SRC), col(DST)))
   }
 
-  def load(spark: SparkSession, dir: String): PropertyGraph = {
-    def t(name: String) = table(spark, dir, name)
+  private val cache = TrieMap.empty[(SparkSession, String), PropertyGraph]
 
-    val region = t("region")
-    val nation = t("nation")
-    val customer = t("customer")
-    val supplier = t("supplier")
-    val part = t("part")
-    val orders = t("orders")
-    val lineitem = t("lineitem")
-    val events = t("events")
-    val documents = t("documents")
-    val embeddings = t("embeddings")
+  /** Cached per (session, dir): repeated queries in one session reuse the
+    * same lazy frames (one schema inference per table per session) and
+    * the persisted RELATED_TO derivation.
+    */
+  def load(spark: SparkSession, dir: String): PropertyGraph =
+    cache.getOrElseUpdate((spark, dir), build(lenient(spark), dir))
 
-    def eid(relType: String, cols: org.apache.spark.sql.Column*) =
+  private def build(spark: SparkSession, dir: String): PropertyGraph = {
+    // memoized raw-table thunks: one spark.read per table per graph
+    val tableCache = TrieMap.empty[String, DataFrame]
+    def t(name: String): DataFrame = tableCache.getOrElseUpdate(name,
+      if (name == "events") eventsTable(spark, dir) else table(spark, dir, name))
+
+    def eid(relType: String, cols: Column*) =
       xxhash64((lit(relType) +: cols): _*)
 
-    val nodes = Map(
-      "Region" -> region.withColumn(ID, col("r_regionkey").cast("long")),
-      "Nation" -> nation.withColumn(ID, col("n_nationkey").cast("long")),
-      "Customer" -> customer.withColumn(ID, col("c_custkey").cast("long")),
-      "Supplier" -> supplier.withColumn(ID, col("s_suppkey").cast("long")),
-      "Part" -> part.withColumn(ID, col("p_partkey").cast("long")),
-      "Order" -> orders.withColumn(ID, col("o_orderkey").cast("long")),
-      "User" -> events.select(col("user_id").cast("long").as(ID)).distinct()
-        .withColumn("user_id", col(ID)),
-      "Event" -> events.withColumn(ID, col("event_id").cast("long")),
-      "Document" -> documents.withColumn(ID, col("doc_id").cast("long")),
-      "Embedding" -> embeddings.withColumn(ID, col("vec_id").cast("long"))
+    val nodes: Map[String, () => DataFrame] = Map(
+      "Region" -> (() => t("region").withColumn(ID, col("r_regionkey").cast("long"))),
+      "Nation" -> (() => t("nation").withColumn(ID, col("n_nationkey").cast("long"))),
+      "Customer" -> (() => t("customer").withColumn(ID, col("c_custkey").cast("long"))),
+      "Supplier" -> (() => t("supplier").withColumn(ID, col("s_suppkey").cast("long"))),
+      "Part" -> (() => t("part").withColumn(ID, col("p_partkey").cast("long"))),
+      "Order" -> (() => t("orders").withColumn(ID, col("o_orderkey").cast("long"))),
+      "User" -> (() => t("events").select(col("user_id").cast("long").as(ID)).distinct()
+        .withColumn("user_id", col(ID))),
+      "Event" -> (() => t("events").withColumn(ID, col("event_id").cast("long"))),
+      "Document" -> (() => t("documents").withColumn(ID, col("doc_id").cast("long"))),
+      "Embedding" -> (() => t("embeddings").withColumn(ID, col("vec_id").cast("long")))
     )
 
-    val edges = Map(
-      EdgeType("IN_REGION", "Nation", "Region") ->
-        nation.select(col("n_nationkey").cast("long").as(SRC),
+    val edges: Map[EdgeType, () => DataFrame] = Map(
+      EdgeType("IN_REGION", "Nation", "Region") -> (() =>
+        t("nation").select(col("n_nationkey").cast("long").as(SRC),
           col("n_regionkey").cast("long").as(DST))
-          .withColumn(EID, eid("IN_REGION", col(SRC), col(DST))),
-      EdgeType("IN_NATION", "Customer", "Nation") ->
-        customer.select(col("c_custkey").cast("long").as(SRC),
+          .withColumn(EID, eid("IN_REGION", col(SRC), col(DST)))),
+      EdgeType("IN_NATION", "Customer", "Nation") -> (() =>
+        t("customer").select(col("c_custkey").cast("long").as(SRC),
           col("c_nationkey").cast("long").as(DST))
-          .withColumn(EID, eid("IN_NATION_C", col(SRC), col(DST))),
-      EdgeType("IN_NATION", "Supplier", "Nation") ->
-        supplier.select(col("s_suppkey").cast("long").as(SRC),
+          .withColumn(EID, eid("IN_NATION_C", col(SRC), col(DST)))),
+      EdgeType("IN_NATION", "Supplier", "Nation") -> (() =>
+        t("supplier").select(col("s_suppkey").cast("long").as(SRC),
           col("s_nationkey").cast("long").as(DST))
-          .withColumn(EID, eid("IN_NATION_S", col(SRC), col(DST))),
-      EdgeType("PLACED", "Customer", "Order") ->
-        orders.select(col("o_custkey").cast("long").as(SRC),
-          col("o_orderkey").cast("long").as(DST))
-          .withColumn(EID, eid("PLACED", col(SRC), col(DST))),
-      EdgeType("CONTAINS", "Order", "Part") ->
-        lineitem.select(
+          .withColumn(EID, eid("IN_NATION_S", col(SRC), col(DST)))),
+      EdgeType("PLACED", "Customer", "Order") -> (() =>
+        t("orders").select(col("o_custkey").cast("long").as(SRC),
+          col("o_orderkey").cast("long").as(DST), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderstatus"), col("o_orderpriority"))
+          .withColumn(EID, eid("PLACED", col(SRC), col(DST)))),
+      EdgeType("CONTAINS", "Order", "Part") -> (() =>
+        t("lineitem").select(
           col("l_orderkey").cast("long").as(SRC),
           col("l_partkey").cast("long").as(DST),
           col("l_suppkey"), col("l_linenumber"), col("l_quantity"),
           col("l_extendedprice"), col("l_discount"), col("l_tax"),
           col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
-          .withColumn(EID, eid("CONTAINS", col(SRC), col("l_linenumber"))),
-      EdgeType("SUPPLIES", "Supplier", "Part") ->
-        lineitem.select(col("l_suppkey").cast("long").as(SRC),
+          .withColumn(EID, eid("CONTAINS", col(SRC), col("l_linenumber")))),
+      EdgeType("SUPPLIES", "Supplier", "Part") -> (() =>
+        t("lineitem").select(col("l_suppkey").cast("long").as(SRC),
           col("l_partkey").cast("long").as(DST)).distinct()
-          .withColumn(EID, eid("SUPPLIES", col(SRC), col(DST))),
-      EdgeType("TRIGGERED", "User", "Event") ->
-        events.select(col("user_id").cast("long").as(SRC),
-          col("event_id").cast("long").as(DST), col("ts"))
-          .withColumn(EID, eid("TRIGGERED", col(SRC), col(DST))),
-      EdgeType("RELATED_TO", "Part", "Part") -> relatedToEdges(lineitem)
+          .withColumn(EID, eid("SUPPLIES", col(SRC), col(DST)))),
+      EdgeType("TRIGGERED", "User", "Event") -> (() =>
+        t("events").select(col("user_id").cast("long").as(SRC),
+          col("event_id").cast("long").as(DST), col("ts"), col("event_type"))
+          .withColumn(EID, eid("TRIGGERED", col(SRC), col(DST)))),
+      EdgeType("RELATED_TO", "Part", "Part") -> (() =>
+        relatedToEdges(t("lineitem")).persist(StorageLevel.MEMORY_AND_DISK))
     )
 
-    new PropertyGraph(nodes, edges,
+    PropertyGraph.lazily(nodes, edges,
       smallLabels = Set("Region", "Nation", "Supplier"),
       smallTypes = Set("IN_REGION", "IN_NATION"))
   }

@@ -36,8 +36,9 @@ final class PatternMatcher(g: PropertyGraph, varLengthCap: Int = 10) {
   def compile(pattern: String, known: Map[String, String] = Map.empty): DataFrame = {
     val paths = PatternParser.parse(pattern)
     val assigns = enumerateAssignments(paths, known)
-    require(assigns.nonEmpty,
-      s"Pattern matches no label assignment in this graph: $pattern")
+    // Cypher semantics (and the reference): MATCH on a label / edge class
+    // absent from the graph yields zero rows, not an error.
+    if (assigns.isEmpty) return emptyResult(paths)
     val branches = assigns.map(a => compileAssignment(paths, a))
     val unioned = harmonizeUnion(branches)
     val withUniq = relUniquenessFilters(paths, unioned)
@@ -45,6 +46,26 @@ final class PatternMatcher(g: PropertyGraph, varLengthCap: Int = 10) {
     val anon = (paths.flatMap(_.nodes).filter(_.anonymous).map(_.name) ++
       paths.flatMap(_.rels).filter(_.anonymous).map(_.name)).distinct
     withUniq.drop(anon: _*)
+  }
+
+  /** Zero-row result with a best-effort schema: per named variable a
+    * struct of the label's columns when the label exists, else a minimal
+    * {_id, _label} struct.
+    */
+  private def emptyResult(paths: Vector[PathPat]): DataFrame = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val fields = paths.flatMap(_.nodes).filterNot(_.anonymous).distinctBy(_.name).map { n =>
+      val inner = n.label.filter(g.hasLabel) match {
+        case Some(l) =>
+          StructType(g.nodeFrame(l).schema.fields :+ StructField(LABEL, org.apache.spark.sql.types.StringType))
+        case None => StructType(Seq(
+          StructField(ID, LongType),
+          StructField(LABEL, org.apache.spark.sql.types.StringType)))
+      }
+      StructField(n.name, inner)
+    }
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(fields))
   }
 
   /** OPTIONAL MATCH: left-join `pattern` onto `base` via shared variables. */
@@ -72,6 +93,8 @@ final class PatternMatcher(g: PropertyGraph, varLengthCap: Int = 10) {
       }
       fixed(n.name) = l
     }
+    // an explicitly-named label absent from the graph matches nothing
+    if (!fixed.values.forall(g.hasLabel)) return Seq.empty
     val allVars = paths.flatMap(_.nodes.map(_.name)).distinct
     val free = allVars.filterNot(fixed.contains)
     // rel constraints: (leftVar, rightVar, relPat)

@@ -2,6 +2,7 @@ package graft.graph
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.collection.concurrent.TrieMap
 
 /** A relationship class: directed edges of one type between two node labels.
   *
@@ -21,53 +22,102 @@ object PropertyGraph {
   val EID = "_eid"  // edge identity (long), unique within its EdgeType
   val LABEL = "_label" // injected into match structs: node label / rel type
 
-  /** Load a graph snapshot previously written by [[PropertyGraph.save]]. */
+  /** Build a graph whose table frames are materialized lazily on first
+    * access (memoized). A query touching only Customer/Order never opens
+    * (or schema-infers) the other tables — at 100 TB, file listing alone
+    * for an untouched table is real cost, and one unreadable table must
+    * not sink unrelated queries.
+    */
+  def lazily(
+      nodeThunks: Map[String, () => DataFrame],
+      edgeThunks: Map[EdgeType, () => DataFrame],
+      smallLabels: Set[String] = Set.empty,
+      smallTypes: Set[String] = Set.empty): PropertyGraph =
+    new PropertyGraph(nodeThunks, edgeThunks, smallLabels, smallTypes)
+
+  /** Strict construction from already-materialized frames. */
+  def apply(nodes: Map[String, DataFrame], edges: Map[EdgeType, DataFrame],
+      smallLabels: Set[String] = Set.empty, smallTypes: Set[String] = Set.empty): PropertyGraph =
+    lazily(nodes.map { case (k, v) => k -> (() => v) },
+      edges.map { case (k, v) => k -> (() => v) }, smallLabels, smallTypes)
+
+  /** Load a graph snapshot previously written by [[PropertyGraph#save]].
+    * Directory names are escaped by save (see [[dirEncode]]) so labels /
+    * relTypes containing the `__` delimiter round-trip.
+    */
   def load(spark: SparkSession, path: String): PropertyGraph = {
-    import scala.jdk.CollectionConverters._
-    val fs = java.nio.file.Paths.get(path)
+    import org.apache.hadoop.fs.Path
+    val hfs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     def list(sub: String): Seq[String] = {
-      val d = fs.resolve(sub)
-      if (!java.nio.file.Files.exists(d)) Seq.empty
-      else java.nio.file.Files.list(d).iterator().asScala
-        .filter(java.nio.file.Files.isDirectory(_))
-        .map(_.getFileName.toString).toSeq.sorted
+      val d = new Path(s"$path/$sub")
+      if (!hfs.exists(d)) Seq.empty
+      else hfs.listStatus(d).toSeq.filter(_.isDirectory).map(_.getPath.getName).sorted
     }
-    val nodes = list("nodes").map { label =>
-      label -> spark.read.parquet(s"$path/nodes/$label")
+    val nodeThunks = list("nodes").map { enc =>
+      dirDecode(enc) -> (() => spark.read.parquet(s"$path/nodes/$enc"))
     }.toMap
-    val edges = list("edges").map { dirName =>
-      val Array(t, s, d) = dirName.split("__", 3)
-      EdgeType(t, s, d) -> spark.read.parquet(s"$path/edges/$dirName")
+    val edgeThunks = list("edges").map { enc =>
+      val Array(t, s, d) = enc.split("__", 3).map(dirDecode)
+      EdgeType(t, s, d) -> (() => spark.read.parquet(s"$path/edges/$enc"))
     }.toMap
-    new PropertyGraph(nodes, edges)
+    lazily(nodeThunks, edgeThunks)
+  }
+
+  /** Escape a label/relType for use as a snapshot directory component:
+    * '%' -> %25, '_' -> %5f (so the '__' join delimiter can't occur),
+    * '/' -> %2f. Reversible via [[dirDecode]].
+    */
+  private[graph] def dirEncode(s: String): String =
+    s.flatMap {
+      case '%' => "%25"
+      case '_' => "%5f"
+      case '/' => "%2f"
+      case c => c.toString
+    }
+
+  private[graph] def dirDecode(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '%' && i + 3 <= s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3
+      } else { sb.append(s(i)); i += 1 }
+    }
+    sb.toString
   }
 }
 
 /** Immutable property graph over DataFrames.
   *
-  * `nodes`: label -> frame with [[PropertyGraph.ID]] + typed property
-  * columns. `edges`: [[EdgeType]] -> frame with SRC, DST, EID + typed
-  * property columns. All mutation APIs (Cypher CREATE/MERGE/SET/REMOVE/
-  * DELETE analogs) return a NEW graph — Spark-idiomatic snapshots, not
-  * in-place writes.
+  * Frames are held as memoized thunks: `nodeFrame`/`edgeFrame` force (and
+  * cache) only the requested table, so per-query cost scales with the
+  * tables the pattern touches, not the catalog size. All mutation APIs
+  * (Cypher CREATE/MERGE/SET/REMOVE/DELETE analogs) return a NEW graph —
+  * Spark-idiomatic snapshots, not in-place writes.
   *
   * `smallLabels` / `smallTypes` mark frames that stay broadcast-joinable
   * at the target scale (dimension tables); the pattern compiler attaches
   * `broadcast()` hints to them.
   */
-final class PropertyGraph(
-    val nodes: Map[String, DataFrame],
-    val edges: Map[EdgeType, DataFrame],
-    val smallLabels: Set[String] = Set.empty,
-    val smallTypes: Set[String] = Set.empty) {
+final class PropertyGraph private (
+    nodeThunks: Map[String, () => DataFrame],
+    edgeThunks: Map[EdgeType, () => DataFrame],
+    val smallLabels: Set[String],
+    val smallTypes: Set[String]) {
 
   import PropertyGraph._
+
+  private val nodeCache = TrieMap.empty[String, DataFrame]
+  private val edgeCache = TrieMap.empty[EdgeType, DataFrame]
 
   // ---- catalog (reference: CALL db.labels() / db.relationshipTypes(),
   //      src/translator.ts:4398-4412) ----
 
-  def labels: Seq[String] = nodes.keys.toSeq.sorted
-  def relationshipTypes: Seq[String] = edges.keys.map(_.relType).toSeq.distinct.sorted
+  def labels: Seq[String] = nodeThunks.keys.toSeq.sorted
+  def relationshipTypes: Seq[String] = edgeThunks.keys.map(_.relType).toSeq.distinct.sorted
+  /** Edge classes without forcing any frame. */
+  def edgeClasses: Seq[EdgeType] =
+    edgeThunks.keys.toSeq.sortBy(et => (et.relType, et.srcLabel, et.dstLabel))
 
   def labelsDF(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -78,8 +128,11 @@ final class PropertyGraph(
     relationshipTypes.toDF("relationshipType")
   }
 
+  def hasLabel(label: String): Boolean = nodeThunks.contains(label)
+
   def nodeFrame(label: String): DataFrame =
-    nodes.getOrElse(label, sys.error(s"Unknown node label: $label (have: ${labels.mkString(",")})"))
+    nodeCache.getOrElseUpdate(label, nodeThunks.getOrElse(label,
+      sys.error(s"Unknown node label: $label (have: ${labels.mkString(",")})"))())
 
   /** Node frame with broadcast hint when the label is a known-small dim. */
   def nodeFrameHinted(label: String): DataFrame = {
@@ -88,12 +141,17 @@ final class PropertyGraph(
   }
 
   def edgeFrame(et: EdgeType): DataFrame =
-    edges.getOrElse(et, sys.error(s"Unknown edge type: $et"))
+    edgeCache.getOrElseUpdate(et, edgeThunks.getOrElse(et,
+      sys.error(s"Unknown edge type: $et"))())
 
   def edgeFrameHinted(et: EdgeType): DataFrame = {
     val df = edgeFrame(et)
     if (smallTypes(et.relType)) broadcast(df) else df
   }
+
+  /** Strict views (force all frames) — for whole-graph ops only. */
+  def nodes: Map[String, DataFrame] = nodeThunks.keys.map(l => l -> nodeFrame(l)).toMap
+  def edges: Map[EdgeType, DataFrame] = edgeThunks.keys.map(et => et -> edgeFrame(et)).toMap
 
   /** All edge classes compatible with an optional type name and optional
     * endpoint labels (used by the pattern compiler for label inference —
@@ -101,11 +159,11 @@ final class PropertyGraph(
     */
   def edgeTypesFor(relType: Option[String], srcLabel: Option[String],
       dstLabel: Option[String]): Seq[EdgeType] =
-    edges.keys.toSeq.filter { et =>
+    edgeClasses.filter { et =>
       relType.forall(_ == et.relType) &&
       srcLabel.forall(_ == et.srcLabel) &&
       dstLabel.forall(_ == et.dstLabel)
-    }.sortBy(et => (et.relType, et.srcLabel, et.dstLabel))
+    }
 
   // ---- pattern matching ----
 
@@ -145,29 +203,29 @@ final class PropertyGraph(
   //      (reference: translator.ts CREATE/MERGE/SET/DELETE/REMOVE clause
   //      translation; here immutable snapshot transforms.) ----
 
-  private def copyWith(n: Map[String, DataFrame] = nodes,
-      e: Map[EdgeType, DataFrame] = edges): PropertyGraph =
+  private def copyWith(n: Map[String, () => DataFrame] = nodeThunks,
+      e: Map[EdgeType, () => DataFrame] = edgeThunks): PropertyGraph =
     new PropertyGraph(n, e, smallLabels, smallTypes)
+
+  private def thunk(df: DataFrame): () => DataFrame = () => df
 
   /** CREATE (:Label {...}) — append nodes; `df` must carry ID. */
   def addNodes(label: String, df: DataFrame): PropertyGraph = {
     require(df.columns.contains(ID), s"addNodes($label): frame must have $ID")
-    val merged = nodes.get(label) match {
-      case Some(old) => old.unionByName(df, allowMissingColumns = true)
-      case None => df
-    }
-    copyWith(n = nodes + (label -> merged))
+    val merged = if (hasLabel(label))
+      nodeFrame(label).unionByName(df, allowMissingColumns = true)
+    else df
+    copyWith(n = nodeThunks + (label -> thunk(merged)))
   }
 
   /** MERGE (:Label {id}) — insert rows whose ID is not already present. */
   def mergeNodes(label: String, df: DataFrame): PropertyGraph = {
-    val merged = nodes.get(label) match {
-      case Some(old) =>
-        old.unionByName(df.join(old.select(ID), Seq(ID), "left_anti"),
-          allowMissingColumns = true)
-      case None => df
-    }
-    copyWith(n = nodes + (label -> merged))
+    val merged = if (hasLabel(label)) {
+      val old = nodeFrame(label)
+      old.unionByName(df.join(old.select(ID), Seq(ID), "left_anti"),
+        allowMissingColumns = true)
+    } else df
+    copyWith(n = nodeThunks + (label -> thunk(merged)))
   }
 
   /** SET n.prop = expr for rows matching `cond`. */
@@ -177,73 +235,80 @@ final class PropertyGraph(
       if (d.columns.contains(k)) d.withColumn(k, when(cond, v).otherwise(col(k)))
       else d.withColumn(k, when(cond, v))
     }
-    copyWith(n = nodes + (label -> updated))
+    copyWith(n = nodeThunks + (label -> thunk(updated)))
   }
 
   /** REMOVE n.prop — drop property columns from a label. */
   def removeNodeProps(label: String, props: Seq[String]): PropertyGraph = {
     require(!props.contains(ID), "cannot remove node identity")
-    copyWith(n = nodes + (label -> nodeFrame(label).drop(props: _*)))
+    copyWith(n = nodeThunks + (label -> thunk(nodeFrame(label).drop(props: _*))))
   }
 
   /** DETACH DELETE — remove matching nodes and all incident edges. */
   def detachDeleteNodes(label: String, cond: Column): PropertyGraph = {
     val old = nodeFrame(label)
     val deletedIds = old.filter(cond).select(ID)
-    val newEdges = edges.map { case (et, df) =>
-      var out = df
-      if (et.srcLabel == label)
-        out = out.join(deletedIds.withColumnRenamed(ID, SRC), Seq(SRC), "left_anti")
-      if (et.dstLabel == label)
-        out = out.join(deletedIds.withColumnRenamed(ID, DST), Seq(DST), "left_anti")
-      et -> out
+    val newEdges = edgeThunks.map { case (et, _) =>
+      if (et.srcLabel != label && et.dstLabel != label) et -> edgeThunks(et)
+      else {
+        var out = edgeFrame(et)
+        if (et.srcLabel == label)
+          out = out.join(deletedIds.withColumnRenamed(ID, SRC), Seq(SRC), "left_anti")
+        if (et.dstLabel == label)
+          out = out.join(deletedIds.withColumnRenamed(ID, DST), Seq(DST), "left_anti")
+        et -> thunk(out)
+      }
     }
-    copyWith(n = nodes + (label -> old.filter(!coalesce(cond, lit(false)))), e = newEdges)
+    copyWith(n = nodeThunks + (label -> thunk(old.filter(!coalesce(cond, lit(false))))),
+      e = newEdges)
   }
 
-  /** CREATE ()-[:T]->() — append edges; `df` must carry SRC and DST
-    * (EID is derived if absent).
+  /** CREATE ()-[:T]->() — append edges; `df` must carry SRC and DST.
+    * When EID is absent one is derived from (relType, src, dst, a
+    * monotonic row id) so parallel edges between the same pair stay
+    * distinct (EID must be unique within its EdgeType — callers supplying
+    * their own EID are responsible for that).
     */
   def addEdges(et: EdgeType, df: DataFrame): PropertyGraph = {
     require(df.columns.contains(SRC) && df.columns.contains(DST),
       s"addEdges($et): frame must have $SRC and $DST")
     val withEid =
       if (df.columns.contains(EID)) df
-      else df.withColumn(EID, xxhash64(lit(et.relType), col(SRC), col(DST)))
-    val merged = edges.get(et) match {
-      case Some(old) => old.unionByName(withEid, allowMissingColumns = true)
-      case None => withEid
-    }
-    copyWith(e = edges + (et -> merged))
+      else df.withColumn(EID,
+        xxhash64(lit(et.relType), col(SRC), col(DST), monotonically_increasing_id()))
+    val merged = if (edgeThunks.contains(et))
+      edgeFrame(et).unionByName(withEid, allowMissingColumns = true)
+    else withEid
+    copyWith(e = edgeThunks + (et -> thunk(merged)))
   }
 
   /** MERGE ()-[:T]->() — insert (src,dst) pairs not already present. */
   def mergeEdges(et: EdgeType, df: DataFrame): PropertyGraph = {
     val withEid =
       if (df.columns.contains(EID)) df
-      else df.withColumn(EID, xxhash64(lit(et.relType), col(SRC), col(DST)))
-    val merged = edges.get(et) match {
-      case Some(old) =>
-        old.unionByName(withEid.join(old.select(SRC, DST), Seq(SRC, DST), "left_anti"),
-          allowMissingColumns = true)
-      case None => withEid
-    }
-    copyWith(e = edges + (et -> merged))
+      else df.withColumn(EID,
+        xxhash64(lit(et.relType), col(SRC), col(DST), monotonically_increasing_id()))
+    val merged = if (edgeThunks.contains(et)) {
+      val old = edgeFrame(et)
+      old.unionByName(withEid.join(old.select(SRC, DST), Seq(SRC, DST), "left_anti"),
+        allowMissingColumns = true)
+    } else withEid
+    copyWith(e = edgeThunks + (et -> thunk(merged)))
   }
 
   /** DELETE ()-[r]->() — remove matching edges of one class. */
   def deleteEdges(et: EdgeType, cond: Column): PropertyGraph =
-    copyWith(e = edges + (et -> edgeFrame(et).filter(!coalesce(cond, lit(false)))))
+    copyWith(e = edgeThunks + (et -> thunk(edgeFrame(et).filter(!coalesce(cond, lit(false))))))
 
   // ---- snapshot persistence (reference: backup.ts save/restore) ----
 
   def save(path: String): Unit = {
     nodes.foreach { case (label, df) =>
-      df.write.mode("overwrite").parquet(s"$path/nodes/$label")
+      df.write.mode("overwrite").parquet(s"$path/nodes/${dirEncode(label)}")
     }
     edges.foreach { case (et, df) =>
-      df.write.mode("overwrite")
-        .parquet(s"$path/edges/${et.relType}__${et.srcLabel}__${et.dstLabel}")
+      val enc = Seq(et.relType, et.srcLabel, et.dstLabel).map(dirEncode).mkString("__")
+      df.write.mode("overwrite").parquet(s"$path/edges/$enc")
     }
   }
 }
