@@ -80,6 +80,108 @@ object SparkEntry {
         .groupBy(col("e.event_type").as("event_type"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(desc("cnt"), asc("event_type"))
+    }),
+
+    // ================================================================
+    // Cypher STRING front-end (graft.cypher) — every query below runs
+    // from a query string (reference: benchmark/src/queries.ts analogs).
+    // ================================================================
+
+    "q_str_lookup" -> ((s, dir) => {
+      g(s, dir).cypher(
+        "MATCH (c:Customer {c_custkey: 42}) RETURN c.c_name AS c_name, c.c_acctbal AS c_acctbal")
+    }),
+
+    "q_str_where" -> ((s, dir) => {
+      g(s, dir).cypher(
+        """MATCH (c:Customer) WHERE c.c_acctbal > 9000 AND c.c_mktsegment = 'BUILDING'
+           RETURN c.c_custkey AS c_custkey, c.c_name AS c_name ORDER BY c_custkey""")
+    }),
+
+    "q_str_strpred" -> ((s, dir) => {
+      g(s, dir).cypher(
+        """MATCH (c:Customer) WHERE c.c_name ENDS WITH '1' AND c.c_name CONTAINS '00'
+           RETURN c.c_name AS c_name ORDER BY c_name""")
+    }),
+
+    "q_str_regex" -> ((s, dir) => {
+      g(s, dir).cypher(
+        "MATCH (n:Nation) WHERE n.n_name =~ 'NATION_1\\\\d' RETURN n.n_name AS n_name ORDER BY n_name")
+    }),
+
+    "q_str_in" -> ((s, dir) => {
+      g(s, dir).cypher(
+        """MATCH (c:Customer)-[:IN_NATION]->(n:Nation)
+           WHERE n.n_name IN ['NATION_1', 'NATION_7', 'NATION_19']
+           RETURN n.n_name AS n_name, count(c) AS cnt ORDER BY n_name""")
+    }),
+
+    "q_str_with_agg" -> ((s, dir) => {
+      g(s, dir).cypher(
+        """MATCH (c:Customer)-[:PLACED]->(o:Order)
+           WITH c, count(o) AS order_cnt WHERE order_cnt >= 3
+           RETURN c.c_custkey AS c_custkey, order_cnt ORDER BY c_custkey""")
+    }),
+
+    // ref benchmark: user_item_counts top-k (benchmark/src/queries.ts:66-72)
+    "q_topk_users" -> ((s, dir) => {
+      g(s, dir).cypher(
+        """MATCH (u:User)-[:TRIGGERED]->(e:Event)
+           RETURN u.user_id AS user_id, count(e) AS cnt
+           ORDER BY cnt DESC, user_id LIMIT 10""")
+    }),
+
+    "q_str_optional" -> ((s, dir) => {
+      g(s, dir).cypher(
+        """MATCH (c:Customer) OPTIONAL MATCH (c)-[:PLACED]->(o:Order)
+           RETURN c.c_mktsegment AS seg, count(o) AS order_cnt ORDER BY seg""")
+    }),
+
+    "q_str_union" -> ((s, dir) => {
+      g(s, dir).cypher(
+        """MATCH (n:Nation) RETURN n.n_name AS name
+           UNION MATCH (r:Region) RETURN r.r_name AS name""")
+        .orderBy("name")
+    }),
+
+    "q_str_unwind" -> ((s, dir) => {
+      g(s, dir).cypher(
+        "UNWIND [1, 2, 3, 4, 5] AS x RETURN x, x * x AS sq ORDER BY x")
+    }),
+
+    "q_str_case" -> ((s, dir) => {
+      g(s, dir).cypher(
+        """MATCH (c:Customer)
+           RETURN CASE WHEN c.c_acctbal < 0 THEN 'neg'
+                       WHEN c.c_acctbal < 5000 THEN 'mid'
+                       ELSE 'high' END AS band, count(*) AS cnt
+           ORDER BY band""")
+    }),
+
+    "q_str_exists" -> ((s, dir) => {
+      g(s, dir).cypher(
+        """MATCH (c:Customer) WHERE NOT (c)-[:PLACED]->(:Order)
+           RETURN count(*) AS cnt""")
+    }),
+
+    "q_str_skip_limit" -> ((s, dir) => {
+      g(s, dir).cypher(
+        """MATCH (u:User)-[:TRIGGERED]->(e:Event)
+           RETURN e.event_type AS event_type, count(*) AS cnt
+           ORDER BY cnt DESC, event_type SKIP 1 LIMIT 3""")
+    }),
+
+    "q_str_distinct" -> ((s, dir) => {
+      g(s, dir).cypher(
+        "MATCH (c:Customer) RETURN DISTINCT c.c_mktsegment AS seg ORDER BY seg")
+    }),
+
+    "q_str_funcs" -> ((s, dir) => {
+      g(s, dir).cypher(
+        """MATCH (n:Nation)
+           RETURN toLower(n.n_name) AS lname, size(n.n_name) AS len,
+                  substring(n.n_name, 0, 3) AS pre3, n.n_regionkey % 2 AS parity
+           ORDER BY lname""")
     })
   )
 
@@ -117,6 +219,56 @@ object SparkEntry {
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_event_types" ->
       """SELECT event_type, count(*) AS cnt FROM events
-         GROUP BY event_type ORDER BY cnt DESC, event_type"""
+         GROUP BY event_type ORDER BY cnt DESC, event_type""",
+    "q_str_lookup" ->
+      "SELECT c_name, c_acctbal FROM customer WHERE c_custkey = 42",
+    "q_str_where" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_acctbal > 9000 AND c_mktsegment = 'BUILDING' ORDER BY c_custkey""",
+    "q_str_strpred" ->
+      """SELECT c_name FROM customer
+         WHERE c_name LIKE '%1' AND c_name LIKE '%00%' ORDER BY c_name""",
+    "q_str_regex" ->
+      """SELECT n_name FROM nation
+         WHERE regexp_full_match(n_name, 'NATION_1\d') ORDER BY n_name""",
+    "q_str_in" ->
+      """SELECT n_name, count(*) AS cnt
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         WHERE n_name IN ('NATION_1', 'NATION_7', 'NATION_19')
+         GROUP BY n_name ORDER BY n_name""",
+    "q_str_with_agg" ->
+      """SELECT o_custkey AS c_custkey, count(*) AS order_cnt FROM orders
+         GROUP BY o_custkey HAVING count(*) >= 3 ORDER BY c_custkey""",
+    "q_topk_users" ->
+      """SELECT user_id, count(*) AS cnt FROM events
+         GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 10""",
+    "q_str_optional" ->
+      """SELECT c_mktsegment AS seg, count(o_orderkey) AS order_cnt
+         FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY seg""",
+    "q_str_union" ->
+      """SELECT name FROM (
+           SELECT n_name AS name FROM nation
+           UNION SELECT r_name AS name FROM region) ORDER BY name""",
+    "q_str_unwind" ->
+      """SELECT CAST(x AS BIGINT) AS x, CAST(x * x AS BIGINT) AS sq
+         FROM (SELECT unnest([1, 2, 3, 4, 5]) AS x) ORDER BY x""",
+    "q_str_case" ->
+      """SELECT CASE WHEN c_acctbal < 0 THEN 'neg'
+                     WHEN c_acctbal < 5000 THEN 'mid'
+                     ELSE 'high' END AS band, count(*) AS cnt
+         FROM customer GROUP BY 1 ORDER BY band""",
+    "q_str_exists" ->
+      """SELECT count(*) AS cnt FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q_str_skip_limit" ->
+      """SELECT event_type, count(*) AS cnt FROM events
+         GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 3 OFFSET 1""",
+    "q_str_distinct" ->
+      "SELECT DISTINCT c_mktsegment AS seg FROM customer ORDER BY seg",
+    "q_str_funcs" ->
+      """SELECT lower(n_name) AS lname, CAST(length(n_name) AS BIGINT) AS len,
+         substring(n_name, 1, 3) AS pre3, n_regionkey % 2 AS parity
+         FROM nation ORDER BY lname"""
   )
 }

@@ -1,0 +1,453 @@
+package graft.cypher
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Ast._
+import graft.functions.CypherFunctions
+import graft.graph.{PatternMatcher, PropertyGraph}
+import graft.graph.PatternParser.PathPat
+import graft.graph.PropertyGraph.{ID, LABEL}
+
+/** Compiles a parsed Cypher query to a Catalyst plan over a
+  * [[PropertyGraph]].
+  *
+  * Reference analog: /root/reference/src/translator.ts (AST → SQLite SQL)
+  * + /root/reference/src/executor.ts (aggregation/null semantics) —
+  * re-expressed as a declarative DataFrame pipeline so Catalyst owns join
+  * ordering, pushdown, and codegen:
+  *
+  *  - MATCH      → [[PatternMatcher]] join plans; consecutive MATCHes join
+  *                 on shared variables' node ids (inner / left-outer for
+  *                 OPTIONAL), so Catalyst still sees one join tree.
+  *  - WHERE      → `Column` predicate pushed into the join (pattern
+  *                 predicates become semi/anti joins).
+  *  - WITH/RETURN→ projections; implicit Cypher grouping (any aggregate in
+  *                 the item list groups by the non-aggregated items).
+  *  - UNWIND     → `explode`.
+  *  - UNION [ALL]→ `unionByName` (+ distinct).
+  *
+  * Scalar state (WITH aliases, UNWIND vars) lives as flat columns next to
+  * node/edge struct columns in one DataFrame — no driver-side row
+  * shuttling anywhere.
+  */
+final class CypherCompiler(g: PropertyGraph, spark: SparkSession) {
+
+  private val pm = new PatternMatcher(g)
+
+  def run(query: String): DataFrame = compileQuery(CypherParser.parse(query))
+
+  def compileQuery(q: Query): DataFrame = {
+    val parts = q.parts.map(compileSingle)
+    if (parts.size == 1) parts.head
+    else {
+      val unioned = parts.reduce(_ unionByName _)
+      // openCypher forbids mixing UNION and UNION ALL; a plain UNION
+      // dedupes the whole result
+      if (q.unionAll.contains(false)) unioned.distinct() else unioned
+    }
+  }
+
+  /** Node variables with a statically-known single label (used to seed
+    * [[PatternMatcher]] label inference across clauses).
+    */
+  private final case class Ctx(df: DataFrame, labels: Map[String, String])
+
+  private def compileSingle(sq: SingleQuery): DataFrame = {
+    var ctx: Option[Ctx] = None
+    sq.clauses.foreach {
+      case MatchClause(paths, optional, where) =>
+        ctx = Some(applyMatch(ctx, paths, optional, where))
+      case UnwindClause(list, alias) =>
+        ctx = Some(applyUnwind(ctx, list, alias))
+      case CallClause(proc, yields) =>
+        ctx = Some(applyCall(ctx, proc, yields))
+      case WithClause(p) =>
+        ctx = Some(Ctx(applyProjection(ctx, p), keptLabels(ctx, p)))
+      case ReturnClause(p) =>
+        ctx = Some(Ctx(applyProjection(ctx, p), Map.empty))
+    }
+    ctx.getOrElse(sys.error("query has no clauses")).df
+  }
+
+  /** Labels that survive a projection: items that are bare `v AS a`. */
+  private def keptLabels(ctx: Option[Ctx], p: Projection): Map[String, String] =
+    ctx.map { c =>
+      p.items.flatMap { it =>
+        it.expr match {
+          case Var(v) => c.labels.get(v).map(it.name -> _)
+          case _ => None
+        }
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  // ------------------------------------------------------------------
+  // MATCH
+  // ------------------------------------------------------------------
+
+  private def declaredLabels(paths: Vector[PathPat]): Map[String, String] =
+    paths.flatMap(_.nodes).flatMap(n => n.label.map(n.name -> _)).toMap
+
+  private def applyMatch(ctx: Option[Ctx], paths: Vector[PathPat],
+      optional: Boolean, where: Option[Expr]): Ctx = {
+    val baseLabels = ctx.map(_.labels).getOrElse(Map.empty)
+    val patVars = paths.flatMap(_.nodes).map(_.name).toSet
+    val known = baseLabels.filter { case (v, _) => patVars(v) }
+    val newLabels = baseLabels ++ declaredLabels(paths)
+
+    val (plainWhere, patternPreds) = splitWhere(where)
+
+    val patDF = pm.compilePaths(paths, known)
+
+    ctx match {
+      case None =>
+        var df = patDF
+        df = applyPatternPreds(df, patternPreds, newLabels)
+        plainWhere.foreach(w => df = df.filter(compileExpr(df, w)))
+        Ctx(df, newLabels)
+      case Some(c) =>
+        val shared = c.df.columns.toSet.intersect(patDF.columns.toSet).toSeq.sorted
+        val renamed = shared.foldLeft(patDF)((d, v) => d.withColumnRenamed(v, s"__m_$v"))
+        val joinCond = shared.map { v =>
+          if (isStructWithId(c.df, v)) col(s"$v.$ID") === col(s"__m_$v.$ID")
+          else col(v) === col(s"__m_$v")
+        }.reduceOption(_ && _)
+        // schema-only frame for compiling WHERE that spans both sides
+        val schemaFrame = c.df.crossJoin(renamed)
+        val whereCond = plainWhere.map(w => compileExpr(schemaFrame, w))
+        val joined =
+          if (optional) {
+            val cond = (joinCond ++ whereCond).reduceOption(_ && _).getOrElse(lit(true))
+            c.df.join(renamed, cond, "left_outer")
+          } else joinCond match {
+            case Some(jc) =>
+              val cond = (Seq(jc) ++ whereCond).reduce(_ && _)
+              c.df.join(renamed, cond, "inner")
+            case None =>
+              val crossed = c.df.crossJoin(renamed)
+              whereCond.map(crossed.filter).getOrElse(crossed)
+          }
+        var df = joined.drop(shared.map(v => s"__m_$v"): _*)
+        df = applyPatternPreds(df, patternPreds, newLabels)
+        Ctx(df, newLabels)
+    }
+  }
+
+  private def isStructWithId(df: DataFrame, name: String): Boolean =
+    df.schema.find(_.name == name).map(_.dataType) match {
+      case Some(st: StructType) => st.fieldNames.contains(ID)
+      case _ => false
+    }
+
+  /** Split a WHERE into plain predicate conjuncts and pattern predicates
+    * (which compile to semi/anti joins, reference analog:
+    * translator.ts EXISTS subquery translation).
+    */
+  private def splitWhere(where: Option[Expr]): (Option[Expr], Seq[(PatternPred, Boolean)]) = {
+    def conjuncts(e: Expr): Seq[Expr] = e match {
+      case Bin("AND", l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    where match {
+      case None => (None, Seq.empty)
+      case Some(w) =>
+        val cs = conjuncts(w)
+        val pats = cs.collect {
+          case p: PatternPred => (p, false)
+          case Not(p: PatternPred) => (p, true)
+        }
+        val plain = cs.filter {
+          case _: PatternPred | Not(_: PatternPred) => false
+          case _ => true
+        }
+        (plain.reduceOption(Bin("AND", _, _)), pats)
+    }
+  }
+
+  /** Pattern predicate in WHERE → left-semi (or left-anti when negated)
+    * join on the variables shared with the current scope.
+    */
+  private def applyPatternPreds(df: DataFrame,
+      preds: Seq[(PatternPred, Boolean)], labels: Map[String, String]): DataFrame =
+    preds.foldLeft(df) { case (d, (PatternPred(paths, _), negated)) =>
+      val patVars = paths.flatMap(_.nodes).map(_.name).toSet
+      val known = labels.filter { case (v, _) => patVars(v) }
+      val sub = pm.compilePaths(paths, known)
+      val shared = d.columns.toSet.intersect(sub.columns.toSet).toSeq.sorted
+      require(shared.nonEmpty, "pattern predicate shares no variables with the query")
+      val renamed = shared.foldLeft(sub)((x, v) => x.withColumnRenamed(v, s"__p_$v"))
+      val cond = shared.map { v =>
+        if (isStructWithId(d, v)) col(s"$v.$ID") === col(s"__p_$v.$ID")
+        else col(v) === col(s"__p_$v")
+      }.reduce(_ && _)
+      d.join(renamed.select(shared.map(v => col(s"__p_$v")): _*),
+        cond, if (negated) "left_anti" else "left_semi")
+    }
+
+  // ------------------------------------------------------------------
+  // UNWIND / CALL
+  // ------------------------------------------------------------------
+
+  private def applyUnwind(ctx: Option[Ctx], list: Expr, alias: String): Ctx =
+    ctx match {
+      case Some(c) =>
+        Ctx(c.df.withColumn(alias, explode(compileExpr(c.df, list))), c.labels - alias)
+      case None =>
+        val base = spark.range(1).toDF()
+        Ctx(base.select(explode(compileExpr(base, list)).as(alias)), Map.empty)
+    }
+
+  private def applyCall(ctx: Option[Ctx], proc: String, yields: Seq[String]): Ctx = {
+    val df = proc.toLowerCase match {
+      case "db.labels" =>
+        val out = g.labelsDF(spark)
+        yields.headOption.map(y => out.withColumnRenamed("label", y)).getOrElse(out)
+      case "db.relationshiptypes" =>
+        val out = g.relationshipTypesDF(spark)
+        yields.headOption.map(y => out.withColumnRenamed("relationshipType", y)).getOrElse(out)
+      case other => sys.error(s"Unknown procedure: $other")
+    }
+    ctx match {
+      case Some(c) => Ctx(c.df.crossJoin(df), c.labels)
+      case None => Ctx(df, Map.empty)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // WITH / RETURN projections
+  // ------------------------------------------------------------------
+
+  private def applyProjection(ctx: Option[Ctx], p: Projection): DataFrame = {
+    val base = ctx.map(_.df).getOrElse(spark.range(1).toDF())
+    // RETURN * — expand to every visible column
+    val items = p.items.flatMap {
+      case Item(Star, _, _) =>
+        base.columns.filterNot(_.startsWith("__")).toSeq.map(c => Item(Var(c), None, c))
+      case it => Seq(it)
+    }
+    val hasAgg = items.exists(it => CypherParser.containsAgg(it.expr))
+
+    var projected: DataFrame = null
+    var sortable: DataFrame = null // frame to compile ORDER BY/WHERE against
+    var needFinalSelect = false
+
+    if (hasAgg) {
+      val (aggItems, groupItems) = items.partition(it => CypherParser.containsAgg(it.expr))
+      val groupCols = groupItems.map(it => compileExpr(base, it.expr).as(it.name))
+      val aggCols = aggItems.map(it => compileExpr(base, it.expr).as(it.name))
+      projected =
+        if (groupCols.isEmpty) base.groupBy().agg(aggCols.head, aggCols.tail: _*)
+        else base.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
+      // restore declared item order
+      projected = projected.select(items.map(it => col(it.name)): _*)
+      sortable = projected
+    } else if (p.distinct) {
+      projected = base.select(items.map(it => compileExpr(base, it.expr).as(it.name)): _*)
+        .distinct()
+      sortable = projected
+    } else {
+      // keep originals alongside aliases so ORDER BY can reference
+      // un-projected variables (legal in Cypher without DISTINCT/agg)
+      sortable = items.foldLeft(base)((d, it) =>
+        d.withColumn(it.name, compileExpr(d, it.expr)))
+      projected = sortable
+      needFinalSelect = true
+    }
+
+    var out = projected
+    p.where.foreach { w =>
+      out = out.filter(compileExpr(if (needFinalSelect) sortable else out, w))
+    }
+    if (p.orderBy.nonEmpty) {
+      val frame = if (needFinalSelect) sortable else out
+      val sortCols = p.orderBy.map { s =>
+        val c = s.expr match {
+          case Var(n) if frame.columns.contains(n) => col(n)
+          case e => compileExpr(frame, e)
+        }
+        if (s.asc) c.asc_nulls_last else c.desc_nulls_last
+      }
+      out = (if (needFinalSelect) sortable else out).orderBy(sortCols: _*)
+    }
+    p.skip.foreach(s => out = out.offset(litInt(s)))
+    p.limit.foreach(l => out = out.limit(litInt(l)))
+    if (needFinalSelect) out = out.select(items.map(it => col(it.name)): _*)
+    if (p.distinct && !hasAgg) out else out
+  }
+
+  private def litInt(e: Expr): Int = e match {
+    case Lit(v: Long) => v.toInt
+    case Lit(v: Int) => v
+    case _ => sys.error(s"SKIP/LIMIT must be an integer literal, got $e")
+  }
+
+  // ------------------------------------------------------------------
+  // expressions
+  // ------------------------------------------------------------------
+
+  private def dtypeOf(df: DataFrame, c: Column): Option[DataType] =
+    scala.util.Try(df.select(c).schema.head.dataType).toOption
+
+  private def isIntegral(t: DataType): Boolean = t match {
+    case LongType | IntegerType | ShortType | ByteType => true
+    case _ => false
+  }
+
+  def compileExpr(df: DataFrame, e: Expr, env: Map[String, Column] = Map.empty): Column = {
+    def go(e: Expr): Column = compileExpr(df, e, env)
+    def dt(c: Column): Option[DataType] = if (env.isEmpty) dtypeOf(df, c) else None
+
+    e match {
+      case Star => sys.error("* only allowed inside count(*)")
+      case Lit(null) => lit(null)
+      case Lit(v) => lit(v)
+      case ListLit(items) => array(items.map(go): _*)
+      case MapLit(items) => struct(items.map { case (k, v) => go(v).as(k) }: _*)
+      case Var(n) => env.getOrElse(n, col(n))
+      case Prop(b, key) =>
+        val bc = go(b)
+        dt(bc) match {
+          case Some(st: StructType) =>
+            if (st.fieldNames.contains(key)) bc.getField(key)
+            else lit(null) // Cypher: missing property is null
+          case Some(DateType) | Some(TimestampType) | Some(TimestampNTZType) =>
+            CypherFunctions.temporalComponent(bc, key).getOrElse(lit(null))
+          case Some(_: MapType) => element_at(bc, key)
+          case _ => bc.getField(key)
+        }
+
+      case Func(name, args, distinct) =>
+        val lname = name.toLowerCase
+        if (CypherFunctions.isAggregate(lname)) {
+          val star = args.contains(Star)
+          val cols = if (star) Seq.empty else args.map(go)
+          CypherFunctions.aggregate(lname, cols, distinct, star)
+        } else {
+          val cols = args.map(go)
+          def argType(i: Int): Option[DataType] =
+            if (i < cols.size) dt(cols(i)) else None
+          def argLit(i: Int): Option[Any] =
+            if (i < args.size) args(i) match { case Lit(v) => Some(v); case _ => None }
+            else None
+          CypherFunctions.scalar(lname, cols, argType, argLit)
+        }
+
+      case Bin(op, l, r) =>
+        val lc = go(l)
+        lazy val rc = go(r)
+        op match {
+          case "+" =>
+            (dt(lc), dt(rc)) match {
+              case (Some(StringType), _) | (_, Some(StringType)) => concat(lc.cast(StringType), rc.cast(StringType))
+              case (Some(_: ArrayType), _) => concat(lc, rc)
+              case _ => lc + rc
+            }
+          case "-" => lc - rc
+          case "*" => lc * rc
+          case "/" =>
+            (dt(lc), dt(rc)) match {
+              case (Some(a), Some(b)) if isIntegral(a) && isIntegral(b) =>
+                (lc / rc).cast(LongType) // Cypher integer division truncates
+              case _ => lc / rc
+            }
+          case "%" => lc % rc
+          case "^" => pow(lc.cast(DoubleType), rc.cast(DoubleType))
+          case "=" => lc === rc
+          case "<>" => lc =!= rc
+          case "<" => lc < rc
+          case "<=" => lc <= rc
+          case ">" => lc > rc
+          case ">=" => lc >= rc
+          case "AND" => lc && rc
+          case "OR" => lc || rc
+          case "XOR" => lc =!= rc
+          case "IN" =>
+            r match {
+              case ListLit(items) if items.forall(_.isInstanceOf[Lit]) =>
+                lc.isin(items.collect { case Lit(v) => v }: _*)
+              case _ => array_contains(rc, lc)
+            }
+          case "STARTS" => lc.startsWith(rc)
+          case "ENDS" => lc.endsWith(rc)
+          case "CONTAINS" => lc.contains(rc)
+          case "=~" =>
+            // Cypher =~ matches the ENTIRE string (reference:
+            // executor.ts regex handling); Spark rlike is a partial match
+            r match {
+              case Lit(s: String) => lc.rlike(s"^(?:$s)$$")
+              case _ => regexp_like(lc, concat(lit("^(?:"), rc, lit(")$")))
+            }
+          case other => sys.error(s"Unknown operator: $other")
+        }
+
+      case Not(x) => !go(x)
+      case Neg(x) => -go(x)
+      case IsNull(x, negated) => if (negated) go(x).isNotNull else go(x).isNull
+      case LabelPred(v, label) =>
+        env.getOrElse(v, col(v)).getField(LABEL) === lit(label)
+
+      case CaseExpr(subject, whens, otherwise) =>
+        val subj = subject.map(go)
+        val first = whens.head
+        val firstCond = subj.map(_ === go(first._1)).getOrElse(go(first._1))
+        val start = when(firstCond, go(first._2))
+        val chained = whens.tail.foldLeft(start) { case (acc, (w, t)) =>
+          val cond = subj.map(_ === go(w)).getOrElse(go(w))
+          acc.when(cond, go(t))
+        }
+        otherwise.map(o => chained.otherwise(go(o))).getOrElse(chained)
+
+      case Index(b, idx) =>
+        val bc = go(b)
+        idx match {
+          case Lit(s: String) =>
+            dt(bc) match {
+              case Some(_: MapType) => element_at(bc, s)
+              case _ => bc.getField(s)
+            }
+          case Lit(i: Long) =>
+            if (i >= 0) element_at(bc, i.toInt + 1) else element_at(bc, i.toInt)
+          case dyn =>
+            val ic = go(dyn)
+            element_at(bc, when(ic >= 0, ic + 1).otherwise(ic).cast(IntegerType))
+        }
+
+      case Slice(b, from, to) =>
+        val bc = go(b)
+        val n = size(bc)
+        def norm(c: Column): Column = when(c < 0, n + c).otherwise(c)
+        val f = from.map(x => norm(go(x))).getOrElse(lit(0))
+        val t = to.map(x => norm(go(x))).getOrElse(n.cast(LongType))
+        slice(bc, (f + 1).cast(IntegerType),
+          greatest(t - f, lit(0)).cast(IntegerType))
+
+      case Comprehension(v, listE, whereE, projE) =>
+        val listC = go(listE)
+        val afterWhere = whereE match {
+          case Some(w) => filter(listC, x => compileExpr(df, w, env + (v -> x)))
+          case None => listC
+        }
+        projE match {
+          case Some(pr) => transform(afterWhere, x => compileExpr(df, pr, env + (v -> x)))
+          case None => afterWhere
+        }
+
+      case Quantifier(kind, v, listE, whereE) =>
+        val listC = go(listE)
+        def pred(x: Column) = compileExpr(df, whereE, env + (v -> x))
+        kind match {
+          case "all" => forall(listC, pred _)
+          case "any" => exists(listC, pred _)
+          case "none" => !exists(listC, pred _)
+          case "single" => size(filter(listC, pred _)) === 1
+        }
+
+      case ReduceExpr(acc, init, v, listE, projE) =>
+        aggregate(go(listE), go(init),
+          (a, x) => compileExpr(df, projE, env + (acc -> a) + (v -> x)))
+
+      case p: PatternPred =>
+        sys.error("pattern predicates are only supported as top-level WHERE conjuncts")
+    }
+  }
+}

@@ -33,8 +33,14 @@ final class PatternMatcher(g: PropertyGraph, varLengthCap: Int = 10) {
   // public API
   // ------------------------------------------------------------------
 
-  def compile(pattern: String, known: Map[String, String] = Map.empty): DataFrame = {
-    val paths = PatternParser.parse(pattern)
+  def compile(pattern: String, known: Map[String, String] = Map.empty): DataFrame =
+    compilePaths(PatternParser.parse(pattern), known)
+
+  /** Compile pre-parsed paths (the Cypher string front-end parses patterns
+    * itself and enters here).
+    */
+  def compilePaths(paths: Vector[PathPat],
+      known: Map[String, String]): DataFrame = {
     val assigns = enumerateAssignments(paths, known)
     // Cypher semantics (and the reference): MATCH on a label / edge class
     // absent from the graph yields zero rows, not an error.

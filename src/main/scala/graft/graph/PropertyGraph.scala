@@ -181,6 +181,13 @@ final class PropertyGraph private (
       known: Map[String, String] = Map.empty): DataFrame =
     new PatternMatcher(this).optional(base, pattern, known)
 
+  /** Execute a Cypher query string against this graph (read subset:
+    * MATCH / OPTIONAL MATCH / WHERE / WITH / UNWIND / RETURN / ORDER BY /
+    * SKIP / LIMIT / UNION / CALL db.*). See [[graft.cypher.CypherCompiler]].
+    */
+  def cypher(query: String): DataFrame =
+    new graft.cypher.CypherCompiler(this, SparkSession.active).run(query)
+
   // ---- degrees (Cypher: size((n)-[]->()) etc.) ----
 
   /** (label, _id, outDegree, inDegree, degree) across all edge types. */

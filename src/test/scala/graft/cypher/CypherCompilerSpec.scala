@@ -1,0 +1,257 @@
+package graft.cypher
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** End-to-end Cypher-string execution against the sf0.001 graph; expected
+  * values computed independently via the DataFrame API over raw tables.
+  */
+class CypherCompilerSpec extends SparkSpec {
+
+  private def raw(name: String) = graft.graph.GraphLoader.table(spark, sfDir, name)
+
+  test("point lookup by property map") {
+    val got = graph.cypher(
+      "MATCH (c:Customer {c_custkey: 42}) RETURN c.c_name AS name, c.c_acctbal AS bal")
+    val want = raw("customer").filter(col("c_custkey") === 42)
+      .select(col("c_name").as("name"), col("c_acctbal").as("bal"))
+    assert(rowsOf(got) == rowsOf(want))
+  }
+
+  test("WHERE comparison + boolean ops") {
+    val got = graph.cypher(
+      """MATCH (c:Customer) WHERE c.c_acctbal > 9000 AND c.c_mktsegment = 'BUILDING'
+         RETURN c.c_custkey AS k ORDER BY k""")
+    val want = raw("customer")
+      .filter(col("c_acctbal") > 9000 && col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k")).orderBy("k")
+    assert(rowsOf(got) == rowsOf(want))
+  }
+
+  test("STARTS WITH / ENDS WITH / CONTAINS") {
+    val got = graph.cypher(
+      """MATCH (n:Nation) WHERE n.n_name STARTS WITH 'A' OR n.n_name ENDS WITH 'CE'
+         OR n.n_name CONTAINS 'MAN' RETURN n.n_name AS name ORDER BY name""")
+    val want = raw("nation")
+      .filter(col("n_name").startsWith("A") || col("n_name").endsWith("CE") ||
+        col("n_name").contains("MAN"))
+      .select(col("n_name").as("name")).orderBy("name")
+    assert(rowsOf(got) == rowsOf(want))
+  }
+
+  test("regex =~ is a full match") {
+    val got = graph.cypher(
+      "MATCH (n:Nation) WHERE n.n_name =~ '.*IA' RETURN n.n_name AS name ORDER BY name")
+    val want = raw("nation").filter(col("n_name").rlike("^(?:.*IA)$"))
+      .select(col("n_name").as("name")).orderBy("name")
+    assert(rowsOf(got) == rowsOf(want))
+    // partial-match would also hit names where IA is internal; full must not
+    val gotRows = rowsOf(got).map(_.head.toString)
+    assert(gotRows.forall(_.endsWith("IA")))
+  }
+
+  test("IN list and IS NULL") {
+    val got = graph.cypher(
+      """MATCH (n:Nation) WHERE n.n_name IN ['FRANCE', 'GERMANY'] AND n.n_name IS NOT NULL
+         RETURN n.n_name AS name ORDER BY name""")
+    val want = raw("nation")
+      .filter(col("n_name").isin("FRANCE", "GERMANY") && col("n_name").isNotNull)
+      .select(col("n_name").as("name")).orderBy("name")
+    assert(rowsOf(got) == rowsOf(want))
+  }
+
+  test("missing property yields null not error") {
+    val got = graph.cypher("MATCH (n:Nation) RETURN n.no_such_prop AS x LIMIT 1")
+    assert(rowsOf(got) == Seq(Seq(null)))
+  }
+
+  test("one-hop pattern via string + implicit grouping") {
+    val got = graph.cypher(
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+         RETURN c.c_custkey AS k, count(*) AS cnt, sum(o.o_totalprice) AS total
+         ORDER BY k""")
+    val want = raw("orders").groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice")).as("total"))
+      .orderBy("k")
+    assert(sortedRowsOf(got) == sortedRowsOf(want))
+  }
+
+  test("WITH aggregation then WHERE on aggregate") {
+    val got = graph.cypher(
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+         WITH c, count(o) AS cnt WHERE cnt >= 3
+         RETURN c.c_custkey AS k, cnt ORDER BY k""")
+    val want = raw("orders").groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 3).orderBy("k")
+    assert(rowsOf(got) == rowsOf(want))
+  }
+
+  test("ORDER BY DESC with LIMIT and SKIP") {
+    val got = graph.cypher(
+      """MATCH (u:User)-[:TRIGGERED]->(e:Event)
+         RETURN u.user_id AS uid, count(e) AS cnt
+         ORDER BY cnt DESC, uid SKIP 2 LIMIT 5""")
+    val want = graft.graph.GraphLoader.eventsTable(spark, sfDir)
+      .groupBy(col("user_id").as("uid")).agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("uid")).offset(2).limit(5)
+    assert(rowsOf(got) == rowsOf(want))
+  }
+
+  test("OPTIONAL MATCH keeps unmatched rows with nulls") {
+    val got = graph.cypher(
+      """MATCH (c:Customer) OPTIONAL MATCH (c)-[:PLACED]->(o:Order)
+         RETURN c.c_mktsegment AS seg, count(o) AS orders, count(*) AS rows
+         ORDER BY seg""")
+    val orders = raw("orders")
+    val want = raw("customer").join(orders,
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_mktsegment").as("seg"))
+      .agg(count(col("o_orderkey")).as("orders"), count(lit(1)).as("rows"))
+      .orderBy("seg")
+    assert(rowsOf(got) == rowsOf(want))
+  }
+
+  test("multi-MATCH joins on shared variables") {
+    val got = graph.cypher(
+      """MATCH (c:Customer)-[:IN_NATION]->(n:Nation)
+         MATCH (c)-[:PLACED]->(o:Order)
+         RETURN n.n_name AS nation, count(o) AS cnt ORDER BY nation""")
+    val want = raw("customer")
+      .join(raw("nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(raw("orders"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("n_name").as("nation")).agg(count(lit(1)).as("cnt"))
+      .orderBy("nation")
+    assert(rowsOf(got) == rowsOf(want))
+  }
+
+  test("UNWIND literal list and expression arithmetic") {
+    val got = graph.cypher("UNWIND [1,2,3] AS x RETURN x, x * 10 AS y ORDER BY x")
+    assert(rowsOf(got) == Seq(Seq(1L, 10L), Seq(2L, 20L), Seq(3L, 30L)))
+  }
+
+  test("UNION and UNION ALL") {
+    val gotAll = graph.cypher("RETURN 1 AS x UNION ALL RETURN 1 AS x")
+    assert(rowsOf(gotAll) == Seq(Seq(1L), Seq(1L)))
+    val gotDedup = graph.cypher("RETURN 1 AS x UNION RETURN 1 AS x")
+    assert(rowsOf(gotDedup) == Seq(Seq(1L)))
+  }
+
+  test("CASE searched and simple") {
+    val got = graph.cypher(
+      """MATCH (n:Nation) RETURN n.n_name AS name,
+         CASE WHEN n.n_regionkey < 2 THEN 'low' ELSE 'high' END AS band
+         ORDER BY name LIMIT 3""")
+    val want = raw("nation").select(col("n_name").as("name"),
+        when(col("n_regionkey") < 2, "low").otherwise("high").as("band"))
+      .orderBy("name").limit(3)
+    assert(rowsOf(got) == rowsOf(want))
+    val simple = graph.cypher("RETURN CASE 2 WHEN 1 THEN 'a' WHEN 2 THEN 'b' END AS r")
+    assert(rowsOf(simple) == Seq(Seq("b")))
+  }
+
+  test("pattern predicate EXISTS via semi join and NOT via anti join") {
+    val withOrders = graph.cypher(
+      "MATCH (c:Customer) WHERE (c)-[:PLACED]->(:Order) RETURN count(*) AS n")
+    val withoutOrders = graph.cypher(
+      "MATCH (c:Customer) WHERE NOT (c)-[:PLACED]->(:Order) RETURN count(*) AS n")
+    val total = raw("customer").count()
+    val active = raw("orders").select("o_custkey").distinct().count()
+    assert(rowsOf(withOrders) == Seq(Seq(active)))
+    assert(rowsOf(withoutOrders) == Seq(Seq(total - active)))
+  }
+
+  test("scalar functions: string/numeric/list") {
+    val got = graph.cypher(
+      """RETURN toUpper('ab') AS u, toLower('AB') AS l, substring('hello', 1, 3) AS sub,
+         size('abc') AS sz, abs(-3) AS a, toInteger('7') AS ti,
+         head([1,2]) AS h, last([1,2]) AS t, size([1,2,3]) AS ls,
+         coalesce(null, 5) AS co, split('a,b', ',') AS sp""")
+    val r = got.collect()(0)
+    assert(r.getAs[String]("u") == "AB")
+    assert(r.getAs[String]("l") == "ab")
+    assert(r.getAs[String]("sub") == "ell")
+    assert(r.getAs[Long]("sz") == 3L)
+    assert(r.getAs[Long]("a") == 3L)
+    assert(r.getAs[Long]("ti") == 7L)
+    assert(r.getAs[Long]("h") == 1L)
+    assert(r.getAs[Long]("t") == 2L)
+    assert(r.getAs[Int]("ls") == 3)
+    assert(r.getAs[Long]("co") == 5L)
+    assert(r.getSeq[String](r.fieldIndex("sp")) == Seq("a", "b"))
+  }
+
+  test("list comprehension, reduce, quantifiers, slicing") {
+    val got = graph.cypher(
+      """RETURN [x IN [1,2,3,4] WHERE x > 1 | x * 2] AS comp,
+         reduce(acc = 0, x IN [1,2,3] | acc + x) AS red,
+         all(x IN [1,2] WHERE x > 0) AS al,
+         any(x IN [1,2] WHERE x > 1) AS an,
+         none(x IN [1,2] WHERE x > 5) AS no,
+         single(x IN [1,2] WHERE x = 1) AS si,
+         [1,2,3][0] AS idx, [1,2,3][-1] AS neg, [1,2,3,4][1..3] AS sl""")
+    val r = got.collect()(0)
+    assert(r.getSeq[Long](r.fieldIndex("comp")) == Seq(4L, 6L, 8L))
+    assert(r.getAs[Long]("red") == 6L)
+    assert(r.getAs[Boolean]("al") && r.getAs[Boolean]("an") &&
+      r.getAs[Boolean]("no") && r.getAs[Boolean]("si"))
+    assert(r.getAs[Long]("idx") == 1L)
+    assert(r.getAs[Long]("neg") == 3L)
+    assert(r.getSeq[Long](r.fieldIndex("sl")) == Seq(2L, 3L))
+  }
+
+  test("graph functions id/labels/type") {
+    val got = graph.cypher(
+      """MATCH (n:Nation)-[r:IN_REGION]->(m:Region {r_regionkey: 0})
+         RETURN id(m) AS mid, labels(m) AS ml, type(r) AS rt LIMIT 1""")
+    val r = got.collect()(0)
+    assert(r.getAs[Long]("mid") == 0L)
+    assert(r.getSeq[String](r.fieldIndex("ml")) == Seq("Region"))
+    assert(r.getAs[String]("rt") == "IN_REGION")
+  }
+
+  test("aggregates: collect, stDev, percentileCont, min/max/avg") {
+    val got = graph.cypher(
+      """MATCH (r:Region) WITH r.r_regionkey AS k
+         RETURN count(*) AS n, min(k) AS mn, max(k) AS mx, avg(k) AS av,
+         percentileCont(k, 0.5) AS med""")
+    val r = got.collect()(0)
+    assert(r.getAs[Long]("n") == 5L)
+    assert(r.getAs[Number]("mn").longValue == 0L && r.getAs[Number]("mx").longValue == 4L)
+    assert(r.getAs[Double]("av") == 2.0)
+    assert(r.getAs[Double]("med") == 2.0)
+    val cr = graph.cypher(
+      "MATCH (r:Region) RETURN collect(r.r_regionkey) AS ks").collect()(0)
+    val c = cr.getSeq[Number](cr.fieldIndex("ks")).map(_.longValue)
+    assert(c.sorted == Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("var-length through string front-end") {
+    val got = graph.cypher(
+      """MATCH (p:Part {p_partkey: 1})-[:RELATED_TO*1..2]->(q:Part)
+         RETURN DISTINCT q.p_partkey AS k ORDER BY k""")
+    val want = graph.matchPattern("(p:Part {p_partkey: 1})-[:RELATED_TO*1..2]->(q:Part)")
+      .select(col("q._id").as("k")).distinct().orderBy("k")
+    assert(rowsOf(got) == rowsOf(want))
+  }
+
+  test("CALL db.labels / db.relationshipTypes") {
+    val labels = graph.cypher("CALL db.labels() YIELD label RETURN label ORDER BY label")
+    assert(rowsOf(labels).map(_.head) == graph.labels)
+    val types = graph.cypher(
+      "CALL db.relationshipTypes() YIELD t RETURN t ORDER BY t")
+    assert(rowsOf(types).map(_.head) == graph.relationshipTypes)
+  }
+
+  test("RETURN DISTINCT") {
+    val got = graph.cypher(
+      "MATCH (c:Customer) RETURN DISTINCT c.c_mktsegment AS seg ORDER BY seg")
+    val want = raw("customer").select(col("c_mktsegment").as("seg")).distinct().orderBy("seg")
+    assert(rowsOf(got) == rowsOf(want))
+  }
+
+  test("label predicate in WHERE") {
+    val got = graph.cypher(
+      "MATCH (n:Nation) WHERE n:Nation RETURN count(*) AS n")
+    assert(rowsOf(got) == Seq(Seq(raw("nation").count())))
+  }
+}
