@@ -182,8 +182,57 @@ object SparkEntry {
            RETURN toLower(n.n_name) AS lname, size(n.n_name) AS len,
                   substring(n.n_name, 0, 3) AS pre3, n.n_regionkey % 2 AS parity
            ORDER BY lname""")
-    })
+    }),
+
+    // ================================================================
+    // LLM-data-pipeline operators (graft.pipeline) over documents /
+    // embeddings — first-class per the build brief.
+    // ================================================================
+
+    "q_tokens" -> ((s, dir) =>
+      pipeline.TextOps.tokenStats(docs(s, dir))),
+
+    "q_quality" -> ((s, dir) =>
+      pipeline.TextOps.quality(docs(s, dir))),
+
+    "q_langid" -> ((s, dir) =>
+      pipeline.TextOps.langId(docs(s, dir))),
+
+    // rows-only oracle (xxhash64 winnowing not expressible in DuckDB)
+    "q_fingerprint" -> ((s, dir) =>
+      pipeline.TextOps.fingerprints(docs(s, dir))
+        .select(col("doc_id"), col("n_fingerprints"),
+          array_join(col("fingerprint"), ",").as("fingerprint"))),
+
+    "q_dedup_exact" -> ((s, dir) =>
+      pipeline.Dedup.exact(docs(s, dir))),
+
+    "q_dedup_jaccard" -> ((s, dir) =>
+      pipeline.Dedup.jaccardBlocked(docs(s, dir))),
+
+    // rows-only oracles (hash-based signatures not expressible in DuckDB)
+    "q_dedup_minhash" -> ((s, dir) =>
+      pipeline.Dedup.minhashLsh(docs(s, dir))),
+
+    "q_dedup_simhash" -> ((s, dir) =>
+      pipeline.Dedup.simhash(docs(s, dir))),
+
+    "q_ann_cosine" -> ((s, dir) =>
+      pipeline.Ann.cosineTopK(embs(s, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
+
+    // rows-only oracle (hyperplane hashing not expressible in DuckDB)
+    "q_ann_lsh" -> ((s, dir) =>
+      pipeline.Ann.lshTopK(embs(s, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
+
+    // rows-only oracle (stub codec features not expressible in DuckDB)
+    "q_multimodal" -> ((s, dir) =>
+      pipeline.Multimodal.summary(docs(s, dir)))
   )
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    GraphLoader.table(lenient(s), dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    GraphLoader.table(lenient(s), dir, "embeddings")
 
   /** DuckDB-equivalent SQL per query (driver correctness gate). */
   def oracleSql: Map[String, String] = Map(
@@ -269,6 +318,77 @@ object SparkEntry {
     "q_str_funcs" ->
       """SELECT lower(n_name) AS lname, CAST(length(n_name) AS BIGINT) AS len,
          substring(n_name, 1, 3) AS pre3, n_regionkey % 2 AS parity
-         FROM nation ORDER BY lname"""
+         FROM nation ORDER BY lname""",
+    "q_tokens" ->
+      """SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens_ws,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens_lex,
+         CAST(length(text) AS BIGINT) AS n_chars
+         FROM documents ORDER BY doc_id""",
+    "q_quality" ->
+      """WITH t AS (
+           SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS toks,
+             length(text) AS nc,
+             length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS punct
+           FROM documents)
+         SELECT doc_id,
+           CAST(nc AS BIGINT) AS n_chars,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(punct AS DOUBLE) / nc AS punct_ratio,
+           CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','was'))) AS DOUBLE) / len(toks) AS stopword_ratio,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio,
+           (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * (1.0 - CAST(punct AS DOUBLE) / nc) AS quality_score
+         FROM t ORDER BY doc_id""",
+    "q_langid" ->
+      """WITH t AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+         h AS (
+           SELECT doc_id,
+             CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','was'))) AS BIGINT) AS en_hits,
+             CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','mit','ein','zu','den'))) AS BIGINT) AS de_hits,
+             CAST(len(list_filter(toks, x -> x IN ('le','la','les','et','est','un','une','dans','que','pour'))) AS BIGINT) AS fr_hits,
+             CAST(len(list_filter(toks, x -> x IN ('el','los','y','es','en','se','del','las','por','con'))) AS BIGINT) AS es_hits,
+             CAST(len(list_filter(toks, x -> x IN ('的','是','在','了','不','我','有','他','这','中'))) AS BIGINT) AS zh_hits
+           FROM t)
+         SELECT doc_id, en_hits, de_hits, fr_hits, es_hits, zh_hits,
+           CASE WHEN greatest(en_hits,de_hits,fr_hits,es_hits,zh_hits) = 0 THEN 'und'
+                WHEN en_hits = greatest(en_hits,de_hits,fr_hits,es_hits,zh_hits) THEN 'en'
+                WHEN de_hits = greatest(en_hits,de_hits,fr_hits,es_hits,zh_hits) THEN 'de'
+                WHEN fr_hits = greatest(en_hits,de_hits,fr_hits,es_hits,zh_hits) THEN 'fr'
+                WHEN es_hits = greatest(en_hits,de_hits,fr_hits,es_hits,zh_hits) THEN 'es'
+                ELSE 'zh' END AS lang_pred
+         FROM h ORDER BY doc_id""",
+    "q_dedup_exact" ->
+      """WITH k AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h FROM documents),
+         g AS (SELECT h, min(doc_id) AS rep_id, count(*) AS group_size FROM k GROUP BY h)
+         SELECT k.doc_id, g.rep_id, k.doc_id <> g.rep_id AS is_dup, g.group_size
+         FROM k JOIN g ON k.h = g.h ORDER BY k.doc_id""",
+    "q_dedup_jaccard" ->
+      """WITH t AS (
+           SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+         s AS (
+           SELECT doc_id, lang,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+           FROM t WHERE len(toks) >= 3)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+         FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+         ORDER BY id_a, id_b""",
+    "q_ann_cosine" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0,1,2,3,4)),
+         s AS (SELECT qid AS query_id, e.vec_id AS neighbor_id,
+                      list_cosine_similarity(qv, v) AS sim
+               FROM q JOIN e ON e.vec_id <> qid),
+         r AS (SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+               FROM s)
+         SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank"
+         FROM r WHERE rnk <= 10 ORDER BY query_id, rnk"""
   )
 }

@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Scale design (SURVEY.md §5): the query set is small and broadcast; the
+  * corpus side streams through one scan. Similarities are computed in
+  * DOUBLE (cast once) so results are reproducible against a double-
+  * precision oracle. Top-k per query uses a window over rows partitioned
+  * by query id — with Q queries the shuffle carries Q×N skinny rows of
+  * (qid, vid, sim); the LSH variant prunes N down to same-bucket
+  * candidates first.
+  */
+object Ann {
+
+  /** Sum-product in double precision, left-to-right (matches sequential
+    * oracle summation).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Brute-force exact cosine top-k for each query id.
+    * Returns (query_id, neighbor_id, rank) — rank 1 = most similar,
+    * self excluded, ties broken by neighbor id.
+    */
+  def cosineTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val queries = broadcast(
+      emb.filter(col(id).isin(queryIds: _*))
+        .select(col(id).as("query_id"), col(vec).as("qvec")))
+    val scored = emb.join(queries, col(id) =!= col("query_id"))
+      .select(col("query_id"), col(id).as("neighbor_id"),
+        cosine(col("qvec"), col(vec)).as("sim"))
+    topKPerQuery(scored, k)
+  }
+
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplane component r(plane, dim) in
+    * [-0.5, 0.5): a hash-based construction (no RNG state, reproducible
+    * across executors).
+    */
+  private def planeComponent(salt: Column, plane: Column, dim: Column): Column =
+    (pmod(xxhash64(salt, plane, dim), lit(100000L)).cast(DoubleType) / 100000.0) - 0.5
+
+  /** Random-hyperplane sign bucket key: `planes` sign bits packed into one
+    * long (Charikar '02 SimHash for angles, public construction). `salt`
+    * picks an independent hyperplane family per LSH table.
+    */
+  def hyperplaneKey(vec: Column, planes: Int, salt: Column = lit(0)): Column =
+    aggregate(sequence(lit(0), lit(planes - 1)), lit(0L),
+      (acc, p) => acc * 2 + when(
+        aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, d) => x.cast(DoubleType) * planeComponent(salt, p, d)),
+          lit(0.0), (a, x) => a + x) >= 0, 1L).otherwise(0L))
+
+  /** LSH-bucketed ANN: candidates share at least one of `tables`
+    * hyperplane-sign bucket keys; exact cosine re-rank within candidates.
+    * Trades recall for pruning — the scale path when N is 100 TB-sized.
+    */
+  def lshTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      planes: Int = 8, tables: Int = 4,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val keys = transform(sequence(lit(0), lit(tables - 1)),
+      t => xxhash64(t, hyperplaneKey(col(vec), planes, t)))
+    val bucketed = emb.select(col(id), col(vec),
+      posexplode(keys).as(Seq("table", "key")))
+    val queries = broadcast(
+      bucketed.filter(col(id).isin(queryIds: _*))
+        .select(col(id).as("query_id"), col(vec).as("qvec"), col("table"), col("key")))
+    val candidates = bucketed.join(queries, Seq("table", "key"))
+      .filter(col(id) =!= col("query_id"))
+      .select(col("query_id"), col(id).as("neighbor_id"), col("qvec"), col(vec))
+      .distinct()
+    val scored = candidates
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col(vec)).as("sim"))
+    topKPerQuery(scored, k)
+  }
+}

@@ -1,0 +1,205 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale design (SURVEY.md §5):
+  *  - exact: hash the normalized text BEFORE the shuffle — the groupBy
+  *    exchanges 16-byte digests + ids, never document bodies.
+  *  - MinHash/SimHash: candidate pairs come from an equi-join on band /
+  *    block bucket keys (pigeonhole guarantee), NEVER an all-pairs cross
+  *    join; the expensive verify only touches candidates.
+  *  - Everything is Column expressions over higher-order functions —
+  *    codegen'd, no UDFs, no driver collects.
+  */
+object Dedup {
+
+  import TextOps.{normText, tokens}
+
+  // ---- exact dedup (q_dedup_exact) ----
+
+  /** Per-document duplicate verdict: the group representative is the min
+    * id among documents sharing identical normalized text.
+    * Uses md5 (hex) as the group key so the DuckDB oracle can replay it.
+    */
+  def exact(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
+    val keyed = docs.select(col(id), md5(normText(col(text))).as("content_hash"))
+    val groups = keyed.groupBy("content_hash")
+      .agg(min(col(id)).as("rep_id"), count(lit(1)).as("group_size"))
+    keyed.join(groups, "content_hash")
+      .select(col(id), col("rep_id"),
+        (col(id) =!= col("rep_id")).as("is_dup"), col("group_size"))
+      .orderBy(id)
+  }
+
+  // ---- shingling ----
+
+  /** Distinct k-token shingle strings per document (empty when the
+    * document has fewer than k tokens).
+    */
+  def shingleStrings(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    val n = size(toks) - (k - 1)
+    when(n <= 0, array().cast(ArrayType(StringType)))
+      .otherwise(array_distinct(transform(sequence(lit(0), greatest(n - 1, lit(0))),
+        i => array_join(slice(toks, i + 1, lit(k)), " "))))
+  }
+
+  /** Distinct shingle hashes (long) per document. */
+  def shingleHashes(text: Column, k: Int): Column =
+    array_distinct(transform(shingleStrings(text, k), s => xxhash64(s)))
+
+  // ---- MinHash + LSH (q_dedup_minhash) ----
+
+  /** MinHash signatures via explode + partial-aggregated min — NOT nested
+    * lambdas: a lambda that re-derives the shingle array per hash index
+    * re-evaluates the tokenizer O(numHashes × shingles) times per row
+    * (higher-order functions run interpreted, and CollapseProject inlines
+    * the array expression into the lambda). The explode shape keeps every
+    * hash inside WholeStageCodegen and the groupBy exchanges only
+    * numHashes longs per doc. sig(i) = min over shingles of
+    * xxhash64(shingle_hash, i) — the standard seeded-hash family
+    * (Broder '97, public construction).
+    */
+  def minhashSignatures(withSh: DataFrame, numHashes: Int, id: String): DataFrame = {
+    val exploded = withSh.select(col(id), explode(col("sh")).as("h"))
+    val sigCols = (0 until numHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"_m$i"))
+    exploded.groupBy(id).agg(sigCols.head, sigCols.tail: _*)
+      .select(col(id), array((0 until numHashes).map(i => col(s"_m$i")): _*).as("sig"))
+  }
+
+  /** Band bucket keys over a signature COLUMN (cheap attribute refs):
+    * fold each band of `rowsPerBand` entries into one key, salted by band
+    * index so bands never cross-match.
+    */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, aggregate(
+        slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), lit(0L),
+        (acc, x) => xxhash64(acc, x))))
+
+  /** Near-duplicate pairs via MinHash LSH with an exact-Jaccard verify.
+    *
+    * bands×rowsPerBand defaults (16×8, threshold≈(1/16)^(1/8)≈0.71)
+    * target the 0.8-Jaccard regime. Returns (id_a, id_b, jaccard) with
+    * id_a < id_b, jaccard >= threshold.
+    */
+  def minhashLsh(docs: DataFrame, k: Int = 3, bands: Int = 16,
+      rowsPerBand: Int = 8, threshold: Double = 0.8,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val withSh = docs
+      .select(col(id), shingleHashes(col(text), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sigs = minhashSignatures(withSh, numHashes, id)
+    val withBands = sigs
+      .select(col(id), posexplode(bandKeys(col("sig"), bands, rowsPerBand))
+        .as(Seq("band", "bucket")))
+    // candidate pairs: same (band, bucket); dedupe pairs found in several
+    // bands before the (more expensive) verify join
+    val l = withBands.select(col("band"), col("bucket"), col(id).as("id_a"))
+    val r = withBands.select(col("band"), col("bucket"), col(id).as("id_b"))
+    val candidates = l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    verifyJaccardHashes(candidates, withSh, threshold, id)
+  }
+
+  /** Exact Jaccard over pre-hashed shingle sets for candidate pairs. */
+  private def verifyJaccardHashes(pairs: DataFrame, withSh: DataFrame,
+      threshold: Double, id: String): DataFrame = {
+    val a = withSh.select(col(id).as("id_a"), col("sh").as("sh_a"))
+    val b = withSh.select(col(id).as("id_b"), col("sh").as("sh_b"))
+    pairs.join(a, "id_a").join(b, "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  // ---- n-gram Jaccard with blocking (q_dedup_jaccard) ----
+
+  /** Exact k-gram Jaccard over pairs blocked by a cheap key (default:
+    * language) — the SQL-replayable verify stage: DuckDB computes the
+    * same shingle strings, so this has a full value oracle (unlike the
+    * hash-based LSH candidates).
+    */
+  def jaccardBlocked(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
+      blockCol: String = "lang", id: String = "doc_id", text: String = "text"): DataFrame = {
+    val withSh = docs
+      .select(col(id), col(blockCol).as("block"), shingleStrings(col(text), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = withSh.select(col("block"), col(id).as("id_a"), col("sh").as("sh_a"))
+    val b = withSh.select(col("block"), col(id).as("id_b"), col("sh").as("sh_b"))
+    a.join(b, "block")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  // ---- SimHash (q_dedup_simhash) ----
+
+  /** 64-bit SimHash (Charikar '02, public construction) as an array of 64
+    * bits: bit b is 1 when more than half the shingle hashes have bit b
+    * set. Computed explode-style (codegen'd partial sums of 64 bit
+    * counters; the shuffle carries 65 longs per doc) — see
+    * [[minhashSignatures]] for why not nested lambdas.
+    */
+  def simhashBitsFrame(withSh: DataFrame, id: String): DataFrame = {
+    val exploded = withSh.select(col(id), explode(col("sh")).as("h"))
+    val bitCols = (0 until 64).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"_b$b"))
+    exploded.groupBy(id).agg(count(lit(1)).as("_n"), bitCols: _*)
+      .select(col(id), array((0 until 64).map(b =>
+        when(col(s"_b$b") * 2 > col("_n"), 1).otherwise(0)): _*).as("bits"))
+  }
+
+  /** Block keys for hamming-distance LSH: split the 64 bits into
+    * `blocks` equal slices; two signatures within hamming distance
+    * `blocks - 1` share at least one identical block (pigeonhole).
+    */
+  def simhashBlockKeys(bits: Column, blocks: Int): Column = {
+    val width = 64 / blocks
+    transform(sequence(lit(0), lit(blocks - 1)),
+      blk => aggregate(slice(bits, blk * width + 1, lit(width)), lit(0L),
+        (acc, b) => acc * 2 + b))
+  }
+
+  /** Near-duplicate pairs with SimHash hamming distance <= maxHamming.
+    * Guaranteed complete for maxHamming <= blocks-1.
+    */
+  def simhash(docs: DataFrame, k: Int = 3, blocks: Int = 4, maxHamming: Int = 3,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val withSh = docs
+      .select(col(id), shingleHashes(col(text), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val withBits = simhashBitsFrame(withSh, id)
+    val withBlocks = withBits
+      .select(col(id), col("bits"),
+        posexplode(simhashBlockKeys(col("bits"), blocks)).as(Seq("blk", "key")))
+    val l = withBlocks.select(col("blk"), col("key"), col(id).as("id_a"))
+    val r = withBlocks.select(col("blk"), col("key"), col(id).as("id_b"))
+    val candidates = l.join(r, Seq("blk", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val a = withBits.select(col(id).as("id_a"), col("bits").as("bits_a"))
+    val b = withBits.select(col(id).as("id_b"), col("bits").as("bits_b"))
+    candidates.join(a, "id_a").join(b, "id_b")
+      .withColumn("hamming",
+        aggregate(zip_with(col("bits_a"), col("bits_b"),
+          (x, y) => when(x =!= y, 1).otherwise(0)), lit(0), (acc, d) => acc + d)
+          .cast(LongType))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+}

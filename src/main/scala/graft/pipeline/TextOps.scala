@@ -1,0 +1,143 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, document fingerprinting.
+  *
+  * All operators are pure Column expressions (codegen'd, no UDFs) over a
+  * documents frame `(doc_id, text, ...)` — they scale linearly with a
+  * parquet scan and never shuffle by themselves. Metric definitions are
+  * chosen to be expressible identically in ANSI SQL so the DuckDB oracle
+  * can replay them (integer-ratio divisions are IEEE-exact on both sides).
+  */
+object TextOps {
+
+  /** Whitespace-normalized lowercase text (exact-dedup canonical form). */
+  def normText(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** BPE-ish lexical tokens: word pieces OR single non-space symbols. */
+  val lexPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  // ---- token counting (q_tokens) ----
+
+  /** doc_id, ws token count, regex lexeme count, char count. */
+  def tokenStats(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
+    val t = col(text)
+    docs.select(
+      col(id),
+      size(tokens(t)).cast(LongType).as("n_tokens_ws"),
+      size(call_function("regexp_extract_all", t, lit(lexPattern), lit(0)))
+        .cast(LongType).as("n_tokens_lex"),
+      length(t).cast(LongType).as("n_chars"))
+      .orderBy(id)
+  }
+
+  // ---- quality scoring (q_quality) ----
+
+  /** English stopwords (tiny public list) used for the stopword ratio. */
+  val enStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in",
+    "is", "that", "it", "was")
+
+  /** Length / punctuation / stopword / repetition heuristics.
+    * `quality_score = distinct_ratio * (1 - punct_ratio)` — a cheap,
+    * deterministic proxy for boilerplate/repetition filtering.
+    */
+  def quality(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
+    val t = col(text)
+    val toks = tokens(t)
+    val nTok = size(toks)
+    val nChars = length(t)
+    val punct = length(regexp_replace(t, "[^.!?,;:]", ""))
+    val stops = size(filter(toks, x => x.isin(enStopwords: _*)))
+    val distinctToks = size(array_distinct(toks))
+    docs.select(
+      col(id),
+      nChars.cast(LongType).as("n_chars"),
+      nTok.cast(LongType).as("n_tokens"),
+      (punct.cast(DoubleType) / nChars).as("punct_ratio"),
+      (stops.cast(DoubleType) / nTok).as("stopword_ratio"),
+      (distinctToks.cast(DoubleType) / nTok).as("distinct_ratio"),
+      ((distinctToks.cast(DoubleType) / nTok) *
+        (lit(1.0) - punct.cast(DoubleType) / nChars)).as("quality_score"))
+      .orderBy(id)
+  }
+
+  // ---- language ID (q_langid) ----
+
+  /** Tiny public stopword profiles per language; hit-count argmax with a
+    * deterministic tie-break (profile order) and 'und' when nothing hits.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"),
+    "es" -> Seq("el", "los", "y", "es", "en", "se", "del", "las", "por", "con"),
+    "zh" -> Seq("的", "是", "在", "了", "不", "我", "有", "他", "这", "中"))
+
+  def langId(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
+    val toks = tokens(lower(col(text)))
+    val hitCols = langProfiles.map { case (lang, words) =>
+      lang -> size(filter(toks, x => x.isin(words: _*))).cast(LongType)
+    }
+    // strict argmax in profile order: a later language wins only with
+    // strictly more hits than every earlier one
+    val best = hitCols.foldLeft((lit("und"), lit(0L))) {
+      case ((bestLang, bestHits), (lang, hits)) =>
+        (when(hits > bestHits, lit(lang)).otherwise(bestLang),
+          when(hits > bestHits, hits).otherwise(bestHits))
+    }
+    docs.select(
+      col(id) +:
+      hitCols.map { case (lang, hits) => hits.as(s"${lang}_hits") } :+
+      best._1.as("lang_pred"): _*)
+      .orderBy(id)
+  }
+
+  // ---- document fingerprinting: winnowing (q_fingerprint) ----
+
+  /** Ordered (non-distinct) k-token shingle hashes — position matters for
+    * winnowing windows.
+    */
+  def orderedShingleHashes(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    val n = size(toks) - (k - 1)
+    when(n <= 0, array().cast(ArrayType(LongType)))
+      .otherwise(transform(sequence(lit(0), greatest(n - 1, lit(0))),
+        i => xxhash64(array_join(slice(toks, i + 1, lit(k)), " "))))
+  }
+
+  /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03 — public
+    * algorithm): hash all k-token shingles, take the min hash of each
+    * sliding window of `w` shingles, keep the distinct minima. Emitted as
+    * a sorted array for deterministic comparison.
+    *
+    * Shape: posexplode + sliding window-function min (codegen'd) rather
+    * than a per-window lambda over the shingle array — a lambda would
+    * re-derive the array per window (interpreted), O(windows × shingles)
+    * per doc. The shuffle is partitioned by doc id.
+    */
+  def fingerprints(docs: DataFrame, k: Int = 3, w: Int = 4,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withSh = docs
+      .select(col(id), orderedShingleHashes(col(text), k).as("sh"))
+      .filter(size(col("sh")) >= w)
+    val exploded = withSh.select(col(id), size(col("sh")).as("nsh"),
+      posexplode(col("sh")).as(Seq("pos", "h")))
+    val win = Window.partitionBy(id).orderBy("pos").rowsBetween(0, w - 1)
+    exploded
+      .withColumn("wmin", min("h").over(win))
+      .filter(col("pos") <= col("nsh") - w) // full windows only
+      .groupBy(id)
+      .agg(array_sort(array_distinct(collect_list("wmin"))).as("fingerprint"))
+      .withColumn("n_fingerprints", size(col("fingerprint")).cast(LongType))
+      .orderBy(id)
+  }
+}

@@ -1,0 +1,115 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+
+  private lazy val docs = graft.graph.GraphLoader.table(spark, sfDir, "documents")
+  private lazy val embs = graft.graph.GraphLoader.table(spark, sfDir, "embeddings")
+
+  test("exact dedup: identical normalized texts share a representative") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Hello   World"), (2L, "hello world"), (3L, "other text"),
+      (4L, "HELLO WORLD  ")).toDF("doc_id", "text")
+    val got = Dedup.exact(df).collect()
+    val byId = got.map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2), r.getLong(3))).toMap
+    assert(byId(1L) == ((1L, false, 3L)))
+    assert(byId(2L) == ((1L, true, 3L)))
+    assert(byId(3L) == ((3L, false, 1L)))
+    assert(byId(4L) == ((1L, true, 3L)))
+  }
+
+  test("minhash LSH finds high-jaccard pairs and agrees with exact blocked jaccard") {
+    val lsh = Dedup.minhashLsh(docs, threshold = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact ground truth: all-pairs jaccard >= 0.8 via block-free compute
+    // (blocked-by-lang jaccard is a subset: near-dup pairs within a lang)
+    val exact = Dedup.jaccardBlocked(docs.withColumn("lang", lit("all")), threshold = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test data should contain planted near-dups")
+    // LSH at b=16,r=8 has >99.9% recall at j>=0.8; require full recall here
+    assert(exact.subsetOf(lsh.union(exact)) && (exact -- lsh).isEmpty,
+      s"LSH missed pairs: ${exact -- lsh}")
+    // precision: every reported pair really has jaccard >= 0.8 (verify stage)
+    assert(lsh.subsetOf(exact), s"LSH reported non-dup pairs: ${lsh -- exact}")
+  }
+
+  test("simhash returns low-hamming pairs for planted near-dups") {
+    val pairs = Dedup.simhash(docs).collect()
+    assert(pairs.nonEmpty, "planted near-dups should be within hamming 3")
+    assert(pairs.forall(_.getLong(2) <= 3))
+  }
+
+  test("ann cosine top-k matches brute-force reference") {
+    val got = Ann.cosineTopK(embs, Seq(0L, 1L), k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // reference: collect embeddings, compute in scala
+    val vecs = embs.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    for (q <- Seq(0L, 1L)) {
+      val want = vecs.toSeq.filter(_._1 != q)
+        .map { case (i, v) => (i, cos(vecs(q), v)) }
+        .sortBy { case (i, s) => (-s, i) }.take(5).map(_._1)
+      val gotQ = got.filter(_._1 == q).sortBy(_._3).map(_._2).toSeq
+      assert(gotQ == want, s"query $q")
+    }
+  }
+
+  test("ann lsh returns a subset ranking of real neighbors") {
+    val got = Ann.lshTopK(embs, Seq(0L), k = 5).collect()
+    assert(got.nonEmpty)
+    // ranks are 1..n ascending, ids valid
+    assert(got.map(_.getLong(2)).toSeq == (1L to got.length).toSeq)
+  }
+
+  test("token stats and quality are deterministic and sane") {
+    val t = TextOps.tokenStats(docs).collect()
+    assert(t.length == docs.count())
+    assert(t.forall(r => r.getLong(1) > 0 && r.getLong(2) >= r.getLong(1)))
+    val q = TextOps.quality(docs).collect()
+    assert(q.forall { r =>
+      val pr = r.getDouble(3); val dr = r.getDouble(5)
+      pr >= 0 && pr <= 1 && dr > 0 && dr <= 1
+    })
+  }
+
+  test("langid predicts en for english-stopword text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog in the house"),
+      (2L, "der hund und die katze mit den"),
+      (3L, "xyzzy qwerty")).toDF("doc_id", "text")
+    val got = TextOps.langId(df).collect().map(r =>
+      r.getLong(0) -> r.getString(r.length - 1)).toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "de")
+    assert(got(3L) == "und")
+  }
+
+  test("fingerprints are stable and non-trivial") {
+    val a = TextOps.fingerprints(docs).collect()
+    val b = TextOps.fingerprints(docs).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    assert(a.forall(_.getLong(2) > 0))
+  }
+
+  test("multimodal: media schema, features, frame sampling") {
+    val media = Multimodal.syntheticMediaTable(docs)
+    assert(media.schema.fieldNames.toSeq == Seq("media_id", "meta", "payload"))
+    val feats = Multimodal.extractFeatures(media, dim = 8).collect()
+    assert(feats.forall(_.feature.length == 8))
+    val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 2).collect()
+    assert(frames.forall(_.frame.length <= 64))
+    assert(frames.forall(_.frame_idx % 2 == 0))
+    val s1 = Multimodal.summary(docs).collect()
+    val s2 = Multimodal.summary(docs).collect()
+    assert(s1.map(_.toString).toSeq == s2.map(_.toString).toSeq)
+    assert(s1.length == docs.count())
+  }
+}
