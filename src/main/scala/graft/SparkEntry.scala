@@ -226,8 +226,53 @@ object SparkEntry {
 
     // rows-only oracle (stub codec features not expressible in DuckDB)
     "q_multimodal" -> ((s, dir) =>
-      pipeline.Multimodal.summary(docs(s, dir)))
+      pipeline.Multimodal.summary(docs(s, dir))),
+
+    // ================================================================
+    // Graph analytics (graft.algos) over the RELATED_TO part graph
+    // (reference analog: recursive-CTE traversals, translator.ts).
+    // ================================================================
+
+    "q_degree" -> ((s, dir) =>
+      g(s, dir).degreesFor("Customer")
+        .select(col("_id").as("id"), col("outDegree"), col("inDegree"), col("degree"))
+        .orderBy("id")),
+
+    // ref benchmark: items_owned_by_multiple analog
+    "q_coowned" -> ((s, dir) =>
+      g(s, dir).cypher(
+        """MATCH (o:Order)-[:CONTAINS]->(p:Part)
+           WITH p, count(DISTINCT o) AS order_cnt WHERE order_cnt >= 5
+           RETURN p.p_partkey AS p_partkey, order_cnt ORDER BY p_partkey""")),
+
+    "q_triangles" -> ((s, dir) =>
+      algos.Algos.triangleCount(relatedTo(s, dir))),
+
+    "q_shortestpath" -> ((s, dir) =>
+      algos.Algos.shortestPaths(relatedTo(s, dir), source = 1L, maxDepth = 4)
+        .select(col("id").as("p_partkey"), col("dist").cast("long").as("dist"))
+        .orderBy("p_partkey")),
+
+    "q_concomp" -> ((s, dir) =>
+      algos.Algos.connectedComponents(relatedTo(s, dir))
+        .select(col("id").as("p_partkey"), col("component"))
+        .orderBy("p_partkey")),
+
+    // rows-only oracle (floating-point ranks; shuffle-order sensitive)
+    "q_pagerank" -> ((s, dir) =>
+      algos.Algos.pageRank(relatedTo(s, dir), iterations = 10)
+        .select(col("id").as("p_partkey"), round(col("rank"), 8).as("rank"))
+        .orderBy("p_partkey")),
+
+    // rows-only oracle (iterative heuristic not expressible in SQL)
+    "q_labelprop" -> ((s, dir) =>
+      algos.Algos.labelPropagation(relatedTo(s, dir), iterations = 5)
+        .select(col("id").as("p_partkey"), col("label"))
+        .orderBy("p_partkey"))
   )
+
+  private def relatedTo(s: SparkSession, dir: String): DataFrame =
+    g(s, dir).edgeFrame(graph.EdgeType("RELATED_TO", "Part", "Part"))
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     GraphLoader.table(lenient(s), dir, "documents")
@@ -389,6 +434,50 @@ object SparkEntry {
                       row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
                FROM s)
          SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank"
-         FROM r WHERE rnk <= 10 ORDER BY query_id, rnk"""
+         FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
+    "q_degree" ->
+      """SELECT c_custkey AS id, CAST(1 + coalesce(o.cnt, 0) AS BIGINT) AS outDegree,
+         CAST(0 AS BIGINT) AS inDegree, CAST(1 + coalesce(o.cnt, 0) AS BIGINT) AS degree
+         FROM customer LEFT JOIN
+           (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1) o
+           ON o_custkey = c_custkey
+         ORDER BY id""",
+    "q_coowned" ->
+      """SELECT l_partkey AS p_partkey, count(DISTINCT l_orderkey) AS order_cnt
+         FROM lineitem GROUP BY 1 HAVING count(DISTINCT l_orderkey) >= 5
+         ORDER BY p_partkey""",
+    "q_triangles" ->
+      """WITH related AS (
+           SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+         SELECT CAST(count(*) AS BIGINT) AS triangles
+         FROM related e1
+         JOIN related e2 ON e2.p1 = e1.p2
+         JOIN related e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2""",
+    "q_shortestpath" ->
+      """WITH RECURSIVE related AS (
+           SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         walk(k, d) AS (
+           SELECT CAST(1 AS BIGINT) AS k, 0 AS d
+           UNION
+           SELECT r.p2, w.d + 1 FROM walk w JOIN related r ON r.p1 = w.k WHERE w.d < 4)
+         SELECT k AS p_partkey, CAST(min(d) AS BIGINT) AS dist
+         FROM walk GROUP BY k ORDER BY p_partkey""",
+    "q_concomp" ->
+      """WITH RECURSIVE related AS (
+           SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         sym AS (SELECT p1 AS u, p2 AS v FROM related
+                 UNION SELECT p2, p1 FROM related),
+         comp(k, c) AS (
+           SELECT u AS k, u AS c FROM (SELECT DISTINCT u FROM sym)
+           UNION
+           SELECT s.v, comp.c FROM comp JOIN sym s ON s.u = comp.k WHERE comp.c < s.v)
+         SELECT k AS p_partkey, CAST(min(c) AS BIGINT) AS component
+         FROM comp GROUP BY k ORDER BY p_partkey"""
   )
 }

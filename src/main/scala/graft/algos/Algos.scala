@@ -1,0 +1,159 @@
+package graft.algos
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+/** Graph analytics as iterative DataFrame algorithms.
+  *
+  * The reference fits these into Cypher traversals (recursive CTE
+  * translation, /root/reference/src/translator.ts:3322-3374); at Spark
+  * scale they are bounded iterative join loops: every iteration is one
+  * shuffle on the join key, frontiers/labels stay DataFrames (never
+  * collected), and iteration results are persisted + localCheckpoint'd so
+  * lineage (and thus plan size) stays O(1) per iteration instead of
+  * O(iterations).
+  *
+  * Edge-frame convention: (`src`, `dst`) long columns, as produced by
+  * [[graft.graph.PropertyGraph]] edge frames.
+  */
+object Algos {
+
+  /** Cut lineage + materialize an iteration result. localCheckpoint is
+    * the single-cluster analog of checkpoint-to-HDFS; swap for
+    * `checkpoint()` with a checkpoint dir on a real cluster.
+    */
+  private def materialize(df: DataFrame): DataFrame =
+    df.persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint(true)
+
+  /** Single-source BFS shortest hop-distances over a directed edge frame.
+    * Returns (id, dist) for every node reachable within maxDepth
+    * (including the source at dist 0). Each level is one equi-join of the
+    * frontier against edges + an anti-join against the visited set — the
+    * frontier is deduped per level so dense graphs don't blow up.
+    */
+  def shortestPaths(edges: DataFrame, source: Long, maxDepth: Int,
+      src: String = "_src", dst: String = "_dst"): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(src).as("es"), col(dst).as("ed"))
+    var visited = materialize(Seq((source, 0)).toDF("id", "dist"))
+    var frontier = visited
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      depth += 1
+      val next = frontier.join(e, col("id") === col("es"))
+        .select(col("ed").as("id"), lit(depth).as("dist"))
+        .distinct()
+        .join(visited.select("id"), Seq("id"), "left_anti")
+      frontier = materialize(next)
+      visited = materialize(visited.unionByName(frontier))
+    }
+    visited
+  }
+
+  /** Triangle count in a directed edge frame whose edges are canonically
+    * oriented src < dst (each undirected triangle a<b<c appears exactly
+    * once as (a,b),(b,c),(a,c)). One row: (triangles).
+    */
+  def triangleCount(edges: DataFrame, src: String = "_src", dst: String = "_dst"): DataFrame = {
+    val e1 = edges.select(col(src).as("a"), col(dst).as("b"))
+    val e2 = edges.select(col(src).as("b"), col(dst).as("c"))
+    val e3 = edges.select(col(src).as("a2"), col(dst).as("c2"))
+    e1.join(e2, "b")
+      .join(e3, col("a") === col("a2") && col("c") === col("c2"))
+      .agg(count(lit(1)).as("triangles"))
+  }
+
+  /** Connected components over the undirected view of an edge frame:
+    * iterative min-label propagation until fixpoint. Returns
+    * (id, component) where component = min node id in the component.
+    * O(diameter) shuffles; each iteration joins the current labels with
+    * the symmetrized edges.
+    */
+  def connectedComponents(edges: DataFrame,
+      src: String = "_src", dst: String = "_dst"): DataFrame = {
+    val fwd = edges.select(col(src).as("u"), col(dst).as("v"))
+    val sym = materialize(
+      fwd.unionByName(fwd.select(col("v").as("u"), col("u").as("v"))).distinct())
+    var labels = materialize(
+      sym.select(col("u").as("id")).distinct()
+        .withColumn("component", col("id")))
+    var changed = true
+    var iter = 0
+    val maxIter = 50 // diameter bound; converges long before on real graphs
+    while (changed && iter < maxIter) {
+      iter += 1
+      val viaNeighbor = labels.join(sym, col("id") === col("u"))
+        .groupBy(col("v").as("id"))
+        .agg(min("component").as("ncomp"))
+      val updated = labels.join(viaNeighbor, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("component"), coalesce(col("ncomp"), col("component"))).as("component"),
+          (col("ncomp") < col("component")).as("improved"))
+      val next = materialize(updated)
+      changed = next.filter(col("improved")).limit(1).count() > 0
+      labels = materialize(next.select("id", "component"))
+    }
+    labels
+  }
+
+  /** PageRank with uniform teleport, `iterations` fixed rounds.
+    * Dangling mass is redistributed uniformly each round (standard
+    * formulation) so ranks sum to 1. Returns (id, rank).
+    */
+  def pageRank(edges: DataFrame, iterations: Int = 10, damping: Double = 0.85,
+      src: String = "_src", dst: String = "_dst"): DataFrame = {
+    val e = edges.select(col(src).as("u"), col(dst).as("v")).distinct()
+    val nodes = materialize(
+      e.select(col("u").as("id")).unionByName(e.select(col("v").as("id"))).distinct())
+    val n = nodes.count().toDouble
+    val outDeg = e.groupBy(col("u").as("id")).agg(count(lit(1)).as("outdeg"))
+    val graph = materialize(nodes.join(outDeg, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg")))
+    var ranks = materialize(graph.select(col("id"), lit(1.0 / n).as("rank")))
+    for (_ <- 1 to iterations) {
+      val withDeg = ranks.join(graph, "id")
+      val contribs = withDeg.filter(col("outdeg") > 0)
+        .join(e, col("id") === col("u"))
+        .select(col("v").as("id"), (col("rank") / col("outdeg")).as("c"))
+        .groupBy("id").agg(sum("c").as("contrib"))
+      val danglingMass = withDeg.filter(col("outdeg") === 0)
+        .agg(coalesce(sum("rank"), lit(0.0))).first().getDouble(0)
+      val base = (1.0 - damping) / n + damping * danglingMass / n
+      ranks = materialize(graph.select(col("id"))
+        .join(contribs, Seq("id"), "left_outer")
+        .select(col("id"),
+          (lit(base) + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank")))
+    }
+    ranks
+  }
+
+  /** Synchronous label propagation (community detection): each round a
+    * node adopts the most frequent label among its neighbors (ties → the
+    * smallest label, deterministic). Fixed round count — LPA has no
+    * convergence guarantee under synchronous update.
+    */
+  def labelPropagation(edges: DataFrame, iterations: Int = 5,
+      src: String = "_src", dst: String = "_dst"): DataFrame = {
+    val fwd = edges.select(col(src).as("u"), col(dst).as("v"))
+    val sym = materialize(
+      fwd.unionByName(fwd.select(col("v").as("u"), col("u").as("v"))).distinct())
+    var labels = materialize(
+      sym.select(col("u").as("id")).distinct().withColumn("label", col("id")))
+    for (_ <- 1 to iterations) {
+      val neighborLabels = labels.join(sym, col("id") === col("u"))
+        .groupBy(col("v").as("id"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val best = neighborLabels
+        .groupBy("id")
+        .agg(max_by(struct(col("cnt"), (-col("label")).as("neg")),
+          struct(col("cnt"), (-col("label")).as("neg"))).getField("neg").as("nl"))
+        .select(col("id"), (-col("nl")).as("newLabel"))
+      labels = materialize(labels.join(best, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("newLabel"), col("label")).as("label")))
+    }
+    labels
+  }
+}

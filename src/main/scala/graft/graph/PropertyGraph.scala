@@ -191,15 +191,26 @@ final class PropertyGraph private (
   // ---- degrees (Cypher: size((n)-[]->()) etc.) ----
 
   /** (label, _id, outDegree, inDegree, degree) across all edge types. */
-  def degrees(spark: SparkSession): DataFrame = {
-    val outs = edges.toSeq.map { case (et, df) =>
-      df.select(lit(et.srcLabel).as("label"), col(SRC).as(ID),
+  def degrees(spark: SparkSession): DataFrame = degreesOf(None)
+
+  /** Degrees restricted to one node label — forces only the edge classes
+    * incident to that label (at 100 TB, scanning unrelated edge tables
+    * for a single-label degree view is real cost).
+    */
+  def degreesFor(label: String): DataFrame = degreesOf(Some(label))
+
+  private def degreesOf(label: Option[String]): DataFrame = {
+    val ets = edgeClasses.filter(et =>
+      label.forall(l => et.srcLabel == l || et.dstLabel == l))
+    val outs = ets.filter(et => label.forall(_ == et.srcLabel)).map { et =>
+      edgeFrame(et).select(lit(et.srcLabel).as("label"), col(SRC).as(ID),
         lit(1L).as("out_d"), lit(0L).as("in_d"))
     }
-    val ins = edges.toSeq.map { case (et, df) =>
-      df.select(lit(et.dstLabel).as("label"), col(DST).as(ID),
+    val ins = ets.filter(et => label.forall(_ == et.dstLabel)).map { et =>
+      edgeFrame(et).select(lit(et.dstLabel).as("label"), col(DST).as(ID),
         lit(0L).as("out_d"), lit(1L).as("in_d"))
     }
+    require(outs.nonEmpty || ins.nonEmpty, s"no edge classes touch $label")
     (outs ++ ins).reduce(_ unionByName _)
       .groupBy("label", ID)
       .agg(sum("out_d").as("outDegree"), sum("in_d").as("inDegree"),

@@ -1,0 +1,63 @@
+package graft.algos
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+class AlgosSpec extends SparkSpec {
+
+  private def edgesOf(pairs: (Long, Long)*): DataFrame = {
+    import spark.implicits._
+    pairs.toSeq.toDF("_src", "_dst")
+  }
+
+  test("shortestPaths BFS on a path + branch graph") {
+    // 1->2->3->4, 1->5, 5->4: dist(4) = min(3, 2) = 2
+    val e = edgesOf(1L -> 2L, 2L -> 3L, 3L -> 4L, 1L -> 5L, 5L -> 4L)
+    val got = Algos.shortestPaths(e, source = 1L, maxDepth = 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 5L -> 1, 3L -> 2, 4L -> 2))
+  }
+
+  test("shortestPaths respects maxDepth") {
+    val e = edgesOf(1L -> 2L, 2L -> 3L, 3L -> 4L)
+    val got = Algos.shortestPaths(e, source = 1L, maxDepth = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L))
+  }
+
+  test("triangleCount on canonically ordered edges") {
+    // triangles: (1,2,3) and (1,3,4); non-triangle edge 2->5
+    val e = edgesOf(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L, 1L -> 4L, 2L -> 5L)
+    val got = Algos.triangleCount(e).collect()(0).getLong(0)
+    assert(got == 2L)
+  }
+
+  test("connectedComponents labels each component with its min id") {
+    // components {1,2,3}, {10,11}, chain + isolated pair
+    val e = edgesOf(1L -> 2L, 2L -> 3L, 10L -> 11L)
+    val got = Algos.connectedComponents(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("pageRank sums to 1 and favors the sink of a star") {
+    // star: 1..4 all point at 5
+    val e = edgesOf(1L -> 5L, 2L -> 5L, 3L -> 5L, 4L -> 5L)
+    val ranks = Algos.pageRank(e, iterations = 15)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-6)
+    assert(ranks(5L) > ranks(1L) * 3)
+    assert(Seq(1L, 2L, 3L, 4L).map(ranks).distinct.size == 1) // symmetry
+  }
+
+  test("labelPropagation separates two cliques") {
+    val clique1 = Seq(1L -> 2L, 1L -> 3L, 2L -> 3L)
+    val clique2 = Seq(10L -> 11L, 10L -> 12L, 11L -> 12L)
+    val e = edgesOf(clique1 ++ clique2: _*)
+    val got = Algos.labelPropagation(e, iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(1L, 2L, 3L).map(got).size == 1)
+    assert(Set(10L, 11L, 12L).map(got).size == 1)
+    assert(got(1L) != got(10L))
+  }
+}
