@@ -414,15 +414,20 @@ object SparkEntry {
            SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
          s AS (
            SELECT doc_id, lang,
+             CAST(floor(len(toks) / 32.0) AS BIGINT) AS bkt,
              list_distinct(list_transform(range(1, len(toks) - 1),
                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
-           FROM t WHERE len(toks) >= 3)
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-             len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-         FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
-         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-             len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+           FROM t WHERE len(toks) >= 3),
+         p AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM s a JOIN s b
+             ON a.lang = b.lang AND abs(a.bkt - b.bkt) <= 1 AND a.doc_id < b.doc_id)
+         SELECT p.id_a, p.id_b,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+             len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+         FROM p JOIN s sa ON sa.doc_id = p.id_a JOIN s sb ON sb.doc_id = p.id_b
+         WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+             len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.8
          ORDER BY id_a, id_b""",
     "q_ann_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
