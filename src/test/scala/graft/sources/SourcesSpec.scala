@@ -1,0 +1,51 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SourcesSpec extends SparkSpec {
+
+  test("CSV round-trip preserves rows") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    val nation = graft.graph.GraphLoader.table(spark, sfDir, "nation")
+    Tables.writeCsv(nation, s"$tmp/nation")
+    val back = Tables.readCsv(spark, s"$tmp/nation")
+    assert(back.count() == nation.count())
+    assert(back.columns.toSeq == nation.columns.toSeq)
+    assert(sortedRowsOf(back.select("n_name")) == sortedRowsOf(nation.select("n_name")))
+  }
+
+  test("JSON round-trip preserves rows") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-json").toString
+    val region = graft.graph.GraphLoader.table(spark, sfDir, "region")
+    Tables.writeJson(region, s"$tmp/region")
+    val back = Tables.readJson(spark, s"$tmp/region")
+    assert(back.count() == region.count())
+    assert(sortedRowsOf(back.select("r_name")) == sortedRowsOf(region.select("r_name")))
+  }
+
+  test("catalog report lists every label and edge class with counts") {
+    val report = Tables.catalogReport(graph, spark).collect()
+    val names = report.map(_.getString(1)).toSet
+    assert(graph.labels.toSet.subsetOf(names))
+    assert(names.exists(_.startsWith("PLACED(")))
+    assert(report.forall(_.getLong(2) > 0))
+    assert(report.forall(_.getString(3).nonEmpty))
+  }
+
+  test("graph snapshot save/load round-trips with escaped names") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    import spark.implicits._
+    val nodes = Seq((1L, "x"), (2L, "y")).toDF("_id", "prop")
+    val edges = Seq((1L, 2L, 77L)).toDF("_src", "_dst", "_eid")
+    val g0 = graft.graph.PropertyGraph(
+      Map("Weird__Label" -> nodes),
+      Map(graft.graph.EdgeType("REL__TYPE", "Weird__Label", "Weird__Label") -> edges))
+    g0.save(tmp)
+    val g1 = graft.graph.PropertyGraph.load(spark, tmp)
+    assert(g1.labels == Seq("Weird__Label"))
+    assert(g1.edgeClasses.head.relType == "REL__TYPE")
+    assert(g1.nodeFrame("Weird__Label").count() == 2)
+    assert(g1.edgeFrame(g1.edgeClasses.head).count() == 1)
+  }
+}
