@@ -61,6 +61,16 @@ object Ast {
   final case class CallClause(procedure: String, yields: Seq[String]) extends Clause
   final case class ReturnClause(p: Projection) extends Clause
 
+  // ---- write clauses (compiled by CypherWriter) ----
+  final case class CreateClause(paths: Vector[PathPat]) extends Clause
+  /** items are (Prop(Var(v), key) -> value). */
+  final case class MergeClause(path: PathPat, onCreate: Seq[(Expr, Expr)],
+      onMatch: Seq[(Expr, Expr)]) extends Clause
+  final case class SetClause(items: Seq[(Expr, Expr)]) extends Clause
+  final case class DeleteClause(vars: Seq[String], detach: Boolean) extends Clause
+  /** items are Prop(Var(v), key). */
+  final case class RemoveClause(items: Seq[Expr]) extends Clause
+
   final case class SingleQuery(clauses: Seq[Clause])
   /** parts.size == unionAll.size + 1; unionAll(i) is true for UNION ALL. */
   final case class Query(parts: Seq[SingleQuery], unionAll: Seq[Boolean])

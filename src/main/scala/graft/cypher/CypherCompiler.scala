@@ -32,6 +32,7 @@ import graft.graph.PropertyGraph.{ID, LABEL}
   * shuttling anywhere.
   */
 final class CypherCompiler(g: PropertyGraph, spark: SparkSession) {
+  import CypherCompiler.Ctx
 
   private val pm = new PatternMatcher(g)
 
@@ -47,11 +48,6 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession) {
       if (q.unionAll.contains(false)) unioned.distinct() else unioned
     }
   }
-
-  /** Node variables with a statically-known single label (used to seed
-    * [[PatternMatcher]] label inference across clauses).
-    */
-  private final case class Ctx(df: DataFrame, labels: Map[String, String])
 
   private def compileSingle(sq: SingleQuery): DataFrame = {
     var ctx: Option[Ctx] = None
@@ -71,7 +67,7 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession) {
   }
 
   /** Labels that survive a projection: items that are bare `v AS a`. */
-  private def keptLabels(ctx: Option[Ctx], p: Projection): Map[String, String] =
+  private[cypher] def keptLabels(ctx: Option[Ctx], p: Projection): Map[String, String] =
     ctx.map { c =>
       p.items.flatMap { it =>
         it.expr match {
@@ -88,7 +84,7 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession) {
   private def declaredLabels(paths: Vector[PathPat]): Map[String, String] =
     paths.flatMap(_.nodes).flatMap(n => n.label.map(n.name -> _)).toMap
 
-  private def applyMatch(ctx: Option[Ctx], paths: Vector[PathPat],
+  private[cypher] def applyMatch(ctx: Option[Ctx], paths: Vector[PathPat],
       optional: Boolean, where: Option[Expr]): Ctx = {
     val baseLabels = ctx.map(_.labels).getOrElse(Map.empty)
     val patVars = paths.flatMap(_.nodes).map(_.name).toSet
@@ -188,7 +184,7 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession) {
   // UNWIND / CALL
   // ------------------------------------------------------------------
 
-  private def applyUnwind(ctx: Option[Ctx], list: Expr, alias: String): Ctx =
+  private[cypher] def applyUnwind(ctx: Option[Ctx], list: Expr, alias: String): Ctx =
     ctx match {
       case Some(c) =>
         Ctx(c.df.withColumn(alias, explode(compileExpr(c.df, list))), c.labels - alias)
@@ -197,7 +193,7 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession) {
         Ctx(base.select(explode(compileExpr(base, list)).as(alias)), Map.empty)
     }
 
-  private def applyCall(ctx: Option[Ctx], proc: String, yields: Seq[String]): Ctx = {
+  private[cypher] def applyCall(ctx: Option[Ctx], proc: String, yields: Seq[String]): Ctx = {
     val df = proc.toLowerCase match {
       case "db.labels" =>
         val out = g.labelsDF(spark)
@@ -217,7 +213,7 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession) {
   // WITH / RETURN projections
   // ------------------------------------------------------------------
 
-  private def applyProjection(ctx: Option[Ctx], p: Projection): DataFrame = {
+  private[cypher] def applyProjection(ctx: Option[Ctx], p: Projection): DataFrame = {
     val base = ctx.map(_.df).getOrElse(spark.range(1).toDF())
     // RETURN * — expand to every visible column
     val items = p.items.flatMap {
@@ -450,4 +446,12 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession) {
         sys.error("pattern predicates are only supported as top-level WHERE conjuncts")
     }
   }
+}
+
+object CypherCompiler {
+  /** Clause-pipeline state: the bound-variables frame plus node variables
+    * with a statically-known single label (seeds [[PatternMatcher]] label
+    * inference across clauses).
+    */
+  final case class Ctx(df: DataFrame, labels: Map[String, String])
 }

@@ -97,12 +97,72 @@ object CypherParser {
           clauses += UnwindClause(e, ident())
         }
         else if (isKw("CALL")) { i += 1; clauses += callClause() }
+        else if (isKw("CREATE")) {
+          i += 1
+          val paths = Vector.newBuilder[PathPat]
+          paths += path()
+          while (tryTok(",")) paths += path()
+          clauses += CreateClause(paths.result())
+        }
+        else if (isKw("MERGE")) {
+          i += 1
+          val p = path()
+          var onCreate: Seq[(Expr, Expr)] = Seq.empty
+          var onMatch: Seq[(Expr, Expr)] = Seq.empty
+          var more = true
+          while (more && isKw("ON")) {
+            i += 1
+            if (tryTok("CREATE")) { expect("SET"); onCreate = onCreate ++ setItems() }
+            else if (tryTok("MATCH")) { expect("SET"); onMatch = onMatch ++ setItems() }
+            else more = false
+          }
+          clauses += MergeClause(p, onCreate, onMatch)
+        }
+        else if (isKw("SET")) { i += 1; clauses += SetClause(setItems()) }
+        else if (isKw("DETACH")) {
+          i += 1; expect("DELETE")
+          clauses += DeleteClause(varList(), detach = true)
+        }
+        else if (isKw("DELETE")) { i += 1; clauses += DeleteClause(varList(), detach = false) }
+        else if (isKw("REMOVE")) {
+          i += 1
+          val items = Vector.newBuilder[Expr]
+          items += postfixVar()
+          while (tryTok(",")) items += postfixVar()
+          clauses += RemoveClause(items.result())
+        }
         else if (isKw("RETURN")) {
           i += 1; clauses += ReturnClause(projection(withWhere = false)); done = true
         }
         else done = true
       }
       SingleQuery(clauses.result())
+    }
+
+    private def setItems(): Seq[(Expr, Expr)] = {
+      val items = Vector.newBuilder[(Expr, Expr)]
+      def one(): Unit = {
+        val target = postfixVar()
+        expect("=")
+        items += (target -> expr())
+      }
+      one()
+      while (tryTok(",")) one()
+      items.result()
+    }
+
+    /** `v.prop` target of SET/REMOVE. */
+    private def postfixVar(): Expr = {
+      val v = ident()
+      expect(".")
+      Prop(Var(v), ident())
+    }
+
+    private def varList(): Seq[String] = {
+      val vs = Vector.newBuilder[String]
+      vs += ident()
+      while (tryTok(",")) vs += ident()
+      vs.result()
     }
 
     private def matchClause(optional: Boolean): MatchClause = {

@@ -1,0 +1,234 @@
+package graft.cypher
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Ast._
+import CypherCompiler.Ctx
+import graft.graph.{EdgeType, PropertyGraph}
+import graft.graph.PatternParser.{NodePat, Out, PathPat}
+import graft.graph.PropertyGraph.{DST, EID, ID, SRC}
+
+/** Executes Cypher WRITE queries (CREATE / MERGE / SET / REMOVE / DELETE /
+  * DETACH DELETE, mixed with read clauses) against a [[PropertyGraph]],
+  * returning the new immutable graph snapshot plus the optional RETURN
+  * result.
+  *
+  * Reference analog: the write-clause translation in
+  * /root/reference/src/translator.ts (CREATE/MERGE/SET/DELETE into SQLite
+  * DML). Spark-first divergence: writes are snapshot transforms — MATCH
+  * bindings flow into id FRAMES that join against label frames; nothing is
+  * collected to the driver.
+  *
+  * Supported subset (documented; the rest raises):
+  *  - CREATE of literal node patterns, and of edges between variables
+  *    bound by a preceding MATCH (`MATCH (a),(b) CREATE (a)-[:T]->(b)`).
+  *  - MERGE of a single literal node pattern (+ ON CREATE / ON MATCH SET)
+  *    and of edges between bound variables.
+  *  - SET/REMOVE on node properties: `SET n.p = expr` where expr uses
+  *    n's own properties and literals.
+  *  - DELETE / DETACH DELETE of node variables; DELETE of relationship
+  *    variables when the edge class is unambiguous.
+  */
+final class CypherWriter(g0: PropertyGraph, spark: SparkSession) {
+
+  def run(query: String): (PropertyGraph, Option[DataFrame]) = {
+    val q = CypherParser.parse(query)
+    require(q.parts.size == 1, "write queries cannot use UNION")
+    var graph = g0
+    def compiler = new CypherCompiler(graph, spark)
+    var ctx: Option[Ctx] = None
+    // edge classes bound to rel variables by the MATCHes seen so far
+    var relClasses = Map.empty[String, EdgeType]
+    var returned: Option[DataFrame] = None
+
+    q.parts.head.clauses.foreach {
+      case MatchClause(paths, optional, where) =>
+        ctx = Some(compiler.applyMatch(ctx, paths, optional, where))
+        relClasses = relClasses ++ boundRelClasses(graph, paths,
+          ctx.map(_.labels).getOrElse(Map.empty))
+      case UnwindClause(list, alias) =>
+        ctx = Some(compiler.applyUnwind(ctx, list, alias))
+      case WithClause(p) =>
+        val c = compiler
+        ctx = Some(Ctx(c.applyProjection(ctx, p), c.keptLabels(ctx, p)))
+      case CreateClause(paths) =>
+        graph = applyCreate(graph, ctx, paths)
+      case MergeClause(path, onCreate, onMatch) =>
+        graph = applyMerge(graph, ctx, path, onCreate, onMatch)
+      case SetClause(items) =>
+        graph = applySet(graph, ctxOrFail(ctx), items)
+      case RemoveClause(items) =>
+        graph = applySet(graph, ctxOrFail(ctx), items.map(p => p -> Lit(null)))
+      case DeleteClause(vars, detach) =>
+        graph = applyDelete(graph, ctxOrFail(ctx), vars, detach, relClasses)
+      case ReturnClause(p) =>
+        returned = Some(compiler.applyProjection(ctx, p))
+      case other => sys.error(s"unsupported clause in write query: $other")
+    }
+    (graph, returned)
+  }
+
+  private def ctxOrFail(ctx: Option[Ctx]): Ctx =
+    ctx.getOrElse(sys.error("SET/REMOVE/DELETE requires a preceding MATCH"))
+
+  /** rel var -> unique EdgeType, when type + endpoint labels pin it down. */
+  private def boundRelClasses(g: PropertyGraph, paths: Vector[PathPat],
+      labels: Map[String, String]): Map[String, EdgeType] =
+    (for {
+      p <- paths
+      i <- p.rels.indices
+      r = p.rels(i) if !r.anonymous && !r.isVarLength
+      (sv, dv) = if (r.dir == Out) (p.nodes(i).name, p.nodes(i + 1).name)
+                 else (p.nodes(i + 1).name, p.nodes(i).name)
+      ets = g.edgeTypesFor(r.relType, labels.get(sv), labels.get(dv))
+      if ets.size == 1
+    } yield r.name -> ets.head).toMap
+
+  // ------------------------------------------------------------------
+  // CREATE
+  // ------------------------------------------------------------------
+
+  private def litCol(v: Any): Column = if (v == null) lit(null) else lit(v)
+
+  /** Deterministic id for a created node: the literal `_id` property when
+    * given, else a hash of the label + property literals.
+    */
+  private def nodeIdOf(label: String, props: Seq[(String, Any)]): Column =
+    props.collectFirst { case (ID, v) => litCol(v).cast("long") }
+      .getOrElse(xxhash64(lit(label) +: props.sortBy(_._1).map(p => litCol(p._2)): _*))
+
+  private def applyCreate(g: PropertyGraph, ctx: Option[Ctx],
+      paths: Vector[PathPat]): PropertyGraph = {
+    var out = g
+    // 1. standalone literal nodes (vars not bound by a previous MATCH)
+    val boundVars = ctx.map(_.df.columns.toSet).getOrElse(Set.empty)
+    val newNodeIds = scala.collection.mutable.Map[String, (String, Column)]()
+    paths.flatMap(_.nodes).filterNot(n => boundVars(n.name)).foreach { n =>
+      val label = n.label.getOrElse(sys.error(s"CREATE node ${n.name} needs a label"))
+      val idCol = nodeIdOf(label, n.props)
+      val cols = idCol.as(ID) +:
+        n.props.filterNot(_._1 == ID).map { case (k, v) => litCol(v).as(k) }
+      val row = spark.range(1).select(cols: _*)
+      out = out.addNodes(label, row)
+      newNodeIds(n.name) = (label, idCol)
+    }
+    // 2. edges — endpoints either MATCH-bound (per-row) or just created
+    for (p <- paths; i <- p.rels.indices) {
+      val r = p.rels(i)
+      val (sv, dv) = if (r.dir == Out) (p.nodes(i), p.nodes(i + 1))
+                     else (p.nodes(i + 1), p.nodes(i))
+      val relType = r.relType.getOrElse(sys.error("CREATE edge needs a type"))
+      def endpoint(n: NodePat): (String, Column, Boolean) =
+        if (boundVars(n.name)) {
+          val label = ctx.get.labels.getOrElse(n.name,
+            sys.error(s"CREATE edge endpoint ${n.name} has unknown label"))
+          (label, col(s"${n.name}.$ID"), true)
+        } else {
+          val (label, idc) = newNodeIds(n.name)
+          (label, idc, false)
+        }
+      val (sl, sidCol, sBound) = endpoint(sv)
+      val (dl, didCol, dBound) = endpoint(dv)
+      val base = if (sBound || dBound) ctx.get.df else spark.range(1).toDF()
+      val edgeRow = base.select(
+        (sidCol.cast("long").as(SRC) +: didCol.cast("long").as(DST) +:
+          r.props.map { case (k, v) => litCol(v).as(k) }): _*)
+      out = out.addEdges(EdgeType(relType, sl, dl), edgeRow)
+    }
+    out
+  }
+
+  // ------------------------------------------------------------------
+  // MERGE
+  // ------------------------------------------------------------------
+
+  private def applyMerge(g: PropertyGraph, ctx: Option[Ctx], path: PathPat,
+      onCreate: Seq[(Expr, Expr)], onMatch: Seq[(Expr, Expr)]): PropertyGraph = {
+    val boundVars = ctx.map(_.df.columns.toSet).getOrElse(Set.empty)
+    if (path.rels.isEmpty) {
+      // single node MERGE by literal properties
+      val n = path.nodes.head
+      val label = n.label.getOrElse(sys.error("MERGE node needs a label"))
+      val idCol = nodeIdOf(label, n.props)
+      val cols = idCol.as(ID) +:
+        n.props.filterNot(_._1 == ID).map { case (k, v) => litCol(v).as(k) }
+      val row = spark.range(1).select(cols: _*)
+      def assigns(items: Seq[(Expr, Expr)]): Map[String, Column] =
+        items.map {
+          case (Prop(Var(v), key), value) if v == n.name =>
+            key -> compileValueOverFrame(value, n.name)
+          case other => sys.error(s"unsupported MERGE SET target: $other")
+        }.toMap
+      g.mergeNodesWith(label, row, assigns(onCreate), assigns(onMatch))
+    } else {
+      // edge MERGE between two bound variables
+      require(path.rels.size == 1 && path.nodes.forall(n => boundVars(n.name)),
+        "edge MERGE requires both endpoints bound by a previous MATCH")
+      val r = path.rels.head
+      val (sv, dv) = if (r.dir == Out) (path.nodes(0), path.nodes(1))
+                     else (path.nodes(1), path.nodes(0))
+      val labels = ctx.get.labels
+      val et = EdgeType(r.relType.getOrElse(sys.error("MERGE edge needs a type")),
+        labels(sv.name), labels(dv.name))
+      val rows = ctx.get.df.select(
+        (col(s"${sv.name}.$ID").as(SRC) +: col(s"${dv.name}.$ID").as(DST) +:
+          r.props.map { case (k, v) => litCol(v).as(k) }): _*)
+      g.mergeEdges(et, rows)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // SET / REMOVE / DELETE
+  // ------------------------------------------------------------------
+
+  /** Rewrite `v.prop` references to bare frame columns so the value expr
+    * can be evaluated against the label frame itself.
+    */
+  private def rewriteSelfRefs(e: Expr, v: String): Expr = e match {
+    case Prop(Var(`v`), key) => Var(key)
+    case Bin(op, l, r) => Bin(op, rewriteSelfRefs(l, v), rewriteSelfRefs(r, v))
+    case Not(x) => Not(rewriteSelfRefs(x, v))
+    case Neg(x) => Neg(rewriteSelfRefs(x, v))
+    case IsNull(x, n) => IsNull(rewriteSelfRefs(x, v), n)
+    case Func(n, args, d) => Func(n, args.map(rewriteSelfRefs(_, v)), d)
+    case CaseExpr(s, ws, o) => CaseExpr(s.map(rewriteSelfRefs(_, v)),
+      ws.map { case (a, b) => (rewriteSelfRefs(a, v), rewriteSelfRefs(b, v)) },
+      o.map(rewriteSelfRefs(_, v)))
+    case other => other
+  }
+
+  private def compileValueOverFrame(value: Expr, v: String): Column = {
+    val rewritten = rewriteSelfRefs(value, v)
+    // Var(key) resolves as a column of the label frame when the returned
+    // Column is applied by set*Props; the frame passed here is only used
+    // for (unneeded) type probes
+    new CypherCompiler(g0, spark).compileExpr(spark.range(0).toDF(), rewritten)
+  }
+
+  private def applySet(g: PropertyGraph, ctx: Ctx,
+      items: Seq[(Expr, Expr)]): PropertyGraph =
+    items.foldLeft(g) {
+      case (acc, (Prop(Var(v), key), value)) =>
+        val label = ctx.labels.getOrElse(v,
+          sys.error(s"SET target $v has no statically-known label"))
+        val ids = ctx.df.select(col(s"$v.$ID"))
+        acc.setNodePropsForIds(label, ids, Map(key -> compileValueOverFrame(value, v)))
+      case (_, other) => sys.error(s"unsupported SET target: $other")
+    }
+
+  private def applyDelete(g: PropertyGraph, ctx: Ctx, vars: Seq[String],
+      detach: Boolean, relClasses: Map[String, EdgeType]): PropertyGraph =
+    vars.foldLeft(g) { (acc, v) =>
+      relClasses.get(v) match {
+        case Some(et) =>
+          val eids = ctx.df.select(col(s"$v.$EID").as(EID)).distinct()
+          acc.deleteEdgesByIds(et, eids)
+        case None =>
+          val label = ctx.labels.getOrElse(v,
+            sys.error(s"DELETE target $v has no statically-known label"))
+          val ids = ctx.df.select(col(s"$v.$ID"))
+          if (detach) acc.detachDeleteNodesByIds(label, ids)
+          else acc.deleteNodesByIds(label, ids)
+      }
+    }
+}

@@ -188,6 +188,13 @@ final class PropertyGraph private (
   def cypher(query: String): DataFrame =
     new graft.cypher.CypherCompiler(this, SparkSession.active).run(query)
 
+  /** Execute a Cypher WRITE query (CREATE/MERGE/SET/REMOVE/DELETE, mixed
+    * with read clauses); returns the new graph snapshot and the optional
+    * RETURN result. See [[graft.cypher.CypherWriter]].
+    */
+  def cypherWrite(query: String): (PropertyGraph, Option[DataFrame]) =
+    new graft.cypher.CypherWriter(this, SparkSession.active).run(query)
+
   // ---- degrees (Cypher: size((n)-[]->()) etc.) ----
 
   /** (label, _id, outDegree, inDegree, degree) across all edge types. */
@@ -246,6 +253,31 @@ final class PropertyGraph private (
     copyWith(n = nodeThunks + (label -> thunk(merged)))
   }
 
+  /** MERGE with Cypher's ON CREATE SET / ON MATCH SET: incoming rows
+    * whose ID already exists update the old rows with `onMatch`; new rows
+    * are inserted with `onCreate` applied.
+    */
+  def mergeNodesWith(label: String, df: DataFrame,
+      onCreate: Map[String, Column] = Map.empty,
+      onMatch: Map[String, Column] = Map.empty): PropertyGraph = {
+    if (!hasLabel(label)) {
+      val created = onCreate.foldLeft(df) { case (d, (k, v)) => d.withColumn(k, v) }
+      return copyWith(n = nodeThunks + (label -> thunk(created)))
+    }
+    val old = nodeFrame(label)
+    val matchedIds = df.select(ID).distinct().withColumn("__matched", lit(true))
+    val updatedOld0 = old.join(matchedIds, Seq(ID), "left_outer")
+    val updatedOld = onMatch.foldLeft(updatedOld0) { case (d, (k, v)) =>
+      if (d.columns.contains(k))
+        d.withColumn(k, when(coalesce(col("__matched"), lit(false)), v).otherwise(col(k)))
+      else d.withColumn(k, when(coalesce(col("__matched"), lit(false)), v))
+    }.drop("__matched")
+    val news0 = df.join(old.select(ID), Seq(ID), "left_anti")
+    val news = onCreate.foldLeft(news0) { case (d, (k, v)) => d.withColumn(k, v) }
+    copyWith(n = nodeThunks +
+      (label -> thunk(updatedOld.unionByName(news, allowMissingColumns = true))))
+  }
+
   /** SET n.prop = expr for rows matching `cond`. */
   def setNodeProps(label: String, cond: Column, assigns: Map[String, Column]): PropertyGraph = {
     val old = nodeFrame(label)
@@ -256,10 +288,90 @@ final class PropertyGraph private (
     copyWith(n = nodeThunks + (label -> thunk(updated)))
   }
 
+  /** SET for rows whose ID appears in `ids` (the Cypher string compiler's
+    * entry: MATCH bindings arrive as an id frame, joined — never
+    * collected to the driver).
+    */
+  def setNodePropsForIds(label: String, ids: DataFrame,
+      assigns: Map[String, Column]): PropertyGraph = {
+    val old = nodeFrame(label)
+    val marked = old.join(
+      ids.select(col(ids.columns.head).as(ID)).distinct().withColumn("__m", lit(true)),
+      Seq(ID), "left_outer")
+    val updated = assigns.foldLeft(marked) { case (d, (k, v)) =>
+      if (d.columns.contains(k))
+        d.withColumn(k, when(coalesce(col("__m"), lit(false)), v).otherwise(col(k)))
+      else d.withColumn(k, when(coalesce(col("__m"), lit(false)), v))
+    }.drop("__m")
+    copyWith(n = nodeThunks + (label -> thunk(updated)))
+  }
+
+  /** SET r.prop = expr on one edge class for rows matching `cond`. */
+  def setEdgeProps(et: EdgeType, cond: Column, assigns: Map[String, Column]): PropertyGraph = {
+    val old = edgeFrame(et)
+    val updated = assigns.foldLeft(old) { case (d, (k, v)) =>
+      if (d.columns.contains(k)) d.withColumn(k, when(cond, v).otherwise(col(k)))
+      else d.withColumn(k, when(cond, v))
+    }
+    copyWith(e = edgeThunks + (et -> thunk(updated)))
+  }
+
   /** REMOVE n.prop — drop property columns from a label. */
   def removeNodeProps(label: String, props: Seq[String]): PropertyGraph = {
     require(!props.contains(ID), "cannot remove node identity")
     copyWith(n = nodeThunks + (label -> thunk(nodeFrame(label).drop(props: _*))))
+  }
+
+  /** REMOVE the whole label (all its nodes) + incident edge classes. */
+  def removeLabel(label: String): PropertyGraph = {
+    require(hasLabel(label), s"unknown label $label")
+    copyWith(
+      n = nodeThunks - label,
+      e = edgeThunks.filter { case (et, _) =>
+        et.srcLabel != label && et.dstLabel != label
+      })
+  }
+
+  /** Plain (non-DETACH) DELETE: Cypher errors when a deleted node still
+    * has relationships (reference: translator.ts DELETE translation).
+    * This forces an eager existence check — an action at call time.
+    */
+  def deleteNodes(label: String, cond: Column): PropertyGraph = {
+    val ids = nodeFrame(label).filter(cond).select(ID)
+    val attached = edgeClasses
+      .filter(et => et.srcLabel == label || et.dstLabel == label)
+      .exists { et =>
+        val e = edgeFrame(et)
+        val bySrc = if (et.srcLabel == label)
+          e.join(ids.withColumnRenamed(ID, SRC), Seq(SRC), "left_semi") else e.limit(0)
+        val byDst = if (et.dstLabel == label)
+          e.join(ids.withColumnRenamed(ID, DST), Seq(DST), "left_semi") else e.limit(0)
+        !bySrc.isEmpty || !byDst.isEmpty
+      }
+    if (attached) throw new IllegalStateException(
+      s"Cannot DELETE nodes of :$label that still have relationships; use DETACH DELETE")
+    copyWith(n = nodeThunks +
+      (label -> thunk(nodeFrame(label).filter(!coalesce(cond, lit(false))))))
+  }
+
+  /** DETACH DELETE for an id frame (string-compiler entry). */
+  def detachDeleteNodesByIds(label: String, ids: DataFrame): PropertyGraph = {
+    val idDf = ids.select(col(ids.columns.head).as(ID)).distinct()
+    val newEdges = edgeThunks.map { case (et, th) =>
+      if (et.srcLabel != label && et.dstLabel != label) et -> th
+      else {
+        var out = edgeFrame(et)
+        if (et.srcLabel == label)
+          out = out.join(idDf.withColumnRenamed(ID, SRC), Seq(SRC), "left_anti")
+        if (et.dstLabel == label)
+          out = out.join(idDf.withColumnRenamed(ID, DST), Seq(DST), "left_anti")
+        et -> thunk(out)
+      }
+    }
+    copyWith(
+      n = nodeThunks + (label ->
+        thunk(nodeFrame(label).join(idDf, Seq(ID), "left_anti"))),
+      e = newEdges)
   }
 
   /** DETACH DELETE — remove matching nodes and all incident edges. */
@@ -317,6 +429,31 @@ final class PropertyGraph private (
   /** DELETE ()-[r]->() — remove matching edges of one class. */
   def deleteEdges(et: EdgeType, cond: Column): PropertyGraph =
     copyWith(e = edgeThunks + (et -> thunk(edgeFrame(et).filter(!coalesce(cond, lit(false))))))
+
+  /** DELETE edges whose EID appears in `eids` (string-compiler entry). */
+  def deleteEdgesByIds(et: EdgeType, eids: DataFrame): PropertyGraph = {
+    val idDf = eids.select(col(eids.columns.head).as(EID)).distinct()
+    copyWith(e = edgeThunks +
+      (et -> thunk(edgeFrame(et).join(idDf, Seq(EID), "left_anti"))))
+  }
+
+  /** Plain DELETE for an id frame — errors if any id still has edges. */
+  def deleteNodesByIds(label: String, ids: DataFrame): PropertyGraph = {
+    val idDf = ids.select(col(ids.columns.head).as(ID)).distinct()
+    val attached = edgeClasses
+      .filter(et => et.srcLabel == label || et.dstLabel == label)
+      .exists { et =>
+        val e = edgeFrame(et)
+        (et.srcLabel == label &&
+          !e.join(idDf.withColumnRenamed(ID, SRC), Seq(SRC), "left_semi").isEmpty) ||
+        (et.dstLabel == label &&
+          !e.join(idDf.withColumnRenamed(ID, DST), Seq(DST), "left_semi").isEmpty)
+      }
+    if (attached) throw new IllegalStateException(
+      s"Cannot DELETE nodes of :$label that still have relationships; use DETACH DELETE")
+    copyWith(n = nodeThunks +
+      (label -> thunk(nodeFrame(label).join(idDf, Seq(ID), "left_anti"))))
+  }
 
   // ---- snapshot persistence (reference: backup.ts save/restore) ----
 

@@ -1,0 +1,150 @@
+package graft.graph
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphWriteSpec extends SparkSpec {
+
+  private def tinyGraph() = {
+    import spark.implicits._
+    val people = Seq((1L, "ann", 30L), (2L, "bob", 40L)).toDF("_id", "name", "age")
+    val knows = Seq((1L, 2L, 100L)).toDF("_src", "_dst", "_eid")
+    PropertyGraph(
+      Map("Person" -> people),
+      Map(EdgeType("KNOWS", "Person", "Person") -> knows))
+  }
+
+  test("addNodes appends; mergeNodes dedupes by id") {
+    import spark.implicits._
+    val g = tinyGraph()
+    val more = Seq((3L, "cyd", 20L), (1L, "dup", 99L)).toDF("_id", "name", "age")
+    assert(g.addNodes("Person", more).nodeFrame("Person").count() == 4)
+    val merged = g.mergeNodes("Person", more).nodeFrame("Person")
+    assert(merged.count() == 3)
+    // existing row wins on merge
+    assert(merged.filter(col("_id") === 1L).select("name").head().getString(0) == "ann")
+  }
+
+  test("mergeNodesWith applies ON CREATE and ON MATCH assignments") {
+    import spark.implicits._
+    val g = tinyGraph()
+    val incoming = Seq((1L, "ann2", 31L), (5L, "eve", 25L)).toDF("_id", "name", "age")
+    val out = g.mergeNodesWith("Person", incoming,
+      onCreate = Map("created" -> lit(true)),
+      onMatch = Map("matched" -> lit(true), "age" -> (col("age") + 1))
+    ).nodeFrame("Person")
+    val byId = out.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[Boolean]("matched") && byId(1L).getAs[Long]("age") == 31L)
+    assert(byId(1L).getAs[Any]("created") == null)
+    assert(byId(5L).getAs[Boolean]("created") && byId(5L).getAs[Any]("matched") == null)
+    assert(byId(2L).getAs[Any]("matched") == null)
+  }
+
+  test("setNodeProps / setEdgeProps update matching rows only") {
+    val g = tinyGraph()
+    val g2 = g.setNodeProps("Person", col("name") === "ann", Map("age" -> lit(31L)))
+    val ages = g2.nodeFrame("Person").collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ages == Map(1L -> 31L, 2L -> 40L))
+    val et = EdgeType("KNOWS", "Person", "Person")
+    val g3 = g.setEdgeProps(et, col("_eid") === 100L, Map("since" -> lit(2020L)))
+    assert(g3.edgeFrame(et).select("since").head().getLong(0) == 2020L)
+  }
+
+  test("plain DELETE refuses attached nodes; DETACH DELETE cascades") {
+    val g = tinyGraph()
+    val err = intercept[IllegalStateException] {
+      g.deleteNodes("Person", col("_id") === 1L)
+    }
+    assert(err.getMessage.contains("DETACH"))
+    val g2 = g.detachDeleteNodes("Person", col("_id") === 1L)
+    assert(g2.nodeFrame("Person").count() == 1)
+    assert(g2.edgeFrame(EdgeType("KNOWS", "Person", "Person")).count() == 0)
+    // unattached node deletes fine
+    val g3 = g.deleteNodes("Person", col("_id") === 2L && lit(false))
+    assert(g3.nodeFrame("Person").count() == 2)
+  }
+
+  test("addEdges derives distinct EIDs for parallel edges") {
+    import spark.implicits._
+    val g = tinyGraph()
+    val et = EdgeType("KNOWS", "Person", "Person")
+    val parallel = Seq((1L, 2L), (1L, 2L)).toDF("_src", "_dst")
+    val out = g.addEdges(et, parallel).edgeFrame(et)
+    assert(out.count() == 3)
+    assert(out.select("_eid").distinct().count() == 3)
+  }
+
+  test("removeLabel drops the label and incident edge classes") {
+    val g = tinyGraph().removeLabel("Person")
+    assert(g.labels.isEmpty && g.edgeClasses.isEmpty)
+  }
+
+  test("cypherWrite: CREATE node and edge between matched endpoints") {
+    val g = tinyGraph()
+    val (g2, _) = g.cypherWrite("CREATE (c:Person {_id: 7, name: 'gil', age: 22})")
+    assert(g2.nodeFrame("Person").count() == 3)
+    val (g3, _) = g2.cypherWrite(
+      """MATCH (a:Person {name: 'gil'}), (b:Person {name: 'bob'})
+         CREATE (a)-[:KNOWS {since: 2024}]->(b)""")
+    val e = g3.edgeFrame(EdgeType("KNOWS", "Person", "Person"))
+    assert(e.count() == 2)
+    assert(e.filter(col("since") === 2024).count() == 1)
+  }
+
+  test("cypherWrite: MERGE is idempotent and runs ON CREATE/ON MATCH") {
+    val g = tinyGraph()
+    val q = """MERGE (p:Person {_id: 9, name: 'hal', age: 50})
+               ON CREATE SET p.visits = 1
+               ON MATCH SET p.age = p.age + 1"""
+    val (g2, _) = g.cypherWrite(q)
+    assert(g2.nodeFrame("Person").count() == 3)
+    assert(g2.nodeFrame("Person").filter(col("_id") === 9)
+      .select("visits").head().getLong(0) == 1L)
+    val (g3, _) = g2.cypherWrite(q)
+    assert(g3.nodeFrame("Person").count() == 3)
+    assert(g3.nodeFrame("Person").filter(col("_id") === 9)
+      .select("age").head().getLong(0) == 51L)
+  }
+
+  test("cypherWrite: SET, REMOVE, DELETE, DETACH DELETE") {
+    val g = tinyGraph()
+    val (g2, _) = g.cypherWrite(
+      "MATCH (p:Person) WHERE p.name = 'ann' SET p.age = p.age * 2")
+    assert(g2.nodeFrame("Person").filter(col("name") === "ann")
+      .select("age").head().getLong(0) == 60L)
+    val (g3, _) = g2.cypherWrite("MATCH (p:Person {name: 'ann'}) REMOVE p.age")
+    assert(g3.nodeFrame("Person").filter(col("name") === "ann")
+      .select("age").head().isNullAt(0))
+    val (g4, _) = g3.cypherWrite("MATCH (p:Person {name: 'ann'}) DETACH DELETE p")
+    assert(g4.nodeFrame("Person").count() == 1)
+    assert(g4.edgeFrame(EdgeType("KNOWS", "Person", "Person")).count() == 0)
+    val err = intercept[IllegalStateException] {
+      g.cypherWrite("MATCH (p:Person {name: 'ann'}) DELETE p")
+    }
+    assert(err.getMessage.contains("DETACH"))
+  }
+
+  test("cypherWrite: DELETE relationship variable") {
+    val g = tinyGraph()
+    val (g2, _) = g.cypherWrite("MATCH (a:Person)-[r:KNOWS]->(b:Person) DELETE r")
+    assert(g2.edgeFrame(EdgeType("KNOWS", "Person", "Person")).count() == 0)
+    assert(g2.nodeFrame("Person").count() == 2)
+  }
+
+  test("cypherWrite: edge MERGE dedupes by (src, dst)") {
+    val g = tinyGraph()
+    val (g2, _) = g.cypherWrite(
+      """MATCH (a:Person {name: 'ann'}), (b:Person {name: 'bob'})
+         MERGE (a)-[:KNOWS]->(b)""")
+    assert(g2.edgeFrame(EdgeType("KNOWS", "Person", "Person")).count() == 1)
+  }
+
+  test("snapshot save/load round-trips a written graph") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-write-snap").toString
+    val (g2, _) = tinyGraph().cypherWrite(
+      "CREATE (c:Person {_id: 7, name: 'gil', age: 22})")
+    g2.save(tmp)
+    val back = PropertyGraph.load(spark, tmp)
+    assert(back.nodeFrame("Person").count() == 3)
+  }
+}
