@@ -29,6 +29,9 @@ final class PatternMatcher(g: PropertyGraph, varLengthCap: Int = 10) {
   /** True when walking left→right follows the edge's src→dst. */
   private final case class RelChoice(et: EdgeType, forward: Boolean)
 
+  /** Set per compile: lone anonymous var-length rel → frontier dedup. */
+  private var dedupFrontier: Boolean = false
+
   // ------------------------------------------------------------------
   // public API
   // ------------------------------------------------------------------
@@ -41,6 +44,14 @@ final class PatternMatcher(g: PropertyGraph, varLengthCap: Int = 10) {
     */
   def compilePaths(paths: Vector[PathPat],
       known: Map[String, String]): DataFrame = {
+    // Reachability fast path: a lone ANONYMOUS var-length rel needs no
+    // trail bookkeeping — any vertex reachable by a walk of length L<=max
+    // is reachable by a simple path (shortest walks are simple), so the
+    // per-level endpoint set is identical and the frontier can be deduped
+    // each hop. Trail enumeration is exponential in dense graphs; this is
+    // the 100 TB-safe default whenever the rel binding is unobservable.
+    val rels = paths.flatMap(_.rels)
+    dedupFrontier = rels.size == 1 && rels.head.isVarLength && rels.head.anonymous
     val assigns = enumerateAssignments(paths, known)
     // Cypher semantics (and the reference): MATCH on a label / edge class
     // absent from the graph yields zero rows, not an error.
@@ -263,34 +274,64 @@ final class PatternMatcher(g: PropertyGraph, varLengthCap: Int = 10) {
     val maxH = r.maxHops.getOrElse(varLengthCap)
     require(maxH >= r.minHops && maxH >= 1, s"Bad hop range in $r")
 
-    val base = df0
-      .withColumn(cur, col(s"$leftVar.$ID"))
-      .withColumn(eidsC, typedLit(Array.empty[Long]))
-
-    val levels = Seq.newBuilder[DataFrame]
-    if (r.minHops == 0) levels += base
-    var frontier = base
-    for (h <- 1 to maxH) {
-      frontier = frontier
-        .join(edgesN, col(cur) === col("__vl_from"))
-        .filter(!array_contains(col(eidsC), col("__vl_eid")))
-        .withColumn(cur, col("__vl_to"))
-        .withColumn(eidsC, concat(col(eidsC), array(col("__vl_eid"))))
-        .drop("__vl_from", "__vl_to", "__vl_eid")
-      if (h >= math.max(r.minHops, 1)) levels += frontier
-    }
-    val unioned = levels.result().reduce(_ unionByName _)
     val relTypeLit: Column =
       if (choices.map(_.et.relType).distinct.size == 1) lit(choices.head.et.relType)
       else lit(null).cast("string")
+
+    val unioned = if (dedupFrontier) {
+      // reachability mode: dedupe (bound vars, current endpoint) per hop;
+      // no edge-id arrays carried, no trail enumeration
+      val hopsC = s"${r.name}__hops"
+      val base = df0
+        .withColumn(cur, col(s"$leftVar.$ID"))
+        .withColumn(hopsC, lit(0L))
+      val levels = Seq.newBuilder[DataFrame]
+      if (r.minHops == 0) levels += base
+      var frontier = base
+      for (h <- 1 to maxH) {
+        frontier = frontier
+          .join(edgesN, col(cur) === col("__vl_from"))
+          .withColumn(cur, col("__vl_to"))
+          .withColumn(hopsC, lit(h.toLong))
+          .drop("__vl_from", "__vl_to", "__vl_eid")
+          .distinct()
+        if (h >= math.max(r.minHops, 1)) levels += frontier
+      }
+      levels.result().reduce(_ unionByName _)
+        .withColumn(r.name, struct(
+          col(hopsC).as("_hops"),
+          typedLit(Array.empty[Long]).as("_eids"),
+          relTypeLit.as(LABEL)))
+        .drop(hopsC)
+    } else {
+      // trail mode: Cypher relationship-uniqueness within a path — carry
+      // the used edge-id set and never reuse an edge
+      val base = df0
+        .withColumn(cur, col(s"$leftVar.$ID"))
+        .withColumn(eidsC, typedLit(Array.empty[Long]))
+      val levels = Seq.newBuilder[DataFrame]
+      if (r.minHops == 0) levels += base
+      var frontier = base
+      for (h <- 1 to maxH) {
+        frontier = frontier
+          .join(edgesN, col(cur) === col("__vl_from"))
+          .filter(!array_contains(col(eidsC), col("__vl_eid")))
+          .withColumn(cur, col("__vl_to"))
+          .withColumn(eidsC, concat(col(eidsC), array(col("__vl_eid"))))
+          .drop("__vl_from", "__vl_to", "__vl_eid")
+        if (h >= math.max(r.minHops, 1)) levels += frontier
+      }
+      levels.result().reduce(_ unionByName _)
+        .withColumn(r.name, struct(
+          size(col(eidsC)).cast(LongType).as("_hops"),
+          col(eidsC).as("_eids"),
+          relTypeLit.as(LABEL)))
+        .drop(eidsC)
+    }
     unioned
-      .withColumn(r.name, struct(
-        size(col(eidsC)).cast(LongType).as("_hops"),
-        col(eidsC).as("_eids"),
-        relTypeLit.as(LABEL)))
       .withColumn(s"${r.name}__from", col(s"$leftVar.$ID"))
       .withColumn(s"${r.name}__to", col(cur))
-      .drop(cur, eidsC)
+      .drop(cur)
   }
 
   // ------------------------------------------------------------------
