@@ -176,6 +176,12 @@ object SparkEntry {
         "MATCH (c:Customer) RETURN DISTINCT c.c_mktsegment AS seg ORDER BY seg")
     }),
 
+    "q_str_temporal" -> ((s, dir) => {
+      g(s, dir).cypher(
+        """MATCH (c:Customer)-[p:PLACED]->(o:Order)
+           RETURN p.o_orderdate.year AS yr, count(*) AS cnt ORDER BY yr""")
+    }),
+
     "q_str_funcs" -> ((s, dir) => {
       g(s, dir).cypher(
         """MATCH (n:Nation)
@@ -364,6 +370,12 @@ object SparkEntry {
       """SELECT lower(n_name) AS lname, CAST(length(n_name) AS BIGINT) AS len,
          substring(n_name, 1, 3) AS pre3, n_regionkey % 2 AS parity
          FROM nation ORDER BY lname""",
+    "q_str_temporal" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, count(*) AS cnt
+         FROM orders GROUP BY 1 ORDER BY yr""",
+    "q_str_temporal" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, count(*) AS cnt
+         FROM orders GROUP BY 1 ORDER BY yr""",
     "q_tokens" ->
       """SELECT doc_id,
          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens_ws,

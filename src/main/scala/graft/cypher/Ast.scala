@@ -17,6 +17,8 @@ object Ast {
   /** `*` inside count(*). */
   case object Star extends Expr
   final case class Lit(v: Any) extends Expr
+  /** `$name` — resolved from the params map at compile time. */
+  final case class Param(name: String) extends Expr
   final case class ListLit(items: Seq[Expr]) extends Expr
   final case class MapLit(items: Seq[(String, Expr)]) extends Expr
   final case class Var(name: String) extends Expr
@@ -54,7 +56,9 @@ object Ast {
 
   sealed trait Clause
   final case class MatchClause(paths: Vector[PathPat], optional: Boolean,
-      where: Option[Expr]) extends Clause
+      where: Option[Expr],
+      /** path variable -> index into `paths` (`MATCH p = (a)-->(b)`). */
+      pathVars: Map[String, Int] = Map.empty) extends Clause
   final case class WithClause(p: Projection) extends Clause
   final case class UnwindClause(list: Expr, alias: String) extends Clause
   /** CALL db.labels() YIELD label — catalog procedures only. */

@@ -31,8 +31,13 @@ import graft.graph.PropertyGraph.{ID, LABEL}
   * node/edge struct columns in one DataFrame — no driver-side row
   * shuttling anywhere.
   */
-final class CypherCompiler(g: PropertyGraph, spark: SparkSession) {
+final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
+    params: Map[String, Any] = Map.empty) {
   import CypherCompiler.Ctx
+
+  /** path var -> (node vars, rel patterns) bound by MATCH p = ... */
+  private var pathBindings =
+    Map.empty[String, (Seq[String], Seq[graft.graph.PatternParser.RelPat])]
 
   private val pm = new PatternMatcher(g)
 
@@ -52,7 +57,11 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession) {
   private def compileSingle(sq: SingleQuery): DataFrame = {
     var ctx: Option[Ctx] = None
     sq.clauses.foreach {
-      case MatchClause(paths, optional, where) =>
+      case MatchClause(paths, optional, where, pathVars) =>
+        pathVars.foreach { case (pv, idx) =>
+          val pat = paths(idx)
+          pathBindings += pv -> (pat.nodes.map(_.name), pat.rels)
+        }
         ctx = Some(applyMatch(ctx, paths, optional, where))
       case UnwindClause(list, alias) =>
         ctx = Some(applyUnwind(ctx, list, alias))
@@ -274,7 +283,20 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession) {
   private def litInt(e: Expr): Int = e match {
     case Lit(v: Long) => v.toInt
     case Lit(v: Int) => v
+    case Param(n) => params.getOrElse(n,
+      sys.error(s"missing parameter $$$n")).toString.toInt
     case _ => sys.error(s"SKIP/LIMIT must be an integer literal, got $e")
+  }
+
+  /** Literal Column for a parameter value (scalars + homogeneous seqs). */
+  private def paramLit(n: String): Column = {
+    val v = params.getOrElse(n, sys.error(s"missing parameter $$$n"))
+    v match {
+      case null => lit(null)
+      case xs: Seq[_] => array(xs.map(x => lit(x)): _*)
+      case xs: Array[_] => array(xs.toSeq.map(x => lit(x)): _*)
+      case other => lit(other)
+    }
   }
 
   // ------------------------------------------------------------------
@@ -297,6 +319,28 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession) {
       case Star => sys.error("* only allowed inside count(*)")
       case Lit(null) => lit(null)
       case Lit(v) => lit(v)
+      case Param(n) => paramLit(n)
+      // path functions over a named path (divergence: node/rel identity
+      // is returned as ids, not full structs — heterogeneous label
+      // schemas cannot share one Spark array type)
+      case Func(fn, Seq(Var(p)), _)
+          if pathBindings.contains(p) && Set("nodes", "relationships", "length")(fn.toLowerCase) =>
+        val (nodeVars, rels) = pathBindings(p)
+        fn.toLowerCase match {
+          case "nodes" => array(nodeVars.map(v => col(s"$v._id")): _*)
+          case "relationships" =>
+            val parts = rels.map { r =>
+              if (r.isVarLength) col(s"${r.name}._eids")
+              else array(col(s"${r.name}._eid"))
+            }
+            if (parts.isEmpty) array().cast(ArrayType(LongType))
+            else flatten(array(parts: _*))
+          case "length" =>
+            rels.map { r =>
+              if (r.isVarLength) col(s"${r.name}._hops")
+              else lit(1L)
+            }.reduceOption(_ + _).getOrElse(lit(0L))
+        }
       case ListLit(items) => array(items.map(go): _*)
       case MapLit(items) => struct(items.map { case (k, v) => go(v).as(k) }: _*)
       case Var(n) => env.getOrElse(n, col(n))

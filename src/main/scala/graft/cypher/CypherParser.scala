@@ -142,9 +142,14 @@ object CypherParser {
     private def setItems(): Seq[(Expr, Expr)] = {
       val items = Vector.newBuilder[(Expr, Expr)]
       def one(): Unit = {
-        val target = postfixVar()
-        expect("=")
-        items += (target -> expr())
+        val v = ident()
+        if (tryTok("+=")) items += (Var(v): Expr) -> expr() // map merge
+        else {
+          expect(".")
+          val target = Prop(Var(v), ident())
+          expect("=")
+          items += (target: Expr) -> expr()
+        }
       }
       one()
       while (tryTok(",")) one()
@@ -167,10 +172,21 @@ object CypherParser {
 
     private def matchClause(optional: Boolean): MatchClause = {
       val paths = Vector.newBuilder[PathPat]
-      paths += path()
-      while (tryTok(",")) paths += path()
+      val pathVars = Map.newBuilder[String, Int]
+      var idx = 0
+      def one(): Unit = {
+        // `p = (a)-->(b)` named path
+        if (cur.kind == TIdent && ahead(1).is("=") && ahead(1).kind == TPunct) {
+          pathVars += (ident() -> idx)
+          expect("=")
+        }
+        paths += path()
+        idx += 1
+      }
+      one()
+      while (tryTok(",")) one()
       val where = if (tryTok("WHERE")) Some(expr()) else None
-      MatchClause(paths.result(), optional, where)
+      MatchClause(paths.result(), optional, where, pathVars.result())
     }
 
     private def callClause(): CallClause = {
@@ -455,6 +471,7 @@ object CypherParser {
         case TInt => i += 1; Lit(t.text.toLong)
         case TFloat => i += 1; Lit(t.text.toDouble)
         case TStr => i += 1; Lit(t.text)
+        case TPunct if t.text == "$" => i += 1; Param(ident())
         case TPunct if t.text == "(" =>
           if (looksLikePattern()) PatternPred(Vector(path()), negated = false)
           else { i += 1; val e = expr(); expect(")"); e }

@@ -42,7 +42,7 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession) {
     var returned: Option[DataFrame] = None
 
     q.parts.head.clauses.foreach {
-      case MatchClause(paths, optional, where) =>
+      case MatchClause(paths, optional, where, _) =>
         ctx = Some(compiler.applyMatch(ctx, paths, optional, where))
         relClasses = relClasses ++ boundRelClasses(graph, paths,
           ctx.map(_.labels).getOrElse(Map.empty))
@@ -213,6 +213,13 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession) {
           sys.error(s"SET target $v has no statically-known label"))
         val ids = ctx.df.select(col(s"$v.$ID"))
         acc.setNodePropsForIds(label, ids, Map(key -> compileValueOverFrame(value, v)))
+      // SET n += {k: v, ...} — per-key map merge
+      case (acc, (Var(v), MapLit(kvs))) =>
+        val label = ctx.labels.getOrElse(v,
+          sys.error(s"SET target $v has no statically-known label"))
+        val ids = ctx.df.select(col(s"$v.$ID"))
+        acc.setNodePropsForIds(label, ids,
+          kvs.map { case (k, e) => k -> compileValueOverFrame(e, v) }.toMap)
       case (_, other) => sys.error(s"unsupported SET target: $other")
     }
 

@@ -188,6 +188,10 @@ final class PropertyGraph private (
   def cypher(query: String): DataFrame =
     new graft.cypher.CypherCompiler(this, SparkSession.active).run(query)
 
+  /** Cypher with `$param` bindings (scalars and lists). */
+  def cypher(query: String, params: Map[String, Any]): DataFrame =
+    new graft.cypher.CypherCompiler(this, SparkSession.active, params).run(query)
+
   /** Execute a Cypher WRITE query (CREATE/MERGE/SET/REMOVE/DELETE, mixed
     * with read clauses); returns the new graph snapshot and the optional
     * RETURN result. See [[graft.cypher.CypherWriter]].

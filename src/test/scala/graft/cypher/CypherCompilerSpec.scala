@@ -249,6 +249,39 @@ class CypherCompilerSpec extends SparkSpec {
     assert(rowsOf(got) == rowsOf(want))
   }
 
+  test("parameters: scalar, list, and LIMIT") {
+    val got = graph.cypher(
+      """MATCH (c:Customer) WHERE c.c_custkey = $key
+         RETURN c.c_name AS name""", Map("key" -> 42L))
+    val want = raw("customer").filter(col("c_custkey") === 42)
+      .select(col("c_name").as("name"))
+    assert(rowsOf(got) == rowsOf(want))
+    val inList = graph.cypher(
+      "MATCH (n:Nation) WHERE n.n_name IN $names RETURN count(*) AS n",
+      Map("names" -> Seq("NATION_1", "NATION_2")))
+    assert(rowsOf(inList) == Seq(Seq(2L)))
+    val limited = graph.cypher(
+      "MATCH (n:Nation) RETURN n.n_name AS name ORDER BY name LIMIT $k",
+      Map("k" -> 3L))
+    assert(limited.count() == 3)
+  }
+
+  test("named paths: nodes, relationships, length") {
+    val got = graph.cypher(
+      """MATCH p = (n:Nation {n_nationkey: 0})-[r:IN_REGION]->(m:Region)
+         RETURN nodes(p) AS ns, relationships(p) AS rs, length(p) AS len""")
+    val row = got.collect()(0)
+    val ns = row.getSeq[Long](row.fieldIndex("ns"))
+    assert(ns.head == 0L && ns.size == 2)
+    assert(row.getSeq[Long](row.fieldIndex("rs")).size == 1)
+    assert(row.getAs[Long]("len") == 1L)
+    // var-length path: length(p) = hop count
+    val vl = graph.cypher(
+      """MATCH p = (a:Part {p_partkey: 1})-[rs:RELATED_TO*1..2]->(b:Part)
+         RETURN length(p) AS len ORDER BY len LIMIT 1""")
+    assert(vl.collect()(0).getAs[Long]("len") == 1L)
+  }
+
   test("label predicate in WHERE") {
     val got = graph.cypher(
       "MATCH (n:Nation) WHERE n:Nation RETURN count(*) AS n")

@@ -9,7 +9,7 @@ class CypherParserSpec extends AnyFunSuite {
   test("point lookup with props and RETURN aliases") {
     val q = CypherParser.parse(
       "MATCH (c:Customer {c_custkey: 42}) RETURN c.c_name AS name, c.c_acctbal AS bal")
-    val Seq(MatchClause(paths, false, None), ReturnClause(p)) = q.parts.head.clauses
+    val Seq(MatchClause(paths, false, None, _), ReturnClause(p)) = q.parts.head.clauses
     assert(paths.head.nodes.head.label.contains("Customer"))
     assert(paths.head.nodes.head.props == Seq("c_custkey" -> 42L))
     assert(p.items.map(_.name) == Seq("name", "bal"))
@@ -20,7 +20,7 @@ class CypherParserSpec extends AnyFunSuite {
     val q = CypherParser.parse(
       """MATCH (c:Customer) WHERE c.c_acctbal > 100 AND NOT c.c_name CONTAINS 'x'
          OR c.c_mktsegment IN ['A', 'B'] RETURN c""")
-    val MatchClause(_, _, Some(w)) = q.parts.head.clauses.head
+    val MatchClause(_, _, Some(w), _) = q.parts.head.clauses.head
     // OR binds loosest
     val Bin("OR", l, r) = w
     assert(r == Bin("IN", Prop(Var("c"), "c_mktsegment"), ListLit(Seq(Lit("A"), Lit("B")))))
@@ -32,7 +32,7 @@ class CypherParserSpec extends AnyFunSuite {
   test("string predicates and regex") {
     val q = CypherParser.parse(
       "MATCH (c) WHERE c.a STARTS WITH 'p' AND c.b ENDS WITH 'q' AND c.d =~ '.*z' RETURN c")
-    val MatchClause(_, _, Some(Bin("AND", Bin("AND", s, e), rx))) = q.parts.head.clauses.head
+    val MatchClause(_, _, Some(Bin("AND", Bin("AND", s, e), rx)), _) = q.parts.head.clauses.head
     assert(s == Bin("STARTS", Prop(Var("c"), "a"), Lit("p")))
     assert(e == Bin("ENDS", Prop(Var("c"), "b"), Lit("q")))
     assert(rx == Bin("=~", Prop(Var("c"), "d"), Lit(".*z")))
@@ -40,14 +40,14 @@ class CypherParserSpec extends AnyFunSuite {
 
   test("IS NULL / IS NOT NULL") {
     val q = CypherParser.parse("MATCH (c) WHERE c.x IS NULL AND c.y IS NOT NULL RETURN c")
-    val MatchClause(_, _, Some(Bin("AND", IsNull(_, false), IsNull(_, true)))) =
+    val MatchClause(_, _, Some(Bin("AND", IsNull(_, false), IsNull(_, true))), _) =
       q.parts.head.clauses.head
   }
 
   test("var-length and directions") {
     val q = CypherParser.parse(
       "MATCH (a)-[:R*2..4]->(b)<-[s:S]-(c)-[t]-(d) RETURN a")
-    val MatchClause(paths, _, _) = q.parts.head.clauses.head
+    val MatchClause(paths, _, _, _) = q.parts.head.clauses.head
     val rels = paths.head.rels
     assert(rels(0).relType.contains("R") && rels(0).isVarLength &&
       rels(0).minHops == 2 && rels(0).maxHops.contains(4) && rels(0).dir == Out)
@@ -97,18 +97,18 @@ class CypherParserSpec extends AnyFunSuite {
   test("pattern predicate in WHERE") {
     val q = CypherParser.parse(
       "MATCH (c:Customer) WHERE (c)-[:PLACED]->(:Order) AND c.c_acctbal > 0 RETURN c")
-    val MatchClause(_, _, Some(Bin("AND", pp: PatternPred, _))) = q.parts.head.clauses.head
+    val MatchClause(_, _, Some(Bin("AND", pp: PatternPred, _)), _) = q.parts.head.clauses.head
     assert(pp.paths.head.rels.head.relType.contains("PLACED"))
   }
 
   test("exists(pattern) and NOT pattern") {
     val q = CypherParser.parse(
       "MATCH (c:Customer) WHERE NOT (c)-[:PLACED]->(:Order) RETURN c")
-    val MatchClause(_, _, Some(Not(_: PatternPred))) = q.parts.head.clauses.head
+    val MatchClause(_, _, Some(Not(_: PatternPred)), _) = q.parts.head.clauses.head
 
     val q2 = CypherParser.parse(
       "MATCH (c:Customer) WHERE exists((c)-[:PLACED]->(:Order)) RETURN c")
-    val MatchClause(_, _, Some(_: PatternPred)) = q2.parts.head.clauses.head
+    val MatchClause(_, _, Some(_: PatternPred), _) = q2.parts.head.clauses.head
   }
 
   test("arithmetic precedence and slicing") {

@@ -124,6 +124,17 @@ class GraphWriteSpec extends SparkSpec {
     assert(err.getMessage.contains("DETACH"))
   }
 
+  test("cypherWrite: SET += map merge") {
+    val g = tinyGraph()
+    val (g2, _) = g.cypherWrite(
+      "MATCH (p:Person {name: 'ann'}) SET p += {age: 33, city: 'oslo'}")
+    val row = g2.nodeFrame("Person").filter(col("name") === "ann").head()
+    assert(row.getAs[Long]("age") == 33L)
+    assert(row.getAs[String]("city") == "oslo")
+    val bob = g2.nodeFrame("Person").filter(col("name") === "bob").head()
+    assert(bob.getAs[Long]("age") == 40L && bob.getAs[Any]("city") == null)
+  }
+
   test("cypherWrite: DELETE relationship variable") {
     val g = tinyGraph()
     val (g2, _) = g.cypherWrite("MATCH (a:Person)-[r:KNOWS]->(b:Person) DELETE r")
