@@ -90,11 +90,28 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
   // MATCH
   // ------------------------------------------------------------------
 
+  /** Substitute `$param` values into pattern property maps. */
+  private def resolveParams(paths: Vector[PathPat]): Vector[PathPat] =
+    paths.map { p =>
+      p.copy(
+        nodes = p.nodes.map(n => n.copy(props = n.props.map {
+          case (k, Param(nm)) => k -> params.getOrElse(nm,
+            sys.error(s"missing parameter $$$nm"))
+          case kv => kv
+        })),
+        rels = p.rels.map(r => r.copy(props = r.props.map {
+          case (k, Param(nm)) => k -> params.getOrElse(nm,
+            sys.error(s"missing parameter $$$nm"))
+          case kv => kv
+        })))
+    }
+
   private def declaredLabels(paths: Vector[PathPat]): Map[String, String] =
     paths.flatMap(_.nodes).flatMap(n => n.label.map(n.name -> _)).toMap
 
-  private[cypher] def applyMatch(ctx: Option[Ctx], paths: Vector[PathPat],
+  private[cypher] def applyMatch(ctx: Option[Ctx], paths0: Vector[PathPat],
       optional: Boolean, where: Option[Expr]): Ctx = {
+    val paths = resolveParams(paths0)
     val baseLabels = ctx.map(_.labels).getOrElse(Map.empty)
     val patVars = paths.flatMap(_.nodes).map(_.name).toSet
     val known = baseLabels.filter { case (v, _) => patVars(v) }
@@ -243,8 +260,9 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
       projected =
         if (groupCols.isEmpty) base.groupBy().agg(aggCols.head, aggCols.tail: _*)
         else base.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
-      // restore declared item order
-      projected = projected.select(items.map(it => col(it.name)): _*)
+      // restore declared item order (backticks: unaliased items like
+      // `u.id` are literal column names, not struct field paths)
+      projected = projected.select(items.map(it => qcol(it.name)): _*)
       sortable = projected
     } else if (p.distinct) {
       projected = base.select(items.map(it => compileExpr(base, it.expr).as(it.name)): _*)
@@ -268,6 +286,7 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
       val sortCols = p.orderBy.map { s =>
         val c = s.expr match {
           case Var(n) if frame.columns.contains(n) => col(n)
+          case e if frame.columns.contains(s.text) => qcol(s.text)
           case e => compileExpr(frame, e)
         }
         if (s.asc) c.asc_nulls_last else c.desc_nulls_last
@@ -276,9 +295,12 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
     }
     p.skip.foreach(s => out = out.offset(litInt(s)))
     p.limit.foreach(l => out = out.limit(litInt(l)))
-    if (needFinalSelect) out = out.select(items.map(it => col(it.name)): _*)
+    if (needFinalSelect) out = out.select(items.map(it => qcol(it.name)): _*)
     if (p.distinct && !hasAgg) out else out
   }
+
+  /** Column reference treating the whole name as literal (dots included). */
+  private def qcol(name: String): Column = col(s"`$name`")
 
   private def litInt(e: Expr): Int = e match {
     case Lit(v: Long) => v.toInt

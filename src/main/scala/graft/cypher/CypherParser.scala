@@ -317,7 +317,8 @@ object CypherParser {
             case Lit(x) => x
             case Neg(Lit(x: Long)) => -x
             case Neg(Lit(x: Double)) => -x
-            case other => fail(s"pattern property '$k' must be a literal, got $other")
+            case p: Param => p // resolved against the params map at compile
+            case other => fail(s"pattern property '$k' must be a literal or parameter, got $other")
           }
           buf += (k -> v)
           if (!tryTok(",")) { expect("}"); done = true }

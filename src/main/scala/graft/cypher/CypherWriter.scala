@@ -29,13 +29,14 @@ import graft.graph.PropertyGraph.{DST, EID, ID, SRC}
   *  - DELETE / DETACH DELETE of node variables; DELETE of relationship
   *    variables when the edge class is unambiguous.
   */
-final class CypherWriter(g0: PropertyGraph, spark: SparkSession) {
+final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
+    params: Map[String, Any] = Map.empty) {
 
   def run(query: String): (PropertyGraph, Option[DataFrame]) = {
     val q = CypherParser.parse(query)
     require(q.parts.size == 1, "write queries cannot use UNION")
     var graph = g0
-    def compiler = new CypherCompiler(graph, spark)
+    def compiler = new CypherCompiler(graph, spark, params)
     var ctx: Option[Ctx] = None
     // edge classes bound to rel variables by the MATCHes seen so far
     var relClasses = Map.empty[String, EdgeType]
@@ -88,7 +89,11 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession) {
   // CREATE
   // ------------------------------------------------------------------
 
-  private def litCol(v: Any): Column = if (v == null) lit(null) else lit(v)
+  private def litCol(v: Any): Column = v match {
+    case null => lit(null)
+    case Param(n) => lit(params.getOrElse(n, sys.error(s"missing parameter $$$n")))
+    case other => lit(other)
+  }
 
   /** Deterministic id for a created node: the literal `_id` property when
     * given, else a hash of the label + property literals.
@@ -202,7 +207,7 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession) {
     // Var(key) resolves as a column of the label frame when the returned
     // Column is applied by set*Props; the frame passed here is only used
     // for (unneeded) type probes
-    new CypherCompiler(g0, spark).compileExpr(spark.range(0).toDF(), rewritten)
+    new CypherCompiler(g0, spark, params).compileExpr(spark.range(0).toDF(), rewritten)
   }
 
   private def applySet(g: PropertyGraph, ctx: Ctx,

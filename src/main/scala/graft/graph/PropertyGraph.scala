@@ -199,6 +199,10 @@ final class PropertyGraph private (
   def cypherWrite(query: String): (PropertyGraph, Option[DataFrame]) =
     new graft.cypher.CypherWriter(this, SparkSession.active).run(query)
 
+  /** Cypher write with `$param` bindings. */
+  def cypherWrite(query: String, params: Map[String, Any]): (PropertyGraph, Option[DataFrame]) =
+    new graft.cypher.CypherWriter(this, SparkSession.active, params).run(query)
+
   // ---- degrees (Cypher: size((n)-[]->()) etc.) ----
 
   /** (label, _id, outDegree, inDegree, degree) across all edge types. */

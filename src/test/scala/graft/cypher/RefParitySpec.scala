@@ -1,0 +1,108 @@
+package graft.cypher
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The reference's own benchmark queries (benchmark/src/queries.ts),
+  * run through the string front-end with their original shapes —
+  * $param property maps, bare `RETURN u`, unaliased projections,
+  * uppercase COUNT, LIMIT — adapted only in label/property names to
+  * this repo's test graph (§3 mapping: User/Event as in the reference;
+  * Part plays Item with RELATED_TO; Customer-PLACED->Order plays
+  * User-OWNS->Item).
+  */
+class RefParitySpec extends SparkSpec {
+
+  private def raw(name: String) = graft.graph.GraphLoader.table(spark, sfDir, name)
+
+  // Category A: point lookups
+  test("lookup_user_by_id: MATCH (u:User {id: $id}) RETURN u") {
+    val got = graph.cypher(
+      "MATCH (u:User {user_id: $id}) RETURN u", Map("id" -> 5L))
+    assert(got.count() == 1)
+    assert(got.schema.head.name == "u")
+  }
+
+  test("lookup_item_by_id via WHERE i.id = $id") {
+    val got = graph.cypher(
+      "MATCH (i:Part) WHERE i.p_partkey = $id RETURN i", Map("id" -> 3L))
+    assert(got.count() == 1)
+  }
+
+  // Category B: pattern matching
+  test("user_items: (u {id:$id})-[:PLACED]->(o) RETURN o") {
+    val got = graph.cypher(
+      "MATCH (u:Customer {c_custkey: $id})-[:PLACED]->(o:Order) RETURN o",
+      Map("id" -> 1L))
+    val want = raw("orders").filter(col("o_custkey") === 1L).count()
+    assert(got.count() == want)
+  }
+
+  test("items_by_category shape: unaliased projections + LIMIT") {
+    val got = graph.cypher(
+      """MATCH (c:Customer)-[:PLACED]->(o:Order {o_orderstatus: $st})
+         RETURN c.c_custkey, o.o_orderkey LIMIT 100""", Map("st" -> "F"))
+    assert(got.columns.toSeq == Seq("c.c_custkey", "o.o_orderkey"))
+    assert(got.count() <= 100 && got.count() > 0)
+  }
+
+  test("items_owned_by_multiple: two-sided pattern with WHERE u1.id < u2.id") {
+    val got = graph.cypher(
+      """MATCH (o1:Order)-[:CONTAINS]->(i:Part)<-[:CONTAINS]-(o2:Order)
+         WHERE o1.o_orderkey < o2.o_orderkey
+         RETURN i.p_partkey, o1.o_orderkey, o2.o_orderkey LIMIT 50""")
+    assert(got.count() == 50)
+  }
+
+  // Category C: aggregations (uppercase COUNT/AVG, unaliased group keys)
+  test("user_item_counts: COUNT + ORDER BY DESC LIMIT") {
+    val got = graph.cypher(
+      """MATCH (u:User)-[:TRIGGERED]->(e:Event)
+         RETURN u.user_id, COUNT(e) AS cnt ORDER BY cnt DESC, u.user_id LIMIT 10""")
+    assert(got.columns.toSeq == Seq("u.user_id", "cnt"))
+    assert(got.count() == 10)
+  }
+
+  test("category_stats: AVG + COUNT(*) over a label scan") {
+    val got = graph.cypher(
+      """MATCH (i:Part) RETURN i.p_brand, AVG(i.p_retailprice) AS avg_price,
+         COUNT(*) AS cnt ORDER BY i.p_brand""")
+    val want = raw("part").groupBy(col("p_brand"))
+      .agg(avg("p_retailprice"), count(lit(1))).count()
+    assert(got.count() == want)
+  }
+
+  test("user_event_summary: param + grouped counts") {
+    val got = graph.cypher(
+      """MATCH (u:User {user_id: $id})-[:TRIGGERED]->(e:Event)
+         RETURN e.event_type, COUNT(*) AS cnt""", Map("id" -> 3L))
+    val want = graft.graph.GraphLoader.eventsTable(spark, sfDir)
+      .filter(col("user_id") === 3L).select("event_type").distinct().count()
+    assert(got.count() == want)
+  }
+
+  // Category D: traversals
+  test("related_items_depth1/2: RETURN DISTINCT r LIMIT 50") {
+    val d1 = graph.cypher(
+      """MATCH (o:Order {o_orderkey: $id})-[:CONTAINS]->(i:Part)-[:RELATED_TO]->(r:Part)
+         RETURN DISTINCT r LIMIT 50""", Map("id" -> 1L))
+    assert(d1.count() > 0)
+    val d2 = graph.cypher(
+      """MATCH (o:Order {o_orderkey: $id})-[:CONTAINS]->(i:Part)-[:RELATED_TO*1..2]->(r:Part)
+         RETURN DISTINCT r LIMIT 50""", Map("id" -> 1L))
+    assert(d2.count() > 0 && d2.count() <= 50)
+  }
+
+  // Category E: writes
+  test("create_user / update_user_name / create_item shapes with params") {
+    val (g2, _) = graph.cypherWrite(
+      "CREATE (u:BenchUser {_id: $id, name: $name, email: $email, created_at: $ts})",
+      Map("id" -> 777L, "name" -> "Test User", "email" -> "t@example.com",
+        "ts" -> 1700000000000L))
+    assert(g2.nodeFrame("BenchUser").count() == 1)
+    val (g3, _) = g2.cypherWrite(
+      "MATCH (u:BenchUser {_id: $id}) SET u.name = $name",
+      Map("id" -> 777L, "name" -> "Renamed"))
+    assert(g3.nodeFrame("BenchUser").filter(col("name") === "Renamed").count() == 1)
+  }
+}
