@@ -44,7 +44,17 @@ object Bench {
     val qs = timings.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"${esc(sfDir)}"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"${esc(sfDir)}"}"""
+    println(line)
+    // r2 verdict: the driver saw this line only through sbt's "[info] "
+    // logger prefix and parsed nothing. Persist the JSON to files too
+    // (cwd = sbt base dir for forked runs) so the handshake cannot miss.
+    for (p <- Seq("bench_out.json", "BENCH_OUT.json")) {
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] write $p failed: ${e.getMessage}")
+      }
+    }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

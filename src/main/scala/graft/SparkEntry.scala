@@ -373,9 +373,6 @@ object SparkEntry {
     "q_str_temporal" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, count(*) AS cnt
          FROM orders GROUP BY 1 ORDER BY yr""",
-    "q_str_temporal" ->
-      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, count(*) AS cnt
-         FROM orders GROUP BY 1 ORDER BY yr""",
     "q_tokens" ->
       """SELECT doc_id,
          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens_ws,

@@ -87,37 +87,72 @@ object Algos {
       .agg(count(lit(1)).as("triangles"))
   }
 
-  /** Connected components over the undirected view of an edge frame:
-    * iterative min-label propagation until fixpoint. Returns
+  /** Connected components via alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14 — public algorithm). Converges in O(log n) rounds
+    * vs O(diameter) for min-label propagation (the r2 scale-killer:
+    * 97s at sf0.1, unbounded on a 100TB high-diameter graph). Returns
     * (id, component) where component = min node id in the component.
-    * O(diameter) shuffles; each iteration joins the current labels with
-    * the symmetrized edges.
+    *
+    * large-star: every node links its LARGER neighbors to the minimum of
+    * its closed neighborhood. small-star: every node links its smaller
+    * neighbors (and itself) to that minimum. Both preserve connectivity;
+    * alternation contracts each component to a star on its min node.
+    * Convergence is detected with a one-row checksum aggregate per round
+    * (count + sums + xor of edge hashes) — one scalar action, never a
+    * row-set collect.
     */
   def connectedComponents(edges: DataFrame,
       src: String = "_src", dst: String = "_dst"): DataFrame = {
     val fwd = edges.select(col(src).as("u"), col(dst).as("v"))
-    val sym = materialize(
-      fwd.unionByName(fwd.select(col("v").as("u"), col("u").as("v"))).distinct())
-    var labels = materialize(
-      sym.select(col("u").as("id")).distinct()
-        .withColumn("component", col("id")))
-    var changed = true
-    var iter = 0
-    val maxIter = 50 // diameter bound; converges long before on real graphs
-    while (changed && iter < maxIter) {
-      iter += 1
-      val viaNeighbor = labels.join(sym, col("id") === col("u"))
-        .groupBy(col("v").as("id"))
-        .agg(min("component").as("ncomp"))
-      val updated = labels.join(viaNeighbor, Seq("id"), "left_outer")
-        .select(col("id"),
-          least(col("component"), coalesce(col("ncomp"), col("component"))).as("component"),
-          (col("ncomp") < col("component")).as("improved"))
-      val next = materialize(updated)
-      changed = next.filter(col("improved")).limit(1).count() > 0
-      labels = materialize(next.select("id", "component"))
+      .filter(col(src) =!= col(dst))
+    // canonical small-end-first pairs; `e` is treated as undirected
+    var e = materialize(
+      fwd.select(least(col("u"), col("v")).as("u"),
+                 greatest(col("u"), col("v")).as("v")).distinct())
+    def checksum(d: DataFrame): (Long, Long, Long, Long) = {
+      val r = d.agg(
+        count(lit(1)), coalesce(sum("u"), lit(0L)), coalesce(sum("v"), lit(0L)),
+        coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L))).first()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     }
-    labels
+    var prev = checksum(e)
+    var iter = 0
+    val maxIter = 50 // star contraction: log2(n) rounds; 50 covers n≈2^50
+    var converged = false
+    while (!converged && iter < maxIter) {
+      iter += 1
+      // large-star over the symmetrized neighborhood
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(least(min("v"), first("u")).as("m"))
+      val ls = sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("m").as("u"), col("v")).distinct()
+      val lsm = materialize(ls)
+      // small-star over smaller-or-equal neighborhoods (edges already
+      // oriented big←small after canonicalization: u = min endpoint)
+      val byBig = lsm.select(col("v").as("big"), col("u").as("small"))
+      val smins = byBig.groupBy("big").agg(min("small").as("m"))
+      val ss = byBig.join(smins, "big")
+        .select(col("m").as("u"), col("small").as("v"))
+        .unionByName(smins.select(col("m").as("u"), col("big").as("v")))
+        .filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("u"),
+                greatest(col("u"), col("v")).as("v")).distinct()
+      val next = materialize(ss)
+      val cur = checksum(next)
+      converged = cur == prev
+      prev = cur
+      e.unpersist(); lsm.unpersist()
+      e = next
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter star rounds — " +
+        "raise maxIter (log2(|V|) rounds expected)")
+    // final star graph: u = component min for every attached v
+    e.select(col("v").as("id"), col("u").as("component"))
+      .unionByName(e.select(col("u").as("id"), col("u").as("component")).distinct())
+      .distinct()
   }
 
   /** PageRank with uniform teleport, `iterations` fixed rounds.
@@ -135,18 +170,24 @@ object Algos {
       .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg")))
     var ranks = materialize(graph.select(col("id"), lit(1.0 / n).as("rank")))
     for (_ <- 1 to iterations) {
-      val withDeg = ranks.join(graph, "id")
+      // persist once per iteration: both the contribution join and the
+      // dangling-mass scalar read it (r2 advice — it used to be computed
+      // twice, doubling every iteration's work)
+      val withDeg = materialize(ranks.join(graph, "id"))
       val contribs = withDeg.filter(col("outdeg") > 0)
         .join(e, col("id") === col("u"))
         .select(col("v").as("id"), (col("rank") / col("outdeg")).as("c"))
         .groupBy("id").agg(sum("c").as("contrib"))
+      // single-row scalar action (not a row-set collect)
       val danglingMass = withDeg.filter(col("outdeg") === 0)
         .agg(coalesce(sum("rank"), lit(0.0))).first().getDouble(0)
       val base = (1.0 - damping) / n + damping * danglingMass / n
+      val prev = ranks
       ranks = materialize(graph.select(col("id"))
         .join(contribs, Seq("id"), "left_outer")
         .select(col("id"),
           (lit(base) + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank")))
+      prev.unpersist(); withDeg.unpersist()
     }
     ranks
   }

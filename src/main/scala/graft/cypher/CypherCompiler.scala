@@ -277,12 +277,15 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
       needFinalSelect = true
     }
 
-    var out = projected
+    // WHERE must survive into the ORDER BY branch: apply it to `sortable`
+    // itself (r2 advice: orderBy used to restart from the unfiltered
+    // frame, silently dropping the filter when both were present).
     p.where.foreach { w =>
-      out = out.filter(compileExpr(if (needFinalSelect) sortable else out, w))
+      sortable = sortable.filter(compileExpr(sortable, w))
     }
+    var out = sortable
     if (p.orderBy.nonEmpty) {
-      val frame = if (needFinalSelect) sortable else out
+      val frame = sortable
       val sortCols = p.orderBy.map { s =>
         val c = s.expr match {
           case Var(n) if frame.columns.contains(n) => col(n)
@@ -291,12 +294,12 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
         }
         if (s.asc) c.asc_nulls_last else c.desc_nulls_last
       }
-      out = (if (needFinalSelect) sortable else out).orderBy(sortCols: _*)
+      out = frame.orderBy(sortCols: _*)
     }
     p.skip.foreach(s => out = out.offset(litInt(s)))
     p.limit.foreach(l => out = out.limit(litInt(l)))
     if (needFinalSelect) out = out.select(items.map(it => qcol(it.name)): _*)
-    if (p.distinct && !hasAgg) out else out
+    out
   }
 
   /** Column reference treating the whole name as literal (dots included). */

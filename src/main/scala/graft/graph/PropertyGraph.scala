@@ -401,19 +401,37 @@ final class PropertyGraph private (
       e = newEdges)
   }
 
+  /** Derive a deterministic EID for a new-edge batch: hash of (relType,
+    * src, dst, per-pair sequence number). The sequence comes from a
+    * row_number window ordered by the batch's orderable columns, so the
+    * same logical batch always mints the same ids — r2 advice: the
+    * previous monotonically_increasing_id() input made EIDs change
+    * between re-evaluations of the lazy plan (AQE / task retries), which
+    * could break deleteEdgesByIds anti-joins and trail-mode uniqueness.
+    */
+  private def mintEids(relType: String, df: DataFrame): DataFrame =
+    if (df.columns.contains(EID)) df
+    else {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.MapType
+      val orderCols = df.schema.fields.collect {
+        case f if !f.dataType.isInstanceOf[MapType] => col(f.name)
+      }.toSeq
+      val w = Window.partitionBy(col(SRC), col(DST)).orderBy(orderCols: _*)
+      df.withColumn(EID,
+        xxhash64(lit(relType), col(SRC), col(DST), row_number().over(w)))
+    }
+
   /** CREATE ()-[:T]->() — append edges; `df` must carry SRC and DST.
-    * When EID is absent one is derived from (relType, src, dst, a
-    * monotonic row id) so parallel edges between the same pair stay
-    * distinct (EID must be unique within its EdgeType — callers supplying
-    * their own EID are responsible for that).
+    * When EID is absent one is minted deterministically (see [[mintEids]])
+    * so parallel edges between the same pair stay distinct (EID must be
+    * unique within its EdgeType — callers supplying their own EID are
+    * responsible for that).
     */
   def addEdges(et: EdgeType, df: DataFrame): PropertyGraph = {
     require(df.columns.contains(SRC) && df.columns.contains(DST),
       s"addEdges($et): frame must have $SRC and $DST")
-    val withEid =
-      if (df.columns.contains(EID)) df
-      else df.withColumn(EID,
-        xxhash64(lit(et.relType), col(SRC), col(DST), monotonically_increasing_id()))
+    val withEid = mintEids(et.relType, df)
     val merged = if (edgeThunks.contains(et))
       edgeFrame(et).unionByName(withEid, allowMissingColumns = true)
     else withEid
@@ -422,10 +440,7 @@ final class PropertyGraph private (
 
   /** MERGE ()-[:T]->() — insert (src,dst) pairs not already present. */
   def mergeEdges(et: EdgeType, df: DataFrame): PropertyGraph = {
-    val withEid =
-      if (df.columns.contains(EID)) df
-      else df.withColumn(EID,
-        xxhash64(lit(et.relType), col(SRC), col(DST), monotonically_increasing_id()))
+    val withEid = mintEids(et.relType, df)
     val merged = if (edgeThunks.contains(et)) {
       val old = edgeFrame(et)
       old.unionByName(withEid.join(old.select(SRC, DST), Seq(SRC, DST), "left_anti"),
