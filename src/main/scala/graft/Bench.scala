@@ -29,22 +29,47 @@ object Bench {
       case c => c.toString
     }
 
-    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // r3 verdict: single-run timings moved ±5× with zero code change —
+    // run each query N times (default 3) and report the MEDIAN, with
+    // min/max alongside so the spread is visible.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+
+    val timings = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        timings(name) = (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
+        val ts = scala.collection.mutable.ArrayBuffer[Double]()
+        var failed = false
+        var i = 0
+        while (i < runs && !failed) {
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).count()
+            ts += (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              failed = true
+              errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+          }
+          i += 1
+        }
+        if (!failed) timings(name) = ts.toSeq
       }
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val qs = timings.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
+    val med = timings.map { case (k, v) => k -> median(v) }
+    val qs = med.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
+    val qmin = timings.map { case (k, v) => s""""${esc(k)}":${v.min}""" }.mkString("{", ",", "}")
+    val qmax = timings.map { case (k, v) => s""""${esc(k)}":${v.max}""" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
-    val total = timings.values.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"${esc(sfDir)}"}"""
+    val total = med.values.sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"queries_min":$qmin,"queries_max":$qmax,"errors":$errJson,"sf":"${esc(sfDir)}"}"""
     println(line)
     // r2 verdict: the driver saw this line only through sbt's "[info] "
     // logger prefix and parsed nothing. Persist the JSON to files too
