@@ -191,6 +191,55 @@ object SparkEntry {
     }),
 
     // ================================================================
+    // Cypher WRITE clauses under the gate (reference benchmark category
+    // E, benchmark/src/queries.ts:120-148): each entry applies the write
+    // to the loaded graph (immutable snapshot transform) and returns
+    // deterministic post-write rows; the oracle replays the transform in
+    // SQL over the raw tables.
+    // ================================================================
+
+    // CREATE literal node + CREATE edge between MATCH-bound endpoints
+    "q_write_create" -> ((s, dir) => {
+      val (g2, _) = g(s, dir).cypherWrite(
+        "CREATE (r:Region {_id: 99, r_name: 'REGION_NEW'})")
+      val (g3, _) = g2.cypherWrite(
+        "MATCH (n:Nation {n_nationkey: 0}), (r:Region {_id: 99}) CREATE (n)-[:IN_REGION]->(r)")
+      g3.cypher(
+        """MATCH (n:Nation)-[:IN_REGION]->(r:Region)
+           RETURN r.r_name AS r_name, count(*) AS n_nations ORDER BY r_name""")
+    }),
+
+    // SET with a self-referencing expression on a filtered MATCH
+    "q_write_set" -> ((s, dir) => {
+      val (g2, _) = g(s, dir).cypherWrite(
+        "MATCH (c:Customer) WHERE c.c_acctbal > 9000 SET c.c_bonus = c.c_acctbal * 0.1")
+      g2.cypher(
+        """MATCH (c:Customer) WHERE c.c_bonus IS NOT NULL
+           RETURN c.c_custkey AS c_custkey, c.c_bonus AS bonus ORDER BY c_custkey""")
+    }),
+
+    // MERGE applied twice: row count stays +1 and ON MATCH overwrites
+    // the ON CREATE marker — idempotency under the hash gate
+    "q_write_merge_idempotent" -> ((s, dir) => {
+      val q = """MERGE (r:Region {_id: 77, r_name: 'REGION_NEW'})
+                 ON CREATE SET r.src = 'created' ON MATCH SET r.src = 'matched'"""
+      val (g2, _) = g(s, dir).cypherWrite(q)
+      val (g3, _) = g2.cypherWrite(q)
+      g3.cypher(
+        """MATCH (r:Region)
+           RETURN r.r_name AS r_name, coalesce(r.src, 'base') AS src ORDER BY r_name""")
+    }),
+
+    // DETACH DELETE cascades the node's PLACED edges
+    "q_write_delete" -> ((s, dir) => {
+      val (g2, _) = g(s, dir).cypherWrite(
+        "MATCH (c:Customer) WHERE c.c_acctbal < 0 DETACH DELETE c")
+      g2.cypher(
+        """MATCH (c:Customer)-[:PLACED]->(o:Order)
+           RETURN c.c_mktsegment AS seg, count(*) AS cnt ORDER BY seg""")
+    }),
+
+    // ================================================================
     // LLM-data-pipeline operators (graft.pipeline) over documents /
     // embeddings — first-class per the build brief.
     // ================================================================
@@ -264,13 +313,15 @@ object SparkEntry {
         .select(col("id").as("p_partkey"), col("component"))
         .orderBy("p_partkey")),
 
-    // rows-only oracle (floating-point ranks; shuffle-order sensitive)
+    // DuckDB 10-iteration chained-CTE oracle; ranks rounded to 6 dp so
+    // summation-order float noise (Spark partial aggs vs DuckDB) vanishes
     "q_pagerank" -> ((s, dir) =>
       algos.Algos.pageRank(relatedTo(s, dir), iterations = 10)
-        .select(col("id").as("p_partkey"), round(col("rank"), 8).as("rank"))
+        .select(col("id").as("p_partkey"), round(col("rank"), 6).as("rank"))
         .orderBy("p_partkey")),
 
-    // rows-only oracle (iterative heuristic not expressible in SQL)
+    // DuckDB 5-iteration chained-CTE oracle (fixed synchronous rounds,
+    // deterministic smallest-label tie-break — exactly the Spark rule)
     "q_labelprop" -> ((s, dir) =>
       algos.Algos.labelPropagation(relatedTo(s, dir), iterations = 5)
         .select(col("id").as("p_partkey"), col("label"))
@@ -285,8 +336,81 @@ object SparkEntry {
   private def embs(s: SparkSession, dir: String): DataFrame =
     GraphLoader.table(lenient(s), dir, "embeddings")
 
+  /** The RELATED_TO edge derivation shared by the graph-analytics
+    * oracles (canonical small<large part pairs co-occurring in an order).
+    */
+  private val relatedSql =
+    """related AS MATERIALIZED (
+         SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"""
+
+  /** Fixed-iteration PageRank replay: 10 chained CTEs mirroring
+    * [[algos.Algos.pageRank]] term by term (uniform teleport, dangling
+    * mass redistributed per round, damping cast to DOUBLE so DuckDB does
+    * not fall into DECIMAL arithmetic).
+    */
+  private def pageRankOracle(iterations: Int): String = {
+    val iters = (1 to iterations).map { i =>
+      val p = s"r${i - 1}"
+      // MATERIALIZED: DuckDB inlines plain CTEs, so 10 chained rounds
+      // would re-expand the lineitem self-join exponentially (and run
+      // out of file handles re-opening the parquet)
+      s"""r$i AS MATERIALIZED (
+         SELECT d.id,
+           (1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM params)
+           + CAST(0.85 AS DOUBLE) * (SELECT coalesce(sum(r.rank), 0)
+               FROM $p r JOIN deg dd ON dd.id = r.id WHERE dd.outdeg = 0)
+             / (SELECT n FROM params)
+           + CAST(0.85 AS DOUBLE) * coalesce(c.contrib, 0) AS rank
+         FROM deg d LEFT JOIN (
+           SELECT rel.p2 AS id, sum(r.rank / dd.outdeg) AS contrib
+           FROM $p r JOIN deg dd ON dd.id = r.id AND dd.outdeg > 0
+           JOIN related rel ON rel.p1 = r.id
+           GROUP BY rel.p2) c ON c.id = d.id)"""
+    }.mkString(",\n")
+    s"""WITH $relatedSql,
+       nodes AS MATERIALIZED (SELECT DISTINCT x AS id FROM
+         (SELECT p1 AS x FROM related UNION ALL SELECT p2 FROM related)),
+       deg AS MATERIALIZED (SELECT id, coalesce(dd.cnt, 0) AS outdeg FROM nodes
+         LEFT JOIN (SELECT p1, count(*) AS cnt FROM related GROUP BY 1) dd
+           ON dd.p1 = id),
+       params AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       r0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM params) AS rank FROM nodes),
+       $iters
+       SELECT id AS p_partkey, round(rank, 6) AS rank
+       FROM r$iterations ORDER BY p_partkey"""
+  }
+
+  /** Fixed-iteration synchronous LPA replay mirroring
+    * [[algos.Algos.labelPropagation]]: per round each node takes the most
+    * frequent neighbor label, ties to the smallest label.
+    */
+  private def labelPropOracle(iterations: Int): String = {
+    val iters = (1 to iterations).map { i =>
+      val p = s"l${i - 1}"
+      s"""n$i AS MATERIALIZED (
+           SELECT s.v AS id, l.label, count(*) AS cnt
+           FROM $p l JOIN sym s ON s.u = l.id GROUP BY s.v, l.label),
+         l$i AS MATERIALIZED (
+           SELECT id, min(label) AS label FROM (
+             SELECT id, label, rank() OVER (PARTITION BY id ORDER BY cnt DESC) AS rk
+             FROM n$i)
+           WHERE rk = 1 GROUP BY id)"""
+    }.mkString(",\n")
+    s"""WITH $relatedSql,
+       sym AS MATERIALIZED (SELECT p1 AS u, p2 AS v FROM related
+               UNION SELECT p2, p1 FROM related),
+       l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS label FROM sym),
+       $iters
+       SELECT id AS p_partkey, CAST(label AS BIGINT) AS label
+       FROM l$iterations ORDER BY p_partkey"""
+  }
+
   /** DuckDB-equivalent SQL per query (driver correctness gate). */
   def oracleSql: Map[String, String] = Map(
+    "q_pagerank" -> pageRankOracle(10),
+    "q_labelprop" -> labelPropOracle(5),
     "q_lookup" ->
       "SELECT c_name, c_acctbal FROM customer WHERE c_custkey = 42",
     "q_placed_agg" ->
@@ -373,6 +497,26 @@ object SparkEntry {
     "q_str_temporal" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, count(*) AS cnt
          FROM orders GROUP BY 1 ORDER BY yr""",
+    "q_write_create" ->
+      """WITH reg AS (SELECT r_regionkey, r_name FROM region
+                      UNION ALL SELECT 99, 'REGION_NEW'),
+              memb AS (SELECT n_nationkey, n_regionkey FROM nation
+                       UNION ALL SELECT 0, 99)
+         SELECT r_name, count(*) AS n_nations
+         FROM reg JOIN memb ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+    "q_write_set" ->
+      """SELECT c_custkey, c_acctbal * 0.1 AS bonus FROM customer
+         WHERE c_acctbal > 9000 ORDER BY c_custkey""",
+    "q_write_merge_idempotent" ->
+      """SELECT r_name, src FROM (
+           SELECT r_name, 'base' AS src FROM region
+           UNION ALL SELECT 'REGION_NEW' AS r_name, 'matched' AS src)
+         ORDER BY r_name""",
+    "q_write_delete" ->
+      """SELECT c_mktsegment AS seg, count(*) AS cnt
+         FROM customer JOIN orders ON o_custkey = c_custkey
+         WHERE c_acctbal >= 0 GROUP BY c_mktsegment ORDER BY seg""",
     "q_tokens" ->
       """SELECT doc_id,
          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens_ws,

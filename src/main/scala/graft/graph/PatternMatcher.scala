@@ -259,9 +259,12 @@ final class PatternMatcher(g: PropertyGraph, varLengthCap: Int = 10) {
       choices: Seq[RelChoice]): DataFrame = {
     val cur = s"${r.name}__cur"
     val eidsC = s"${r.name}__eids"
-    // minimal normalized edge relation (from, to, eid) unioned over choices
-    val edgesN = choices.map { c =>
-      val raw = g.edgeFrameHinted(c.et)
+    // minimal normalized edge relation (from, to, eid) unioned over
+    // choices; the broadcast hint (when every choice is a small dim) goes
+    // on the join input itself, not the stored frame — a hint buried under
+    // the union drew HintErrorLogger warnings (r2/r3 verdicts)
+    val edgesRaw = choices.map { c =>
+      val raw = g.edgeFrame(c.et)
       val filtered = r.props.foldLeft(raw) { case (d, (k, v)) =>
         d.filter(col(k) === lit(v))
       }
@@ -270,6 +273,9 @@ final class PatternMatcher(g: PropertyGraph, varLengthCap: Int = 10) {
       filtered.select(col(fromCol).as("__vl_from"), col(toCol).as("__vl_to"),
         col(EID).as("__vl_eid"))
     }.reduce(_ unionByName _)
+    val edgesN =
+      if (choices.forall(c => g.smallTypes(c.et.relType))) broadcast(edgesRaw)
+      else edgesRaw
 
     val maxH = r.maxHops.getOrElse(varLengthCap)
     require(maxH >= r.minHops && maxH >= 1, s"Bad hop range in $r")
