@@ -182,6 +182,28 @@ object SparkEntry {
            RETURN p.o_orderdate.year AS yr, count(*) AS cnt ORDER BY yr""")
     }),
 
+    // startNode()/endNode() return full node structs (project a property
+    // through each) — reference parity, previously ids-only
+    "q_str_startnode" -> ((s, dir) => {
+      g(s, dir).cypher(
+        """MATCH (c:Customer)-[r:PLACED]->(o:Order) WHERE o.o_orderkey < 100
+           RETURN startNode(r).c_name AS c_name, endNode(r).o_orderkey AS o_orderkey
+           ORDER BY o_orderkey""")
+    }),
+
+    // duration() values (ISO strings, reference representation), date +
+    // duration arithmetic, and duration.inDays — dates stringified so
+    // both engines hash the same canonical form
+    "q_str_duration" -> ((s, dir) => {
+      g(s, dir).cypher(
+        """MATCH (o:Order) WHERE o.o_orderkey < 100
+           RETURN o.o_orderkey AS o_orderkey,
+                  toString(date(o.o_orderdate) + duration({months: 1, days: 30})) AS due,
+                  duration.inDays(o.o_orderdate, date('1998-01-01')) AS age,
+                  duration({days: 2, hours: 3}) AS dur_iso
+           ORDER BY o_orderkey""")
+    }),
+
     "q_str_funcs" -> ((s, dir) => {
       g(s, dir).cypher(
         """MATCH (n:Nation)
@@ -490,6 +512,16 @@ object SparkEntry {
          GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 3 OFFSET 1""",
     "q_str_distinct" ->
       "SELECT DISTINCT c_mktsegment AS seg FROM customer ORDER BY seg",
+    "q_str_duration" ->
+      """SELECT o_orderkey,
+         CAST(CAST(o_orderdate + INTERVAL 1 MONTH + INTERVAL 30 DAY AS DATE) AS VARCHAR) AS due,
+         'P' || date_diff('day', o_orderdate, DATE '1998-01-01') || 'D' AS age,
+         'P2DT3H' AS dur_iso
+         FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""",
+    "q_str_startnode" ->
+      """SELECT c_name, o_orderkey
+         FROM customer JOIN orders ON o_custkey = c_custkey
+         WHERE o_orderkey < 100 ORDER BY o_orderkey""",
     "q_str_funcs" ->
       """SELECT lower(n_name) AS lname, CAST(length(n_name) AS BIGINT) AS len,
          substring(n_name, 1, 3) AS pre3, n_regionkey % 2 AS parity

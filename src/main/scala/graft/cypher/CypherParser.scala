@@ -429,6 +429,21 @@ object CypherParser {
       var continue = true
       while (continue) {
         if (cur.is(".") && cur.kind == TPunct) { i += 1; e = Prop(e, ident()) }
+        // namespaced function call: `duration.between(a, b)` parses as
+        // Prop(Var(duration), between) followed by '(' — rewrite to a
+        // dotted Func (reference analog: parser.ts:2671 namespaced names)
+        else if (cur.is("(") && cur.kind == TPunct &&
+                 (e match { case Prop(Var(_), _) => true; case _ => false })) {
+          val Prop(Var(ns), fn) = e: @unchecked
+          i += 1
+          val args = Vector.newBuilder[Expr]
+          if (!tryTok(")")) {
+            args += expr()
+            while (tryTok(",")) args += expr()
+            expect(")")
+          }
+          e = Func(s"$ns.$fn", args.result(), distinct = false)
+        }
         else if (cur.is("[") && cur.kind == TPunct) {
           i += 1
           if (tryTok("..")) { // [..to]

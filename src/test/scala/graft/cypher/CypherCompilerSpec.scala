@@ -287,4 +287,59 @@ class CypherCompilerSpec extends SparkSpec {
       "MATCH (n:Nation) WHERE n:Nation RETURN count(*) AS n")
     assert(rowsOf(got) == Seq(Seq(raw("nation").count())))
   }
+
+  test("startNode/endNode return node structs with projectable properties") {
+    val got = graph.cypher(
+      """MATCH (n:Nation)-[r:IN_REGION]->(m:Region)
+         RETURN startNode(r).n_name AS n_name, endNode(r).r_name AS r_name
+         ORDER BY n_name""")
+    val want = raw("nation").join(raw("region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name"), col("r_name")).orderBy("n_name")
+    assert(rowsOf(got) == rowsOf(want))
+    // incoming direction: startNode is still the edge's source
+    val in = graph.cypher(
+      """MATCH (m:Region)<-[r:IN_REGION]-(n:Nation {n_nationkey: 0})
+         RETURN startNode(r).n_nationkey AS sk, endNode(r).r_name AS rn""")
+    assert(in.collect()(0).getAs[Number]("sk").longValue == 0L)
+  }
+
+  test("duration(): ISO values, fractional spill, temporal arithmetic") {
+    val vals = graph.cypher(
+      """UNWIND [1] AS one
+         RETURN duration({days: 2, hours: 3}) AS a,
+                duration({years: 1, months: 14}) AS b,
+                duration({days: 0.5}) AS c,
+                duration('P3DT4H') AS d,
+                duration({days: 1}) + duration({days: 2, hours: 5}) AS e""")
+      .collect()(0)
+    assert(vals.getAs[String]("a") == "P2DT3H")
+    assert(vals.getAs[String]("b") == "P1Y14M") // no month→year carry
+    assert(vals.getAs[String]("c") == "PT12H")  // fractional day spills
+    assert(vals.getAs[String]("d") == "P3DT4H")
+    assert(vals.getAs[String]("e") == "P3DT5H")
+    val arith = graph.cypher(
+      """UNWIND [1] AS one
+         RETURN toString(date('1996-01-31') + duration({months: 1})) AS clamped,
+                toString(date('1996-03-15') - duration({days: 20})) AS back,
+                duration.between(date('1996-01-01'), date('1996-01-02')) AS btw,
+                duration.inMonths(date('1996-01-15'), date('1997-03-01')) AS im""")
+      .collect()(0)
+    assert(arith.getAs[String]("clamped") == "1996-02-29") // leap-year clamp
+    assert(arith.getAs[String]("back") == "1996-02-24")
+    assert(arith.getAs[String]("btw") == "PT86400S")
+    assert(arith.getAs[String]("im") == "P14M")
+  }
+
+  test("WITH + WHERE + ORDER BY without aggregation keeps the filter") {
+    val got = graph.cypher(
+      """MATCH (n:Nation)
+         WITH n.n_name AS name, n.n_regionkey AS rk
+         ORDER BY name WHERE rk = 0
+         RETURN name, rk""")
+    val want = raw("nation").filter(col("n_regionkey") === 0)
+      .select(col("n_name").as("name"), col("n_regionkey").as("rk"))
+      .orderBy("name")
+    assert(rowsOf(got) == rowsOf(want))
+  }
 }
