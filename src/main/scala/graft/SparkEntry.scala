@@ -191,6 +191,16 @@ object SparkEntry {
            ORDER BY o_orderkey""")
     }),
 
+    // pattern comprehension: correlated collect per nation, reduced to
+    // size() so the gate output stays scalar
+    "q_str_patcomp" -> ((s, dir) => {
+      g(s, dir).cypher(
+        """MATCH (n:Nation)
+           RETURN n.n_name AS n_name,
+                  size([(c:Customer)-[:IN_NATION]->(n) | c.c_custkey]) AS n_cust
+           ORDER BY n_name""")
+    }),
+
     // duration() values (ISO strings, reference representation), date +
     // duration arithmetic, and duration.inDays — dates stringified so
     // both engines hash the same canonical form
@@ -512,6 +522,12 @@ object SparkEntry {
          GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 3 OFFSET 1""",
     "q_str_distinct" ->
       "SELECT DISTINCT c_mktsegment AS seg FROM customer ORDER BY seg",
+    "q_str_patcomp" ->
+      """SELECT n_name, coalesce(cnt, 0) AS n_cust
+         FROM nation LEFT JOIN
+           (SELECT c_nationkey, count(*) AS cnt FROM customer GROUP BY 1) c
+           ON c_nationkey = n_nationkey
+         ORDER BY n_name""",
     "q_str_duration" ->
       """SELECT o_orderkey,
          CAST(CAST(o_orderdate + INTERVAL 1 MONTH + INTERVAL 30 DAY AS DATE) AS VARCHAR) AS due,

@@ -43,6 +43,13 @@ object Ast {
       proj: Expr) extends Expr
   /** `exists((a)-[:T]->(b))` / bare pattern predicate in WHERE → semi/anti join. */
   final case class PatternPred(paths: Vector[PathPat], negated: Boolean) extends Expr
+  /** `[(u)-[:T]->(i) WHERE p | e]` — correlated collect over a pattern
+    * (reference: parser.ts:3163-3266). Compiles to groupBy + collect_list
+    * joined back on the bound variables. */
+  final case class PatternComp(path: PathPat, where: Option[Expr], proj: Expr) extends Expr
+  /** `u{.name, .*, total: expr}` map projection (reference: parser.ts:3231). */
+  final case class MapProj(v: String, props: Seq[String],
+      entries: Seq[(String, Expr)], star: Boolean) extends Expr
   /** label predicate `n:Label` in WHERE. */
   final case class LabelPred(v: String, label: String) extends Expr
 

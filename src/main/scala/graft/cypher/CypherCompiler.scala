@@ -258,10 +258,78 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
   // WITH / RETURN projections
   // ------------------------------------------------------------------
 
+  private var pcCounter = 0
+
+  /** Attach one pattern comprehension's collected list as a temp column:
+    * compile the pattern seeded by the bound vars' labels, apply its
+    * WHERE, collect_list the projection grouped by the shared variables,
+    * left-join back, and null → [] (openCypher: no matches is an empty
+    * list). One aggregation + one join per comprehension — no per-row
+    * subqueries.
+    */
+  private def attachPatternComp(c: Ctx, pc: PatternComp): (Ctx, String) = {
+    pcCounter += 1
+    val tmp = s"__pc$pcCounter"
+    val patVars = pc.path.nodes.map(_.name).toSet
+    val known = c.labels.filter { case (v, _) => patVars(v) }
+    val sub0 = pm.compilePaths(Vector(pc.path), known)
+    val shared = c.df.columns.toSet.intersect(patVars).toSeq.sorted
+    require(shared.nonEmpty, "pattern comprehension must use a bound variable")
+    val sub = pc.where.map(w => sub0.filter(compileExpr(sub0, w))).getOrElse(sub0)
+    def key(d: DataFrame, v: String): Column =
+      if (isStructWithId(d, v)) col(s"$v.$ID") else col(v)
+    val grouped = sub
+      .groupBy(shared.map(v => key(sub, v).as(s"__pck_$v")): _*)
+      .agg(collect_list(compileExpr(sub, pc.proj)).as(tmp))
+    val cond = shared.map(v => key(c.df, v) === col(s"__pck_$v")).reduce(_ && _)
+    val joined = c.df.join(grouped, cond, "left_outer")
+      .drop(shared.map(v => s"__pck_$v"): _*)
+    val listT = joined.schema(tmp).dataType
+    (Ctx(joined.withColumn(tmp, coalesce(col(tmp), array().cast(listT))), c.labels), tmp)
+  }
+
+  /** Rewrite pattern comprehensions inside an item expression to temp
+    * columns, threading the frame through `attach`.
+    */
+  private def extractComps(e: Expr, attach: PatternComp => Expr): Expr = {
+    def go(x: Expr): Expr = x match {
+      case pc: PatternComp => attach(pc)
+      case Bin(op, l, r) => Bin(op, go(l), go(r))
+      case Not(y) => Not(go(y))
+      case Neg(y) => Neg(go(y))
+      case IsNull(y, n) => IsNull(go(y), n)
+      case Prop(b, k) => Prop(go(b), k)
+      case Func(n, args, d) => Func(n, args.map(go), d)
+      case ListLit(xs) => ListLit(xs.map(go))
+      case MapLit(kvs) => MapLit(kvs.map { case (k, v) => k -> go(v) })
+      case MapProj(v, ps, es, s) => MapProj(v, ps, es.map { case (k, y) => k -> go(y) }, s)
+      case CaseExpr(s, ws, o) => CaseExpr(s.map(go),
+        ws.map { case (a, b) => (go(a), go(b)) }, o.map(go))
+      case Index(b, ix) => Index(go(b), go(ix))
+      case Slice(b, f, t) => Slice(go(b), f.map(go), t.map(go))
+      case Comprehension(v, l, w, pr) => Comprehension(v, go(l), w.map(go), pr.map(go))
+      case Quantifier(k, v, l, w) => Quantifier(k, v, go(l), go(w))
+      case ReduceExpr(a, init, v, l, pr) => ReduceExpr(a, go(init), v, go(l), go(pr))
+      case other => other
+    }
+    go(e)
+  }
+
   private[cypher] def applyProjection(ctx: Option[Ctx], p: Projection): DataFrame = {
-    val base = ctx.map(_.df).getOrElse(spark.range(1).toDF())
+    // pattern-comprehension pre-pass: each one joins its collected list
+    // onto the frame and is replaced by a temp-column reference
+    var curCtx = ctx.getOrElse(Ctx(spark.range(1).toDF(), Map.empty))
+    val preItems = p.items.map { it =>
+      val ne = extractComps(it.expr, pc => {
+        val (nc, name) = attachPatternComp(curCtx, pc)
+        curCtx = nc
+        Var(name)
+      })
+      it.copy(expr = ne)
+    }
+    val base = curCtx.df
     // RETURN * — expand to every visible column
-    val items = p.items.flatMap {
+    val items = preItems.flatMap {
       case Item(Star, _, _) =>
         base.columns.filterNot(_.startsWith("__")).toSeq.map(c => Item(Var(c), None, c))
       case it => Seq(it)
@@ -687,6 +755,27 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
       case ReduceExpr(acc, init, v, listE, projE) =>
         aggregate(go(listE), go(init),
           (a, x) => compileExpr(df, projE, env + (acc -> a) + (v -> x)))
+
+      // map projection: struct of selected props / computed entries;
+      // later entries override earlier ones, `.*` expands non-internal
+      // fields, missing props are null (Cypher semantics)
+      case MapProj(v, props, entries, star) =>
+        val base = env.getOrElse(v, col(v))
+        val fieldNames = dt(base) match {
+          case Some(st: StructType) => st.fieldNames.toSeq
+          case _ => Seq.empty[String]
+        }
+        val ordered = scala.collection.mutable.LinkedHashMap[String, Column]()
+        if (star)
+          fieldNames.filterNot(_.startsWith("_")).foreach(f => ordered(f) = base.getField(f))
+        props.foreach(p =>
+          ordered(p) = if (fieldNames.contains(p)) base.getField(p) else lit(null))
+        entries.foreach { case (k, ex) => ordered(k) = go(ex) }
+        require(ordered.nonEmpty, s"map projection $v{} selects nothing")
+        struct(ordered.map { case (k, c) => c.as(k) }.toSeq: _*)
+
+      case _: PatternComp =>
+        sys.error("pattern comprehensions are only supported in WITH/RETURN items")
 
       case p: PatternPred =>
         sys.error("pattern predicates are only supported as top-level WHERE conjuncts")

@@ -444,6 +444,28 @@ object CypherParser {
           }
           e = Func(s"$ns.$fn", args.result(), distinct = false)
         }
+        // map projection: u{.name, .*, total: expr}
+        else if (cur.is("{") && cur.kind == TPunct &&
+                 (e match { case Var(_) => true; case _ => false })) {
+          val Var(v) = e: @unchecked
+          i += 1
+          var star = false
+          val props = Vector.newBuilder[String]
+          val entries = Vector.newBuilder[(String, Expr)]
+          if (!tryTok("}")) {
+            var done = false
+            while (!done) {
+              if (tryTok(".")) {
+                if (tryTok("*")) star = true else props += ident()
+              } else {
+                val k = ident(); expect(":")
+                entries += (k -> expr())
+              }
+              if (!tryTok(",")) { expect("}"); done = true }
+            }
+          }
+          e = MapProj(v, props.result(), entries.result(), star)
+        }
         else if (cur.is("[") && cur.kind == TPunct) {
           i += 1
           if (tryTok("..")) { // [..to]
@@ -493,8 +515,17 @@ object CypherParser {
           else { i += 1; val e = expr(); expect(")"); e }
         case TPunct if t.text == "[" =>
           i += 1
+          // pattern comprehension: [(u)-[:T]->(i) WHERE p | e]
+          if (cur.is("(") && looksLikePattern()) {
+            val p = path()
+            val w = if (tryTok("WHERE")) Some(expr()) else None
+            expect("|")
+            val proj = expr()
+            expect("]")
+            PatternComp(p, w, proj)
+          }
           // list comprehension: [x IN list ...] — bare ident followed by IN
-          if (cur.kind == TIdent && ahead(1).is("IN") &&
+          else if (cur.kind == TIdent && ahead(1).is("IN") &&
               !Set("true", "false", "null").contains(cur.text.toLowerCase)) {
             val v = ident()
             expect("IN")

@@ -331,6 +331,42 @@ class CypherCompilerSpec extends SparkSpec {
     assert(arith.getAs[String]("im") == "P14M")
   }
 
+  test("pattern comprehension collects correlated lists") {
+    val got = graph.cypher(
+      """MATCH (r:Region)
+         RETURN r.r_name AS name,
+                [(n:Nation)-[:IN_REGION]->(r) WHERE n.n_nationkey < 5 | n.n_name] AS ns
+         ORDER BY name""")
+    val want = raw("nation").filter(col("n_nationkey") < 5)
+      .join(raw("region"), col("n_regionkey") === col("r_regionkey"), "right_outer")
+      .groupBy(col("r_name").as("name"))
+      .agg(sort_array(collect_list(col("n_name"))).as("ns"))
+      .orderBy("name")
+    val gotRows = got.select(col("name"), sort_array(col("ns")).as("ns")).orderBy("name")
+    assert(rowsOf(gotRows) == rowsOf(want))
+    // no matches → empty list, not null
+    val empty = graph.cypher(
+      """MATCH (r:Region {r_regionkey: 0})
+         RETURN size([(n:Nation)-[:IN_REGION]->(r) WHERE n.n_nationkey < 0 | n.n_name]) AS n""")
+    assert(empty.collect()(0).getAs[Int]("n") == 0)
+  }
+
+  test("map projection: .prop, .*, computed entries, missing prop is null") {
+    val row = graph.cypher(
+      """MATCH (n:Nation {n_nationkey: 0})
+         RETURN n{.n_name, doubled: n.n_regionkey * 2, .nope} AS m""")
+      .collect()(0).getStruct(0)
+    assert(row.getAs[String]("n_name") == raw("nation")
+      .filter(col("n_nationkey") === 0).collect()(0).getAs[String]("n_name"))
+    assert(row.getAs[Long]("doubled") == raw("nation")
+      .filter(col("n_nationkey") === 0).collect()(0).getAs[Number]("n_regionkey").longValue * 2)
+    assert(row.isNullAt(row.fieldIndex("nope")))
+    val star = graph.cypher(
+      "MATCH (n:Nation {n_nationkey: 0}) RETURN n{.*} AS m").collect()(0).getStruct(0)
+    assert(star.schema.fieldNames.contains("n_name") &&
+      !star.schema.fieldNames.exists(_.startsWith("_")))
+  }
+
   test("WITH + WHERE + ORDER BY without aggregation keeps the filter") {
     val got = graph.cypher(
       """MATCH (n:Nation)
