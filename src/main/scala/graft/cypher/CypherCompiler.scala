@@ -673,6 +673,8 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
           case "XOR" => lc =!= rc
           case "IN" =>
             r match {
+              // TCK: `x IN []` is false for ANY x, including null
+              case ListLit(Seq()) => lit(false)
               case ListLit(items) if items.forall(_.isInstanceOf[Lit]) =>
                 lc.isin(items.collect { case Lit(v) => v }: _*)
               case _ => array_contains(rc, lc)
@@ -698,11 +700,14 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
 
       case CaseExpr(subject, whens, otherwise) =>
         val subj = subject.map(go)
+        // cast conditions to boolean: a literal-null condition is VOID in
+        // Catalyst and fails analysis; null-as-false matches Cypher
         val first = whens.head
-        val firstCond = subj.map(_ === go(first._1)).getOrElse(go(first._1))
+        val firstCond =
+          subj.map(_ === go(first._1)).getOrElse(go(first._1)).cast(BooleanType)
         val start = when(firstCond, go(first._2))
         val chained = whens.tail.foldLeft(start) { case (acc, (w, t)) =>
-          val cond = subj.map(_ === go(w)).getOrElse(go(w))
+          val cond = subj.map(_ === go(w)).getOrElse(go(w)).cast(BooleanType)
           acc.when(cond, go(t))
         }
         otherwise.map(o => chained.otherwise(go(o))).getOrElse(chained)

@@ -85,14 +85,17 @@ object CypherFunctions {
       case "tointeger" | "toint" => a0.cast(DoubleType).cast(LongType)
       case "tofloat" => a0.cast(DoubleType)
       case "toboolean" => a0.cast(BooleanType)
-      // ---- size / length: list → cardinality, string → char count ----
+      // ---- size / length: list → cardinality, string → char count.
+      // size(x) is wrapped null-safe: Spark's non-ANSI legacy size(NULL)
+      // is -1, Cypher requires null ----
       case "size" | "length" =>
+        def nullSafeSize(c: Column) = when(c.isNull, lit(null)).otherwise(size(c))
         argType(0) match {
-          case Some(_: ArrayType) | Some(_: MapType) => size(a0)
+          case Some(_: ArrayType) | Some(_: MapType) => nullSafeSize(a0)
           case Some(StringType) => length(a0).cast(LongType)
           case Some(st: StructType) if st.fieldNames.contains("_hops") =>
             a0.getField("_hops") // length(varlength rel) = hop count
-          case _ => size(a0)
+          case _ => nullSafeSize(a0)
         }
       // ---- numeric ----
       case "abs" => abs(a0)
