@@ -109,21 +109,25 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
   // MATCH
   // ------------------------------------------------------------------
 
-  /** Substitute `$param` values into pattern property maps. */
-  private def resolveParams(paths: Vector[PathPat]): Vector[PathPat] =
+  /** Substitute `$param` values into pattern property maps; reject
+    * non-literal property expressions (those are CREATE/MERGE-only —
+    * in MATCH they belong in WHERE).
+    */
+  private def resolveParams(paths: Vector[PathPat]): Vector[PathPat] = {
+    def resolve(kv: (String, Any)): (String, Any) = kv match {
+      case (k, Param(nm)) => k -> params.getOrElse(nm,
+        sys.error(s"missing parameter $$$nm"))
+      case (k, e: Expr) => sys.error(
+        s"MATCH pattern property '$k' must be a literal or parameter " +
+        s"(got expression $e — use WHERE, or CREATE/MERGE for per-row values)")
+      case kv => kv
+    }
     paths.map { p =>
       p.copy(
-        nodes = p.nodes.map(n => n.copy(props = n.props.map {
-          case (k, Param(nm)) => k -> params.getOrElse(nm,
-            sys.error(s"missing parameter $$$nm"))
-          case kv => kv
-        })),
-        rels = p.rels.map(r => r.copy(props = r.props.map {
-          case (k, Param(nm)) => k -> params.getOrElse(nm,
-            sys.error(s"missing parameter $$$nm"))
-          case kv => kv
-        })))
+        nodes = p.nodes.map(n => n.copy(props = n.props.map(resolve))),
+        rels = p.rels.map(r => r.copy(props = r.props.map(resolve))))
     }
+  }
 
   private def declaredLabels(paths: Vector[PathPat]): Map[String, String] =
     paths.flatMap(_.nodes).flatMap(n => n.label.map(n.name -> _)).toMap

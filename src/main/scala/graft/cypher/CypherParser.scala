@@ -302,8 +302,11 @@ object CypherParser {
       RelPat(name.getOrElse(fresh()), name.isEmpty, relType, ps, dir, minH, maxH, isVar)
     }
 
-    /** Pattern property maps accept literal values only (full expressions
-      * belong in WHERE — same restriction as the reference's fast path).
+    /** Pattern property maps: literals and parameters everywhere; full
+      * expressions are carried through for CREATE/MERGE (per-row values
+      * from UNWIND/MATCH rows) and rejected at compile time for MATCH
+      * (where expressions belong in WHERE — the reference's fast path
+      * has the same restriction).
       */
     private def propMap(): Seq[(String, Any)] = {
       if (!tryTok("{")) return Seq.empty
@@ -318,7 +321,7 @@ object CypherParser {
             case Neg(Lit(x: Long)) => -x
             case Neg(Lit(x: Double)) => -x
             case p: Param => p // resolved against the params map at compile
-            case other => fail(s"pattern property '$k' must be a literal or parameter, got $other")
+            case other => other // Expr — write clauses compile it per row
           }
           buf += (k -> v)
           if (!tryTok(",")) { expect("}"); done = true }

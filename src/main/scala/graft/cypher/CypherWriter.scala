@@ -95,25 +95,42 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
     case other => lit(other)
   }
 
-  /** Deterministic id for a created node: the literal `_id` property when
-    * given, else a hash of the label + property literals.
+  /** Property value → Column: literals/params directly; full expressions
+    * (per-row values from UNWIND/MATCH rows) compile against `frame`.
     */
-  private def nodeIdOf(label: String, props: Seq[(String, Any)]): Column =
-    props.collectFirst { case (ID, v) => litCol(v).cast("long") }
-      .getOrElse(xxhash64(lit(label) +: props.sortBy(_._1).map(p => litCol(p._2)): _*))
+  private def propCol(v: Any, frame: DataFrame): Column = v match {
+    case p: Param => litCol(p)
+    case e: Expr => new CypherCompiler(g0, spark, params).compileExpr(frame, e)
+    case other => litCol(other)
+  }
+
+  /** Deterministic id for a created node: the `_id` property when given,
+    * else a hash of the label + property values. Content-addressed ids
+    * mean identical-prop rows collapse to one node (set semantics —
+    * documented divergence from Neo4j's per-row bag semantics; an
+    * immutable snapshot store needs reproducible ids, see the r3 advice
+    * on nondeterministic edge ids).
+    */
+  private def nodeIdOf(label: String, props: Seq[(String, Any)],
+      frame: DataFrame): Column =
+    props.collectFirst { case (ID, v) => propCol(v, frame).cast("long") }
+      .getOrElse(xxhash64(
+        lit(label) +: props.sortBy(_._1).map(p => propCol(p._2, frame)): _*))
 
   private def applyCreate(g: PropertyGraph, ctx: Option[Ctx],
       paths: Vector[PathPat]): PropertyGraph = {
     var out = g
-    // 1. standalone literal nodes (vars not bound by a previous MATCH)
+    // 1. nodes not bound by a previous MATCH — created once per current
+    // row (UNWIND/MATCH cardinality), deduped by content-hash id
     val boundVars = ctx.map(_.df.columns.toSet).getOrElse(Set.empty)
+    val rowFrame = ctx.map(_.df).getOrElse(spark.range(1).toDF())
     val newNodeIds = scala.collection.mutable.Map[String, (String, Column)]()
     paths.flatMap(_.nodes).filterNot(n => boundVars(n.name)).foreach { n =>
       val label = n.label.getOrElse(sys.error(s"CREATE node ${n.name} needs a label"))
-      val idCol = nodeIdOf(label, n.props)
+      val idCol = nodeIdOf(label, n.props, rowFrame)
       val cols = idCol.as(ID) +:
-        n.props.filterNot(_._1 == ID).map { case (k, v) => litCol(v).as(k) }
-      val row = spark.range(1).select(cols: _*)
+        n.props.filterNot(_._1 == ID).map { case (k, v) => propCol(v, rowFrame).as(k) }
+      val row = rowFrame.select(cols: _*).distinct()
       out = out.addNodes(label, row)
       newNodeIds(n.name) = (label, idCol)
     }
@@ -132,12 +149,12 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
           val (label, idc) = newNodeIds(n.name)
           (label, idc, false)
         }
-      val (sl, sidCol, sBound) = endpoint(sv)
-      val (dl, didCol, dBound) = endpoint(dv)
-      val base = if (sBound || dBound) ctx.get.df else spark.range(1).toDF()
-      val edgeRow = base.select(
+      val (sl, sidCol, _) = endpoint(sv)
+      val (dl, didCol, _) = endpoint(dv)
+      val edgeRow = rowFrame.select(
         (sidCol.cast("long").as(SRC) +: didCol.cast("long").as(DST) +:
-          r.props.map { case (k, v) => litCol(v).as(k) }): _*)
+          r.props.map { case (k, v) => propCol(v, rowFrame).as(k) }): _*)
+        .distinct()
       out = out.addEdges(EdgeType(relType, sl, dl), edgeRow)
     }
     out
@@ -150,35 +167,70 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
   private def applyMerge(g: PropertyGraph, ctx: Option[Ctx], path: PathPat,
       onCreate: Seq[(Expr, Expr)], onMatch: Seq[(Expr, Expr)]): PropertyGraph = {
     val boundVars = ctx.map(_.df.columns.toSet).getOrElse(Set.empty)
-    if (path.rels.isEmpty) {
-      // single node MERGE by literal properties
-      val n = path.nodes.head
+    val rowFrame = ctx.map(_.df).getOrElse(spark.range(1).toDF())
+
+    def mergeNode(gr: PropertyGraph, n: NodePat,
+        oc: Seq[(Expr, Expr)], om: Seq[(Expr, Expr)]): PropertyGraph = {
       val label = n.label.getOrElse(sys.error("MERGE node needs a label"))
-      val idCol = nodeIdOf(label, n.props)
+      val idCol = nodeIdOf(label, n.props, rowFrame)
       val cols = idCol.as(ID) +:
-        n.props.filterNot(_._1 == ID).map { case (k, v) => litCol(v).as(k) }
-      val row = spark.range(1).select(cols: _*)
+        n.props.filterNot(_._1 == ID).map { case (k, v) => propCol(v, rowFrame).as(k) }
+      val row = rowFrame.select(cols: _*).distinct()
       def assigns(items: Seq[(Expr, Expr)]): Map[String, Column] =
         items.map {
           case (Prop(Var(v), key), value) if v == n.name =>
             key -> compileValueOverFrame(value, n.name)
           case other => sys.error(s"unsupported MERGE SET target: $other")
         }.toMap
-      g.mergeNodesWith(label, row, assigns(onCreate), assigns(onMatch))
+      gr.mergeNodesWith(label, row, assigns(oc), assigns(om))
+    }
+
+    if (path.rels.isEmpty) {
+      // single node MERGE — one candidate row per current row (UNWIND /
+      // MATCH cardinality), content-deduped
+      mergeNode(g, path.nodes.head, onCreate, onMatch)
     } else {
-      // edge MERGE between two bound variables
-      require(path.rels.size == 1 && path.nodes.forall(n => boundVars(n.name)),
-        "edge MERGE requires both endpoints bound by a previous MATCH")
+      require(path.rels.size == 1, "MERGE supports single-relationship paths")
       val r = path.rels.head
       val (sv, dv) = if (r.dir == Out) (path.nodes(0), path.nodes(1))
                      else (path.nodes(1), path.nodes(0))
-      val labels = ctx.get.labels
-      val et = EdgeType(r.relType.getOrElse(sys.error("MERGE edge needs a type")),
-        labels(sv.name), labels(dv.name))
-      val rows = ctx.get.df.select(
-        (col(s"${sv.name}.$ID").as(SRC) +: col(s"${dv.name}.$ID").as(DST) +:
-          r.props.map { case (k, v) => litCol(v).as(k) }): _*)
-      g.mergeEdges(et, rows)
+      if (path.nodes.forall(n => boundVars(n.name))) {
+        // edge MERGE between two bound variables
+        val labels = ctx.get.labels
+        val et = EdgeType(r.relType.getOrElse(sys.error("MERGE edge needs a type")),
+          labels(sv.name), labels(dv.name))
+        val rows = ctx.get.df.select(
+          (col(s"${sv.name}.$ID").as(SRC) +: col(s"${dv.name}.$ID").as(DST) +:
+            r.props.map { case (k, v) => propCol(v, ctx.get.df).as(k) }): _*)
+        g.mergeEdges(et, rows)
+      } else {
+        // general MERGE path with unbound endpoints: decomposed as
+        // merge(src) → merge(dst) → merge(edge). Divergence (documented):
+        // openCypher matches the WHOLE pattern atomically — a pre-existing
+        // node pair without the edge gets only the edge created here,
+        // which openCypher would also do; but a fresh pattern creates
+        // nodes even when an identical edge exists elsewhere. ON CREATE /
+        // ON MATCH SET apply per-endpoint-variable.
+        require(path.nodes.forall(n => !boundVars(n.name)),
+          "MERGE path endpoints must be all bound or all unbound")
+        def setsFor(n: NodePat, items: Seq[(Expr, Expr)]) = items.filter {
+          case (Prop(Var(v), _), _) => v == n.name
+          case _ => false
+        }
+        var out = g
+        out = mergeNode(out, sv, setsFor(sv, onCreate), setsFor(sv, onMatch))
+        out = mergeNode(out, dv, setsFor(dv, onCreate), setsFor(dv, onMatch))
+        val et = EdgeType(r.relType.getOrElse(sys.error("MERGE edge needs a type")),
+          sv.label.getOrElse(sys.error("MERGE endpoint needs a label")),
+          dv.label.getOrElse(sys.error("MERGE endpoint needs a label")))
+        val sid = nodeIdOf(et.srcLabel, sv.props, rowFrame)
+        val did = nodeIdOf(et.dstLabel, dv.props, rowFrame)
+        val rows = rowFrame.select(
+          (sid.cast("long").as(SRC) +: did.cast("long").as(DST) +:
+            r.props.map { case (k, v) => propCol(v, rowFrame).as(k) }): _*)
+          .distinct()
+        out.mergeEdges(et, rows)
+      }
     }
   }
 

@@ -150,6 +150,48 @@ class GraphWriteSpec extends SparkSpec {
     assert(g2.edgeFrame(EdgeType("KNOWS", "Person", "Person")).count() == 1)
   }
 
+  test("cypherWrite: CREATE from UNWIND rows with expression props") {
+    val g = tinyGraph()
+    val (g2, _) = g.cypherWrite(
+      """UNWIND [10, 11, 12] AS x
+         CREATE (p:Person {_id: x, name: 'p' + toString(x), age: x * 2})""")
+    val people = g2.nodeFrame("Person")
+    assert(people.count() == 5)
+    val p11 = people.filter(col("_id") === 11L).head()
+    assert(p11.getAs[String]("name") == "p11" && p11.getAs[Long]("age") == 22L)
+    // per-row CREATE of edges between a bound node and per-row nodes
+    val (g3, _) = g.cypherWrite(
+      """MATCH (a:Person {name: 'ann'}) UNWIND [20, 21] AS x
+         CREATE (a)-[:KNOWS]->(q:Person {_id: x, name: toString(x)})""")
+    assert(g3.nodeFrame("Person").count() == 4)
+    assert(g3.edgeFrame(EdgeType("KNOWS", "Person", "Person")).count() == 3)
+  }
+
+  test("cypherWrite: general MERGE path creates missing nodes and edge once") {
+    val g = tinyGraph()
+    val q = """MERGE (a:Person {_id: 50, name: 'new1'})-[:KNOWS]->(b:Person {_id: 51, name: 'new2'})"""
+    val (g2, _) = g.cypherWrite(q)
+    val (g3, _) = g2.cypherWrite(q) // idempotent
+    assert(g3.nodeFrame("Person").count() == 4)
+    assert(g3.edgeFrame(EdgeType("KNOWS", "Person", "Person")).count() == 2)
+    // merging a path whose endpoints exist adds only the edge
+    val (g4, _) = g3.cypherWrite(
+      "MERGE (a:Person {_id: 2, name: 'bob', age: 40})-[:KNOWS]->(b:Person {_id: 1, name: 'ann', age: 30})")
+    assert(g4.nodeFrame("Person").count() == 4)
+    assert(g4.edgeFrame(EdgeType("KNOWS", "Person", "Person")).count() == 3)
+  }
+
+  test("cypherWrite: MERGE per UNWIND row (batch upsert)") {
+    val g = tinyGraph()
+    val (g2, _) = g.cypherWrite(
+      """UNWIND [1, 2, 3] AS k MERGE (p:Person {_id: k})
+         ON CREATE SET p.name = 'made' ON MATCH SET p.age = 99""")
+    val people = g2.nodeFrame("Person").collect().map(r => r.getLong(0) -> r).toMap
+    assert(people.size == 3)
+    assert(people(1L).getAs[Long]("age") == 99L) // matched
+    assert(people(3L).getAs[String]("name") == "made") // created
+  }
+
   test("snapshot save/load round-trips a written graph") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-write-snap").toString
     val (g2, _) = tinyGraph().cypherWrite(
