@@ -17,6 +17,35 @@ import org.apache.spark.sql.types._
   */
 object Ann {
 
+  final case class ScoredRow(query_id: Long, neighbor_id: Long, sim: Double)
+
+  /** Bounded top-k typed aggregator. The point is the SHUFFLE SHAPE: a
+    * window over (query_id) must exchange every scored row (Q×N at 100 TB
+    * this is the whole corpus re-keyed per query); an Aggregator gets
+    * map-side partial aggregation, so each scan partition ships at most k
+    * candidates per query — Q×k×partitions rows on the wire. Ordering:
+    * sim desc, neighbor_id asc (deterministic ties, matches the oracle).
+    */
+  final class TopKAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        ScoredRow, Seq[(Double, Long)], Seq[(Double, Long)]] {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    private def prune(b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      b.sortBy { case (s, nid) => (-s, nid) }.take(k)
+    def zero: Seq[(Double, Long)] = Nil
+    def reduce(b: Seq[(Double, Long)], a: ScoredRow): Seq[(Double, Long)] = {
+      val nb = (a.sim, a.neighbor_id) +: b
+      if (nb.size >= 4 * k) prune(nb) else nb // amortized O(log k) per row
+    }
+    def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      prune(x ++ y)
+    def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] = prune(b)
+    def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      ExpressionEncoder[Seq[(Double, Long)]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      ExpressionEncoder[Seq[(Double, Long)]]()
+  }
+
   /** Sum-product in double precision, left-to-right (matches sequential
     * oracle summation).
     */
@@ -46,12 +75,18 @@ object Ann {
   }
 
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank")
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored
+      .select(col("query_id").cast(LongType), col("neighbor_id").cast(LongType),
+        col("sim").cast(DoubleType))
+      .as[ScoredRow]
+      .groupByKey(_.query_id)
+      .agg(new TopKAgg(k).toColumn.name("top"))
+      .flatMap { case (qid, top) =>
+        top.iterator.zipWithIndex.map { case ((_, nid), i) => (qid, nid, (i + 1).toLong) }
+      }
+      .toDF("query_id", "neighbor_id", "rank")
       .orderBy("query_id", "rank")
   }
 
