@@ -316,6 +316,24 @@ object SparkEntry {
       pipeline.Multimodal.summary(docs(s, dir))),
 
     // ================================================================
+    // Streaming tier under the gate: batch sessionization — the
+    // deterministic batch twin of the flatMapGroupsWithState stream
+    // (Spark's unified batch/stream semantics make them one definition).
+    // Timestamps exported as epoch micros (exact longs on both engines).
+    // ================================================================
+    "q_sessionize" -> ((s, dir) => {
+      val ev = GraphLoader.table(lenient(s), dir, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      streaming.EventStreams.sessionizeBatch(ev, gapMinutes = 30)
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("session_start"),
+          unix_micros(col("session_end")).as("session_end"),
+          col("n_events"),
+          round(col("total_value"), 3).as("total_value"))
+        .orderBy("user_id", "session_start")
+    }),
+
+    // ================================================================
     // Graph analytics (graft.algos) over the RELATED_TO part graph
     // (reference analog: recursive-CTE traversals, translator.ts).
     // ================================================================
@@ -641,6 +659,25 @@ object SparkEntry {
                FROM s)
          SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank"
          FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
+    "q_sessionize" ->
+      """WITH w AS (
+           SELECT user_id, event_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         f AS (
+           SELECT *, CASE WHEN prev_ts IS NULL
+             OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_session
+           FROM w),
+         g AS (
+           SELECT *, sum(new_session) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS session_seq
+           FROM f)
+         SELECT user_id, epoch_us(min(ts)) AS session_start,
+                epoch_us(max(ts)) AS session_end,
+                count(*) AS n_events, round(sum(value), 3) AS total_value
+         FROM g GROUP BY user_id, session_seq
+         ORDER BY user_id, session_start""",
     "q_degree" ->
       """SELECT c_custkey AS id, CAST(1 + coalesce(o.cnt, 0) AS BIGINT) AS outDegree,
          CAST(0 AS BIGINT) AS inDegree, CAST(1 + coalesce(o.cnt, 0) AS BIGINT) AS degree
