@@ -321,6 +321,20 @@ object SparkEntry {
     // (Spark's unified batch/stream semantics make them one definition).
     // Timestamps exported as epoch micros (exact longs on both engines).
     // ================================================================
+    // tumbling-window counts (same definition the watermarked stream
+    // runs); window bounds exported as epoch micros
+    "q_window_agg" -> ((s, dir) => {
+      val ev = GraphLoader.table(lenient(s), dir, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      streaming.EventStreams.windowedCounts(ev, window = "1 hour")
+        .select(
+          unix_micros(col("window_start")).as("window_start"),
+          unix_micros(col("window_end")).as("window_end"),
+          col("event_type"), col("cnt"),
+          round(col("total_value"), 3).as("total_value"))
+        .orderBy("window_start", "event_type")
+    }),
+
     "q_sessionize" -> ((s, dir) => {
       val ev = GraphLoader.table(lenient(s), dir, "events")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -659,6 +673,12 @@ object SparkEntry {
                FROM s)
          SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank"
          FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
+    "q_window_agg" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS window_start,
+              epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS window_end,
+              event_type, count(*) AS cnt, round(sum(value), 3) AS total_value
+         FROM events
+         GROUP BY 1, 2, 3 ORDER BY window_start, event_type""",
     "q_sessionize" ->
       """WITH w AS (
            SELECT user_id, event_id, ts, value,
