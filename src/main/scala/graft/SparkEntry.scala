@@ -311,6 +311,10 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, dir) =>
       pipeline.Ann.lshTopK(embs(s, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
 
+    // rows-only oracle (k-means cells not expressible in DuckDB)
+    "q_ann_ivf" -> ((s, dir) =>
+      pipeline.Ann.ivfTopK(embs(s, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
+
     // rows-only oracle (stub codec features not expressible in DuckDB)
     "q_multimodal" -> ((s, dir) =>
       pipeline.Multimodal.summary(docs(s, dir))),

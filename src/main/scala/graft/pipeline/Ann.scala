@@ -97,6 +97,69 @@ object Ann {
   private def planeComponent(salt: Column, plane: Column, dim: Column): Column =
     (pmod(xxhash64(salt, plane, dim), lit(100000L)).cast(DoubleType) / 100000.0) - 0.5
 
+  /** IVF (inverted-file) ANN: k-means cells, nProbe-cell search, exact
+    * cosine re-rank inside the probed cells only. The 100 TB scale path
+    * alongside LSH: the corpus is scanned once to assign cells (a narrow
+    * ML transform), then each search touches ~nProbe/nCells of the data.
+    * Centroids train with a fixed seed; recall (not exact parity) is the
+    * contract, spec'd against brute force.
+    */
+  def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = emb.sparkSession
+    import spark.implicits._
+
+    val asVec = emb.select(col(id), col(vec),
+      array_to_vector(transform(col(vec), x => x.cast(DoubleType))).as("features"))
+    val model = new KMeans().setK(nCells).setSeed(42).setMaxIter(10).fit(asVec)
+    val assigned = asVec
+      .withColumn("cell", predictUdfFree(model, col("features")))
+      .select(col(id), col(vec), col("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // query → nProbe nearest cells: centroids are tiny, crossJoin the
+    // broadcast query set against them and rank (Q × nCells rows)
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("cell", "cvec")
+    val queries = broadcast(
+      emb.filter(col(id).isin(queryIds: _*))
+        .select(col(id).as("query_id"), col(vec).as("qvec")))
+    val dist2 = aggregate(zip_with(col("qvec"), col("cvec"),
+      (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("d2").asc, col("cell").asc)
+    val probed = broadcast(queries.crossJoin(broadcast(centroids))
+      .withColumn("d2", dist2)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("cell")))
+
+    val scored = assigned.join(probed, "cell")
+      .filter(col(id) =!= col("query_id"))
+      .select(col("query_id"), col(id).as("neighbor_id"),
+        cosine(col("qvec"), col(vec)).as("sim"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Cell assignment as a Column without a closure UDF: squared L2 to
+    * each broadcast centroid, argmin — stays in codegen.
+    */
+  private def predictUdfFree(model: org.apache.spark.ml.clustering.KMeansModel,
+      features: Column): Column = {
+    val cents = model.clusterCenters.map(_.toArray)
+    val dists = cents.zipWithIndex.map { case (c, i) =>
+      val carr = array(c.map(lit): _*)
+      struct(aggregate(zip_with(org.apache.spark.ml.functions.vector_to_array(features),
+        carr, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x).as("d2"),
+        lit(i).as("cell"))
+    }
+    array_min(array(dists: _*)).getField("cell")
+  }
+
   /** Random-hyperplane sign bucket key: `planes` sign bits packed into one
     * long (Charikar '02 SimHash for angles, public construction). `salt`
     * picks an independent hyperplane family per LSH table.

@@ -68,6 +68,23 @@ class PipelineSpec extends SparkSpec {
     assert(got.map(_.getLong(2)).toSeq == (1L to got.length).toSeq)
   }
 
+  test("ann ivf recalls most brute-force neighbors with partial probing") {
+    val queries = Seq(0L, 1L, 2L)
+    val brute = Ann.cosineTopK(embs, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.ivfTopK(embs, queries, k = 5, nCells = 8, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probing half the cells: expect >= 60% of true neighbors found
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.6, s"IVF recall $recall below 0.6; missed ${brute -- ivf}")
+    // ranks well-formed per query
+    val rows = Ann.ivfTopK(embs, queries, k = 5, nCells = 8, nProbe = 4).collect()
+    queries.foreach { q =>
+      val ranks = rows.filter(_.getLong(0) == q).map(_.getLong(2)).sorted.toSeq
+      assert(ranks == (1L to ranks.length).toSeq)
+    }
+  }
+
   test("token stats and quality are deterministic and sane") {
     val t = TextOps.tokenStats(docs).collect()
     assert(t.length == docs.count())
