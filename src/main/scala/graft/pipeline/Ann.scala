@@ -47,15 +47,15 @@ object Ann {
   }
 
   /** Sum-product in double precision, left-to-right (matches sequential
-    * oracle summation).
+    * oracle summation). Codegen'd native expression — the HOF
+    * `aggregate(zip_with(...))` formulation runs interpreted per element
+    * (see graft.functions.VectorExprs); callers must have called
+    * [[graft.functions.VectorExprs.register]] (the public entry points
+    * here do it).
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExprs.dot(a, b)
 
-  def l2norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x))
+  def l2norm(a: Column): Column = graft.functions.VectorExprs.l2norm(a)
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
@@ -65,6 +65,7 @@ object Ann {
     */
   def cosineTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    graft.functions.VectorExprs.register(emb.sparkSession)
     val queries = broadcast(
       emb.filter(col(id).isin(queryIds: _*))
         .select(col(id).as("query_id"), col(vec).as("qvec")))
@@ -107,6 +108,7 @@ object Ann {
   def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
       nCells: Int = 16, nProbe: Int = 4,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    graft.functions.VectorExprs.register(emb.sparkSession)
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = emb.sparkSession
@@ -178,6 +180,7 @@ object Ann {
   def lshTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
       planes: Int = 8, tables: Int = 4,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    graft.functions.VectorExprs.register(emb.sparkSession)
     val keys = transform(sequence(lit(0), lit(tables - 1)),
       t => xxhash64(t, hyperplaneKey(col(vec), planes, t)))
     val bucketed = emb.select(col(id), col(vec),

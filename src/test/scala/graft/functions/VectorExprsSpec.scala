@@ -1,0 +1,51 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Native dot/l2norm expressions: values must be bit-identical to the
+  * interpreted HOF formulation (left-to-right double summation) in both
+  * the codegen and interpreted (eval) paths.
+  */
+class VectorExprsSpec extends SparkSpec {
+
+  private def hofDot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  test("graft_dot and graft_l2norm match the HOF formulation bit-for-bit") {
+    import spark.implicits._
+    VectorExprs.register(spark)
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(0.5f, -1.5f, 2.25f)),
+      (Array(0.1f, 0.2f, 0.3f), Array(0.9f, 0.8f, 0.7f)),
+      (Array.empty[Float], Array.empty[Float])
+    ).toDF("a", "b")
+    val rows = df.select(
+      VectorExprs.dot(col("a"), col("b")).as("nd"),
+      hofDot(col("a"), col("b")).as("hd"),
+      VectorExprs.l2norm(col("a")).as("nn"),
+      sqrt(aggregate(transform(col("a"), x => x.cast(DoubleType) * x.cast(DoubleType)),
+        lit(0.0), (acc, x) => acc + x)).as("hn")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))
+    }
+  }
+
+  test("null arrays yield null; double arrays accepted") {
+    import spark.implicits._
+    VectorExprs.register(spark)
+    val df = Seq((Some(Array(1.0, 2.0)), None: Option[Array[Double]]))
+      .toDF("a", "b")
+    val r = df.select(
+      VectorExprs.dot(col("a"), col("a")).as("aa"),
+      VectorExprs.dot(col("a"), col("b")).as("ab"),
+      VectorExprs.l2norm(col("b")).as("nb")).collect()(0)
+    assert(r.getDouble(0) == 5.0)
+    assert(r.isNullAt(1) && r.isNullAt(2))
+  }
+}
