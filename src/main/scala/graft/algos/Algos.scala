@@ -27,6 +27,14 @@ object Algos {
   private def materialize(df: DataFrame): DataFrame =
     df.persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint(true)
 
+  /** Cache WITHOUT cutting lineage — for frames one derivation away from
+    * an already-checkpointed parent, where an eager localCheckpoint would
+    * only add a write-out job per iteration (the checkpoint cadence is
+    * the iteration loop's dominant fixed cost at small per-round data).
+    */
+  private def cache(df: DataFrame): DataFrame =
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+
   /** Single-source BFS shortest hop-distances over a directed edge frame.
     * Returns (id, dist) for every node reachable within maxDepth
     * (including the source at dist 0). Each level is one equi-join of the
@@ -127,7 +135,8 @@ object Algos {
       val mins = sym.groupBy("u").agg(least(min("v"), first("u")).as("m"))
       val ls = sym.join(mins, "u").filter(col("v") > col("u"))
         .select(col("m").as("u"), col("v")).distinct()
-      val lsm = materialize(ls)
+      // one derivation from the checkpointed `e` — cache, don't checkpoint
+      val lsm = cache(ls)
       // small-star over smaller-or-equal neighborhoods (edges already
       // oriented big←small after canonicalization: u = min endpoint)
       val byBig = lsm.select(col("v").as("big"), col("u").as("small"))
@@ -204,7 +213,7 @@ object Algos {
       fwd.unionByName(fwd.select(col("v").as("u"), col("u").as("v"))).distinct())
     var labels = materialize(
       sym.select(col("u").as("id")).distinct().withColumn("label", col("id")))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val neighborLabels = labels.join(sym, col("id") === col("u"))
         .groupBy(col("v").as("id"), col("label"))
         .agg(count(lit(1)).as("cnt"))
@@ -213,8 +222,11 @@ object Algos {
         .agg(max_by(struct(col("cnt"), (-col("label")).as("neg")),
           struct(col("cnt"), (-col("label")).as("neg"))).getField("neg").as("nl"))
         .select(col("id"), (-col("nl")).as("newLabel"))
-      labels = materialize(labels.join(best, Seq("id"), "left_outer")
-        .select(col("id"), coalesce(col("newLabel"), col("label")).as("label")))
+      val next = labels.join(best, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("newLabel"), col("label")).as("label"))
+      // checkpoint every 2nd round: lineage depth stays <= 2 join levels
+      // while halving the eager write-out jobs (the per-round fixed cost)
+      labels = if (i % 2 == 0 || i == iterations) materialize(next) else cache(next)
     }
     labels
   }
