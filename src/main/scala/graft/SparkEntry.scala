@@ -291,6 +291,10 @@ object SparkEntry {
         .select(col("doc_id"), col("n_fingerprints"),
           array_join(col("fingerprint"), ",").as("fingerprint"))),
 
+    // corpus bigram frequencies, top 100 (vocabulary statistics)
+    "q_ngram_freq" -> ((s, dir) =>
+      pipeline.TextOps.ngramFrequencies(docs(s, dir), n = 2, topN = 100)),
+
     "q_dedup_exact" -> ((s, dir) =>
       pipeline.Dedup.exact(docs(s, dir))),
 
@@ -641,6 +645,15 @@ object SparkEntry {
                 WHEN es_hits = greatest(en_hits,de_hits,fr_hits,es_hits,zh_hits) THEN 'es'
                 ELSE 'zh' END AS lang_pred
          FROM h ORDER BY doc_id""",
+    "q_ngram_freq" ->
+      """WITH t AS (
+           SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+         g AS (
+           SELECT unnest(list_transform(range(1, greatest(len(toks) - 0, 1)),
+             i -> concat_ws(' ', toks[i], toks[i+1]))) AS gram
+           FROM t WHERE len(toks) >= 2)
+         SELECT gram, count(*) AS cnt FROM g
+         GROUP BY gram ORDER BY cnt DESC, gram LIMIT 100""",
     "q_dedup_exact" ->
       """WITH k AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h FROM documents),
          g AS (SELECT h, min(doc_id) AS rep_id, count(*) AS group_size FROM k GROUP BY h)

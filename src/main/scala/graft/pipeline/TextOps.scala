@@ -39,6 +39,33 @@ object TextOps {
       .orderBy(id)
   }
 
+  // ---- vocabulary / n-gram statistics (q_ngram_freq) ----
+
+  /** Corpus-wide top-N n-gram frequencies (n=1 → vocabulary counts).
+    * explode → groupBy count is the scale shape: Spark's hash aggregate
+    * partial-combines per partition BEFORE the shuffle, so the exchange
+    * carries one row per distinct n-gram per partition — Zipf-head terms
+    * are pre-collapsed map-side, no manual salting needed for a count.
+    * Deterministic top-N: ties broken by the gram itself.
+    */
+  def ngramFrequencies(docs: DataFrame, n: Int = 1, topN: Int = 100,
+      text: String = "text"): DataFrame = {
+    require(n >= 1, "n-gram size must be >= 1")
+    val toks = tokens(lower(col(text)))
+    val grams =
+      if (n == 1) toks
+      else {
+        val cnt = size(toks) - (n - 1)
+        when(cnt <= 0, array().cast(ArrayType(StringType)))
+          .otherwise(transform(sequence(lit(0), greatest(cnt - 1, lit(0))),
+            i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      }
+    docs.select(explode(grams).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("gram"))
+      .limit(topN)
+  }
+
   // ---- quality scoring (q_quality) ----
 
   /** English stopwords (tiny public list) used for the stopword ratio. */

@@ -32,6 +32,30 @@ object Tables {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  // ---- bucketed tables (co-located joins) ----
+
+  /** Write a frame as a bucketed+sorted managed table. Two tables
+    * bucketed by their join key into the SAME bucket count join with NO
+    * shuffle on either side (SortMergeJoin reads buckets directly) —
+    * the pre-partitioning story for repeated 100 TB fact-fact joins
+    * where per-query exchanges would dominate. Verified by
+    * SourcesSpec's no-Exchange plan assertion.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      buckets: Int = 32): Unit =
+    df.write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
+  /** Join two bucketed tables on their bucket key (exchange-free when
+    * bucket layouts match).
+    */
+  def joinBucketed(spark: SparkSession, left: String, right: String,
+      key: String): DataFrame =
+    spark.table(left).join(spark.table(right), key)
+
   // ---- catalog report (cli `info` analog) ----
 
   /** One row per node label and edge class: kind, name, row count, and

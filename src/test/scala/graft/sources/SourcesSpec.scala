@@ -33,6 +33,25 @@ class SourcesSpec extends SparkSpec {
     assert(report.forall(_.getString(3).nonEmpty))
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    val cust = graft.graph.GraphLoader.table(spark, sfDir, "customer")
+      .select("c_custkey", "c_name", "c_acctbal")
+    val ords = graft.graph.GraphLoader.table(spark, sfDir, "orders")
+      .select(col("o_custkey").as("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+    Tables.writeBucketed(cust, "bkt_customer", "c_custkey", buckets = 8)
+    Tables.writeBucketed(ords, "bkt_orders", "c_custkey", buckets = 8)
+    val joined = Tables.joinBucketed(spark, "bkt_customer", "bkt_orders", "c_custkey")
+    // same row count as the unbucketed join
+    val expected = cust.join(ords, "c_custkey").count()
+    assert(joined.count() == expected)
+    // the whole point: no hash-partitioning exchange on either join side
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+    spark.sql("DROP TABLE IF EXISTS bkt_customer")
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+  }
+
   test("graph snapshot save/load round-trips with escaped names") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-snap").toString
     import spark.implicits._
