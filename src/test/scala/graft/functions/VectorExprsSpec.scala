@@ -36,6 +36,17 @@ class VectorExprsSpec extends SparkSpec {
     }
   }
 
+  test("expressions callable from plain SQL after registration") {
+    VectorExprs.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d, " +
+      "graft_l2norm(array(3.0D, 4.0D)) AS n").collect()(0)
+    assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 5.0)
+    // the extensions entry point builds the same expressions
+    val ext = new GraftExtensions()
+    assert(ext.isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
+  }
+
   test("null arrays yield null; double arrays accepted") {
     import spark.implicits._
     VectorExprs.register(spark)
