@@ -145,6 +145,16 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
     val patDF = pm.compilePaths(paths, known)
 
     ctx match {
+      // leading OPTIONAL MATCH: openCypher yields ONE all-null row when
+      // nothing matches — left-outer from a single-row frame, with the
+      // WHERE folded into the join condition (filtering after the join
+      // would wrongly drop the null row)
+      case None if optional =>
+        val matched0 = applyPatternPreds(patDF, patternPreds, newLabels)
+        val whereCond = plainWhere.map(w => compileExpr(matched0, w)).getOrElse(lit(true))
+        val one = spark.range(1).select(lit(1).as("__opt_one"))
+        val df = one.join(matched0, whereCond, "left_outer").drop("__opt_one")
+        Ctx(df, newLabels)
       case None =>
         var df = patDF
         df = applyPatternPreds(df, patternPreds, newLabels)

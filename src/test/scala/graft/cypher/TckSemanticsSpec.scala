@@ -133,6 +133,19 @@ class TckSemanticsSpec extends SparkSpec {
     assert(scalar("reduce(acc = 0, x IN [1, 2, 3] | acc + x)") == 6L)
   }
 
+  // ---- OPTIONAL MATCH (TCK: clauses/match OptionalMatch) ----
+
+  test("leading OPTIONAL MATCH with no matches yields one null row") {
+    val none = graph.cypher(
+      "OPTIONAL MATCH (n:Nation) WHERE n.n_nationkey < 0 RETURN n.n_name AS name")
+    val rows = none.collect()
+    assert(rows.length == 1 && rows(0).isNullAt(0))
+    // and with matches it behaves like MATCH
+    val some = graph.cypher(
+      "OPTIONAL MATCH (n:Nation) WHERE n.n_nationkey < 3 RETURN n.n_name AS name")
+    assert(some.count() == 3)
+  }
+
   // ---- type coercion edges (non-ANSI mode, Cypher-style) ----
 
   test("bad casts yield null, not errors") {
