@@ -324,6 +324,48 @@ object SparkEntry {
       pipeline.Multimodal.summary(docs(s, dir))),
 
     // ================================================================
+    // Sources tier under the gate: CSV / JSON / graph-snapshot
+    // round-trips — write to a scratch dir, read back, aggregate; the
+    // oracle aggregates the original table, so any round-trip loss
+    // breaks the hash.
+    // ================================================================
+    "q_csv_roundtrip" -> ((s, dir) => {
+      val tmp = "/tmp/graft_gate_csv"
+      sources.Tables.writeCsv(
+        GraphLoader.table(lenient(s), dir, "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal"), tmp)
+      sources.Tables.readCsv(s, tmp)
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("c_acctbal").cast(dec)).cast("double").as("bal"))
+        .orderBy("seg")
+    }),
+
+    "q_json_roundtrip" -> ((s, dir) => {
+      val tmp = "/tmp/graft_gate_json"
+      sources.Tables.writeJson(
+        GraphLoader.table(lenient(s), dir, "nation")
+          .select("n_nationkey", "n_name", "n_regionkey"), tmp)
+      sources.Tables.readJson(s, tmp)
+        .groupBy(col("n_regionkey").cast("long").as("rk"))
+        .agg(count(lit(1)).as("cnt"), min("n_name").as("first_name"))
+        .orderBy("rk")
+    }),
+
+    "q_snapshot_roundtrip" -> ((s, dir) => {
+      val tmp = "/tmp/graft_gate_snap"
+      val gr = g(s, dir)
+      graph.PropertyGraph(
+        Map("Region" -> gr.nodeFrame("Region"), "Nation" -> gr.nodeFrame("Nation")),
+        Map(graph.EdgeType("IN_REGION", "Nation", "Region") ->
+          gr.edgeFrame(graph.EdgeType("IN_REGION", "Nation", "Region")))).save(tmp)
+      val back = graph.PropertyGraph.load(s, tmp)
+      back.cypher(
+        """MATCH (n:Nation)-[:IN_REGION]->(r:Region)
+           RETURN r.r_name AS r_name, count(*) AS n_nations ORDER BY r_name""")
+    }),
+
+    // ================================================================
     // Streaming tier under the gate: batch sessionization — the
     // deterministic batch twin of the flatMapGroupsWithState stream
     // (Spark's unified batch/stream semantics make them one definition).
@@ -690,6 +732,18 @@ object SparkEntry {
                FROM s)
          SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank"
          FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
+    "q_csv_roundtrip" ->
+      """SELECT c_mktsegment AS seg, count(*) AS cnt,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+         FROM customer GROUP BY 1 ORDER BY seg""",
+    "q_json_roundtrip" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS rk, count(*) AS cnt,
+         min(n_name) AS first_name
+         FROM nation GROUP BY 1 ORDER BY rk""",
+    "q_snapshot_roundtrip" ->
+      """SELECT r_name, count(*) AS n_nations
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
     "q_window_agg" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS window_start,
               epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS window_end,
