@@ -42,10 +42,15 @@ object CypherFunctions {
       case "stdev" => stddev_samp(args.head)
       case "stdevp" => stddev_pop(args.head)
       // exact percentile (Spark's `percentile` is exact; matches DuckDB
-      // quantile_cont); disc = nearest actual element
+      // quantile_cont); disc = EXACT nearest-rank (ceil(p*n)-th smallest
+      // actual element, Neo4j semantics) via sort over the collected
+      // group — groups must fit in executor memory, same contract as
+      // collect()/percentile itself
       case "percentilecont" => percentile(args.head, args(1))
       case "percentiledisc" =>
-        percentile_approx(args.head, args(1), lit(Int.MaxValue))
+        val sorted = sort_array(collect_list(args.head))
+        element_at(sorted,
+          greatest(ceil(size(sorted) * args(1)), lit(1)).cast(IntegerType))
       case other => throw new IllegalArgumentException(s"Unknown aggregate: $other")
     }
 

@@ -10,7 +10,6 @@ import graft.SparkSpec
   *
   * Divergence list (vs openCypher TCK, kept current):
   *  - `null = null` IS NULL only in non-ANSI mode (SparkEntry sets it).
-  *  - percentileDisc is a max-accuracy approx (returns a real element).
   *  - startNode()/endNode() return ids when the rel is out of scope.
   */
 class TckSemanticsSpec extends SparkSpec {
@@ -131,6 +130,15 @@ class TckSemanticsSpec extends SparkSpec {
     assert(scalar("none(x IN [1, 2] WHERE x > 5)") == true)
     assert(scalar("single(x IN [1, 2] WHERE x = 1)") == true)
     assert(scalar("reduce(acc = 0, x IN [1, 2, 3] | acc + x)") == 6L)
+  }
+
+  test("percentileDisc is exact nearest-rank; percentileCont interpolates") {
+    def agg(e: String): Any =
+      graph.cypher(s"UNWIND [10, 20, 30, 40] AS x RETURN $e AS p").collect()(0).get(0)
+    assert(agg("percentileDisc(x, 0.5)") == 20L)   // ceil(0.5*4) = 2nd
+    assert(agg("percentileDisc(x, 0.51)") == 30L)  // ceil(2.04) = 3rd
+    assert(agg("percentileDisc(x, 1.0)") == 40L)
+    assert(agg("percentileCont(x, 0.5)") == 25.0)
   }
 
   // ---- OPTIONAL MATCH (TCK: clauses/match OptionalMatch) ----
