@@ -115,6 +115,117 @@ object VectorExprs {
       copy(child = newChild)
   }
 
+  /** Minima of every `w`-wide sliding window over a long array — the
+    * winnowing inner loop. O(n) monotonic-deque in both eval and
+    * codegen. The alternative shapes both lose at scale: a HOF lambda
+    * recomputes the slice min per window (interpreted, O(n·w)); the
+    * explode → shuffle-by-doc → window-function form (used previously)
+    * exchanges every (doc, pos, hash) row — this computes in place
+    * during the scan projection, no shuffle at all.
+    * Returns null for null input; n < w yields an empty array.
+    */
+  case class SlidingMin(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_sliding_min"
+
+    override protected def nullSafeEval(a: Any, wv: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      val w = wv.asInstanceOf[Int]
+      val n = arr.numElements()
+      if (w <= 0 || n < w) return ArrayData.toArrayData(Array.empty[Long])
+      val out = new Array[Long](n - w + 1)
+      val deque = new Array[Int](n)
+      var head = 0; var tail = 0 // [head, tail) holds candidate indices
+      var i = 0
+      while (i < n) {
+        val x = arr.getLong(i)
+        while (tail > head && arr.getLong(deque(tail - 1)) >= x) tail -= 1
+        deque(tail) = i; tail += 1
+        if (deque(head) <= i - w) head += 1
+        if (i >= w - 1) out(i - w + 1) = arr.getLong(deque(head))
+        i += 1
+      }
+      ArrayData.toArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, w) => {
+        val n = ctx.freshName("n")
+        val out = ctx.freshName("out")
+        val deque = ctx.freshName("deque")
+        val head = ctx.freshName("head")
+        val tail = ctx.freshName("tail")
+        val i = ctx.freshName("i")
+        val x = ctx.freshName("x")
+        s"""
+        int $n = $a.numElements();
+        if ($w <= 0 || $n < $w) {
+          ${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(new long[0]);
+        } else {
+          long[] $out = new long[$n - $w + 1];
+          int[] $deque = new int[$n];
+          int $head = 0; int $tail = 0;
+          for (int $i = 0; $i < $n; $i++) {
+            long $x = $a.getLong($i);
+            while ($tail > $head && $a.getLong($deque[$tail - 1]) >= $x) $tail--;
+            $deque[$tail++] = $i;
+            if ($deque[$head] <= $i - $w) $head++;
+            if ($i >= $w - 1) $out[$i - $w + 1] = $a.getLong($deque[$head]);
+          }
+          ${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+        }
+        """
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): SlidingMin =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** xxhash64 of every k-token shingle (space-joined), ordered — the
+    * shared inner kernel of minhash/simhash/jaccard dedup and winnowing.
+    * The HOF formulation (`transform(sequence(...), i →
+    * xxhash64(array_join(slice(toks, i+1, k), " ")))`) pays interpreter
+    * dispatch per shingle per row; this is one JIT-compiled loop per row
+    * (CodegenFallback — the loop itself dominates, not the call
+    * boundary). Hash values are IDENTICAL to the HOF form: same
+    * space-joined string through Spark's own XxHash64 (seed 42).
+    */
+  case class ShingleHashes(left: Expression, right: Expression)
+      extends BinaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    import org.apache.spark.unsafe.types.UTF8String
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_shingle_hashes"
+
+    private val space = UTF8String.fromString(" ")
+
+    override protected def nullSafeEval(t: Any, kv: Any): Any = {
+      val arr = t.asInstanceOf[ArrayData]
+      val k = kv.asInstanceOf[Int]
+      val n = arr.numElements()
+      val cnt = n - k + 1
+      if (k <= 0 || cnt <= 0) return ArrayData.toArrayData(Array.empty[Long])
+      val out = new Array[Long](cnt)
+      val parts = new Array[UTF8String](k)
+      var i = 0
+      while (i < cnt) {
+        var j = 0
+        while (j < k) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+        val joined = UTF8String.concatWs(space, parts: _*)
+        out(i) = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(joined, StringType, 42L)
+        i += 1
+      }
+      ArrayData.toArrayData(out)
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): ShingleHashes =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Register as session functions; `dot`/`l2norm` Columns below use
     * call_function so callers never touch catalyst internals.
     */
@@ -124,8 +235,16 @@ object VectorExprs {
       exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_l2norm",
       exprs => L2Norm(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_sliding_min",
+      exprs => SlidingMin(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_shingle_hashes",
+      exprs => ShingleHashes(exprs(0), exprs(1)), "built-in")
   }
 
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
   def l2norm(a: Column): Column = call_function("graft_l2norm", a)
+  def slidingMin(a: Column, w: Column): Column =
+    call_function("graft_sliding_min", a, w)
+  def shingleHashes(tokens: Column, k: Column): Column =
+    call_function("graft_shingle_hashes", tokens, k)
 }

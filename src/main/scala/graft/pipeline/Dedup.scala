@@ -48,9 +48,14 @@ object Dedup {
         i => array_join(slice(toks, i + 1, lit(k)), " "))))
   }
 
-  /** Distinct shingle hashes (long) per document. */
+  /** Distinct shingle hashes (long) per document — native kernel (one
+    * JIT loop per row; values identical to xxhash64 over the joined
+    * strings, see [[graft.functions.VectorExprs.ShingleHashes]]).
+    * Callers (minhashLsh/jaccardBlocked/simhash) register the session
+    * functions before use.
+    */
   def shingleHashes(text: Column, k: Int): Column =
-    array_distinct(transform(shingleStrings(text, k), s => xxhash64(s)))
+    array_distinct(graft.functions.VectorExprs.shingleHashes(tokens(text), lit(k)))
 
   // ---- MinHash + LSH (q_dedup_minhash) ----
 
@@ -90,6 +95,7 @@ object Dedup {
   def minhashLsh(docs: DataFrame, k: Int = 3, bands: Int = 16,
       rowsPerBand: Int = 8, threshold: Double = 0.8,
       id: String = "doc_id", text: String = "text"): DataFrame = {
+    graft.functions.VectorExprs.register(docs.sparkSession)
     val numHashes = bands * rowsPerBand
     // persisted: signature aggregation + both verify sides reuse it
     val withSh = docs
@@ -141,6 +147,7 @@ object Dedup {
   def jaccardBlocked(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
       blockCol: String = "lang", bucketWidth: Int = 32,
       id: String = "doc_id", text: String = "text"): DataFrame = {
+    graft.functions.VectorExprs.register(docs.sparkSession)
     // Hashed shingles, not strings: Jaccard is a ratio of distinct-set
     // sizes, so (collision-free) hashed sets give the SAME value the
     // DuckDB string oracle computes, while the verify join shuffles 8-byte
@@ -196,6 +203,7 @@ object Dedup {
     */
   def simhash(docs: DataFrame, k: Int = 3, blocks: Int = 4, maxHamming: Int = 3,
       id: String = "doc_id", text: String = "text"): DataFrame = {
+    graft.functions.VectorExprs.register(docs.sparkSession)
     val withSh = docs
       .select(col(id), shingleHashes(col(text), k).as("sh"))
       .filter(size(col("sh")) > 0)

@@ -130,40 +130,33 @@ object TextOps {
   // ---- document fingerprinting: winnowing (q_fingerprint) ----
 
   /** Ordered (non-distinct) k-token shingle hashes — position matters for
-    * winnowing windows.
+    * winnowing windows. Native kernel, values identical to xxhash64 over
+    * the space-joined shingle strings.
     */
-  def orderedShingleHashes(text: Column, k: Int): Column = {
-    val toks = tokens(text)
-    val n = size(toks) - (k - 1)
-    when(n <= 0, array().cast(ArrayType(LongType)))
-      .otherwise(transform(sequence(lit(0), greatest(n - 1, lit(0))),
-        i => xxhash64(array_join(slice(toks, i + 1, lit(k)), " "))))
-  }
+  def orderedShingleHashes(text: Column, k: Int): Column =
+    graft.functions.VectorExprs.shingleHashes(tokens(text), lit(k))
 
   /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03 — public
     * algorithm): hash all k-token shingles, take the min hash of each
     * sliding window of `w` shingles, keep the distinct minima. Emitted as
     * a sorted array for deterministic comparison.
     *
-    * Shape: posexplode + sliding window-function min (codegen'd) rather
-    * than a per-window lambda over the shingle array — a lambda would
-    * re-derive the array per window (interpreted), O(windows × shingles)
-    * per doc. The shuffle is partitioned by doc id.
+    * Shape (r4 rewrite): the sliding-window minima come from the native
+    * O(n) monotonic-deque expression [[graft.functions.VectorExprs.SlidingMin]]
+    * computed IN PLACE during the scan projection — zero shuffle. The
+    * previous shape (posexplode → exchange by doc id → window min →
+    * re-group) shuffled one row per shingle; a per-window HOF lambda
+    * would be interpreted O(n·w). Same results, one narrow stage.
     */
   def fingerprints(docs: DataFrame, k: Int = 3, w: Int = 4,
       id: String = "doc_id", text: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val withSh = docs
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    docs
       .select(col(id), orderedShingleHashes(col(text), k).as("sh"))
       .filter(size(col("sh")) >= w)
-    val exploded = withSh.select(col(id), size(col("sh")).as("nsh"),
-      posexplode(col("sh")).as(Seq("pos", "h")))
-    val win = Window.partitionBy(id).orderBy("pos").rowsBetween(0, w - 1)
-    exploded
-      .withColumn("wmin", min("h").over(win))
-      .filter(col("pos") <= col("nsh") - w) // full windows only
-      .groupBy(id)
-      .agg(array_sort(array_distinct(collect_list("wmin"))).as("fingerprint"))
+      .select(col(id),
+        array_sort(array_distinct(
+          graft.functions.VectorExprs.slidingMin(col("sh"), lit(w)))).as("fingerprint"))
       .withColumn("n_fingerprints", size(col("fingerprint")).cast(LongType))
       .orderBy(id)
   }

@@ -47,6 +47,42 @@ class VectorExprsSpec extends SparkSpec {
     assert(ext.isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
   }
 
+  test("sliding min: monotonic deque matches brute force, edges handled") {
+    import spark.implicits._
+    VectorExprs.register(spark)
+    val rnd = new scala.util.Random(7)
+    val arr = Array.fill(200)(rnd.nextLong() % 1000)
+    val w = 5
+    val got = Seq(Tuple1(arr)).toDF("a")
+      .select(VectorExprs.slidingMin(col("a"), lit(w)))
+      .collect()(0).getSeq[Long](0)
+    val brute = arr.sliding(w).map(_.min).toSeq
+    assert(got == brute)
+    // n < w → empty; null → null
+    val edge = Seq((Some(Array(1L, 2L)), 1)).toDF("a", "x")
+      .select(VectorExprs.slidingMin(col("a"), lit(5)).as("small"),
+        VectorExprs.slidingMin(lit(null).cast("array<long>"), lit(2)).as("nul"))
+      .collect()(0)
+    assert(edge.getSeq[Long](0).isEmpty && edge.isNullAt(1))
+  }
+
+  test("shingle hashes match the HOF xxhash64 formulation exactly") {
+    import spark.implicits._
+    VectorExprs.register(spark)
+    val df = Seq("the quick brown fox jumps over the lazy dog", "a b", "one")
+      .toDF("text")
+      .select(split(trim(col("text")), "\\s+").as("toks"))
+    val k = 3
+    val n = size(col("toks")) - (k - 1)
+    val hof = when(n <= 0, array().cast("array<long>"))
+      .otherwise(transform(sequence(lit(0), greatest(n - 1, lit(0))),
+        i => xxhash64(array_join(slice(col("toks"), i + 1, lit(k)), " "))))
+    val rows = df.select(
+      VectorExprs.shingleHashes(col("toks"), lit(k)).as("native"),
+      hof.as("hof")).collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("null arrays yield null; double arrays accepted") {
     import spark.implicits._
     VectorExprs.register(spark)
