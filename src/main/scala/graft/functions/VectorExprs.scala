@@ -226,6 +226,47 @@ object VectorExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Count of array elements contained in a literal string set — the
+    * stopword/profile-hit kernel for quality scoring and language ID.
+    * `filter(toks, x => x.isin(words))` evaluates |words| interpreted
+    * comparisons per token; this probes one prebuilt hash set per token
+    * in a JIT loop. Right child must be a foldable array of strings.
+    * Null array → null; null elements count as misses.
+    */
+  case class ArrayCountIn(left: Expression, right: Expression)
+      extends BinaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    import org.apache.spark.unsafe.types.UTF8String
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_count_in"
+
+    @transient private lazy val set: java.util.HashSet[UTF8String] = {
+      require(right.foldable, "graft_count_in needs a literal word set")
+      val s = new java.util.HashSet[UTF8String]()
+      val arr = right.eval(null).asInstanceOf[ArrayData]
+      var i = 0
+      while (i < arr.numElements()) {
+        s.add(arr.getUTF8String(i)); i += 1
+      }
+      s
+    }
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      var cnt = 0L
+      var i = 0
+      while (i < arr.numElements()) {
+        if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) cnt += 1
+        i += 1
+      }
+      cnt
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): ArrayCountIn =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Register as session functions; `dot`/`l2norm` Columns below use
     * call_function so callers never touch catalyst internals.
     */
@@ -239,6 +280,8 @@ object VectorExprs {
       exprs => SlidingMin(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_shingle_hashes",
       exprs => ShingleHashes(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_count_in",
+      exprs => ArrayCountIn(exprs(0), exprs(1)), "built-in")
   }
 
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
@@ -247,4 +290,7 @@ object VectorExprs {
     call_function("graft_sliding_min", a, w)
   def shingleHashes(tokens: Column, k: Column): Column =
     call_function("graft_shingle_hashes", tokens, k)
+  def countIn(arr: Column, words: Seq[String]): Column =
+    call_function("graft_count_in", arr,
+      org.apache.spark.sql.functions.array(words.map(org.apache.spark.sql.functions.lit): _*))
 }

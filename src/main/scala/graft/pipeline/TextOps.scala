@@ -77,12 +77,15 @@ object TextOps {
     * deterministic proxy for boilerplate/repetition filtering.
     */
   def quality(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
+    graft.functions.VectorExprs.register(docs.sparkSession)
     val t = col(text)
     val toks = tokens(t)
     val nTok = size(toks)
     val nChars = length(t)
     val punct = length(regexp_replace(t, "[^.!?,;:]", ""))
-    val stops = size(filter(toks, x => x.isin(enStopwords: _*)))
+    // native hash-set probe per token (the HOF filter+isin form runs
+    // |words| interpreted comparisons per token)
+    val stops = graft.functions.VectorExprs.countIn(toks, enStopwords)
     val distinctToks = size(array_distinct(toks))
     docs.select(
       col(id),
@@ -109,9 +112,12 @@ object TextOps {
     "zh" -> Seq("的", "是", "在", "了", "不", "我", "有", "他", "这", "中"))
 
   def langId(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
+    graft.functions.VectorExprs.register(docs.sparkSession)
     val toks = tokens(lower(col(text)))
+    // one native hash-set probe per token per profile (the HOF form runs
+    // |profile| interpreted comparisons per token per profile)
     val hitCols = langProfiles.map { case (lang, words) =>
-      lang -> size(filter(toks, x => x.isin(words: _*))).cast(LongType)
+      lang -> graft.functions.VectorExprs.countIn(toks, words)
     }
     // strict argmax in profile order: a later language wins only with
     // strictly more hits than every earlier one
