@@ -267,6 +267,57 @@ object VectorExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Random-hyperplane sign-bucket key over a float/double vector —
+    * the LSH ANN corpus-side kernel. Bit-identical to the HOF
+    * formulation in [[graft.pipeline.Ann]] (same seeded xxhash chain,
+    * same left-to-right double summation), but one JIT loop per row
+    * instead of planes × dims interpreted lambda calls.
+    */
+  case class HyperplaneKey(first: Expression, second: Expression, third: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_hyperplane_key"
+
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+
+    override protected def nullSafeEval(v: Any, pv: Any, sv: Any): Any = {
+      val vec = v.asInstanceOf[ArrayData]
+      val planes = pv.asInstanceOf[Int]
+      val salt = sv.asInstanceOf[Int]
+      val n = vec.numElements()
+      val isFloat = first.dataType match {
+        case ArrayType(FloatType, _) => true
+        case ArrayType(DoubleType, _) => false
+        case other => throw new IllegalArgumentException(
+          s"hyperplane key needs array<float|double>, got $other")
+      }
+      def hInt(v: Int, seed: Long): Long =
+        XxHash64Function.hash(v, IntegerType, seed)
+      var key = 0L
+      var p = 0
+      while (p < planes) {
+        var s = 0.0
+        val h2 = hInt(p, hInt(salt, 42L))
+        var d = 0
+        while (d < n) {
+          val h3 = hInt(d, h2)
+          val comp = (((h3 % 100000L) + 100000L) % 100000L).toDouble / 100000.0 - 0.5
+          val x = if (isFloat) vec.getFloat(d).toDouble else vec.getDouble(d)
+          s += x * comp
+          d += 1
+        }
+        key = key * 2 + (if (s >= 0) 1L else 0L)
+        p += 1
+      }
+      key
+    }
+
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): HyperplaneKey =
+      copy(first = f, second = s, third = t)
+  }
+
   /** Register as session functions; `dot`/`l2norm` Columns below use
     * call_function so callers never touch catalyst internals.
     */
@@ -282,6 +333,8 @@ object VectorExprs {
       exprs => ShingleHashes(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_count_in",
       exprs => ArrayCountIn(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_hyperplane_key",
+      exprs => HyperplaneKey(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
@@ -293,4 +346,6 @@ object VectorExprs {
   def countIn(arr: Column, words: Seq[String]): Column =
     call_function("graft_count_in", arr,
       org.apache.spark.sql.functions.array(words.map(org.apache.spark.sql.functions.lit): _*))
+  def hyperplaneKey(vec: Column, planes: Column, salt: Column): Column =
+    call_function("graft_hyperplane_key", vec, planes, salt)
 }

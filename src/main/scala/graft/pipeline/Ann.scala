@@ -164,9 +164,20 @@ object Ann {
 
   /** Random-hyperplane sign bucket key: `planes` sign bits packed into one
     * long (Charikar '02 SimHash for angles, public construction). `salt`
-    * picks an independent hyperplane family per LSH table.
+    * picks an independent hyperplane family per LSH table. Components
+    * are [[planeComponent]] values; the native kernel
+    * ([[graft.functions.VectorExprs.HyperplaneKey]]) replaces the
+    * planes × dims interpreted-lambda formulation with one JIT loop per
+    * row — VectorExprsSpec pins bit-equality between the two.
     */
   def hyperplaneKey(vec: Column, planes: Int, salt: Column = lit(0)): Column =
+    graft.functions.VectorExprs.hyperplaneKey(vec, lit(planes), salt)
+
+  /** The HOF formulation the native kernel replaced — kept (private to
+    * the package) as the equivalence-spec reference.
+    */
+  private[graft] def hyperplaneKeyHof(vec: Column, planes: Int,
+      salt: Column = lit(0)): Column =
     aggregate(sequence(lit(0), lit(planes - 1)), lit(0L),
       (acc, p) => acc * 2 + when(
         aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),

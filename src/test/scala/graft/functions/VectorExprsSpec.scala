@@ -83,6 +83,21 @@ class VectorExprsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
+  test("hyperplane keys match the HOF formulation bit-for-bit") {
+    import spark.implicits._
+    VectorExprs.register(spark)
+    val rnd = new scala.util.Random(11)
+    val vecs = Seq.fill(20)(Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    val df = vecs.map(Tuple1(_)).toDF("v")
+    for (salt <- Seq(0, 3)) {
+      val rows = df.select(
+        graft.pipeline.Ann.hyperplaneKey(col("v"), planes = 8, lit(salt)).as("native"),
+        graft.pipeline.Ann.hyperplaneKeyHof(col("v"), planes = 8, lit(salt)).as("hof"))
+        .collect()
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    }
+  }
+
   test("null arrays yield null; double arrays accepted") {
     import spark.implicits._
     VectorExprs.register(spark)
