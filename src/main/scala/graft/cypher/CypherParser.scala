@@ -126,9 +126,16 @@ object CypherParser {
         else if (isKw("DELETE")) { i += 1; clauses += DeleteClause(varList(), detach = false) }
         else if (isKw("REMOVE")) {
           i += 1
+          // item: `v.prop` (null the property) or `v:Label` (remove the
+          // matched rows from that label)
+          def removeItem(): Expr = {
+            val v = ident()
+            if (tryTok(":")) LabelPred(v, ident())
+            else { expect("."); Prop(Var(v), ident()) }
+          }
           val items = Vector.newBuilder[Expr]
-          items += postfixVar()
-          while (tryTok(",")) items += postfixVar()
+          items += removeItem()
+          while (tryTok(",")) items += removeItem()
           clauses += RemoveClause(items.result())
         }
         else if (isKw("RETURN")) {

@@ -59,7 +59,20 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
       case SetClause(items) =>
         graph = applySet(graph, ctxOrFail(ctx), items)
       case RemoveClause(items) =>
-        graph = applySet(graph, ctxOrFail(ctx), items.map(p => p -> Lit(null)))
+        val (labelItems, propItems) = items.partition(_.isInstanceOf[LabelPred])
+        graph = applySet(graph, ctxOrFail(ctx), propItems.map(p => p -> Lit(null)))
+        // REMOVE n:Label — matched rows leave the label's frame (per-label
+        // storage: label membership IS frame membership). Divergence from
+        // multi-label Neo4j (documented): edges typed against the label
+        // cannot outlive the membership, so they are detached too.
+        labelItems.foreach { case LabelPred(v, label) =>
+          val c = ctxOrFail(ctx)
+          require(c.labels.get(v).contains(label),
+            s"REMOVE $v:$label: $v is not statically bound to :$label")
+          val ids = c.df.select(col(s"$v.${graft.graph.PropertyGraph.ID}"))
+          graph = graph.detachDeleteNodesByIds(label, ids)
+        case other => sys.error(s"unsupported REMOVE item: $other")
+        }
       case DeleteClause(vars, detach) =>
         graph = applyDelete(graph, ctxOrFail(ctx), vars, detach, relClasses)
       case ReturnClause(p) =>

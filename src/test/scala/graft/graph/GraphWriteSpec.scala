@@ -192,6 +192,18 @@ class GraphWriteSpec extends SparkSpec {
     assert(people(3L).getAs[String]("name") == "made") // created
   }
 
+  test("cypherWrite: REMOVE n:Label drops matched rows from the label") {
+    val g = tinyGraph()
+    val (g2, _) = g.cypherWrite(
+      "MATCH (p:Person) WHERE p.age > 35 REMOVE p:Person")
+    assert(g2.nodeFrame("Person").count() == 1)
+    assert(g2.nodeFrame("Person").head().getAs[String]("name") == "ann")
+    // mixed prop + label items in one clause
+    val (g3, _) = g.cypherWrite(
+      "MATCH (p:Person {name: 'bob'}) REMOVE p.age, p:Person")
+    assert(g3.nodeFrame("Person").count() == 1)
+  }
+
   test("snapshot save/load round-trips a written graph") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-write-snap").toString
     val (g2, _) = tinyGraph().cypherWrite(
