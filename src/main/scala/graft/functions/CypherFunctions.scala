@@ -157,6 +157,11 @@ object CypherFunctions {
       case "date" => if (args.isEmpty) current_date() else to_date(a0)
       case "datetime" | "localdatetime" =>
         if (args.isEmpty) current_timestamp() else to_timestamp(a0)
+      // TIME values have no Spark type — represented as HH:mm:ss strings
+      // (divergence documented; the reference stores strings too)
+      case "time" | "localtime" =>
+        if (args.isEmpty) date_format(current_timestamp(), "HH:mm:ss")
+        else date_format(to_timestamp(a0), "HH:mm:ss")
       case "timestamp" => (unix_timestamp() * 1000).cast(LongType)
       case "epochmillis" => (a0.cast(DoubleType) * 1000).cast(LongType)
       case "duration_between_days" => datediff(args(1), a0).cast(LongType)
@@ -176,9 +181,22 @@ object CypherFunctions {
     case "minute" => Some(minute(c).cast(LongType))
     case "second" => Some(second(c).cast(LongType))
     case "dayofweek" => Some(dayofweek(c).cast(LongType))
-    case "dayofyear" => Some(dayofyear(c).cast(LongType))
+    case "dayofyear" | "ordinalday" => Some(dayofyear(c).cast(LongType))
     case "week" => Some(weekofyear(c).cast(LongType))
+    // ISO week-based year = calendar year of this week's Thursday
+    // (weekday() is 0=Mon..6=Sun, so Thursday = d + (3 - weekday))
+    case "weekyear" =>
+      Some(year(date_add(c.cast(DateType), lit(3) - weekday(c.cast(DateType)))).cast(LongType))
     case "quarter" => Some(quarter(c).cast(LongType))
+    case "decade" => Some((year(c) / 10).cast(LongType))
+    case "century" => Some((year(c) / 100).cast(LongType))
+    case "millennium" => Some((year(c) / 1000).cast(LongType))
+    case "millisecond" =>
+      Some((pmod(unix_micros(c.cast(TimestampType)), lit(1000000L)) / 1000).cast(LongType))
+    case "microsecond" =>
+      Some(pmod(unix_micros(c.cast(TimestampType)), lit(1000000L)).cast(LongType))
+    case "epochseconds" => Some(unix_seconds(c.cast(TimestampType)))
+    case "epochmillis" => Some(unix_millis(c.cast(TimestampType)))
     case _ => None
   }
 }

@@ -154,6 +154,22 @@ class TckSemanticsSpec extends SparkSpec {
     assert(some.count() == 3)
   }
 
+  test("temporal component accessors (full reference surface)") {
+    def comp(e: String): Any =
+      graph.cypher(s"UNWIND [1] AS one RETURN $e AS x").collect()(0).get(0)
+    assert(comp("date('1996-03-15').quarter") == 1L)
+    assert(comp("date('1996-03-15').week") == 11L)
+    assert(comp("date('1996-03-15').dayOfYear") == 75L)
+    assert(comp("date('1996-03-15').decade") == 199L)
+    assert(comp("date('1996-03-15').century") == 19L)
+    assert(comp("date('1996-03-15').millennium") == 1L)
+    assert(comp("date('1996-01-01').weekYear") == 1996L)
+    assert(comp("date('1995-12-31').weekYear") == 1995L)
+    assert(comp("datetime('1996-03-15 10:20:30.123').millisecond") == 123L)
+    assert(comp("datetime('1996-03-15 10:20:30.123').microsecond") == 123000L)
+    assert(comp("datetime('1996-03-15 00:00:00').epochSeconds") == 826848000L)
+  }
+
   // ---- type coercion edges (non-ANSI mode, Cypher-style) ----
 
   test("bad casts yield null, not errors") {
