@@ -93,6 +93,49 @@ class RefParitySpec extends SparkSpec {
     assert(d2.count() > 0 && d2.count() <= 50)
   }
 
+  // CC application flow (reference test/cypherqueries.test.ts:880-935,
+  // 743-768, 912-935): CRUD sequences with string ids as regular
+  // properties, run verbatim modulo the content-hashed _id model.
+  test("CC flow: create, match-by-prop, edge to new node, SET via rel, DETACH DELETE") {
+    // creates a sequence and increments it (":880")
+    val (g1, _) = graph.cypherWrite(
+      "CREATE (s:CC_InvoiceSequence {id: $sequenceId, prefix: $prefix, lastNumber: $lastNumber})",
+      Map("sequenceId" -> "seq-1", "prefix" -> "INV", "lastNumber" -> 5L))
+    val cur = g1.cypher(
+      "MATCH (s:CC_InvoiceSequence {id: $sequenceId}) RETURN s.lastNumber AS lastNumber",
+      Map("sequenceId" -> "seq-1"))
+    assert(cur.collect()(0).getAs[Long]("lastNumber") == 5L)
+    val (g2, _) = g1.cypherWrite(
+      "MATCH (s:CC_InvoiceSequence {id: $sequenceId}) SET s.lastNumber = $newNumber",
+      Map("sequenceId" -> "seq-1", "newNumber" -> 6L))
+    assert(g2.cypher(
+      "MATCH (s:CC_InvoiceSequence {id: 'seq-1'}) RETURN s.lastNumber AS n")
+      .collect()(0).getAs[Long]("n") == 6L)
+
+    // user → invoice via CREATE from a matched endpoint, SET through the
+    // relationship, then DETACH DELETE through a 2-hop match (":743",":912")
+    val (g3, _) = g2.cypherWrite(
+      "CREATE (u:CC_User {id: $id})", Map("id" -> "user-1"))
+    val (g4, _) = g3.cypherWrite(
+      """MATCH (u:CC_User {id: $userId})
+         CREATE (u)-[:HAS_INVOICE]->(i:CC_Invoice {id: $invoiceId, status: $status})""",
+      Map("userId" -> "user-1", "invoiceId" -> "inv-1", "status" -> "draft"))
+    val (g5, _) = g4.cypherWrite(
+      """MATCH (u:CC_User {id: $userId})-[:HAS_INVOICE]->(i:CC_Invoice {id: $invoiceId})
+         SET i.status = $status""",
+      Map("userId" -> "user-1", "invoiceId" -> "inv-1", "status" -> "sent"))
+    val st = g5.cypher(
+      """MATCH (u:CC_User {id: 'user-1'})-[:HAS_INVOICE]->(i:CC_Invoice {id: 'inv-1'})
+         RETURN i.status AS status""")
+    assert(st.collect()(0).getAs[String]("status") == "sent")
+    val (g6, _) = g5.cypherWrite(
+      """MATCH (u:CC_User {id: $userId})-[:HAS_INVOICE]->(i:CC_Invoice {id: $invoiceId})
+         DETACH DELETE i""",
+      Map("userId" -> "user-1", "invoiceId" -> "inv-1"))
+    assert(g6.cypher("MATCH (i:CC_Invoice {id: 'inv-1'}) RETURN i").count() == 0)
+    assert(g6.nodeFrame("CC_User").count() == 1)
+  }
+
   // Category E: writes
   test("create_user / update_user_name / create_item shapes with params") {
     val (g2, _) = graph.cypherWrite(
