@@ -136,6 +136,53 @@ class RefParitySpec extends SparkSpec {
     assert(g6.nodeFrame("CC_User").count() == 1)
   }
 
+  // Misc patterns (reference cypherqueries.test.ts:1010-1113)
+  test("node identity <>, collect(map), rel-prop param filter") {
+    // duplicates via (i),(i2) WHERE i <> i2 (":1010")
+    val (ga, _) = graph.cypherWrite("CREATE (i:Image {image_id: 'img-001', name: 'First'})")
+    val (gb, _) = ga.cypherWrite("CREATE (i:Image {image_id: 'img-001', name: 'Second'})")
+    val (gc, _) = gb.cypherWrite("CREATE (i:Image {image_id: 'img-002', name: 'Third'})")
+    val dups = gc.cypher(
+      """MATCH (i:Image), (i2:Image)
+         WHERE i <> i2 AND i.image_id = i2.image_id
+         RETURN DISTINCT i.image_id AS image_id""")
+    assert(dups.collect().map(_.getString(0)).toSeq == Seq("img-001"))
+
+    // collect({...}) object construction over a per-row created edge (":1030")
+    val (gd, _) = gc.cypherWrite(
+      "CREATE (u:AdminUser {user_id: 'u1', first_name: 'Alice'})")
+    val (ge, _) = gd.cypherWrite(
+      "CREATE (u:AdminUser {user_id: 'u2', first_name: 'Bob'})")
+    val (gf, _) = ge.cypherWrite("CREATE (c:Company {company_id: 'c1', name: 'Acme'})")
+    val (gg, _) = gf.cypherWrite(
+      "MATCH (u:AdminUser), (c:Company) CREATE (u)-[:IS_ADMIN]->(c)")
+    val admins = gg.cypher(
+      """MATCH (u:AdminUser)-[:IS_ADMIN]->(c:Company)
+         RETURN c.company_id AS company_id,
+                collect({intellinaut_id: u.user_id, first_name: u.first_name}) AS intellinauts""")
+      .collect()
+    assert(admins.length == 1 && admins(0).getAs[String]("company_id") == "c1")
+    val names = admins(0).getSeq[org.apache.spark.sql.Row](1)
+      .map(_.getAs[String]("first_name")).toSet
+    assert(names == Set("Alice", "Bob"))
+
+    // relationship property filter with $param in the pattern (":1088")
+    val (gh, _) = gg.cypherWrite("CREATE (p:Product {product_id: 'p1'})")
+    val (gi, _) = gh.cypherWrite("CREATE (pi:ProductInfo {title: 'US Product', price: 99.99})")
+    val (gj, _) = gi.cypherWrite("CREATE (pi:ProductInfo {title: 'EU Product', price: 89.99})")
+    val (gk, _) = gj.cypherWrite(
+      """MATCH (p:Product {product_id: 'p1'}), (pi:ProductInfo {title: 'US Product'})
+         CREATE (p)-[:PRODUCT_INFO {market_place: 'us'}]->(pi)""")
+    val (gl, _) = gk.cypherWrite(
+      """MATCH (p:Product {product_id: 'p1'}), (pi:ProductInfo {title: 'EU Product'})
+         CREATE (p)-[:PRODUCT_INFO {market_place: 'eu'}]->(pi)""")
+    val us = gl.cypher(
+      """MATCH (p:Product {product_id: $product_id})-[r:PRODUCT_INFO {market_place: $market_place}]->(pi:ProductInfo)
+         RETURN pi.title AS title, pi.price AS price""",
+      Map("product_id" -> "p1", "market_place" -> "us")).collect()
+    assert(us.length == 1 && us(0).getAs[String]("title") == "US Product")
+  }
+
   // Category E: writes
   test("create_user / update_user_name / create_item shapes with params") {
     val (g2, _) = graph.cypherWrite(
