@@ -204,6 +204,18 @@ object SparkEntry {
     // duration() values (ISO strings, reference representation), date +
     // duration arithmetic, and duration.inDays — dates stringified so
     // both engines hash the same canonical form
+    // percentile aggregates: cont (exact interpolation) + disc (exact
+    // nearest-rank) per nation over customer balances
+    "q_str_percentile" -> ((s, dir) => {
+      g(s, dir).cypher(
+        """MATCH (c:Customer)-[:IN_NATION]->(n:Nation)
+           RETURN n.n_name AS n_name,
+                  round(percentileCont(c.c_acctbal, 0.5), 4) AS p50_cont,
+                  percentileDisc(c.c_acctbal, 0.5) AS p50_disc,
+                  percentileDisc(c.c_acctbal, 0.9) AS p90_disc
+           ORDER BY n_name""")
+    }),
+
     "q_str_duration" -> ((s, dir) => {
       g(s, dir).cypher(
         """MATCH (o:Order) WHERE o.o_orderkey < 100
@@ -371,6 +383,19 @@ object SparkEntry {
     // (Spark's unified batch/stream semantics make them one definition).
     // Timestamps exported as epoch micros (exact longs on both engines).
     // ================================================================
+    // sliding windows (1h window, 30m slide): every event lands in two
+    // windows; the oracle replays via the two 30-minute-floor starts
+    "q_window_sliding" -> ((s, dir) => {
+      val ev = GraphLoader.table(lenient(s), dir, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      streaming.EventStreams.windowedCounts(ev, window = "1 hour",
+        slide = Some("30 minutes"))
+        .select(
+          unix_micros(col("window_start")).as("window_start"),
+          col("event_type"), col("cnt"))
+        .orderBy("window_start", "event_type")
+    }),
+
     // tumbling-window counts (same definition the watermarked stream
     // runs); window bounds exported as epoch micros
     "q_window_agg" -> ((s, dir) => {
@@ -744,6 +769,27 @@ object SparkEntry {
       """SELECT r_name, count(*) AS n_nations
          FROM nation JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name ORDER BY r_name""",
+    "q_window_sliding" ->
+      """WITH floors AS (
+           SELECT event_type,
+             to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)) AS w1
+           FROM events),
+         expanded AS (
+           SELECT event_type, unnest([w1, w1 - INTERVAL 30 MINUTE]) AS ws
+           FROM floors)
+         SELECT epoch_us(ws) AS window_start, event_type, count(*) AS cnt
+         FROM expanded GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "q_str_percentile" ->
+      """WITH ranked AS (
+           SELECT n_name, c_acctbal,
+             row_number() OVER (PARTITION BY n_name ORDER BY c_acctbal) AS rk,
+             count(*) OVER (PARTITION BY n_name) AS n
+           FROM customer JOIN nation ON c_nationkey = n_nationkey)
+         SELECT n_name,
+           round(quantile_cont(c_acctbal, 0.5), 4) AS p50_cont,
+           min(CASE WHEN rk >= ceil(0.5 * n) THEN c_acctbal END) AS p50_disc,
+           min(CASE WHEN rk >= ceil(0.9 * n) THEN c_acctbal END) AS p90_disc
+         FROM ranked GROUP BY n_name ORDER BY n_name""",
     "q_window_agg" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS window_start,
               epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS window_end,
