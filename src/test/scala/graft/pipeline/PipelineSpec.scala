@@ -85,6 +85,22 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("salted collect_list and skew-safe count_distinct match unsalted") {
+    import spark.implicits._
+    // Zipf-ish: one hot key with most of the rows
+    val rows = (1 to 500).map(i => ("hot", s"v$i")) ++
+      (1 to 20).map(i => ("cold", s"w$i"))
+    val df = rows.toDF("k", "v")
+    val salted = Skew.saltedCollectList(df, "k", "v", buckets = 8).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+    val direct = df.groupBy("k").agg(collect_set("v")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+    assert(salted == direct)
+    val cd = Skew.skewSafeCountDistinct(df, "k", "v").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cd == Map("hot" -> 500L, "cold" -> 20L))
+  }
+
   test("token stats and quality are deterministic and sane") {
     val t = TextOps.tokenStats(docs).collect()
     assert(t.length == docs.count())
