@@ -172,6 +172,30 @@ class TckSemanticsSpec extends SparkSpec {
 
   // ---- type coercion edges (non-ANSI mode, Cypher-style) ----
 
+  test("ORDER BY puts nulls last ascending, last descending (Cypher)") {
+    val asc = graph.cypher(
+      """UNWIND [3, null, 1, 2] AS x RETURN x ORDER BY x""").collect()
+    assert(asc.take(3).map(_.get(0)).toSeq == Seq(1L, 2L, 3L) && asc(3).isNullAt(0))
+    val desc = graph.cypher(
+      """UNWIND [3, null, 1, 2] AS x RETURN x ORDER BY x DESC""").collect()
+    assert(desc.take(3).map(_.get(0)).toSeq == Seq(3L, 2L, 1L) && desc(3).isNullAt(0))
+  }
+
+  test("string function edge cases") {
+    assert(scalar("substring('hello', 1, 3)") == "ell")
+    assert(scalar("substring('hello', 0)") == "hello")
+    assert(scalar("left('hello', 2)") == "he")
+    assert(scalar("right('hello', 2)") == "lo")
+    assert(scalar("replace('aaa', 'a', 'b')") == "bbb")
+    assert(scalar("trim('  x  ')") == "x")
+    assert(scalar("reverse('abc')") == "cba")
+    assert(scalar("split('a,b,c', ',')") == Seq("a", "b", "c"))
+    assert(scalar("toString(42)") == "42")
+    assert(scalar("toString(true)") == "true")
+    assert(scalar("size('')") == 0L)
+    assert(scalar("substring('ab', 5)") == "")
+  }
+
   test("bad casts yield null, not errors") {
     assert(scalar("toInteger('abc')") == null)
     assert(scalar("toFloat('xyz')") == null)
