@@ -656,6 +656,12 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
             addDur(lc, dt(lc), dur, if (op == "+") 1 else -1)
         }
 
+      // duration + temporal (duration on the LEFT) — would otherwise
+      // fall into string concat silently
+      case Bin("+", l, r) if staticDuration(l).isDefined =>
+        val rc = go(r)
+        addDur(rc, dt(rc), staticDuration(l).get, 1)
+
       case Bin(op, l, r) =>
         val lc = go(l)
         lazy val rc = go(r)

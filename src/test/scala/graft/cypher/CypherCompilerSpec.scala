@@ -329,6 +329,12 @@ class CypherCompilerSpec extends SparkSpec {
     assert(arith.getAs[String]("back") == "1996-02-24")
     assert(arith.getAs[String]("btw") == "PT86400S")
     assert(arith.getAs[String]("im") == "P14M")
+    // duration on the left of + is temporal arithmetic, not concat
+    val left = graph.cypher(
+      """UNWIND [1] AS one
+         RETURN toString(duration({days: 5}) + date('1996-01-01')) AS d""")
+      .collect()(0)
+    assert(left.getAs[String]("d") == "1996-01-06")
   }
 
   test("pattern comprehension collects correlated lists") {
