@@ -335,6 +335,13 @@ object SparkEntry {
     "q_multimodal" -> ((s, dir) =>
       pipeline.Multimodal.summary(docs(s, dir))),
 
+    // the metadata/plumbing half of the multimodal pipeline IS
+    // SQL-replayable (format tags, payload byte length, sampled frame
+    // counts) — hash-verified, leaving only the stub features rows-only
+    "q_multimodal_meta" -> ((s, dir) =>
+      pipeline.Multimodal.summary(docs(s, dir))
+        .select("media_id", "format", "payload_len", "n_frames")),
+
     // ================================================================
     // Sources tier under the gate: CSV / JSON / graph-snapshot
     // round-trips — write to a scratch dir, read back, aggregate; the
@@ -815,6 +822,14 @@ object SparkEntry {
                 count(*) AS n_events, round(sum(value), 3) AS total_value
          FROM g GROUP BY user_id, session_seq
          ORDER BY user_id, session_start""",
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'png'
+              WHEN doc_id % 3 = 1 THEN 'jpeg'
+              ELSE 'webp' END AS format,
+         CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
+         CAST(ceil(ceil(octet_length(encode(text)) / 64.0) / 2.0) AS BIGINT) AS n_frames
+         FROM documents ORDER BY media_id""",
     "q_degree" ->
       """SELECT c_custkey AS id, CAST(1 + coalesce(o.cnt, 0) AS BIGINT) AS outDegree,
          CAST(0 AS BIGINT) AS inDegree, CAST(1 + coalesce(o.cnt, 0) AS BIGINT) AS degree
