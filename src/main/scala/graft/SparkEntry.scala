@@ -191,6 +191,33 @@ object SparkEntry {
            ORDER BY o_orderkey""")
     }),
 
+    // graph functions: id()/type()/labels() over a matched rel
+    "q_str_graphfns" -> ((s, dir) => {
+      g(s, dir).cypher(
+        """MATCH (n:Nation)-[r:IN_REGION]->(m:Region)
+           RETURN id(n) AS nid, type(r) AS rel_type,
+                  labels(n)[0] AS label, id(m) AS rid
+           ORDER BY nid""")
+    }),
+
+    // list functions: range/indexing/slicing/head/last/comprehension/
+    // reduce — constant-valued so DuckDB replays them literally
+    "q_str_listfns" -> ((s, dir) => {
+      g(s, dir).cypher(
+        """UNWIND range(1, 5) AS x
+           WITH collect(x) AS xs
+           RETURN size(xs) AS n, head(xs) AS h, last(xs) AS l,
+                  xs[1] AS second, size(xs[1..3]) AS slice_len,
+                  size([y IN xs WHERE y > 2 | y * 10]) AS comp_n,
+                  reduce(acc = 0, y IN xs | acc + y) AS total""")
+    }),
+
+    // CALL db.labels() — catalog procedure under the gate
+    "q_str_call_labels" -> ((s, dir) => {
+      g(s, dir).cypher(
+        "CALL db.labels() YIELD label RETURN label ORDER BY label")
+    }),
+
     // pattern comprehension: correlated collect per nation, reduced to
     // size() so the gate output stays scalar
     "q_str_patcomp" -> ((s, dir) => {
@@ -636,6 +663,19 @@ object SparkEntry {
          GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 3 OFFSET 1""",
     "q_str_distinct" ->
       "SELECT DISTINCT c_mktsegment AS seg FROM customer ORDER BY seg",
+    "q_str_graphfns" ->
+      """SELECT n_nationkey AS nid, 'IN_REGION' AS rel_type,
+         'Nation' AS label, CAST(n_regionkey AS BIGINT) AS rid
+         FROM nation ORDER BY nid""",
+    "q_str_listfns" ->
+      """SELECT CAST(5 AS INTEGER) AS n, CAST(1 AS BIGINT) AS h,
+         CAST(5 AS BIGINT) AS l, CAST(2 AS BIGINT) AS second,
+         CAST(2 AS INTEGER) AS slice_len, CAST(3 AS INTEGER) AS comp_n,
+         CAST(15 AS BIGINT) AS total""",
+    "q_str_call_labels" ->
+      """SELECT unnest(['Customer','Document','Embedding','Event','Nation',
+                        'Order','Part','Region','Supplier','User']) AS label
+         ORDER BY label""",
     "q_str_patcomp" ->
       """SELECT n_name, coalesce(cnt, 0) AS n_cust
          FROM nation LEFT JOIN
