@@ -203,6 +203,17 @@ class TckSemanticsSpec extends SparkSpec {
     assert(scalar("toFloat('4.2')") == 4.2)
   }
 
+  test("comparability: numeric cross-type works, incomparable is null") {
+    assert(scalar("1 = 1.0") == true)
+    assert(scalar("1 < 1.5") == true)
+    assert(scalar("2 >= 2.0") == true)
+    // string vs number: incomparable → null (non-ANSI coercion nulls)
+    assert(scalar("1 < 'a'") == null)
+    assert(scalar("'abc' < 'abd'") == true)
+    assert(scalar("'a' = 1") == null)
+    assert(scalar("true = true") == true)
+  }
+
   test("integer division truncates; ^ is double; % sign follows dividend") {
     assert(scalar("7 / 2") == 3L)
     assert(scalar("-7 / 2") == -3L)
