@@ -334,6 +334,17 @@ object SparkEntry {
     "q_ngram_freq" -> ((s, dir) =>
       pipeline.TextOps.ngramFrequencies(docs(s, dir), n = 2, topN = 100)),
 
+    // salted two-stage collect (skew-safe non-combinable aggregate),
+    // stringified sorted for a deterministic oracle comparison
+    "q_skew_collect" -> ((s, dir) => {
+      val ev = GraphLoader.table(lenient(s), dir, "events")
+        .select(col("user_id"), col("event_type"))
+      pipeline.Skew.saltedCollectList(ev, "user_id", "event_type", buckets = 8)
+        .select(col("user_id"),
+          array_join(array_sort(col("event_types")), ",").as("events_sorted"))
+        .orderBy("user_id")
+    }),
+
     "q_dedup_exact" -> ((s, dir) =>
       pipeline.Dedup.exact(docs(s, dir))),
 
@@ -759,6 +770,9 @@ object SparkEntry {
                 WHEN es_hits = greatest(en_hits,de_hits,fr_hits,es_hits,zh_hits) THEN 'es'
                 ELSE 'zh' END AS lang_pred
          FROM h ORDER BY doc_id""",
+    "q_skew_collect" ->
+      """SELECT user_id, string_agg(event_type, ',' ORDER BY event_type) AS events_sorted
+         FROM events GROUP BY user_id ORDER BY user_id""",
     "q_ngram_freq" ->
       """WITH t AS (
            SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
