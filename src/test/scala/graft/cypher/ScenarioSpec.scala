@@ -1,0 +1,77 @@
+package graft.cypher
+
+import graft.SparkSpec
+import graft.graph.{EdgeType, PropertyGraph}
+
+/** Reference real-world scenarios and edge cases run verbatim
+  * (test/scenarios.test.ts — Social Network :27-58, Edge Cases
+  * :391-460), built from an empty graph exactly like the reference's
+  * fresh test client.
+  */
+class ScenarioSpec extends SparkSpec {
+
+  private def empty = {
+    spark // force session init: an all-empty graph has no frame to get it from
+    PropertyGraph(Map.empty, Map.empty)
+  }
+
+  test("social network: friend edges, counts, property filters (:27)") {
+    var g = empty
+    for ((n, e, j) <- Seq(("Alice", "alice@example.com", 2020L),
+        ("Bob", "bob@example.com", 2021L), ("Charlie", "charlie@example.com", 2021L),
+        ("Diana", "diana@example.com", 2022L), ("Eve", "eve@example.com", 2022L)))
+      g = g.cypherWrite(s"CREATE (u:User {name: '$n', email: '$e', joined: $j})")._1
+    for ((a, b, s) <- Seq(("Alice", "Bob", 2021), ("Bob", "Charlie", 2021),
+        ("Charlie", "Diana", 2022), ("Alice", "Eve", 2022)))
+      g = g.cypherWrite(
+        s"MATCH (a:User {name: '$a'}), (b:User {name: '$b'}) CREATE (a)-[:FRIENDS {since: $s}]->(b)")._1
+
+    val aliceFriends = g.cypher(
+      "MATCH (a:User {name: 'Alice'})-[:FRIENDS]->(friend:User) RETURN friend.name")
+      .collect().map(_.getString(0)).toSet
+    assert(aliceFriends == Set("Bob", "Eve"))
+    val cnt = g.cypher("MATCH (a:User)-[:FRIENDS]->(b:User) RETURN COUNT(a)").collect()
+    assert(cnt(0).getLong(0) == 4L)
+    assert(g.cypher("MATCH (u:User) WHERE u.joined = 2021 RETURN u.name").count() == 2)
+  }
+
+  test("edge cases: empty results, unicode, escapes, nulls, booleans, lists (:391)") {
+    // unknown label errors in our typed model — the loaded graph simply
+    // has no such frame; empty RESULT from an existing label:
+    assert(graph.cypher(
+      "MATCH (n:Nation) WHERE n.n_nationkey < 0 RETURN n").count() == 0)
+
+    val (g1, _) = empty.cypherWrite(
+      "CREATE (u:User {name: '日本語', emoji: '🎉', arabic: 'مرحبا'})")
+    val u = g1.cypher("MATCH (u:User) RETURN u.name, u.emoji, u.arabic").collect()(0)
+    assert(u.getString(0) == "日本語" && u.getString(1) == "🎉" && u.getString(2) == "مرحبا")
+
+    var g2 = empty
+    g2 = g2.cypherWrite("CREATE (n:Note {content: 'Line 1\\nLine 2\\tTabbed'})")._1
+    g2 = g2.cypherWrite("CREATE (n:Note {content: 'Quote: \\\"Hello\\\"'})")._1
+    g2 = g2.cypherWrite("CREATE (n:Note {content: \"Single quote: 'test'\"})")._1
+    assert(g2.cypher("MATCH (n:Note) RETURN n.content").count() == 3)
+
+    val (g3, _) = empty.cypherWrite(
+      "CREATE (u:User {name: 'Test', middleName: null, age: 25})")
+    val t = g3.cypher("MATCH (u:User) RETURN u.name, u.middleName, u.age").collect()(0)
+    assert(t.getString(0) == "Test" && t.isNullAt(1) && t.getLong(2) == 25L)
+
+    val (g4, _) = empty.cypherWrite(
+      "CREATE (u:User {name: 'Active', isActive: true, isAdmin: false})")
+    val b = g4.cypher("MATCH (u:User) RETURN u.isActive, u.isAdmin").collect()(0)
+    assert(b.getBoolean(0) && !b.getBoolean(1))
+
+    val (g5, _) = empty.cypherWrite(
+      "CREATE (u:User {name: 'Tagged', tags: ['admin', 'user', 'verified']})")
+    val tags = g5.cypher("MATCH (u:User) RETURN u.tags").collect()(0).getSeq[String](0)
+    assert(tags == Seq("admin", "user", "verified"))
+
+    val (g6, _) = empty.cypherWrite(
+      "CREATE (n:Number {int: 0, negative: -42, float: 3.14159, large: 9999999999})")
+    val n = g6.cypher(
+      "MATCH (n:Number) RETURN n.int, n.negative, n.float, n.large").collect()(0)
+    assert(n.getLong(0) == 0L && n.getLong(1) == -42L &&
+      math.abs(n.getDouble(2) - 3.14159) < 1e-9 && n.getLong(3) == 9999999999L)
+  }
+}
