@@ -35,6 +35,46 @@ class ScenarioSpec extends SparkSpec {
     assert(g.cypher("MATCH (u:User) WHERE u.joined = 2021 RETURN u.name").count() == 2)
   }
 
+  test("e-commerce: categories, purchases, order history (:83)") {
+    var g = empty
+    for (n <- Seq("Electronics", "Books", "Clothing"))
+      g = g.cypherWrite(s"CREATE (c:Category {name: '$n'})")._1
+    for ((n, pr, st) <- Seq(("Laptop", 999.99, 50L), ("Headphones", 149.99, 200L),
+        ("TypeScript Handbook", 39.99, 100L), ("T-Shirt", 24.99, 500L)))
+      g = g.cypherWrite(s"CREATE (p:Product {name: '$n', price: $pr, stock: $st})")._1
+    for ((p, c) <- Seq("Laptop" -> "Electronics", "Headphones" -> "Electronics",
+        "TypeScript Handbook" -> "Books", "T-Shirt" -> "Clothing"))
+      g = g.cypherWrite(
+        s"MATCH (p:Product {name: '$p'}), (c:Category {name: '$c'}) CREATE (p)-[:IN_CATEGORY]->(c)")._1
+
+    assert(g.cypher(
+      """MATCH (p:Product)-[:IN_CATEGORY]->(c:Category {name: 'Electronics'})
+         RETURN p.name, p.price""").count() == 2)
+    assert(g.cypher(
+      "MATCH (p:Product) WHERE p.price > 100 RETURN p.name, p.price").count() == 2)
+    val low = g.cypher(
+      "MATCH (p:Product) WHERE p.stock < 100 RETURN p.name, p.stock").collect()
+    assert(low.length == 1 && low(0).getString(0) == "Laptop")
+
+    // order history (":122")
+    var h = empty
+    h = h.cypherWrite("CREATE (c:Customer {name: 'Jane', customerId: 'CUST-001'})")._1
+    for ((oid, st, tot) <- Seq(("ORD-001", "delivered", 59.97),
+        ("ORD-002", "shipped", 19.99), ("ORD-003", "pending", 39.98)))
+      h = h.cypherWrite(
+        s"CREATE (o:Order {orderId: '$oid', status: '$st', total: $tot})")._1
+    for (oid <- Seq("ORD-001", "ORD-002", "ORD-003"))
+      h = h.cypherWrite(
+        s"MATCH (c:Customer {customerId: 'CUST-001'}), (o:Order {orderId: '$oid'}) CREATE (c)-[:PLACED]->(o)")._1
+    assert(h.cypher(
+      """MATCH (c:Customer {customerId: 'CUST-001'})-[:PLACED]->(o:Order)
+         RETURN COUNT(o)""").collect()(0).getLong(0) == 3L)
+    val pend = h.cypher(
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+         WHERE o.status = 'pending' RETURN o.orderId, o.total""").collect()
+    assert(pend.length == 1 && pend(0).getString(0) == "ORD-003")
+  }
+
   test("edge cases: empty results, unicode, escapes, nulls, booleans, lists (:391)") {
     // unknown label errors in our typed model — the loaded graph simply
     // has no such frame; empty RESULT from an existing label:
