@@ -75,6 +75,69 @@ class ScenarioSpec extends SparkSpec {
     assert(pend.length == 1 && pend(0).getString(0) == "ORD-003")
   }
 
+  test("knowledge graph: untyped rel matches across all edge types (:155)") {
+    var g = empty
+    for (q <- Seq(
+        "CREATE (e:Entity {name: 'Albert Einstein', type: 'Person', born: 1879})",
+        "CREATE (e:Entity {name: 'Theory of Relativity', type: 'Theory', year: 1905})",
+        "CREATE (e:Entity {name: 'Germany', type: 'Country'})",
+        "CREATE (e:Entity {name: 'Switzerland', type: 'Country'})",
+        "CREATE (e:Entity {name: 'Princeton University', type: 'Institution'})",
+        "CREATE (e:Entity {name: 'Nobel Prize in Physics', type: 'Award', year: 1921})"))
+      g = g.cypherWrite(q)._1
+    for ((rel, tgt) <- Seq("DEVELOPED" -> "Theory of Relativity",
+        "BORN_IN" -> "Germany", "WORKED_AT" -> "Princeton University",
+        "RECEIVED" -> "Nobel Prize in Physics", "LIVED_IN" -> "Switzerland"))
+      g = g.cypherWrite(
+        s"MATCH (e:Entity {name: 'Albert Einstein'}), (t:Entity {name: '$tgt'}) CREATE (e)-[:$rel]->(t)")._1
+
+    val dev = g.cypher(
+      """MATCH (e:Entity {name: 'Albert Einstein'})-[:DEVELOPED]->(t:Entity)
+         RETURN t.name, t.type""").collect()
+    assert(dev(0).getString(0) == "Theory of Relativity")
+    assert(g.cypher(
+      "MATCH (e:Entity) WHERE e.type = 'Person' RETURN e.name").count() == 1)
+    // untyped [r] spans all five relationship types
+    assert(g.cypher(
+      """MATCH (e:Entity {name: 'Albert Einstein'})-[r]->(target:Entity)
+         RETURN COUNT(r)""").collect()(0).getLong(0) == 5L)
+  }
+
+  test("task management: all-pairs edge CREATE, multi-assignment (:192)") {
+    var g = empty
+    g = g.cypherWrite("CREATE (p:Project {name: 'Website Redesign', status: 'active'})")._1
+    for ((n, r) <- Seq("Alice" -> "designer", "Bob" -> "developer", "Charlie" -> "developer"))
+      g = g.cypherWrite(s"CREATE (u:TeamMember {name: '$n', role: '$r'})")._1
+    for ((t, st, pr) <- Seq(("Design mockups", "completed", "high"),
+        ("Implement frontend", "in_progress", "high"), ("Setup CI/CD", "pending", "medium"),
+        ("Write tests", "pending", "medium"), ("Documentation", "pending", "low")))
+      g = g.cypherWrite(s"CREATE (t:Task {title: '$t', status: '$st', priority: '$pr'})")._1
+    // all-pairs (5 tasks × 1 project) per-row edge creation
+    g = g.cypherWrite("MATCH (t:Task), (p:Project) CREATE (t)-[:BELONGS_TO]->(p)")._1
+    for ((t, m) <- Seq("Design mockups" -> "Alice", "Implement frontend" -> "Bob",
+        "Setup CI/CD" -> "Charlie", "Write tests" -> "Bob", "Write tests" -> "Charlie"))
+      g = g.cypherWrite(
+        s"MATCH (t:Task {title: '$t'}), (m:TeamMember {name: '$m'}) CREATE (t)-[:ASSIGNED_TO]->(m)")._1
+
+    assert(g.cypher(
+      """MATCH (t:Task)-[:BELONGS_TO]->(p:Project) RETURN COUNT(t)""")
+      .collect()(0).getLong(0) == 5L)
+    assert(g.cypher(
+      """MATCH (t:Task)-[:ASSIGNED_TO]->(m:TeamMember {name: 'Bob'})
+         RETURN t.title, t.status""").count() == 2)
+    assert(g.cypher(
+      "MATCH (t:Task) WHERE t.priority = 'high' RETURN t.title").count() == 2)
+    assert(g.cypher(
+      "MATCH (t:Task) WHERE t.status = 'pending' RETURN COUNT(t)")
+      .collect()(0).getLong(0) == 3L)
+    // unassigned tasks via the anti-join pattern predicate (the reference
+    // notes it had NOT implemented this — we have)
+    val unassigned = g.cypher(
+      """MATCH (t:Task) WHERE NOT (t)-[:ASSIGNED_TO]->(:TeamMember)
+         RETURN t.title""").collect().map(_.getString(0)).toSet
+    assert(unassigned == Set("Documentation"))
+  }
+
   test("edge cases: empty results, unicode, escapes, nulls, booleans, lists (:391)") {
     // unknown label errors in our typed model — the loaded graph simply
     // has no such frame; empty RESULT from an existing label:
