@@ -349,7 +349,7 @@ object SparkEntry {
       pipeline.Dedup.exact(docs(s, dir))),
 
     "q_dedup_jaccard" -> ((s, dir) =>
-      pipeline.Dedup.jaccardBlocked(docs(s, dir))),
+      pipeline.Dedup.jaccardPrefix(docs(s, dir))),
 
     // rows-only oracles (hash-based signatures not expressible in DuckDB)
     "q_dedup_minhash" -> ((s, dir) =>
@@ -787,19 +787,22 @@ object SparkEntry {
          g AS (SELECT h, min(doc_id) AS rep_id, count(*) AS group_size FROM k GROUP BY h)
          SELECT k.doc_id, g.rep_id, k.doc_id <> g.rep_id AS is_dup, g.group_size
          FROM k JOIN g ON k.h = g.h ORDER BY k.doc_id""",
+    // Prefix filtering (r5) is COMPLETE — every pair with J >= t is
+    // found — so the oracle computes the TRUE similarity join with no
+    // knowledge of the candidate scheme: candidates = docs sharing any
+    // shingle (a necessary condition for J > 0).
     "q_dedup_jaccard" ->
       """WITH t AS (
-           SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
          s AS (
-           SELECT doc_id, lang,
-             CAST(floor(len(toks) / 32.0) AS BIGINT) AS bkt,
+           SELECT doc_id,
              list_distinct(list_transform(range(1, len(toks) - 1),
                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
            FROM t WHERE len(toks) >= 3),
+         e AS (SELECT doc_id, unnest(sh) AS g FROM s),
          p AS (
            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM s a JOIN s b
-             ON a.lang = b.lang AND abs(a.bkt - b.bkt) <= 1 AND a.doc_id < b.doc_id)
+           FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id)
          SELECT p.id_a, p.id_b,
            CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
              len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard

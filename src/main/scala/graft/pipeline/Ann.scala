@@ -144,7 +144,11 @@ object Ann {
       .filter(col(id) =!= col("query_id"))
       .select(col("query_id"), col(id).as("neighbor_id"),
         cosine(col("qvec"), col(vec)).as("sim"))
-    topKPerQuery(scored, k)
+    // Eager top-k (small: Q×k rows), then release the cached cell
+    // assignment — no persisted blocks outlive the call.
+    val out = topKPerQuery(scored, k).localCheckpoint()
+    assigned.unpersist()
+    out
   }
 
   /** Cell assignment as a Column without a closure UDF: squared L2 to

@@ -24,9 +24,9 @@ class PipelineSpec extends SparkSpec {
   test("minhash LSH finds high-jaccard pairs and agrees with exact blocked jaccard") {
     val lsh = Dedup.minhashLsh(docs, threshold = 0.8)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // exact ground truth: all-pairs jaccard >= 0.8 via block-free compute
-    // (blocked-by-lang jaccard is a subset: near-dup pairs within a lang)
-    val exact = Dedup.jaccardBlocked(docs.withColumn("lang", lit("all")), threshold = 0.8)
+    // exact ground truth: jaccardPrefix is a COMPLETE similarity join
+    // (prefix filtering, 100% recall)
+    val exact = Dedup.jaccardPrefix(docs, threshold = 0.8)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty, "test data should contain planted near-dups")
     // LSH at b=16,r=8 has >99.9% recall at j>=0.8; require full recall here
@@ -34,6 +34,33 @@ class PipelineSpec extends SparkSpec {
       s"LSH missed pairs: ${exact -- lsh}")
     // precision: every reported pair really has jaccard >= 0.8 (verify stage)
     assert(lsh.subsetOf(exact), s"LSH reported non-dup pairs: ${lsh -- exact}")
+  }
+
+  test("jaccardPrefix is a complete similarity join (matches brute-force all-pairs)") {
+    // brute force in scala: 3-gram shingle sets, every pair, J >= 0.8
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+      .filter(_._2.size >= 3)
+      .map { case (id, toks) => id -> toks.sliding(3).map(_.mkString(" ")).toSet }
+    val want = (for {
+      i <- rows.indices; j <- (i + 1) until rows.length
+      (ia, sa) = rows(i); (ib, sb) = rows(j)
+      jac = (sa & sb).size.toDouble / (sa | sb).size
+      if jac >= 0.8
+    } yield (math.min(ia, ib), math.max(ia, ib))).toSet
+    val got = Dedup.jaccardPrefix(docs, threshold = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "test data should contain planted near-dups")
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
+  test("pipeline dedup/ann operators leave no persisted blocks behind") {
+    Dedup.jaccardPrefix(docs, threshold = 0.8).count()
+    Dedup.minhashLsh(docs, threshold = 0.8).count()
+    Dedup.simhash(docs).count()
+    Ann.ivfTopK(embs, Seq(0L, 1L), k = 5, nCells = 8, nProbe = 4).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "pipeline entries must unpersist their intermediates")
   }
 
   test("simhash returns low-hamming pairs for planted near-dups") {
