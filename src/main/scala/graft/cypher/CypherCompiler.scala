@@ -577,6 +577,17 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
                df.columns.contains(if (fn.toLowerCase == "startnode") s else t) } =>
         val (s, t) = relEndpoints(rv)
         col(if (fn.toLowerCase == "startnode") s else t)
+      // Same shape but the endpoint variable was projected away (e.g. by
+      // a WITH): error instead of silently degrading to the id-returning
+      // fallback — the same expression must not change result type with
+      // projection context (r4 advice).
+      case Func(fn, Seq(Var(rv)), _)
+          if Set("startnode", "endnode")(fn.toLowerCase) &&
+             relEndpoints.contains(rv) && df.columns.contains(rv) =>
+        val (s, t) = relEndpoints(rv)
+        val want = if (fn.toLowerCase == "startnode") s else t
+        sys.error(s"$fn($rv): endpoint variable '$want' is no longer in scope — " +
+          s"carry it through the WITH (openCypher returns the full node, not an id)")
       // duration value: compiles to its ISO 8601 string (the reference's
       // duration representation, executor.ts:4115)
       case e0 @ Func(fn, Seq(_), _) if fn.toLowerCase == "duration" =>
@@ -797,7 +808,10 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
           ordered(p) = if (fieldNames.contains(p)) base.getField(p) else lit(null))
         entries.foreach { case (k, ex) => ordered(k) = go(ex) }
         require(ordered.nonEmpty, s"map projection $v{} selects nothing")
-        struct(ordered.map { case (k, c) => c.as(k) }.toSeq: _*)
+        // Cypher: u{.name} is NULL when u is null (e.g. from OPTIONAL
+        // MATCH), not a struct of null fields (r4 advice).
+        when(base.isNull, lit(null))
+          .otherwise(struct(ordered.map { case (k, c) => c.as(k) }.toSeq: _*))
 
       case _: PatternComp =>
         sys.error("pattern comprehensions are only supported in WITH/RETURN items")

@@ -32,6 +32,9 @@ import graft.graph.PropertyGraph.{DST, EID, ID, SRC}
 final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
     params: Map[String, Any] = Map.empty) {
 
+  /** Internal per-row uid column used while minting CREATE node ids. */
+  private val ROW_UID = "__row_uid"
+
   def run(query: String): (PropertyGraph, Option[DataFrame]) = {
     val q = CypherParser.parse(query)
     require(q.parts.size == 1, "write queries cannot use UNION")
@@ -117,32 +120,54 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
     case other => litCol(other)
   }
 
-  /** Deterministic id for a created node: the `_id` property when given,
-    * else a hash of the label + property values. Content-addressed ids
-    * mean identical-prop rows collapse to one node (set semantics —
-    * documented divergence from Neo4j's per-row bag semantics; an
-    * immutable snapshot store needs reproducible ids, see the r3 advice
-    * on nondeterministic edge ids).
+  /** Deterministic id for a created/merged node: the `_id` property when
+    * given, else a hash of the label + property values.
+    *
+    * CREATE additionally passes `rowUid` (a per-row unique value) and
+    * `nonce` (the graph's writeEpoch + the pattern's position in the
+    * clause): openCypher CREATE is per-ROW bag semantics — `UNWIND
+    * range(1,3) CREATE (:N {tag:'a'})` makes 3 nodes — so identical-prop
+    * rows must mint distinct ids, and a later identical statement must
+    * not collide with ids minted earlier (r4 advice: content-hash +
+    * distinct silently collapsed cardinality). MERGE passes neither:
+    * content addressing IS its match-per-row semantics.
     */
   private def nodeIdOf(label: String, props: Seq[(String, Any)],
-      frame: DataFrame): Column =
+      frame: DataFrame, rowUid: Option[Column] = None,
+      nonce: Seq[Column] = Nil): Column =
     props.collectFirst { case (ID, v) => propCol(v, frame).cast("long") }
       .getOrElse(xxhash64(
-        lit(label) +: props.sortBy(_._1).map(p => propCol(p._2, frame)): _*))
+        (lit(label) +: (rowUid.toSeq ++ nonce) ++:
+          props.sortBy(_._1).map(p => propCol(p._2, frame))): _*))
 
   private def applyCreate(g: PropertyGraph, ctx: Option[Ctx],
       paths: Vector[PathPat]): PropertyGraph = {
     var out = g
     // 1. nodes not bound by a previous MATCH — created once per current
-    // row (UNWIND/MATCH cardinality), deduped by content-hash id
+    // row (UNWIND/MATCH cardinality: bag semantics, one node PER ROW)
     val boundVars = ctx.map(_.df.columns.toSet).getOrElse(Set.empty)
-    val rowFrame = ctx.map(_.df).getOrElse(spark.range(1).toDF())
+    val base = ctx.map(_.df).getOrElse(spark.range(1).toDF())
+    val newPats = paths.flatMap(_.nodes).filterNot(n => boundVars(n.name))
+    val needUid = newPats.exists(!_.props.exists(_._1 == ID))
+    // Per-row uid for id minting, frozen by an eager localCheckpoint so
+    // the node select and the edge select (two evaluations) agree.
+    val rowFrame =
+      if (needUid) base.withColumn(ROW_UID, monotonically_increasing_id()).localCheckpoint()
+      else base
     val newNodeIds = scala.collection.mutable.Map[String, (String, Column)]()
-    paths.flatMap(_.nodes).filterNot(n => boundVars(n.name)).foreach { n =>
+    newPats.zipWithIndex.foreach { case (n, pi) =>
       val label = n.label.getOrElse(sys.error(s"CREATE node ${n.name} needs a label"))
-      val idCol = nodeIdOf(label, n.props, rowFrame)
+      // nonce = (writeEpoch, pattern position): two node patterns with
+      // identical props in ONE clause are distinct nodes, and so are
+      // identical CREATEs in successive statements.
+      val idCol = nodeIdOf(label, n.props, rowFrame,
+        rowUid = if (n.props.exists(_._1 == ID)) None else Some(col(ROW_UID)),
+        nonce = Seq(lit(g.writeEpoch), lit(pi)))
       val cols = idCol.as(ID) +:
         n.props.filterNot(_._1 == ID).map { case (k, v) => propCol(v, rowFrame).as(k) }
+      // distinct() only collapses rows that are STILL identical after id
+      // minting — i.e. explicit-_id duplicates (content addressing is the
+      // user's opt-in); uid-minted rows are one node per row.
       val row = rowFrame.select(cols: _*).distinct()
       out = out.addNodes(label, row)
       newNodeIds(n.name) = (label, idCol)
@@ -164,10 +189,11 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
         }
       val (sl, sidCol, _) = endpoint(sv)
       val (dl, didCol, _) = endpoint(dv)
+      // No distinct(): CREATE makes one edge PER ROW (parallel edges get
+      // distinct EIDs from mintEids' per-(src,dst) row numbering).
       val edgeRow = rowFrame.select(
         (sidCol.cast("long").as(SRC) +: didCol.cast("long").as(DST) +:
           r.props.map { case (k, v) => propCol(v, rowFrame).as(k) }): _*)
-        .distinct()
       out = out.addEdges(EdgeType(relType, sl, dl), edgeRow)
     }
     out

@@ -103,7 +103,14 @@ final class PropertyGraph private (
     nodeThunks: Map[String, () => DataFrame],
     edgeThunks: Map[EdgeType, () => DataFrame],
     val smallLabels: Set[String],
-    val smallTypes: Set[String]) {
+    val smallTypes: Set[String],
+    /** Bumped on every structural write (copyWith). Used as a
+      * deterministic nonce when minting node ids / edge ids, so two
+      * identical CREATE statements applied in sequence mint DIFFERENT
+      * ids (openCypher bag semantics) while the same write sequence
+      * stays reproducible run-to-run.
+      */
+    val writeEpoch: Int = 0) {
 
   import PropertyGraph._
 
@@ -238,7 +245,7 @@ final class PropertyGraph private (
 
   private def copyWith(n: Map[String, () => DataFrame] = nodeThunks,
       e: Map[EdgeType, () => DataFrame] = edgeThunks): PropertyGraph =
-    new PropertyGraph(n, e, smallLabels, smallTypes)
+    new PropertyGraph(n, e, smallLabels, smallTypes, writeEpoch + 1)
 
   private def thunk(df: DataFrame): () => DataFrame = () => df
 
@@ -418,8 +425,10 @@ final class PropertyGraph private (
         case f if !f.dataType.isInstanceOf[MapType] => col(f.name)
       }.toSeq
       val w = Window.partitionBy(col(SRC), col(DST)).orderBy(orderCols: _*)
+      // writeEpoch in the hash: a later statement appending an identical
+      // (src, dst, rownum) row must not collide with an existing EID.
       df.withColumn(EID,
-        xxhash64(lit(relType), col(SRC), col(DST), row_number().over(w)))
+        xxhash64(lit(relType), lit(writeEpoch), col(SRC), col(DST), row_number().over(w)))
     }
 
   /** CREATE ()-[:T]->() — append edges; `df` must carry SRC and DST.

@@ -20,10 +20,17 @@ object Skew {
 
   /** collect_list(valueCol) per key, salted two-stage. Element order is
     * not guaranteed (it never is for collect_list across partitions).
+    *
+    * The salt is the SOURCE partition id, not a hash of the value (r4
+    * advice: value-hash salting spreads a hot key over at most
+    * |distinct values| reducers — a hot key whose rows share one value
+    * still lands on a single reducer). Every input partition's chunk of
+    * a hot key goes to its own reducer, which is exactly the map-side
+    * pre-chunking a combinable aggregate would do.
     */
   def saltedCollectList(df: DataFrame, key: String, valueCol: String,
       buckets: Int = 16): DataFrame =
-    df.groupBy(col(key), pmod(xxhash64(col(valueCol)), lit(buckets)).as("__salt"))
+    df.groupBy(col(key), pmod(spark_partition_id().cast("long"), lit(buckets)).as("__salt"))
       .agg(collect_list(col(valueCol)).as("__part"))
       .groupBy(col(key))
       .agg(flatten(collect_list(col("__part"))).as(s"${valueCol}s"))

@@ -373,6 +373,24 @@ class CypherCompilerSpec extends SparkSpec {
       !star.schema.fieldNames.exists(_.startsWith("_")))
   }
 
+  test("map projection on a null variable is null, not a struct of nulls") {
+    val rows = graph.cypher(
+      """MATCH (r:Region)
+         OPTIONAL MATCH (r)<-[:IN_REGION]-(n:Nation {n_nationkey: -1})
+         RETURN r.r_regionkey AS rk, n{.n_name} AS m ORDER BY rk""").collect()
+    assert(rows.nonEmpty && rows.forall(_.isNullAt(1)),
+      "u{.prop} must be NULL when u is null (OPTIONAL MATCH miss)")
+  }
+
+  test("startNode after a WITH that drops the endpoint errors instead of degrading") {
+    val err = intercept[RuntimeException] {
+      graph.cypher(
+        """MATCH (n:Nation)-[r:IN_REGION]->(m:Region)
+           WITH r LIMIT 1 RETURN startNode(r) AS s""").collect()
+    }
+    assert(err.getMessage.contains("no longer in scope"))
+  }
+
   test("WITH + WHERE + ORDER BY without aggregation keeps the filter") {
     val got = graph.cypher(
       """MATCH (n:Nation)

@@ -167,6 +167,31 @@ class GraphWriteSpec extends SparkSpec {
     assert(g3.edgeFrame(EdgeType("KNOWS", "Person", "Person")).count() == 3)
   }
 
+  test("cypherWrite: CREATE is per-row bag semantics (no content collapse)") {
+    val g = tinyGraph()
+    // N rows with identical props -> N nodes (openCypher; r4 advice fix)
+    val (g2, _) = g.cypherWrite(
+      "UNWIND [1, 2, 3] AS x CREATE (p:Person {name: 'clone'})")
+    assert(g2.nodeFrame("Person").count() == 5)
+    assert(g2.nodeFrame("Person").filter(col("name") === "clone")
+      .select("_id").distinct().count() == 3)
+    // identical statements in sequence keep minting fresh nodes
+    val (g3, _) = g2.cypherWrite("CREATE (p:Person {name: 'solo'})")
+    val (g4, _) = g3.cypherWrite("CREATE (p:Person {name: 'solo'})")
+    assert(g4.nodeFrame("Person").filter(col("name") === "solo").count() == 2)
+    // two identical patterns in ONE clause are two nodes
+    val (g5, _) = g.cypherWrite("CREATE (a:Person {name: 't'}), (b:Person {name: 't'})")
+    assert(g5.nodeFrame("Person").filter(col("name") === "t")
+      .select("_id").distinct().count() == 2)
+    // parallel edges: one edge per CREATE, distinct EIDs
+    val et = EdgeType("KNOWS", "Person", "Person")
+    val mk = "MATCH (a:Person {name: 'ann'}), (b:Person {name: 'bob'}) CREATE (a)-[:KNOWS]->(b)"
+    val (g6, _) = g.cypherWrite(mk)
+    val (g7, _) = g6.cypherWrite(mk)
+    assert(g7.edgeFrame(et).count() == 3)
+    assert(g7.edgeFrame(et).select("_eid").distinct().count() == 3)
+  }
+
   test("cypherWrite: general MERGE path creates missing nodes and edge once") {
     val g = tinyGraph()
     val q = """MERGE (a:Person {_id: 50, name: 'new1'})-[:KNOWS]->(b:Person {_id: 51, name: 'new2'})"""
