@@ -79,6 +79,14 @@ object GraphLoader {
   def load(spark: SparkSession, dir: String): PropertyGraph =
     cache.getOrElseUpdate((spark, dir), build(lenient(spark), dir))
 
+  /** Drops the memoized graphs for a session. Pair with
+    * `cacheManager.clearCache()` when resetting session state (bench
+    * isolation): after a global uncache the memoized RELATED_TO frame
+    * would silently recompute per use, so force a rebuild instead.
+    */
+  def invalidate(spark: SparkSession): Unit =
+    cache.keys.filter(_._1 eq spark).foreach(cache.remove)
+
   private def build(spark: SparkSession, dir: String): PropertyGraph = {
     // memoized raw-table thunks: one spark.read per table per graph
     val tableCache = TrieMap.empty[String, DataFrame]

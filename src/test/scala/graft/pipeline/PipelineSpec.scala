@@ -55,12 +55,21 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("pipeline dedup/ann operators leave no persisted blocks behind") {
+    // The session is shared across suites (and GraphLoader caches graph
+    // frames), so a global cacheManager.isEmpty assert would be
+    // order-dependent. Scope the check to blocks these four calls create:
+    // snapshot persistent RDD ids first, then assert none of the NEW ids
+    // survive. localCheckpoint RDDs are excluded — they are released by
+    // ContextCleaner when the returned frame is GC'd, by design.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     Dedup.jaccardPrefix(docs, threshold = 0.8).count()
     Dedup.minhashLsh(docs, threshold = 0.8).count()
     Dedup.simhash(docs).count()
     Ann.ivfTopK(embs, Seq(0L, 1L), k = 5, nCells = 8, nProbe = 4).count()
-    assert(spark.sharedState.cacheManager.isEmpty,
-      "pipeline entries must unpersist their intermediates")
+    val leaked = spark.sparkContext.getPersistentRDDs
+      .filter { case (id, rdd) => !before(id) && !rdd.isCheckpointed }
+    assert(leaked.isEmpty,
+      s"pipeline entries must unpersist their intermediates; leaked: ${leaked.keySet}")
   }
 
   test("simhash returns low-hamming pairs for planted near-dups") {
