@@ -289,6 +289,18 @@ object SparkEntry {
            RETURN c.c_custkey AS c_custkey, c.c_bonus AS bonus ORDER BY c_custkey""")
     }),
 
+    // SET on relationship properties from the string front-end: the MATCH
+    // pins r to the PLACED edge class; updates join on the eid frame
+    "q_write_set_edge" -> ((s, dir) => {
+      val (g2, _) = g(s, dir).cypherWrite(
+        """MATCH (c:Customer)-[r:PLACED]->(o:Order) WHERE r.o_totalprice > 300000
+           SET r.big = true, r.rebate = r.o_totalprice * 0.01""")
+      g2.cypher(
+        """MATCH (c:Customer)-[r:PLACED]->(o:Order) WHERE r.big
+           RETURN c.c_custkey AS c_custkey, o.o_orderkey AS o_orderkey,
+                  r.rebate AS rebate ORDER BY o_orderkey""")
+    }),
+
     // MERGE applied twice: row count stays +1 and ON MATCH overwrites
     // the ON CREATE marker — idempotency under the hash gate
     "q_write_merge_idempotent" -> ((s, dir) => {
@@ -721,6 +733,10 @@ object SparkEntry {
     "q_write_set" ->
       """SELECT c_custkey, c_acctbal * 0.1 AS bonus FROM customer
          WHERE c_acctbal > 9000 ORDER BY c_custkey""",
+    "q_write_set_edge" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice * 0.01 AS rebate
+         FROM customer JOIN orders ON o_custkey = c_custkey
+         WHERE o_totalprice > 300000 ORDER BY o_orderkey""",
     "q_write_merge_idempotent" ->
       """SELECT r_name, src FROM (
            SELECT r_name, 'base' AS src FROM region

@@ -25,7 +25,9 @@ import graft.graph.PropertyGraph.{DST, EID, ID, SRC}
   *  - MERGE of a single literal node pattern (+ ON CREATE / ON MATCH SET)
   *    and of edges between bound variables.
   *  - SET/REMOVE on node properties: `SET n.p = expr` where expr uses
-  *    n's own properties and literals.
+  *    n's own properties and literals; and on relationship properties
+  *    (`SET r.p = expr`, `SET r += map`) when the MATCH pins the rel
+  *    variable to one edge class (type + endpoint labels).
   *  - DELETE / DETACH DELETE of node variables; DELETE of relationship
   *    variables when the edge class is unambiguous.
   */
@@ -60,10 +62,11 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
       case MergeClause(path, onCreate, onMatch) =>
         graph = applyMerge(graph, ctx, path, onCreate, onMatch)
       case SetClause(items) =>
-        graph = applySet(graph, ctxOrFail(ctx), items)
+        graph = applySet(graph, ctxOrFail(ctx), items, relClasses)
       case RemoveClause(items) =>
         val (labelItems, propItems) = items.partition(_.isInstanceOf[LabelPred])
-        graph = applySet(graph, ctxOrFail(ctx), propItems.map(p => p -> Lit(null)))
+        graph = applySet(graph, ctxOrFail(ctx), propItems.map(p => p -> Lit(null)),
+          relClasses)
         // REMOVE n:Label — matched rows leave the label's frame (per-label
         // storage: label membership IS frame membership). Divergence from
         // multi-label Neo4j (documented): edges typed against the label
@@ -302,8 +305,22 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
   }
 
   private def applySet(g: PropertyGraph, ctx: Ctx,
-      items: Seq[(Expr, Expr)]): PropertyGraph =
+      items: Seq[(Expr, Expr)],
+      relClasses: Map[String, EdgeType] = Map.empty): PropertyGraph =
     items.foldLeft(g) {
+      // SET r.prop = expr — rel variable pinned to one edge class by the
+      // MATCH (type + endpoint labels); updates join on the eid frame
+      // (reference: translator.ts SET translation covers rel updates
+      // alongside node updates)
+      case (acc, (Prop(Var(v), key), value)) if relClasses.contains(v) =>
+        val eids = ctx.df.select(col(s"$v.$EID"))
+        acc.setEdgePropsForIds(relClasses(v), eids,
+          Map(key -> compileValueOverFrame(value, v)))
+      // SET r += {k: v, ...}
+      case (acc, (Var(v), MapLit(kvs))) if relClasses.contains(v) =>
+        val eids = ctx.df.select(col(s"$v.$EID"))
+        acc.setEdgePropsForIds(relClasses(v), eids,
+          kvs.map { case (k, e) => k -> compileValueOverFrame(e, v) }.toMap)
       case (acc, (Prop(Var(v), key), value)) =>
         val label = ctx.labels.getOrElse(v,
           sys.error(s"SET target $v has no statically-known label"))

@@ -321,6 +321,24 @@ final class PropertyGraph private (
     copyWith(n = nodeThunks + (label -> thunk(updated)))
   }
 
+  /** Edge SET for rows whose EID appears in `eids` (the Cypher string
+    * compiler's entry: MATCH-bound rel variables arrive as an eid frame,
+    * joined against the edge class — never collected to the driver).
+    */
+  def setEdgePropsForIds(et: EdgeType, eids: DataFrame,
+      assigns: Map[String, Column]): PropertyGraph = {
+    val old = edgeFrame(et)
+    val marked = old.join(
+      eids.select(col(eids.columns.head).as(EID)).distinct().withColumn("__m", lit(true)),
+      Seq(EID), "left_outer")
+    val updated = assigns.foldLeft(marked) { case (d, (k, v)) =>
+      if (d.columns.contains(k))
+        d.withColumn(k, when(coalesce(col("__m"), lit(false)), v).otherwise(col(k)))
+      else d.withColumn(k, when(coalesce(col("__m"), lit(false)), v))
+    }.drop("__m")
+    copyWith(e = edgeThunks + (et -> thunk(updated)))
+  }
+
   /** SET r.prop = expr on one edge class for rows matching `cond`. */
   def setEdgeProps(et: EdgeType, cond: Column, assigns: Map[String, Column]): PropertyGraph = {
     val old = edgeFrame(et)

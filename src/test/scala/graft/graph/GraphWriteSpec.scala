@@ -135,6 +135,34 @@ class GraphWriteSpec extends SparkSpec {
     assert(bob.getAs[Long]("age") == 40L && bob.getAs[Any]("city") == null)
   }
 
+  test("cypherWrite: SET and REMOVE on relationship properties") {
+    import spark.implicits._
+    val people = Seq((1L, "ann"), (2L, "bob"), (3L, "cyd")).toDF("_id", "name")
+    val knows = Seq((1L, 2L, 100L, 5L), (2L, 3L, 101L, 7L))
+      .toDF("_src", "_dst", "_eid", "weight")
+    val g = PropertyGraph(
+      Map("Person" -> people),
+      Map(EdgeType("KNOWS", "Person", "Person") -> knows))
+    val et = EdgeType("KNOWS", "Person", "Person")
+    // self-referencing expression, filtered MATCH: only one edge updated
+    val (g2, _) = g.cypherWrite(
+      "MATCH (a:Person)-[r:KNOWS]->(b:Person) WHERE r.weight > 6 SET r.weight = r.weight * 10")
+    assert(g2.edgeFrame(et).collect().map(r =>
+      r.getAs[Long]("_eid") -> r.getAs[Long]("weight")).toMap ==
+      Map(100L -> 5L, 101L -> 70L))
+    // r += map adds new columns on matched rows only
+    val (g3, _) = g2.cypherWrite(
+      "MATCH (a:Person {name: 'ann'})-[r:KNOWS]->(b:Person) SET r += {kind: 'friend', weight: 1}")
+    val rows = g3.edgeFrame(et).collect().map(r =>
+      r.getAs[Long]("_eid") -> ((r.getAs[Long]("weight"), r.getAs[String]("kind")))).toMap
+    assert(rows == Map(100L -> ((1L, "friend")), 101L -> ((70L, null))))
+    // REMOVE r.prop nulls matched rows
+    val (g4, _) = g3.cypherWrite(
+      "MATCH (a:Person)-[r:KNOWS]->(b:Person) WHERE r.kind = 'friend' REMOVE r.weight")
+    assert(g4.edgeFrame(et).filter(col("_eid") === 100L).head().getAs[Any]("weight") == null)
+    assert(g4.edgeFrame(et).filter(col("_eid") === 101L).head().getAs[Long]("weight") == 70L)
+  }
+
   test("cypherWrite: DELETE relationship variable") {
     val g = tinyGraph()
     val (g2, _) = g.cypherWrite("MATCH (a:Person)-[r:KNOWS]->(b:Person) DELETE r")
