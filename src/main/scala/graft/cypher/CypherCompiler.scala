@@ -142,7 +142,13 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
 
     val (plainWhere, patternPreds) = splitWhere(where)
 
-    val patDF = pm.compilePaths(paths, known)
+    // anonymous variables inside a named-path pattern stay observable
+    // (nodes(p)/relationships(p)/length(p)) — keep their columns
+    val pathPats = pathBindings.values.toSet
+    val keepAnon = paths.filter(p =>
+        pathPats.contains((p.nodes.map(_.name), p.rels)))
+      .flatMap(p => p.nodes.map(_.name) ++ p.rels.map(_.name)).toSet
+    val patDF = pm.compilePaths(paths, known, keepAnon)
 
     ctx match {
       // leading OPTIONAL MATCH: openCypher yields ONE all-null row when
@@ -570,6 +576,30 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
     case _ => false
   }
 
+  /** Array of the named struct columns padded to their union field set
+    * (first-seen order, first-seen dtype) so heterogeneous entity schemas
+    * share one Spark array element type — the same padding rule as
+    * PatternMatcher.harmonizeUnion, applied per-row instead of per-frame.
+    */
+  private def harmonizedStructArray(df: DataFrame, vars: Seq[String]): Column = {
+    val fields = scala.collection.mutable.LinkedHashMap[String, StructField]()
+    vars.foreach { v =>
+      df.schema(v).dataType match {
+        case st: StructType =>
+          st.fields.foreach(f => if (!fields.contains(f.name)) fields(f.name) = f)
+        case t => sys.error(s"path variable $v is not an entity struct ($t)")
+      }
+    }
+    val target = fields.values.toSeq
+    array(vars.map { v =>
+      val have = df.schema(v).dataType.asInstanceOf[StructType].fieldNames.toSet
+      struct(target.map { f =>
+        if (have(f.name)) col(s"`$v`.`${f.name}`").as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }.toIndexedSeq: _*)
+    }.toIndexedSeq: _*)
+  }
+
   def compileExpr(df: DataFrame, e: Expr, env: Map[String, Column] = Map.empty): Column = {
     def go(e: Expr): Column = compileExpr(df, e, env)
     def dt(c: Column): Option[DataType] = if (env.isEmpty) dtypeOf(df, c) else None
@@ -579,21 +609,33 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
       case Lit(null) => lit(null)
       case Lit(v) => lit(v)
       case Param(n) => paramLit(n)
-      // path functions over a named path (divergence: node/rel identity
-      // is returned as ids, not full structs — heterogeneous label
-      // schemas cannot share one Spark array type)
+      // path functions over a named path. Fixed-length paths return FULL
+      // node/relationship structs (reference analog: executor path values
+      // carry whole entities); heterogeneous label schemas are padded to
+      // the union of fields like PatternMatcher.harmonizeUnion. Var-length
+      // segments materialize only endpoint ids (_eids/_hops) — there the
+      // id-array form remains (documented divergence: intermediate
+      // entities of a *min..max segment are not re-joined).
       case Func(fn, Seq(Var(p)), _)
           if pathBindings.contains(p) && Set("nodes", "relationships", "length")(fn.toLowerCase) =>
         val (nodeVars, rels) = pathBindings(p)
+        val hasVarLen = rels.exists(_.isVarLength)
+        val inScope = (vs: Seq[String]) => vs.forall(df.columns.contains)
         fn.toLowerCase match {
-          case "nodes" => array(nodeVars.map(v => col(s"$v._id")): _*)
+          case "nodes" =>
+            if (!hasVarLen && inScope(nodeVars)) harmonizedStructArray(df, nodeVars)
+            else array(nodeVars.map(v => col(s"$v._id")): _*)
           case "relationships" =>
-            val parts = rels.map { r =>
-              if (r.isVarLength) col(s"${r.name}._eids")
-              else array(col(s"${r.name}._eid"))
+            if (!hasVarLen && inScope(rels.map(_.name)))
+              harmonizedStructArray(df, rels.map(_.name))
+            else {
+              val parts = rels.map { r =>
+                if (r.isVarLength) col(s"${r.name}._eids")
+                else array(col(s"${r.name}._eid"))
+              }
+              if (parts.isEmpty) array().cast(ArrayType(LongType))
+              else flatten(array(parts: _*))
             }
-            if (parts.isEmpty) array().cast(ArrayType(LongType))
-            else flatten(array(parts: _*))
           case "length" =>
             rels.map { r =>
               if (r.isVarLength) col(s"${r.name}._hops")

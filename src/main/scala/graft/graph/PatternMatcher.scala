@@ -43,25 +43,30 @@ final class PatternMatcher(g: PropertyGraph, varLengthCap: Int = 10) {
     * itself and enters here).
     */
   def compilePaths(paths: Vector[PathPat],
-      known: Map[String, String]): DataFrame = {
+      known: Map[String, String], keep: Set[String] = Set.empty): DataFrame = {
     // Reachability fast path: a lone ANONYMOUS var-length rel needs no
     // trail bookkeeping — any vertex reachable by a walk of length L<=max
     // is reachable by a simple path (shortest walks are simple), so the
     // per-level endpoint set is identical and the frontier can be deduped
     // each hop. Trail enumeration is exponential in dense graphs; this is
     // the 100 TB-safe default whenever the rel binding is unobservable.
+    // A named path (`keep` contains the rel) makes it observable via
+    // relationships(p)/length(p) — trail semantics then apply.
     val rels = paths.flatMap(_.rels)
-    dedupFrontier = rels.size == 1 && rels.head.isVarLength && rels.head.anonymous
+    dedupFrontier = rels.size == 1 && rels.head.isVarLength &&
+      rels.head.anonymous && !keep(rels.head.name)
     val assigns = enumerateAssignments(paths, known)
     // Cypher semantics (and the reference): MATCH on a label / edge class
     // absent from the graph yields zero rows, not an error.
-    if (assigns.isEmpty) return emptyResult(paths)
+    if (assigns.isEmpty) return emptyResult(paths, keep)
     val branches = assigns.map(a => compileAssignment(paths, a))
     val unioned = harmonizeUnion(branches)
     val withUniq = relUniquenessFilters(paths, unioned)
-    // anonymous variables are implementation detail — drop them
+    // anonymous variables are implementation detail — drop them, except
+    // those observable through a named-path binding (`keep`)
     val anon = (paths.flatMap(_.nodes).filter(_.anonymous).map(_.name) ++
-      paths.flatMap(_.rels).filter(_.anonymous).map(_.name)).distinct
+      paths.flatMap(_.rels).filter(_.anonymous).map(_.name))
+      .distinct.filterNot(keep)
     withUniq.drop(anon: _*)
   }
 
@@ -69,9 +74,10 @@ final class PatternMatcher(g: PropertyGraph, varLengthCap: Int = 10) {
     * struct of the label's columns when the label exists, else a minimal
     * {_id, _label} struct.
     */
-  private def emptyResult(paths: Vector[PathPat]): DataFrame = {
+  private def emptyResult(paths: Vector[PathPat], keep: Set[String]): DataFrame = {
     val spark = org.apache.spark.sql.SparkSession.active
-    val fields = paths.flatMap(_.nodes).filterNot(_.anonymous).distinctBy(_.name).map { n =>
+    val fields = paths.flatMap(_.nodes)
+      .filterNot(n => n.anonymous && !keep(n.name)).distinctBy(_.name).map { n =>
       val inner = n.label.filter(g.hasLabel) match {
         case Some(l) =>
           StructType(g.nodeFrame(l).schema.fields :+ StructField(LABEL, org.apache.spark.sql.types.StringType))

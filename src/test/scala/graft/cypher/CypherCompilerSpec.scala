@@ -298,14 +298,28 @@ class CypherCompilerSpec extends SparkSpec {
   }
 
   test("named paths: nodes, relationships, length") {
+    // fixed-length paths return FULL entity structs: nodes(p)[0] is the
+    // whole Nation node (heterogeneous Nation/Region schemas padded to
+    // the union of fields), relationships(p)[0] the whole rel
     val got = graph.cypher(
       """MATCH p = (n:Nation {n_nationkey: 0})-[r:IN_REGION]->(m:Region)
          RETURN nodes(p) AS ns, relationships(p) AS rs, length(p) AS len""")
     val row = got.collect()(0)
-    val ns = row.getSeq[Long](row.fieldIndex("ns"))
-    assert(ns.head == 0L && ns.size == 2)
-    assert(row.getSeq[Long](row.fieldIndex("rs")).size == 1)
+    val ns = row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("ns"))
+    assert(ns.size == 2)
+    assert(ns.head.getAs[Long]("_id") == 0L)
+    assert(ns.head.getAs[String]("n_name") != null, "first node is the full Nation struct")
+    assert(ns(1).getAs[String]("r_name") != null, "second node is the full Region struct")
+    assert(ns(1).getAs[String]("n_name") == null, "padded field is null on the Region node")
+    val rs = row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("rs"))
+    assert(rs.size == 1)
+    assert(rs.head.getAs[String]("_label") == "IN_REGION")
     assert(row.getAs[Long]("len") == 1L)
+    // element access on the struct array: nodes(p)[0].n_name
+    val acc = graph.cypher(
+      """MATCH p = (n:Nation {n_nationkey: 0})-[:IN_REGION]->(:Region)
+         RETURN nodes(p)[0].n_name AS name""")
+    assert(acc.collect()(0).getAs[String]("name") != null)
     // var-length path: length(p) = hop count
     val vl = graph.cypher(
       """MATCH p = (a:Part {p_partkey: 1})-[rs:RELATED_TO*1..2]->(b:Part)
