@@ -514,7 +514,10 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
           hours = hours.floor
           var seconds = m.getOrElse("seconds", 0.0) + (minutes - minutes.floor) * 60
           minutes = minutes.floor
-          var nanos = math.round(m.getOrElse("nanoseconds", 0.0) + (seconds - seconds.floor) * 1e9)
+          var nanos = math.round(m.getOrElse("nanoseconds", 0.0) +
+            m.getOrElse("milliseconds", 0.0) * 1e6 +
+            m.getOrElse("microseconds", 0.0) * 1e3 +
+            (seconds - seconds.floor) * 1e9)
           seconds = seconds.floor
           var s = seconds.toLong + nanos / 1000000000L; nanos %= 1000000000L
           var mi = minutes.toLong + s / 60; s %= 60
@@ -541,6 +544,16 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
         case _ => None
       }
     case _ => None
+  }
+
+  /** Syntactically a duration-valued expression: a duration()/duration.*
+    * call, or a +/- combination of two of them (temporal ± duration is a
+    * temporal, so mixed operands don't qualify).
+    */
+  private def isDurationExpr(e: Expr): Boolean = e match {
+    case Func(fn, _, _) => fn.toLowerCase.startsWith("duration")
+    case Bin("+" | "-", l, r) => isDurationExpr(l) && isDurationExpr(r)
+    case _ => false
   }
 
   /** date/timestamp ± duration. For DateType the result stays a date
@@ -663,12 +676,20 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
         sys.error(s"$fn($rv): endpoint variable '$want' is no longer in scope — " +
           s"carry it through the WITH (openCypher returns the full node, not an id)")
       // duration value: compiles to its ISO 8601 string (the reference's
-      // duration representation, executor.ts:4115)
-      case e0 @ Func(fn, Seq(_), _) if fn.toLowerCase == "duration" =>
+      // duration representation, executor.ts:4115). Literal components
+      // fold at compile time; non-literal maps build the string per row
+      // with the same spill/normalize rules (reference
+      // translator.ts:8524-8705); any other argument passes through as an
+      // ISO string (null propagates).
+      case e0 @ Func(fn, Seq(arg), _) if fn.toLowerCase == "duration" =>
         staticDuration(e0) match {
           case Some(dur) => lit(dur.iso)
-          case None => sys.error(
-            "duration() requires literal components (map of numbers or ISO string)")
+          case None => arg match {
+            case MapLit(kvs) =>
+              CypherFunctions.durationFromComponents(
+                kvs.map { case (k, v) => k.toLowerCase -> go(v) }.toMap)
+            case other => go(other)
+          }
         }
       // duration.between/inMonths/inDays/inSeconds (reference:
       // translator.ts:8711-8808, simplified second/month/day diffs)
@@ -700,6 +721,13 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
           case Some(DateType) | Some(TimestampType) | Some(TimestampNTZType) =>
             CypherFunctions.temporalComponent(bc, key).getOrElse(lit(null))
           case Some(_: MapType) => element_at(bc, key)
+          // string values: duration accessors (durations ARE ISO strings,
+          // like the reference) and temporal accessors on date strings;
+          // any other key is a missing property → null
+          case Some(StringType) =>
+            CypherFunctions.durationComponent(bc, key)
+              .orElse(CypherFunctions.temporalComponent(bc, key))
+              .getOrElse(lit(null))
           case _ => bc.getField(key)
         }
 
@@ -758,6 +786,19 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
       case Bin("+", l, r) if staticDuration(l).isDefined =>
         val rc = go(r)
         addDur(rc, dt(rc), staticDuration(l).get, 1)
+
+      // duration ordering: lexicographic string comparison would order
+      // "P10D" before "P2D" — compare total magnitude instead
+      case Bin(op, l, r) if Set("<", "<=", ">", ">=")(op) &&
+          (isDurationExpr(l) || isDurationExpr(r)) =>
+        val lm = CypherFunctions.durationTotalMicros(go(l))
+        val rm = CypherFunctions.durationTotalMicros(go(r))
+        op match {
+          case "<" => lm < rm
+          case "<=" => lm <= rm
+          case ">" => lm > rm
+          case _ => lm >= rm
+        }
 
       case Bin(op, l, r) =>
         val lc = go(l)

@@ -172,6 +172,135 @@ object CypherFunctions {
     }
   }
 
+  // ------------------------------------------------------------------
+  // durations — ISO 8601 strings (the reference representation,
+  // executor.ts:4048-4141). Accessors parse components out of the string
+  // with the reference's cumulative semantics (translator.ts:13286-13330):
+  // months = Y*12 + M, minutes = H*60 + M, seconds = H*3600 + M*60 + S;
+  // years/days/hours are the bare component; weeks = D div 7 (a `W`
+  // component is NOT consulted by `weeks`, faithfully to the reference).
+  // ------------------------------------------------------------------
+
+  /** Truncate-toward-zero integer division (SQL `div`); Spark's `/` on
+    * longs goes through Double and `floor` would round negatives away
+    * from zero.
+    */
+  private def tdiv(a: Column, b: Long): Column =
+    ((a - (a % b)) / b).cast(LongType)
+
+  private def comp(v: Column, re: String): Column =
+    coalesce(regexp_extract(v, re, 1).cast(LongType), lit(0L))
+
+  /** First `n` digits of the fractional-seconds field, zero-padded to
+    * nanosecond width (the writer always prints %09d).
+    */
+  private def fracDigits(v: Column, n: Int): Column =
+    coalesce(substring(rpad(regexp_extract(v, "\\.(\\d+)S", 1), 9, "0"), 1, n)
+      .cast(LongType), lit(0L))
+
+  private def durY(v: Column) = comp(v, "^P(-?\\d+)Y")
+  private def durMo(v: Column) = comp(v, "^P(?:-?\\d+Y)?(-?\\d+)M")
+  private def durW(v: Column) = comp(v, "^P(?:-?\\d+Y)?(?:-?\\d+M)?(-?\\d+)W")
+  private def durD(v: Column) = comp(v, "^P(?:-?\\d+Y)?(?:-?\\d+M)?(?:-?\\d+W)?(-?\\d+)D")
+  private def durH(v: Column) = comp(v, "T(-?\\d+)H")
+  private def durMi(v: Column) = comp(v, "T(?:-?\\d+H)?(-?\\d+)M")
+  private def durS(v: Column) = comp(v, "T(?:-?\\d+H)?(?:-?\\d+M)?(-?\\d+)(?:\\.\\d+)?S")
+
+  /** Duration component access (`dur.days`); None when `key` is not a
+    * duration accessor. Accessor names are the reference's (exact case).
+    */
+  def durationComponent(c: Column, key: String): Option[Column] = {
+    lazy val totalMonths = durY(c) * 12 + durMo(c)
+    lazy val totalSeconds = durH(c) * 3600 + durMi(c) * 60 + durS(c)
+    val out: Option[Column] = key match {
+      case "years" => Some(durY(c))
+      case "months" => Some(totalMonths)
+      case "quarters" => Some(tdiv(totalMonths, 3))
+      case "weeks" => Some(tdiv(durD(c), 7))
+      case "days" => Some(durD(c))
+      case "hours" => Some(durH(c))
+      case "minutes" => Some(durH(c) * 60 + durMi(c))
+      case "seconds" => Some(totalSeconds)
+      case "milliseconds" => Some(totalSeconds * 1000 + fracDigits(c, 3))
+      case "microseconds" => Some(totalSeconds * 1000000L + fracDigits(c, 6))
+      case "nanoseconds" => Some(totalSeconds * 1000000000L + fracDigits(c, 9))
+      case "quartersOfYear" => Some(tdiv(durMo(c), 3))
+      case "monthsOfQuarter" => Some(durMo(c) % 3)
+      case "monthsOfYear" => Some(durMo(c))
+      case "daysOfWeek" => Some(durD(c) % 7)
+      case "minutesOfHour" => Some(durMi(c))
+      case "secondsOfMinute" => Some(durS(c))
+      case "millisecondsOfSecond" => Some(fracDigits(c, 3))
+      case "microsecondsOfSecond" => Some(fracDigits(c, 6))
+      case "nanosecondsOfSecond" => Some(fracDigits(c, 9))
+      case _ => None
+    }
+    out.map(x => when(c.isNull, lit(null).cast(LongType)).otherwise(x))
+  }
+
+  /** duration({...}) with per-row (non-literal) components → ISO string.
+    * Same fractional-spill (y→mo→d→h→min→s→ns, Gregorian-average month)
+    * and s→min→h normalization as the literal path (reference
+    * executor.ts:4060-4140); null components count as 0, per the
+    * reference's `Number(map.x ?? 0)`.
+    */
+  def durationFromComponents(m: Map[String, Column]): Column = {
+    def get(k: String): Column =
+      coalesce(m.getOrElse(k, lit(0d)).cast(DoubleType), lit(0d))
+    val rawYears = get("years")
+    val finalYears = rawYears.cast(LongType)
+    val totalMonths = get("months") + (rawYears - finalYears.cast(DoubleType)) * 12
+    val finalMonths = totalMonths.cast(LongType)
+    val rawWeeks = get("weeks")
+    val finalWeeks = rawWeeks.cast(LongType)
+    val totalDays = get("days") +
+      (totalMonths - finalMonths.cast(DoubleType)) * (365.2425 / 12) +
+      (rawWeeks - finalWeeks.cast(DoubleType)) * 7
+    val finalDays = totalDays.cast(LongType)
+    val totalHours = get("hours") + (totalDays - finalDays.cast(DoubleType)) * 24
+    val hoursPre = totalHours.cast(LongType)
+    val totalMins = get("minutes") + (totalHours - hoursPre.cast(DoubleType)) * 60
+    val minsPre = totalMins.cast(LongType)
+    val secsFromFrac = (totalMins - minsPre.cast(DoubleType)) * 60
+    val totalNanos = round((get("seconds") + secsFromFrac) * 1e9 +
+      get("milliseconds") * 1e6 + get("microseconds") * 1e3 +
+      get("nanoseconds")).cast(LongType)
+    val totalSecs = tdiv(totalNanos, 1000000000L)
+    val remNanos = totalNanos % 1000000000L
+    val finalSecs = totalSecs % 60
+    val totalMinutes = minsPre + tdiv(totalSecs, 60)
+    val finalMinutes = totalMinutes % 60
+    val finalHours = hoursPre + tdiv(totalMinutes, 60)
+
+    def piece(v: Column, unit: String): Column =
+      when(v =!= 0, concat(v.cast(StringType), lit(unit))).otherwise(lit(""))
+    val datePart = concat(piece(finalYears, "Y"), piece(finalMonths, "M"),
+      piece(finalWeeks, "W"), piece(finalDays, "D"))
+    val secStr = when(remNanos =!= 0,
+        concat(when(finalSecs === 0 && remNanos < 0, lit("-0"))
+            .otherwise(finalSecs.cast(StringType)),
+          lit("."), lpad(abs(remNanos).cast(StringType), 9, "0"), lit("S")))
+      .otherwise(when(finalSecs =!= 0, concat(finalSecs.cast(StringType), lit("S")))
+        .otherwise(lit("")))
+    val timePart = concat(piece(finalHours, "H"), piece(finalMinutes, "M"), secStr)
+    when(timePart =!= "", concat(lit("P"), datePart, lit("T"), timePart))
+      .otherwise(when(datePart =!= "", concat(lit("P"), datePart))
+        .otherwise(lit("PT0S")))
+  }
+
+  /** Comparable magnitude of an ISO duration in (fractional) microseconds,
+    * using the Gregorian-average month the reference uses for fractional
+    * spills (365.2425/12 days). The reference never compares durations in
+    * its tests; this follows Neo4j's average-length total ordering.
+    */
+  def durationTotalMicros(c: Column): Column =
+    ((durY(c) * 12 + durMo(c)).cast(DoubleType) * (365.2425 / 12) * 86400e6) +
+      ((durW(c) * 7 + durD(c)).cast(DoubleType) * 86400e6) +
+      durH(c).cast(DoubleType) * 3600e6 +
+      durMi(c).cast(DoubleType) * 60e6 +
+      durS(c).cast(DoubleType) * 1e6 +
+      fracDigits(c, 9).cast(DoubleType) / 1000
+
   /** Temporal component access (`d.year`) for date/timestamp values. */
   def temporalComponent(c: Column, key: String): Option[Column] = key.toLowerCase match {
     case "year" => Some(year(c).cast(LongType))

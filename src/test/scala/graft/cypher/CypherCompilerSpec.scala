@@ -382,6 +382,66 @@ class CypherCompilerSpec extends SparkSpec {
     assert(left.getAs[String]("d") == "1996-01-06")
   }
 
+  test("duration accessors, non-literal components, comparisons") {
+    // accessors parse the ISO form with the reference's cumulative
+    // semantics (months = Y*12+M, seconds = H*3600+M*60+S)
+    val acc = graph.cypher(
+      """UNWIND [1] AS one
+         WITH duration({years: 1, months: 2, days: 16, hours: 2, minutes: 3, seconds: 70}) AS d
+         RETURN d.years AS ys, d.months AS mos, d.days AS ds, d.weeks AS ws,
+                d.hours AS hs, d.minutes AS mins, d.seconds AS secs,
+                d.minutesOfHour AS moh, d.secondsOfMinute AS som""")
+      .collect()(0)
+    assert(acc.getAs[Long]("ys") == 1L)
+    assert(acc.getAs[Long]("mos") == 14L)
+    assert(acc.getAs[Long]("ds") == 16L)
+    assert(acc.getAs[Long]("ws") == 2L)
+    assert(acc.getAs[Long]("hs") == 2L)
+    // 70s normalized to 1min10s at construction: minutes = 2*60+4
+    assert(acc.getAs[Long]("mins") == 124L)
+    assert(acc.getAs[Long]("secs") == 2L * 3600 + 4 * 60 + 10)
+    assert(acc.getAs[Long]("moh") == 4L)
+    assert(acc.getAs[Long]("som") == 10L)
+    // sub-second accessors
+    val sub = graph.cypher(
+      """UNWIND [1] AS one
+         WITH duration({seconds: 1, milliseconds: 500}) AS d
+         RETURN d.milliseconds AS ms, d.millisecondsOfSecond AS msos""")
+      .collect()(0)
+    assert(sub.getAs[Long]("ms") == 1500L)
+    assert(sub.getAs[Long]("msos") == 500L)
+    // non-literal components: built per row, matches the literal path
+    val dyn = graph.cypher(
+      """UNWIND [0, 1, 2] AS k
+         RETURN duration({days: k, hours: k * 3}) AS d ORDER BY k""")
+      .collect().map(_.getAs[String]("d")).toSeq
+    assert(dyn == Seq("PT0S", "P1DT3H", "P2DT6H"))
+    // fractional spill on a per-row value
+    val dynFrac = graph.cypher(
+      """UNWIND [0.5] AS f RETURN duration({days: f}) AS d""")
+      .collect()(0)
+    assert(dynFrac.getAs[String]("d") == "PT12H")
+    // comparisons order by magnitude, not lexicographically
+    val cmp = graph.cypher(
+      """UNWIND [1] AS one
+         RETURN duration({days: 10}) > duration({days: 2}) AS a,
+                duration({hours: 25}) > duration({days: 1}) AS b,
+                duration({months: 1}) >= duration({days: 30}) AS c,
+                duration({days: 1}) <= duration({hours: 23}) AS d""")
+      .collect()(0)
+    assert(cmp.getAs[Boolean]("a"))  // "P10D" < "P2D" lexicographically
+    assert(cmp.getAs[Boolean]("b"))
+    assert(cmp.getAs[Boolean]("c"))
+    assert(!cmp.getAs[Boolean]("d"))
+    // null duration propagates through accessors and construction
+    val nul = graph.cypher(
+      """UNWIND [1] AS one
+         WITH duration(null) AS d
+         RETURN d IS NULL AS isnull""")
+      .collect()(0)
+    assert(nul.getAs[Boolean]("isnull"))
+  }
+
   test("pattern comprehension collects correlated lists") {
     val got = graph.cypher(
       """MATCH (r:Region)
