@@ -218,6 +218,12 @@ object SparkEntry {
         "CALL db.labels() YIELD label RETURN label ORDER BY label")
     }),
 
+    "q_str_call_reltypes" -> ((s, dir) => {
+      g(s, dir).cypher(
+        """CALL db.relationshipTypes() YIELD relationshipType
+           RETURN relationshipType ORDER BY relationshipType""")
+    }),
+
     // pattern comprehension: correlated collect per nation, reduced to
     // size() so the gate output stays scalar
     "q_str_patcomp" -> ((s, dir) => {
@@ -467,6 +473,20 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
     }),
 
+    // the SAME pipeline executed through Structured Streaming: file-stream
+    // ingest (availableNow) → watermarked windowed agg → complete-mode
+    // memory sink; gated by the identical oracle as q_window_agg
+    "q_stream_window_agg" -> ((s, dir) => {
+      streaming.EventStreams
+        .windowedCountsStreamed(lenient(s), dir, glob = "events.parquet")
+        .select(
+          unix_micros(col("window_start")).as("window_start"),
+          unix_micros(col("window_end")).as("window_end"),
+          col("event_type"), col("cnt"),
+          round(col("total_value"), 3).as("total_value"))
+        .orderBy("window_start", "event_type")
+    }),
+
     "q_sessionize" -> ((s, dir) => {
       val ev = GraphLoader.table(lenient(s), dir, "events")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -699,6 +719,10 @@ object SparkEntry {
       """SELECT unnest(['Customer','Document','Embedding','Event','Nation',
                         'Order','Part','Region','Supplier','User']) AS label
          ORDER BY label""",
+    "q_str_call_reltypes" ->
+      """SELECT unnest(['CONTAINS','IN_NATION','IN_REGION','PLACED',
+                        'RELATED_TO','SUPPLIES','TRIGGERED']) AS relationshipType
+         ORDER BY relationshipType""",
     "q_str_patcomp" ->
       """SELECT n_name, coalesce(cnt, 0) AS n_cust
          FROM nation LEFT JOIN
@@ -871,6 +895,14 @@ object SparkEntry {
            min(CASE WHEN rk >= ceil(0.9 * n) THEN c_acctbal END) AS p90_disc
          FROM ranked GROUP BY n_name ORDER BY n_name""",
     "q_window_agg" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS window_start,
+              epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS window_end,
+              event_type, count(*) AS cnt, round(sum(value), 3) AS total_value
+         FROM events
+         GROUP BY 1, 2, 3 ORDER BY window_start, event_type""",
+    // identical result to q_window_agg — the streaming run must converge
+    // to the batch aggregation once the bounded input is drained
+    "q_stream_window_agg" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS window_start,
               epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS window_end,
               event_type, count(*) AS cnt, round(sum(value), 3) AS total_value

@@ -131,6 +131,42 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Raw schema of the driver's events parquet: `ts` is TIMESTAMP(NANOS),
+    * surfaced as a nanos long under spark.sql.legacy.parquet.nanosAsLong.
+    */
+  private val rawEventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** The windowed-count pipeline executed THROUGH Structured Streaming:
+    * file-stream ingest of the events parquet (availableNow trigger) →
+    * watermark + tumbling windowedCounts → complete-mode memory sink.
+    * Drains the bounded input fully before returning the result table, so
+    * the output is deterministic and equals the batch twin — the same
+    * DuckDB oracle gates both.
+    */
+  def windowedCountsStreamed(spark: SparkSession, eventsDir: String,
+      glob: String = "events.parquet",
+      queryName: String = "q_stream_window"): DataFrame = {
+    // FileStreamSource requires a directory basePath — select the events
+    // file with a glob filter rather than a file path
+    val raw = spark.readStream.schema(rawEventSchema)
+      .option("pathGlobFilter", glob)
+      .parquet(eventsDir)
+    val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val query = windowedCounts(ev, window = "1 hour")
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Micro-batch streaming graph updates: append each batch's
     * (user)-[:TRIGGERED]->(event) edges to a parquet edge dir that
     * [[graft.graph.PropertyGraph]] snapshot loading can pick up
