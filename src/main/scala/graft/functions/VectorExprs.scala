@@ -318,6 +318,75 @@ object VectorExprs {
       copy(first = f, second = s, third = t)
   }
 
+  /** argmin over squared L2 to a fixed centroid matrix — IVF cell
+    * assignment. The matrix rides along as ONE plan-external reference
+    * object (r5 advice: the previous literal-per-cell formulation inlined
+    * nCells×dim literals into the plan — fine at 16 cells, plan-bloat at
+    * 1024×768). Ties break to the lower cell id; codegen is a flat
+    * cells×dims loop.
+    */
+  case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+      extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "graft_nearest_centroid"
+    // keep the matrix out of plan strings — explain() prints arity only
+    override def stringArgs: Iterator[Any] =
+      Iterator(child, s"nCells=${centroids.length}")
+
+    override protected def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      var best = -1
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        val cent = centroids(c)
+        val m = math.min(arr.numElements(), cent.length)
+        var s = 0.0
+        var i = 0
+        while (i < m) {
+          val d = elemAt(child.dataType, arr, i) - cent(i)
+          s += d * d
+          i += 1
+        }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      best
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cents = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      nullSafeCodeGen(ctx, ev, a => {
+        val c = ctx.freshName("c")
+        val i = ctx.freshName("i")
+        val s = ctx.freshName("s")
+        val d = ctx.freshName("d")
+        val m = ctx.freshName("m")
+        val best = ctx.freshName("best")
+        val bestD = ctx.freshName("bestD")
+        val cent = ctx.freshName("cent")
+        s"""
+        int $best = -1;
+        double $bestD = Double.MAX_VALUE;
+        for (int $c = 0; $c < $cents.length; $c++) {
+          double[] $cent = $cents[$c];
+          int $m = java.lang.Math.min($a.numElements(), $cent.length);
+          double $s = 0.0;
+          for (int $i = 0; $i < $m; $i++) {
+            double $d = (${elemGetter(child.dataType, a, i)}) - $cent[$i];
+            $s += $d * $d;
+          }
+          if ($s < $bestD) { $bestD = $s; $best = $c; }
+        }
+        ${ev.value} = $best;
+        """
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+      copy(child = newChild)
+  }
+
   /** Register as session functions; `dot`/`l2norm` Columns below use
     * call_function so callers never touch catalyst internals.
     */
@@ -335,6 +404,18 @@ object VectorExprs {
       exprs => ArrayCountIn(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_hyperplane_key",
       exprs => HyperplaneKey(exprs(0), exprs(1), exprs(2)), "built-in")
+    // the centroid literal is consumed HERE, at function-build time: the
+    // resolved plan carries only the reference object, never the literal
+    reg.createOrReplaceTempFunction("graft_nearest_centroid",
+      exprs => NearestCentroid(exprs(0), literalMatrix(exprs(1))), "built-in")
+  }
+
+  private def literalMatrix(e: Expression): Array[Array[Double]] = e match {
+    case l: org.apache.spark.sql.catalyst.expressions.Literal =>
+      val outer = l.value.asInstanceOf[ArrayData]
+      Array.tabulate(outer.numElements())(i => outer.getArray(i).toDoubleArray())
+    case other => throw new IllegalArgumentException(
+      s"centroids must be a literal matrix, got $other")
   }
 
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
@@ -348,4 +429,7 @@ object VectorExprs {
       org.apache.spark.sql.functions.array(words.map(org.apache.spark.sql.functions.lit): _*))
   def hyperplaneKey(vec: Column, planes: Column, salt: Column): Column =
     call_function("graft_hyperplane_key", vec, planes, salt)
+  def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    call_function("graft_nearest_centroid", vec,
+      org.apache.spark.sql.functions.typedLit(centroids.map(_.toSeq).toSeq))
 }

@@ -117,8 +117,12 @@ object Ann {
     val asVec = emb.select(col(id), col(vec),
       array_to_vector(transform(col(vec), x => x.cast(DoubleType))).as("features"))
     val model = new KMeans().setK(nCells).setSeed(42).setMaxIter(10).fit(asVec)
-    val assigned = asVec
-      .withColumn("cell", predictUdfFree(model, col("features")))
+    // cell assignment: native argmin-L2 kernel over the raw float array;
+    // the centroid matrix is a plan-external reference object, so plan
+    // size is independent of nCells (r5 advice)
+    val assigned = emb
+      .withColumn("cell", graft.functions.VectorExprs.nearestCentroid(
+        col(vec), model.clusterCenters.map(_.toArray)))
       .select(col(id), col(vec), col("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -149,21 +153,6 @@ object Ann {
     val out = topKPerQuery(scored, k).localCheckpoint()
     assigned.unpersist()
     out
-  }
-
-  /** Cell assignment as a Column without a closure UDF: squared L2 to
-    * each broadcast centroid, argmin — stays in codegen.
-    */
-  private def predictUdfFree(model: org.apache.spark.ml.clustering.KMeansModel,
-      features: Column): Column = {
-    val cents = model.clusterCenters.map(_.toArray)
-    val dists = cents.zipWithIndex.map { case (c, i) =>
-      val carr = array(c.map(lit): _*)
-      struct(aggregate(zip_with(org.apache.spark.ml.functions.vector_to_array(features),
-        carr, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x).as("d2"),
-        lit(i).as("cell"))
-    }
-    array_min(array(dists: _*)).getField("cell")
   }
 
   /** Random-hyperplane sign bucket key: `planes` sign bits packed into one

@@ -72,6 +72,19 @@ class PipelineSpec extends SparkSpec {
       s"pipeline entries must unpersist their intermediates; leaked: ${leaked.keySet}")
   }
 
+  test("ivf cell assignment keeps the centroid matrix out of the plan") {
+    graft.functions.VectorExprs.register(spark)
+    // 64 cells x 32 dims would previously inline 2048 literals; the
+    // reference-object form keeps the plan string flat
+    val m = Array.tabulate(64)(c => Array.tabulate(32)(d => c * 0.25 + d))
+    val plan = embs
+      .select(graft.functions.VectorExprs.nearestCentroid(col("embedding"), m).as("cell"))
+      .queryExecution.analyzed.toString
+    assert(plan.contains("nCells=64"))
+    assert(plan.length < 2000,
+      s"plan string must not inline the centroid matrix (got ${plan.length} chars)")
+  }
+
   test("simhash returns low-hamming pairs for planted near-dups") {
     val pairs = Dedup.simhash(docs).collect()
     assert(pairs.nonEmpty, "planted near-dups should be within hamming 3")
