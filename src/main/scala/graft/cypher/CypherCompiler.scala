@@ -51,6 +51,7 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
   def run(query: String): DataFrame = compileQuery(CypherParser.parse(query))
 
   def compileQuery(q: Query): DataFrame = {
+    graft.functions.VectorExprs.register(spark) // graft_plus et al.
     val parts = q.parts.map(compileSingle)
     if (parts.size == 1) parts.head
     else {
@@ -249,14 +250,21 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
   // UNWIND / CALL
   // ------------------------------------------------------------------
 
-  private[cypher] def applyUnwind(ctx: Option[Ctx], list: Expr, alias: String): Ctx =
+  private[cypher] def applyUnwind(ctx: Option[Ctx], list: Expr, alias: String): Ctx = {
+    // TCK: UNWIND null yields no rows — a VOID literal can't feed
+    // explode, so type it as an (empty) array first
+    def listCol(df: DataFrame): Column = list match {
+      case Lit(null) => lit(null).cast("array<bigint>")
+      case _ => compileExpr(df, list)
+    }
     ctx match {
       case Some(c) =>
-        Ctx(c.df.withColumn(alias, explode(compileExpr(c.df, list))), c.labels - alias)
+        Ctx(c.df.withColumn(alias, explode(listCol(c.df))), c.labels - alias)
       case None =>
         val base = spark.range(1).toDF()
-        Ctx(base.select(explode(compileExpr(base, list)).as(alias)), Map.empty)
+        Ctx(base.select(explode(listCol(base)).as(alias)), Map.empty)
     }
+  }
 
   private[cypher] def applyCall(ctx: Option[Ctx], proc: String, yields: Seq[String]): Ctx = {
     val df = proc.toLowerCase match {
@@ -800,16 +808,29 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
           case _ => lm >= rm
         }
 
+      // map equality: Cypher maps compare by key set + per-key values;
+      // Spark compares structs positionally ignoring field names, so
+      // {a:1} = {b:1} would wrongly be true. Canonicalize both literal
+      // maps to sorted key order and short-circuit mismatched key sets.
+      case Bin(op @ ("=" | "<>"), l: MapLit, r: MapLit) =>
+        def canon(e: Expr): Expr = e match {
+          case MapLit(kvs) => MapLit(kvs.map { case (k, v) => k -> canon(v) }.sortBy(_._1))
+          case ListLit(items) => ListLit(items.map(canon))
+          case other => other
+        }
+        val (lm, rm) = (canon(l).asInstanceOf[MapLit], canon(r).asInstanceOf[MapLit])
+        if (lm.items.map(_._1) != rm.items.map(_._1)) lit(op == "<>")
+        else if (op == "=") go(lm) === go(rm)
+        else go(lm) =!= go(rm)
+
       case Bin(op, l, r) =>
         val lc = go(l)
         lazy val rc = go(r)
         op match {
           case "+" =>
-            (dt(lc), dt(rc)) match {
-              case (Some(StringType), _) | (_, Some(StringType)) => concat(lc.cast(StringType), rc.cast(StringType))
-              case (Some(_: ArrayType), _) => concat(lc, rc)
-              case _ => lc + rc
-            }
+            // type-adaptive at analysis time (string/list/element/number)
+            // — works inside HOF lambdas where dt() can't see a type
+            graft.functions.VectorExprs.plus(lc, rc)
           case "-" => lc - rc
           case "*" => lc * rc
           case "/" =>
@@ -833,6 +854,9 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
             r match {
               // TCK: `x IN []` is false for ANY x, including null
               case ListLit(Seq()) => lit(false)
+              // TCK: `x IN null` is null (array_contains on a VOID
+              // literal would fail analysis)
+              case Lit(null) => lit(null).cast(BooleanType)
               case ListLit(items) if items.forall(_.isInstanceOf[Lit]) =>
                 lc.isin(items.collect { case Lit(v) => v }: _*)
               case _ => array_contains(rc, lc)
@@ -876,6 +900,8 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
           case Lit(s: String) =>
             dt(bc) match {
               case Some(_: MapType) => element_at(bc, s)
+              // Cypher: accessing a missing map key is null, not an error
+              case Some(st: StructType) if !st.fieldNames.contains(s) => lit(null)
               case _ => bc.getField(s)
             }
           case Lit(i: Long) =>

@@ -414,25 +414,28 @@ object CypherParser {
       e
     }
     private def mulExpr(): Expr = {
-      var e = powExpr()
+      var e = unary()
       var continue = true
       while (continue) {
-        if (cur.is("*") && cur.kind == TPunct) { i += 1; e = Bin("*", e, powExpr()) }
-        else if (cur.is("/") && cur.kind == TPunct) { i += 1; e = Bin("/", e, powExpr()) }
-        else if (cur.is("%") && cur.kind == TPunct) { i += 1; e = Bin("%", e, powExpr()) }
+        if (cur.is("*") && cur.kind == TPunct) { i += 1; e = Bin("*", e, unary()) }
+        else if (cur.is("/") && cur.kind == TPunct) { i += 1; e = Bin("/", e, unary()) }
+        else if (cur.is("%") && cur.kind == TPunct) { i += 1; e = Bin("%", e, unary()) }
         else continue = false
       }
       e
     }
-    private def powExpr(): Expr = {
-      val e = unary()
-      if (cur.is("^") && cur.kind == TPunct) { i += 1; Bin("^", e, powExpr()) } // right-assoc
-      else e
-    }
+    // Cypher precedence: `^` binds TIGHTER than unary minus (TCK:
+    // expressions/mathematical — `-2^2` is -(2^2) = -4), and `^` is
+    // right-associative with a unary-capable right operand (`2^-1`).
     private def unary(): Expr =
       if (cur.is("-") && cur.kind == TPunct) { i += 1; Neg(unary()) }
       else if (cur.is("+") && cur.kind == TPunct) { i += 1; unary() }
-      else postfix()
+      else powExpr()
+    private def powExpr(): Expr = {
+      val e = postfix()
+      if (cur.is("^") && cur.kind == TPunct) { i += 1; Bin("^", e, unary()) } // right-assoc
+      else e
+    }
 
     private def postfix(): Expr = {
       var e = atom()

@@ -54,6 +54,31 @@ object Lexer {
           s"Unterminated backtick identifier at $start in: $s")
         i += 1
         out += Token(TIdent, sb.toString, start)
+      } else if (c == '.' && peekAt(1).isDigit) {
+        // leading-dot float literal (".5"); never fires inside "1..3"
+        // because the int branch below leaves i on the FIRST dot, whose
+        // next char is '.', not a digit
+        val start = i
+        i += 1
+        while (i < s.length && s(i).isDigit) i += 1
+        if (i < s.length && (s(i) == 'e' || s(i) == 'E') &&
+            (peekAt(1).isDigit || ((peekAt(1) == '+' || peekAt(1) == '-') && peekAt(2).isDigit))) {
+          i += 1
+          if (s(i) == '+' || s(i) == '-') i += 1
+          while (i < s.length && s(i).isDigit) i += 1
+        }
+        out += Token(TFloat, "0" + s.substring(start, i), start)
+      } else if (c == '0' && (peekAt(1) == 'x' || peekAt(1) == 'X')) {
+        // hex integer literal (reference analog: parser.ts hex branch near
+        // line 768); normalized to decimal text so the parser stays simple
+        val start = i
+        i += 2
+        val hs = i
+        while (i < s.length && (s(i).isDigit ||
+            ('a' <= s(i).toLower && s(i).toLower <= 'f'))) i += 1
+        if (i == hs) throw new IllegalArgumentException(
+          s"Invalid hexadecimal integer at $start in: $s")
+        out += Token(TInt, java.lang.Long.parseLong(s.substring(hs, i), 16).toString, start)
       } else if (c.isDigit) {
         val start = i
         while (i < s.length && s(i).isDigit) i += 1

@@ -33,14 +33,17 @@ object CypherFunctions {
       case "count" if star => count(lit(1))
       case "count" if distinct => count_distinct(args.head, args.tail: _*)
       case "count" => count(args.head)
-      case "sum" => sum(args.head)
+      // Cypher: sum over no values (or all nulls) is 0, not null
+      case "sum" => coalesce(sum(args.head), lit(0))
       case "avg" => avg(args.head)
       case "min" => min(args.head)
       case "max" => max(args.head)
       case "collect" if distinct => collect_set(args.head)
       case "collect" => collect_list(args.head)
-      case "stdev" => stddev_samp(args.head)
-      case "stdevp" => stddev_pop(args.head)
+      // Cypher stDev/stDevP return 0 for empty and single-value groups
+      // (Spark's sample stddev is null for n<=1)
+      case "stdev" => coalesce(stddev_samp(args.head), lit(0.0))
+      case "stdevp" => coalesce(stddev_pop(args.head), lit(0.0))
       // exact percentile (Spark's `percentile` is exact; matches DuckDB
       // quantile_cont); disc = EXACT nearest-rank (ceil(p*n)-th smallest
       // actual element, Neo4j semantics) via sort over the collected
@@ -127,8 +130,11 @@ object CypherFunctions {
       case "last" => element_at(a0, -1)
       case "tail" => slice(a0, lit(2), greatest(size(a0) - lit(1), lit(0)))
       case "range" =>
+        // Spark's two-arg sequence auto-descends (sequence(3,1) =
+        // [3,2,1]); Cypher's default step is +1, so range(3,1) = []
         if (args.size >= 3) sequence(a0, args(1), args(2))
-        else sequence(a0, args(1))
+        else when(a0 <= args(1), sequence(a0, args(1)))
+          .otherwise(array().cast(ArrayType(LongType)))
       // ---- graph ----
       case "id" => a0.getField("_id")
       case "labels" => array(a0.getField("_label"))

@@ -408,6 +408,8 @@ object VectorExprs {
     // resolved plan carries only the reference object, never the literal
     reg.createOrReplaceTempFunction("graft_nearest_centroid",
       exprs => NearestCentroid(exprs(0), literalMatrix(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction("graft_plus",
+      exprs => CypherPlus(exprs(0), exprs(1)), "built-in")
   }
 
   private def literalMatrix(e: Expression): Array[Array[Double]] = e match {
@@ -418,6 +420,7 @@ object VectorExprs {
       s"centroids must be a literal matrix, got $other")
   }
 
+  def plus(a: Column, b: Column): Column = call_function("graft_plus", a, b)
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
   def l2norm(a: Column): Column = call_function("graft_l2norm", a)
   def slidingMin(a: Column, w: Column): Column =
