@@ -376,6 +376,13 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) =>
       pipeline.Dedup.simhash(docs(s, dir))),
 
+    "q_dedup_embed" -> ((s, dir) =>
+      pipeline.Dedup.embedDupsExact(embs(s, dir)).orderBy("a_id", "b_id")),
+
+    // rows-only oracle (hyperplane buckets not expressible in DuckDB)
+    "q_dedup_embed_lsh" -> ((s, dir) =>
+      pipeline.Dedup.embedDupsLsh(embs(s, dir)).orderBy("a_id", "b_id")),
+
     "q_ann_cosine" -> ((s, dir) =>
       pipeline.Ann.cosineTopK(embs(s, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
 
@@ -850,6 +857,14 @@ object SparkEntry {
          WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
              len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.8
          ORDER BY id_a, id_b""",
+    // exact complete cosine join — the oracle recomputes it blind
+    "q_dedup_embed" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         s AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                      list_cosine_similarity(a.v, b.v) AS c
+               FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         SELECT a_id, b_id, round(c, 6) AS sim FROM s
+         WHERE c >= CAST(0.45 AS DOUBLE) ORDER BY a_id, b_id""",
     "q_ann_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0,1,2,3,4)),

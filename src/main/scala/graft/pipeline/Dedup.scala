@@ -260,4 +260,70 @@ object Dedup {
     withBits.unpersist()
     out
   }
+
+  // ---- embedding-cosine near-dup (q_dedup_embed) ----
+
+  /** Normalized (id, v, nrm) frame: vectors cast to double once, L2 norm
+    * precomputed once per row so the pair loop is a single codegen'd dot
+    * product (never re-norm per pair).
+    */
+  private def embedBase(emb: DataFrame, id: String, vec: String): DataFrame =
+    emb.select(col(id).cast(LongType).as("id"),
+        col(vec).cast(ArrayType(DoubleType)).as("v"))
+      .withColumn("nrm", graft.functions.VectorExprs.l2norm(col("v")))
+
+  /** EXACT embedding near-duplicate pairs: cosine(a, b) >= threshold over
+    * all id-ordered pairs. O(N²) by construction — this is the verify
+    * baseline and the oracle-checkable ground truth; at corpus scale use
+    * [[embedDupsLsh]] for candidate generation and keep this shape as its
+    * verify step. The join broadcasts the smaller (projected: id, vector,
+    * norm — never metadata) side; the per-pair work is one codegen'd dot.
+    */
+  def embedDupsExact(emb: DataFrame, threshold: Double = 0.45,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    graft.functions.VectorExprs.register(emb.sparkSession)
+    val base = embedBase(emb, id, vec)
+    val a = base.select(col("id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
+    val b = base.select(col("id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("c", graft.functions.VectorExprs.dot(col("va"), col("vb")) /
+        (col("na") * col("nb")))
+      .filter(col("c") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("c"), 6).as("sim"))
+  }
+
+  /** Scale path: random-hyperplane LSH candidates (Charikar '02), exact
+    * cosine verify on candidates only. A pair at angle θ collides in one
+    * table with p = (1 - θ/π)^planes; `tables` independent salted tables
+    * drive recall to 1-(1-p)^tables. Tune planes UP for higher
+    * thresholds (tighter buckets) — at threshold 0.45, 3 planes × 8
+    * tables ≈ 0.92 expected recall. Candidate generation is an equi-join
+    * on (table, bucket) — never all-pairs; dedup happens BEFORE the
+    * verify join (same discipline as [[minhashLsh]]).
+    */
+  def embedDupsLsh(emb: DataFrame, threshold: Double = 0.45,
+      planes: Int = 3, tables: Int = 8,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    graft.functions.VectorExprs.register(emb.sparkSession)
+    val base = embedBase(emb, id, vec)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tabbed = base
+      .withColumn("tbl", explode(typedLit((0 until tables).toArray)))
+      .withColumn("bkt", Ann.hyperplaneKey(col("v"), planes, col("tbl")))
+      .select(col("tbl"), col("bkt"), col("id"))
+    val candidates = tabbed.select(col("tbl"), col("bkt"), col("id").as("a_id"))
+      .join(tabbed.select(col("tbl"), col("bkt"), col("id").as("b_id")), Seq("tbl", "bkt"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val a = base.select(col("id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
+    val b = base.select(col("id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
+    val out = candidates.join(a, "a_id").join(b, "b_id")
+      .withColumn("c", graft.functions.VectorExprs.dot(col("va"), col("vb")) /
+        (col("na") * col("nb")))
+      .filter(col("c") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("c"), 6).as("sim"))
+      .localCheckpoint()
+    base.unpersist()
+    out
+  }
 }

@@ -54,6 +54,34 @@ class PipelineSpec extends SparkSpec {
     assert(got == want, s"missing=${want -- got} extra=${got -- want}")
   }
 
+  test("embedding near-dup: exact matches brute force; LSH is a high-recall subset") {
+    // brute force in scala, double precision
+    val vecs = embs.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val want = (for {
+      i <- vecs.indices; j <- (i + 1) until vecs.length
+      if cos(vecs(i)._2, vecs(j)._2) >= 0.45
+    } yield {
+      val (x, y) = (vecs(i)._1, vecs(j)._1)
+      (math.min(x, y), math.max(x, y))
+    }).toSet
+    assert(want.nonEmpty, "sf0.001 embeddings should have pairs above 0.45")
+    val exact = Dedup.embedDupsExact(embs)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == want, s"missing=${want -- exact} extra=${exact -- want}")
+    // LSH candidates + exact verify: no false positives, seeded recall
+    val lsh = Dedup.embedDupsLsh(embs)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((lsh -- exact).isEmpty, s"LSH verify must not pass false pairs: ${lsh -- exact}")
+    assert(lsh.size.toDouble >= 0.5 * exact.size,
+      s"seeded LSH recall too low: ${lsh.size}/${exact.size}")
+  }
+
   test("pipeline dedup/ann operators leave no persisted blocks behind") {
     // The session is shared across suites (and GraphLoader caches graph
     // frames), so a global cacheManager.isEmpty assert would be
@@ -65,6 +93,7 @@ class PipelineSpec extends SparkSpec {
     Dedup.jaccardPrefix(docs, threshold = 0.8).count()
     Dedup.minhashLsh(docs, threshold = 0.8).count()
     Dedup.simhash(docs).count()
+    Dedup.embedDupsLsh(embs).count()
     Ann.ivfTopK(embs, Seq(0L, 1L), k = 5, nCells = 8, nProbe = 4).count()
     val leaked = spark.sparkContext.getPersistentRDDs
       .filter { case (id, rdd) => !before(id) && !rdd.isCheckpointed }
