@@ -179,23 +179,25 @@ object Algos {
       .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg")))
     var ranks = materialize(graph.select(col("id"), lit(1.0 / n).as("rank")))
     for (_ <- 1 to iterations) {
-      // persist once per iteration: both the contribution join and the
-      // dangling-mass scalar read it (r2 advice — it used to be computed
-      // twice, doubling every iteration's work)
-      val withDeg = materialize(ranks.join(graph, "id"))
+      // cached (lazily) once per iteration: the contribution join and the
+      // dangling-mass aggregate both read it within the SAME job below
+      val withDeg = cache(ranks.join(graph, "id"))
       val contribs = withDeg.filter(col("outdeg") > 0)
         .join(e, col("id") === col("u"))
         .select(col("v").as("id"), (col("rank") / col("outdeg")).as("c"))
         .groupBy("id").agg(sum("c").as("contrib"))
-      // single-row scalar action (not a row-set collect)
-      val danglingMass = withDeg.filter(col("outdeg") === 0)
-        .agg(coalesce(sum("rank"), lit(0.0))).first().getDouble(0)
-      val base = (1.0 - damping) / n + damping * danglingMass / n
+      // dangling mass as a broadcast ONE-ROW frame folded into the update
+      // plan — no per-iteration driver action (the `.first()` it replaces
+      // cost one extra job per iteration, 1/3 of the loop's fixed cost)
+      val dangling = withDeg.filter(col("outdeg") === 0)
+        .agg(coalesce(sum("rank"), lit(0.0)).as("dmass"))
       val prev = ranks
       ranks = materialize(graph.select(col("id"))
         .join(contribs, Seq("id"), "left_outer")
+        .crossJoin(broadcast(dangling))
         .select(col("id"),
-          (lit(base) + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank")))
+          (lit((1.0 - damping) / n) + lit(damping) * col("dmass") / n +
+            lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank")))
       prev.unpersist(); withDeg.unpersist()
     }
     ranks
