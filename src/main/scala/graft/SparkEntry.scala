@@ -144,6 +144,12 @@ object SparkEntry {
         .orderBy("name")
     }),
 
+    "q_str_reltype_alt" -> ((s, dir) => {
+      g(s, dir).cypher(
+        """MATCH (c:Customer)-[r:PLACED|IN_NATION]->(x)
+           RETURN type(r) AS t, count(*) AS cnt ORDER BY t""")
+    }),
+
     "q_str_unwind" -> ((s, dir) => {
       g(s, dir).cypher(
         "UNWIND [1, 2, 3, 4, 5] AS x RETURN x, x * x AS sq ORDER BY x")
@@ -697,6 +703,11 @@ object SparkEntry {
       """SELECT name FROM (
            SELECT n_name AS name FROM nation
            UNION SELECT r_name AS name FROM region) ORDER BY name""",
+    "q_str_reltype_alt" ->
+      """SELECT t, cnt FROM (
+           SELECT 'IN_NATION' AS t, count(*) AS cnt FROM customer
+           UNION ALL SELECT 'PLACED' AS t, count(*) AS cnt FROM orders)
+         ORDER BY t""",
     "q_str_unwind" ->
       """SELECT CAST(x AS BIGINT) AS x, CAST(x * x AS BIGINT) AS sq
          FROM (SELECT unnest([1, 2, 3, 4, 5]) AS x) ORDER BY x""",

@@ -282,7 +282,13 @@ object CypherParser {
       var isVar = false
       if (tryTok("[")) {
         if (cur.kind == TIdent) name = Some(ident())
-        relType = if (tryTok(":")) Some(ident()) else None
+        // `:A|B` or `:A|:B` alternation, pipe-joined (see PatternParser)
+        relType = if (tryTok(":")) {
+          val types = Vector.newBuilder[String]
+          types += ident()
+          while (tryTok("|")) { tryTok(":"); types += ident() }
+          Some(types.result().mkString("|"))
+        } else None
         if (tryTok("*")) {
           isVar = true
           if (cur.kind == TInt) {
@@ -302,7 +308,8 @@ object CypherParser {
       expect("-")
       val rightArrow = tryTok(">")
       val dir: Dir =
-        if (leftArrow && rightArrow) fail("relationship cannot point both ways")
+        // `<-->` matches either direction (reference parity)
+        if (leftArrow && rightArrow) Undirected
         else if (leftArrow) In
         else if (rightArrow) Out
         else Undirected

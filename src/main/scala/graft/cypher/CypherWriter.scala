@@ -181,6 +181,8 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
       val (sv, dv) = if (r.dir == Out) (p.nodes(i), p.nodes(i + 1))
                      else (p.nodes(i + 1), p.nodes(i))
       val relType = r.relType.getOrElse(sys.error("CREATE edge needs a type"))
+      if (relType.contains("|"))
+        sys.error(s"CREATE cannot use a type alternation: [:$relType]")
       def endpoint(n: NodePat): (String, Column, Boolean) =
         if (boundVars(n.name)) {
           val label = ctx.get.labels.getOrElse(n.name,

@@ -395,7 +395,7 @@ final class PatternMatcher(g: PropertyGraph, varLengthCap: Int = 10) {
   private def relUniquenessFilters(paths: Vector[PathPat], df: DataFrame): DataFrame = {
     val rels = paths.flatMap(_.rels)
     def possibleTypes(r: RelPat): Set[String] = r.relType match {
-      case Some(t) => Set(t)
+      case Some(t) => t.split('|').toSet
       case None => g.edges.keys.map(_.relType).toSet
     }
     var out = df

@@ -158,7 +158,14 @@ object PatternParser {
       var isVar = false
       if (tryEat('[')) {
         name = tryIdent()
-        relType = if (tryEat(':')) Some(ident()) else None
+        // `:A|B` or `:A|:B` — alternation kept as one pipe-joined string,
+        // expanded by PropertyGraph.edgeTypesFor
+        relType = if (tryEat(':')) {
+          val types = Vector.newBuilder[String]
+          types += ident()
+          while (tryEat('|')) { tryEat(':'); types += ident() }
+          Some(types.result().mkString("|"))
+        } else None
         if (tryEat('*')) {
           isVar = true
           ws()
@@ -181,7 +188,9 @@ object PatternParser {
       eat('-')
       val rightArrow = tryEat('>')
       val dir =
-        if (leftArrow && rightArrow) fail("relationship cannot point both ways")
+        // `<-->` matches either direction (reference parity: bidirectional
+        // patterns in cypherqueries.test.ts)
+        if (leftArrow && rightArrow) Undirected
         else if (leftArrow) In
         else if (rightArrow) Out
         else Undirected

@@ -164,10 +164,14 @@ final class PropertyGraph private (
     * endpoint labels (used by the pattern compiler for label inference —
     * unlabeled Cypher nodes match every consistent label).
     */
+  /** `relType` may carry a `|` alternation (`"A|B"`, from `[:A|B]`
+    * patterns — reference analog: parser.ts pipe-separated edge types):
+    * an edge class matches when its type is any alternative.
+    */
   def edgeTypesFor(relType: Option[String], srcLabel: Option[String],
       dstLabel: Option[String]): Seq[EdgeType] =
     edgeClasses.filter { et =>
-      relType.forall(_ == et.relType) &&
+      relType.forall(_.split('|').contains(et.relType)) &&
       srcLabel.forall(_ == et.srcLabel) &&
       dstLabel.forall(_ == et.dstLabel)
     }

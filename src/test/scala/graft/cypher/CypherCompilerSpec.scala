@@ -28,6 +28,28 @@ class CypherCompilerSpec extends SparkSpec {
     assert(rowsOf(got) == rowsOf(want))
   }
 
+  test("relationship type alternation [:A|B] unions the edge classes") {
+    val got = graph.cypher(
+      """MATCH (c:Customer)-[r:PLACED|IN_NATION]->(x)
+         RETURN type(r) AS t, count(*) AS cnt ORDER BY t""")
+    val placed = raw("orders").count()
+    val inNation = raw("customer").count()
+    assert(rowsOf(got) == Seq(Seq("IN_NATION", inNation), Seq("PLACED", placed)))
+    // [:A|:B] spelling is equivalent
+    val alt = graph.cypher(
+      """MATCH (c:Customer)-[r:PLACED|:IN_NATION]->(x) RETURN count(*) AS c""")
+    assert(rowsOf(alt) == Seq(Seq(placed + inNation)))
+  }
+
+  test("<--> matches either direction") {
+    val undirected = graph.cypher(
+      "MATCH (n:Nation)-[:IN_REGION]-(r:Region) RETURN count(*) AS c")
+    val bidi = graph.cypher(
+      "MATCH (n:Nation)<-[:IN_REGION]->(r:Region) RETURN count(*) AS c")
+    assert(rowsOf(bidi) == rowsOf(undirected))
+    assert(rowsOf(bidi) == Seq(Seq(25L)))
+  }
+
   test("STARTS WITH / ENDS WITH / CONTAINS") {
     val got = graph.cypher(
       """MATCH (n:Nation) WHERE n.n_name STARTS WITH 'A' OR n.n_name ENDS WITH 'CE'
