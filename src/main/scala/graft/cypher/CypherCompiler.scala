@@ -35,6 +35,10 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
     params: Map[String, Any] = Map.empty) {
   import CypherCompiler.Ctx
 
+  // any compile path (including CypherWriter's embedded use) may emit
+  // graft_* session functions
+  graft.functions.VectorExprs.register(spark)
+
   /** path var -> (node vars, rel patterns) bound by MATCH p = ... */
   private var pathBindings =
     Map.empty[String, (Seq[String], Seq[graft.graph.PatternParser.RelPat])]
@@ -51,7 +55,6 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
   def run(query: String): DataFrame = compileQuery(CypherParser.parse(query))
 
   def compileQuery(q: Query): DataFrame = {
-    graft.functions.VectorExprs.register(spark) // graft_plus et al.
     val parts = q.parts.map(compileSingle)
     if (parts.size == 1) parts.head
     else {

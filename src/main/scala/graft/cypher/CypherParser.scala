@@ -149,7 +149,10 @@ object CypherParser {
     private def setItems(): Seq[(Expr, Expr)] = {
       val items = Vector.newBuilder[(Expr, Expr)]
       def one(): Unit = {
-        val v = ident()
+        // `(n).prop` parenthesized target, reference parity
+        val v =
+          if (tryTok("(")) { val n = ident(); expect(")"); n }
+          else ident()
         if (tryTok("+=")) items += (Var(v): Expr) -> expr() // map merge
         else {
           expect(".")
@@ -163,9 +166,11 @@ object CypherParser {
       items.result()
     }
 
-    /** `v.prop` target of SET/REMOVE. */
+    /** `v.prop` (or `(v).prop`, reference parity) target of SET/REMOVE. */
     private def postfixVar(): Expr = {
-      val v = ident()
+      val v =
+        if (tryTok("(")) { val n = ident(); expect(")"); n }
+        else ident()
       expect(".")
       Prop(Var(v), ident())
     }

@@ -124,6 +124,14 @@ class GraphWriteSpec extends SparkSpec {
     assert(err.getMessage.contains("DETACH"))
   }
 
+  test("cypherWrite: SET with parenthesized target (n).prop") {
+    val g = tinyGraph()
+    val (g2, _) = g.cypherWrite(
+      "MATCH (p:Person) WHERE p.name = 'ann' SET (p).age = 99")
+    assert(g2.nodeFrame("Person").filter(col("name") === "ann")
+      .select("age").head().getLong(0) == 99L)
+  }
+
   test("cypherWrite: SET += map merge") {
     val g = tinyGraph()
     val (g2, _) = g.cypherWrite(
