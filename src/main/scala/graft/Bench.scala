@@ -60,6 +60,7 @@ object Bench {
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
+        System.err.println(s"[bench] running $name")
         resetSessionState()
         val ts = scala.collection.mutable.ArrayBuffer[Double]()
         var failed = false

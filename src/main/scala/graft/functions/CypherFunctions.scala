@@ -110,8 +110,12 @@ object CypherFunctions {
       case "ceil" | "ceiling" => ceil(a0).cast(DoubleType)
       case "floor" => floor(a0).cast(DoubleType)
       case "round" =>
+        // single-arg round follows the reference (executor.ts ROUND →
+        // JS Math.round): half rounds toward +inf, so round(-2.5) = -2
+        // (Spark's round is half-away-from-zero: -3). 2-arg round is a
+        // graft extension, Spark semantics.
         if (args.size >= 2) round(a0, argLit(1).map(_.toString.toInt).getOrElse(0))
-        else round(a0)
+        else floor(a0 + lit(0.5)).cast(DoubleType)
       case "sqrt" => sqrt(a0)
       case "sign" => signum(a0).cast(LongType)
       case "exp" => exp(a0)

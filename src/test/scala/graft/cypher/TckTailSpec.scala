@@ -380,4 +380,77 @@ class TckTailSpec extends SparkSpec {
     assert(scalar("'n=' + toString(1 + 2)") == "n=3")
     assert(scalar("toString(1.5) + ''") == "1.5")
   }
+
+  // ---- numeric function semantics (TCK: expressions/mathematical) ----
+
+  test("round follows reference Math.round: half toward +inf") {
+    assert(scalar("round(2.5)") == 3.0)
+    assert(scalar("round(-2.5)") == -2.0) // NOT -3 (away-from-zero)
+    assert(scalar("round(2.4)") == 2.0)
+    assert(scalar("round(-2.6)") == -3.0)
+    assert(scalar("ceil(2.1)") == 3.0)
+    assert(scalar("floor(-2.1)") == -3.0)
+    assert(scalar("sign(-5)") == -1L)
+    assert(scalar("abs(-2.5)") == 2.5)
+    assert(scalar("round(null)") == null)
+  }
+
+  // ---- MATCH clause tail (TCK: clauses/match) ----
+
+  test("comma-separated patterns without shared vars are a cartesian product") {
+    val q = "MATCH (r:Region), (n:Nation) RETURN count(*) AS c"
+    assert(col(q) == Seq(125L))
+  }
+
+  test("comma-separated patterns with a shared var join on it") {
+    // rel uniqueness applies across patterns WITHIN one MATCH: the two
+    // anonymous rels cannot bind the same edge, so n <> m (5 x 5x4)
+    val q = """MATCH (n:Nation)-[:IN_REGION]->(r:Region),
+              |      (m:Nation)-[:IN_REGION]->(r)
+              |RETURN count(*) AS c""".stripMargin
+    assert(col(q) == Seq(100L))
+    // separate MATCH clauses each get their own uniqueness scope: n = m
+    // rows come back (5 x 5x5)
+    val q2 = """MATCH (n:Nation)-[:IN_REGION]->(r:Region)
+               |MATCH (m:Nation)-[:IN_REGION]->(r)
+               |RETURN count(*) AS c""".stripMargin
+    assert(col(q2) == Seq(125L))
+  }
+
+  test("relationship uniqueness (trail semantics) within one pattern") {
+    // r1 and r2 must bind DIFFERENT edges, so a <> b always
+    val q = """MATCH (a:Nation)-[r1:IN_REGION]->(x:Region)<-[r2:IN_REGION]-(b:Nation)
+              |RETURN count(*) AS c""".stripMargin
+    assert(col(q) == Seq(100L)) // 5 regions x 5x4 ordered distinct pairs
+  }
+
+  test("aggregation over zero matches returns a single row") {
+    val q = """MATCH (n:Nation) WHERE n.n_nationkey < 0
+              |RETURN count(*) AS c, count(n) AS cn, sum(n.n_nationkey) AS s""".stripMargin
+    val r = graph.cypher(q).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == 0L && r(0).getLong(1) == 0L)
+    assert(r(0).get(2) == 0L) // Cypher: sum of no values = 0
+  }
+
+  test("WITH narrows scope: unprojected variables are gone") {
+    intercept[Exception] {
+      graph.cypher(
+        "MATCH (n:Nation) WITH n.n_name AS x RETURN n.n_nationkey AS k").collect()
+    }
+  }
+
+  test("grouping treats null keys as one group") {
+    val q = """UNWIND [1, 1, null, null, 2] AS x
+              |RETURN x, count(*) AS c ORDER BY x""".stripMargin
+    val r = rows(q)
+    assert(r.length == 3)
+    assert(r.map(_(1)).toSet == Set(2L, 1L)) // (1->2), (2->1), (null->2)
+  }
+
+  test("DISTINCT on whole node variables") {
+    val q = """MATCH (n:Nation)-[:IN_REGION]->(:Region)
+              |RETURN DISTINCT n.n_regionkey AS rk ORDER BY rk""".stripMargin
+    assert(col(q) == Seq(0L, 1L, 2L, 3L, 4L))
+  }
 }
