@@ -177,4 +177,60 @@ class ScenarioSpec extends SparkSpec {
     assert(n.getLong(0) == 0L && n.getLong(1) == -42L &&
       math.abs(n.getDouble(2) - 3.14159) < 1e-9 && n.getLong(3) == 9999999999L)
   }
+
+  test("content management: articles, tags, authors (:238)") {
+    var g = empty
+    for ((nm, bio) <- Seq("Jane Writer" -> "Tech blogger", "John Coder" -> "Developer advocate"))
+      g = g.cypherWrite(
+        s"CREATE (a:Author {name: '$nm', bio: '$bio', verified: true})")._1
+    for (t <- Seq("javascript", "typescript", "tutorial"))
+      g = g.cypherWrite(s"CREATE (t:Tag {name: '$t', slug: '$t', postCount: 0})")._1
+    for ((ti, sl, st, v) <- Seq(
+        ("Getting Started with TypeScript", "getting-started-typescript", "published", 1500L),
+        ("Advanced JavaScript Patterns", "advanced-js-patterns", "published", 2300L),
+        ("Draft Article", "draft-article", "draft", 0L)))
+      g = g.cypherWrite(
+        s"CREATE (a:Article {title: '$ti', slug: '$sl', status: '$st', views: $v})")._1
+    for ((a, sl) <- Seq("Jane Writer" -> "getting-started-typescript",
+        "John Coder" -> "advanced-js-patterns", "Jane Writer" -> "draft-article"))
+      g = g.cypherWrite(
+        s"MATCH (a:Author {name: '$a'}), (ar:Article {slug: '$sl'}) CREATE (a)-[:WROTE]->(ar)")._1
+    assert(g.cypher(
+      "MATCH (a:Article) WHERE a.status = 'published' RETURN a.title").count() == 2)
+    assert(g.cypher(
+      """MATCH (author:Author {name: 'Jane Writer'})-[:WROTE]->(article:Article)
+         RETURN article.title""").count() == 2)
+    assert(g.cypher(
+      "MATCH (a:Article) WHERE a.views > 1000 RETURN a.title, a.views").count() == 2)
+    val cnt = g.cypher(
+      "MATCH (a:Article) WHERE a.status = 'published' RETURN COUNT(a)").collect()
+    assert(cnt(0).getLong(0) == 2L)
+  }
+
+  test("stress shapes: bulk create via UNWIND, complex WHERE, string ops (:304)") {
+    // the reference loops 50 single CREATEs; the batch-native form is one
+    // UNWIND CREATE (same rows, one plan)
+    val (g, _) = empty.cypherWrite(
+      """UNWIND range(0, 49) AS i
+         CREATE (p:Product {name: 'Product ' + toString(i), price: 10 + i * 5,
+                            stock: i % 10 * 10, active: i % 2 = 0})""")
+    assert(g.cypher("MATCH (p:Product) RETURN p.name").count() == 50)
+    val filtered = g.cypher(
+      """MATCH (p:Product)
+         WHERE p.price > 50 AND p.price < 200 AND p.stock > 30
+         RETURN p.name, p.price, p.stock LIMIT 10""").collect()
+    assert(filtered.length <= 10 && filtered.nonEmpty)
+    assert(filtered.forall(r => r.getLong(1) > 50 && r.getLong(1) < 200 && r.getLong(2) > 30))
+  }
+
+  test("conrad: CREATE full path with param in prop map (:373)") {
+    val (g, _) = empty.cypherWrite(
+      """CREATE (a:Man {name: $name})-[:IS_MARRIED_TO]->(b:Woman {name: "Maëva"})""",
+      Map("name" -> "Conrad"))
+    val conrad = g.cypher("MATCH (a:Man) RETURN a.name AS name").collect()
+    assert(conrad.length == 1 && conrad(0).getString(0) == "Conrad")
+    assert(g.cypher(
+      "MATCH (:Man)-[:IS_MARRIED_TO]->(w:Woman) RETURN w.name").collect()(0)
+      .getString(0) == "Maëva")
+  }
 }
