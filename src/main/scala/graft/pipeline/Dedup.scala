@@ -295,21 +295,33 @@ object Dedup {
   /** Scale path: random-hyperplane LSH candidates (Charikar '02), exact
     * cosine verify on candidates only. A pair at angle θ collides in one
     * table with p = (1 - θ/π)^planes; `tables` independent salted tables
-    * drive recall to 1-(1-p)^tables. Tune planes UP for higher
-    * thresholds (tighter buckets) — at threshold 0.45, 3 planes × 8
-    * tables ≈ 0.92 expected recall. Candidate generation is an equi-join
-    * on (table, bucket) — never all-pairs; dedup happens BEFORE the
-    * verify join (same discipline as [[minhashLsh]]).
+    * drive recall to 1-(1-p^planes)^tables. Candidate generation is an
+    * equi-join on (table, bucket) — never all-pairs; dedup happens BEFORE
+    * the verify join (same discipline as [[minhashLsh]]).
+    *
+    * `planes <= 0` (the default) AUTO-SIZES to ceil(log2(N/128)) so mean
+    * bucket occupancy stays ~128 regardless of corpus size — the r9 sf1
+    * rehearsal showed fixed planes go quadratic: at N=20k, 3 planes
+    * produced brute-force-sized candidate sets but with LSH's extra
+    * shuffles on top (228s vs 31s brute). The recall trade is threshold-
+    * dependent: per-table collision p^planes falls with planes, so
+    * hyperplane LSH pays off for HIGH thresholds (t >= 0.9: p >= 0.93)
+    * where many planes still collide true pairs; at moderate thresholds
+    * prefer [[embedDupsExact]] or an IVF-style index (see
+    * [[Ann.ivfTopK]]).
     */
   def embedDupsLsh(emb: DataFrame, threshold: Double = 0.45,
-      planes: Int = 3, tables: Int = 8,
+      planes: Int = 0, tables: Int = 8,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
     graft.functions.VectorExprs.register(emb.sparkSession)
     val base = embedBase(emb, id, vec)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPlanes =
+      if (planes > 0) planes
+      else math.max(1, math.ceil(math.log(base.count() / 128.0) / math.log(2)).toInt)
     val tabbed = base
       .withColumn("tbl", explode(typedLit((0 until tables).toArray)))
-      .withColumn("bkt", Ann.hyperplaneKey(col("v"), planes, col("tbl")))
+      .withColumn("bkt", Ann.hyperplaneKey(col("v"), nPlanes, col("tbl")))
       .select(col("tbl"), col("bkt"), col("id"))
     val candidates = tabbed.select(col("tbl"), col("bkt"), col("id").as("a_id"))
       .join(tabbed.select(col("tbl"), col("bkt"), col("id").as("b_id")), Seq("tbl", "bkt"))
