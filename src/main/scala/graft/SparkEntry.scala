@@ -500,6 +500,13 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
     }),
 
+    "q_stream_sessionize" -> ((s, dir) => {
+      streaming.EventStreams
+        .sessionizeWindowStreamed(lenient(s), dir, glob = "events.parquet")
+        .withColumn("total_value", round(col("total_value"), 3))
+        .orderBy("user_id", "session_start")
+    }),
+
     "q_sessionize" -> ((s, dir) => {
       val ev = GraphLoader.table(lenient(s), dir, "events")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -934,6 +941,27 @@ object SparkEntry {
               event_type, count(*) AS cnt, round(sum(value), 3) AS total_value
          FROM events
          GROUP BY 1, 2, 3 ORDER BY window_start, event_type""",
+    // same sessionization oracle gates the batch twin and the
+    // session_window Structured Streaming run (see q_stream_window_agg)
+    "q_stream_sessionize" ->
+      """WITH w AS (
+           SELECT user_id, event_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         f AS (
+           SELECT *, CASE WHEN prev_ts IS NULL
+             OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_session
+           FROM w),
+         g AS (
+           SELECT *, sum(new_session) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS session_seq
+           FROM f)
+         SELECT user_id, epoch_us(min(ts)) AS session_start,
+                epoch_us(max(ts)) AS session_end,
+                count(*) AS n_events, round(sum(value), 3) AS total_value
+         FROM g GROUP BY user_id, session_seq
+         ORDER BY user_id, session_start""",
     "q_sessionize" ->
       """WITH w AS (
            SELECT user_id, event_id, ts, value,

@@ -39,7 +39,9 @@ object GraphLoader {
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType.typeName match {
       case "long" | "bigint" =>
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        // integer division — Column./(Long) is DOUBLE division, whose
+        // 53-bit mantissa rounds epoch-micros up by 1µs for 2024-era nanos
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw
     }
   }

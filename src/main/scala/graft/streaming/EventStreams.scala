@@ -167,6 +167,47 @@ object EventStreams {
     spark.table(queryName)
   }
 
+  /** Sessionization executed THROUGH Structured Streaming, built-in
+    * `session_window` flavor: file-stream ingest (availableNow) →
+    * session-window aggregation → complete-mode memory sink, drained
+    * fully so the result equals [[sessionizeBatch]] and the same DuckDB
+    * oracle gates both. (The custom-state flavor, [[sessionizeStream]],
+    * stays append-mode + timeout and is spec'd with MemoryStream.)
+    *
+    * Boundary parity: the batch twin compares SECOND-TRUNCATED epochs
+    * and merges on `diff <= gap`. Spark's session merge is ALSO
+    * inclusive (an event starting exactly at the previous session's end
+    * joins it — verified empirically on an 1801s-apart pair), so running
+    * the window over `date_trunc('second', ts)` with the same gap makes
+    * the grouping identical; the emitted bounds aggregate the raw µs
+    * timestamps, so output values match the batch twin exactly.
+    */
+  def sessionizeWindowStreamed(spark: SparkSession, eventsDir: String,
+      glob: String = "events.parquet", gapMinutes: Int = 30,
+      queryName: String = "q_stream_sessionize"): DataFrame = {
+    val raw = spark.readStream.schema(rawEventSchema)
+      .option("pathGlobFilter", glob)
+      .parquet(eventsDir)
+    val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("tss", date_trunc("second", col("ts")))
+    val query = ev
+      .groupBy(session_window(col("tss"), s"${gapMinutes * 60} seconds"),
+        col("user_id"))
+      .agg(min("ts").as("min_ts"), max("ts").as("max_ts"),
+        count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(queryName).select(
+      col("user_id"),
+      unix_micros(col("min_ts")).as("session_start"),
+      unix_micros(col("max_ts")).as("session_end"),
+      col("n_events"),
+      col("total_value"))
+  }
+
   /** Micro-batch streaming graph updates: append each batch's
     * (user)-[:TRIGGERED]->(event) edges to a parquet edge dir that
     * [[graft.graph.PropertyGraph]] snapshot loading can pick up

@@ -76,6 +76,20 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("win_counts").schema.fieldNames.contains("event_type"))
   }
 
+  test("sessionizeWindowStreamed equals sessionizeBatch on the full table") {
+    val ev = graft.graph.GraphLoader.eventsTable(spark, sfDir)
+    val batch = sessionizeBatch(ev, gapMinutes = 30)
+      .select(col("user_id"),
+        org.apache.spark.sql.functions.unix_micros(col("session_start")).as("session_start"),
+        org.apache.spark.sql.functions.unix_micros(col("session_end")).as("session_end"),
+        col("n_events"), org.apache.spark.sql.functions.round(col("total_value"), 3).as("tv"))
+    val streamed = sessionizeWindowStreamed(spark, sfDir, glob = "events.parquet",
+        queryName = "sess_win_spec")
+      .withColumn("tv", org.apache.spark.sql.functions.round(col("total_value"), 3))
+      .drop("total_value")
+    assert(sortedRowsOf(streamed.select(batch.columns.map(col): _*)) == sortedRowsOf(batch))
+  }
+
   test("streamingEdgeAppend writes TRIGGERED edges a graph can load") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-edges").toString
     val events = graft.graph.GraphLoader.eventsTable(spark, sfDir).limit(50)
