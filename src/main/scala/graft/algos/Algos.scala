@@ -223,9 +223,11 @@ object Algos {
         .groupBy("id")
         .agg(max_by(struct(col("cnt"), (-col("label")).as("neg")),
           struct(col("cnt"), (-col("label")).as("neg"))).getField("neg").as("nl"))
-        .select(col("id"), (-col("nl")).as("newLabel"))
-      val next = labels.join(best, Seq("id"), "left_outer")
-        .select(col("id"), coalesce(col("newLabel"), col("label")).as("label"))
+        .select(col("id"), (-col("nl")).as("label"))
+      // `sym` is symmetrized, so every node appears as a join target and
+      // `best` covers the whole node set — no join-back needed (isolated
+      // nodes can't exist in an edge-derived node set)
+      val next = best
       // checkpoint every 2nd round: lineage depth stays <= 2 join levels
       // while halving the eager write-out jobs (the per-round fixed cost)
       labels = if (i % 2 == 0 || i == iterations) materialize(next) else cache(next)
