@@ -923,6 +923,12 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
         slice(bc, (f + 1).cast(IntegerType),
           greatest(t - f, lit(0)).cast(IntegerType))
 
+      // TCK: comprehensions/quantifiers/reduce over a null list are null
+      // (a VOID literal can't feed the higher-order functions)
+      case Comprehension(_, Lit(null), _, _) => lit(null)
+      case Quantifier(_, _, Lit(null), _) => lit(null).cast(BooleanType)
+      case ReduceExpr(_, _, _, Lit(null), _) => lit(null)
+
       case Comprehension(v, listE, whereE, projE) =>
         val listC = go(listE)
         val afterWhere = whereE match {

@@ -453,4 +453,61 @@ class TckTailSpec extends SparkSpec {
               |RETURN DISTINCT n.n_regionkey AS rk ORDER BY rk""".stripMargin
     assert(col(q) == Seq(0L, 1L, 2L, 3L, 4L))
   }
+
+  // ---- batch 3: rel properties, null-propagating HOFs, ordering ----
+
+  test("properties()/keys()/exists() on a bound relationship") {
+    val q = """MATCH (:Order)-[r:CONTAINS]->(:Part)
+              |RETURN properties(r).l_quantity AS qty, 'l_quantity' IN keys(r) AS hasQ,
+              |       exists(r.l_quantity) AS e LIMIT 1""".stripMargin
+    val r = graph.cypher(q).collect()(0)
+    assert(!r.isNullAt(0) && r.getBoolean(1) && r.getBoolean(2))
+  }
+
+  test("comprehensions and quantifiers over a null list are null") {
+    assert(scalar("[x IN null | x]") == null)
+    assert(scalar("[x IN null WHERE x > 0]") == null)
+    assert(scalar("any(x IN null WHERE x > 0)") == null)
+    assert(scalar("all(x IN null WHERE x > 0)") == null)
+    assert(scalar("reduce(acc = 0, x IN null | acc + x)") == null)
+  }
+
+  test("quantifiers with null predicates follow three-valued logic") {
+    // all: false dominates null; any: true dominates null
+    assert(scalar("any(x IN [1, 2] WHERE x > 1)") == true)
+    assert(scalar("all(x IN [1, 2] WHERE null)") == null)
+    assert(scalar("any(x IN [1] WHERE null)") == null)
+    assert(scalar("all(x IN [1, 2] WHERE x > 1)") == false) // a false decides
+  }
+
+  test("string slicing functions edge cases") {
+    assert(scalar("substring('hello', 2)") == "llo")
+    assert(scalar("left('abc', null)") == null)
+    assert(scalar("right('abc', null)") == null)
+    assert(scalar("split('a', 'x')") == Seq("a"))
+    assert(scalar("toString(null)") == null)
+  }
+
+  test("indexing chains through lists of maps and ranges") {
+    assert(scalar("[{a: 1}, {a: 2}][1].a") == 2L)
+    assert(scalar("range(0, 10)[2..4]") == Seq(2L, 3L))
+    assert(scalar("range(0, 10)[-2]") == 9L)
+  }
+
+  test("ORDER BY an expression not in the projection") {
+    val q = """MATCH (n:Nation) WHERE n.n_nationkey < 5
+              |RETURN n.n_name AS name ORDER BY n.n_nationkey DESC""".stripMargin
+    val names = col(q)
+    val want = graph.cypher(
+      """MATCH (n:Nation) WHERE n.n_nationkey < 5
+        |RETURN n.n_name AS name, n.n_nationkey AS k ORDER BY k DESC""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(names == want)
+  }
+
+  test("count(DISTINCT expr) over graph entities") {
+    val q = """MATCH (c:Customer)-[:PLACED]->(:Order)
+              |RETURN count(DISTINCT c.c_mktsegment) AS segs""".stripMargin
+    assert(col(q) == Seq(5L))
+  }
 }
