@@ -154,7 +154,16 @@ object CypherParser {
           if (tryTok("(")) { val n = ident(); expect(")"); n }
           else ident()
         if (tryTok("+=")) items += (Var(v): Expr) -> expr() // map merge
-        else {
+        else if (tryTok(":")) {
+          // SET n:Label — unsupported under the single-label model; fail
+          // at parse with the divergence pointer instead of misparsing
+          sys.error("SET n:Label is unsupported: graft nodes carry ONE label " +
+            "(see SURVEY §6 single-label divergence); model secondary labels as properties")
+        } else if (tryTok("=")) {
+          // SET n = {map} — REPLACE all properties (reference: SET map
+          // assignment); marker Func consumed by CypherWriter.applySet
+          items += (Var(v): Expr) -> Func("__set_replace", Seq(expr()))
+        } else {
           expect(".")
           val target = Prop(Var(v), ident())
           expect("=")

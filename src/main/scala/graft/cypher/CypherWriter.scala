@@ -183,6 +183,8 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
       val relType = r.relType.getOrElse(sys.error("CREATE edge needs a type"))
       if (relType.contains("|"))
         sys.error(s"CREATE cannot use a type alternation: [:$relType]")
+      if (r.dir != Out && r.dir != graft.graph.PatternParser.In)
+        sys.error("CREATE requires a directed relationship") // reference parity
       def endpoint(n: NodePat): (String, Column, Boolean) =
         if (boundVars(n.name)) {
           val label = ctx.get.labels.getOrElse(n.name,
@@ -306,6 +308,8 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
     new CypherCompiler(g0, spark, params).compileExpr(spark.range(0).toDF(), rewritten)
   }
 
+  private val internalCols = Set(ID, EID, SRC, DST, "_label", "_hops", "_eids")
+
   private def applySet(g: PropertyGraph, ctx: Ctx,
       items: Seq[(Expr, Expr)],
       relClasses: Map[String, EdgeType] = Map.empty): PropertyGraph =
@@ -318,6 +322,30 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
         val eids = ctx.df.select(col(s"$v.$EID"))
         acc.setEdgePropsForIds(relClasses(v), eids,
           Map(key -> compileValueOverFrame(value, v)))
+      // SET r = {map} / SET n = {map} — replace ALL properties: every
+      // existing prop not in the map goes to null, map keys assign
+      // (reference: translator.ts SET map replacement; `SET n = {}`
+      // clears)
+      case (acc, (Var(v), Func("__set_replace", Seq(m), _))) =>
+        val kvs = m match {
+          case MapLit(items) => items
+          case other => sys.error(s"SET $v = expects a map literal, got $other")
+        }
+        val newProps = kvs.map { case (k, e) => k -> compileValueOverFrame(e, v) }.toMap
+        relClasses.get(v) match {
+          case Some(et) =>
+            val eids = ctx.df.select(col(s"$v.$EID"))
+            val existing = acc.edgeFrame(et).columns.filterNot(internalCols).toSeq
+            acc.setEdgePropsForIds(et, eids,
+              existing.map(k => k -> lit(null)).toMap ++ newProps)
+          case None =>
+            val label = ctx.labels.getOrElse(v,
+              sys.error(s"SET target $v has no statically-known label"))
+            val ids = ctx.df.select(col(s"$v.$ID"))
+            val existing = acc.nodeFrame(label).columns.filterNot(internalCols).toSeq
+            acc.setNodePropsForIds(label, ids,
+              existing.map(k => k -> lit(null)).toMap ++ newProps)
+        }
       // SET r += {k: v, ...}
       case (acc, (Var(v), MapLit(kvs))) if relClasses.contains(v) =>
         val eids = ctx.df.select(col(s"$v.$EID"))

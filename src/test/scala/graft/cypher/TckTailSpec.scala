@@ -505,6 +505,15 @@ class TckTailSpec extends SparkSpec {
     assert(names == want)
   }
 
+  test("WITH * passes all variables through (plus additional items)") {
+    val q = """MATCH (n:Nation)-[:IN_REGION]->(r:Region)
+              |WITH * RETURN count(*) AS c""".stripMargin
+    assert(col(q) == Seq(25L))
+    val q2 = """MATCH (n:Nation) WITH *, n.n_name AS nm
+               |WHERE nm STARTS WITH 'NATION_2' RETURN n.n_nationkey AS k, nm ORDER BY k""".stripMargin
+    assert(rows(q2).length == 6) // NATION_2, NATION_20..24
+  }
+
   test("count(DISTINCT expr) over graph entities") {
     val q = """MATCH (c:Customer)-[:PLACED]->(:Order)
               |RETURN count(DISTINCT c.c_mktsegment) AS segs""".stripMargin

@@ -132,6 +132,34 @@ class GraphWriteSpec extends SparkSpec {
       .select("age").head().getLong(0) == 99L)
   }
 
+  test("cypherWrite: SET n = {map} replaces all properties; = {} clears") {
+    val g = tinyGraph()
+    val (g2, _) = g.cypherWrite(
+      "MATCH (p:Person {name: 'ann'}) SET p = {name: 'ann', city: 'Oslo'}")
+    val row = g2.nodeFrame("Person").filter(col("name") === "ann").head()
+    assert(row.getAs[String]("city") == "Oslo")
+    assert(row.isNullAt(row.fieldIndex("age"))) // replaced, not merged
+    // untouched rows keep their props
+    assert(!g2.nodeFrame("Person").filter(col("name") === "bob")
+      .head().isNullAt(g2.nodeFrame("Person").columns.indexOf("age")))
+    val (g3, _) = g2.cypherWrite("MATCH (p:Person {name: 'ann'}) SET p = {}")
+    val cleared = g3.nodeFrame("Person").filter(col("_id") === row.getAs[Long]("_id"))
+    assert(cleared.head().isNullAt(cleared.columns.indexOf("name")))
+  }
+
+  test("cypherWrite: undirected CREATE rel and SET n:Label are rejected") {
+    val g = tinyGraph()
+    val e1 = intercept[RuntimeException] {
+      g.cypherWrite(
+        "MATCH (a:Person {name: 'ann'}), (b:Person {name: 'bob'}) CREATE (a)-[:KNOWS]-(b)")
+    }
+    assert(e1.getMessage.contains("directed"))
+    val e2 = intercept[RuntimeException] {
+      g.cypherWrite("MATCH (p:Person {name: 'ann'}) SET p:Admin")
+    }
+    assert(e2.getMessage.contains("single-label"))
+  }
+
   test("cypherWrite: SET += map merge") {
     val g = tinyGraph()
     val (g2, _) = g.cypherWrite(
