@@ -382,6 +382,12 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
         base.columns.filterNot(_.startsWith("__")).toSeq.map(c => Item(Var(c), None, c))
       case it => Seq(it)
     }
+    // openCypher rejects duplicate output names, explicit or implicit
+    // (reference: translator duplicate-alias validation)
+    val dups = items.groupBy(_.name).collect { case (n, is) if is.size > 1 => n }
+    if (dups.nonEmpty) sys.error(
+      s"duplicate column name(s) in RETURN/WITH: ${dups.mkString(", ")}")
+
     val hasAgg = items.exists(it => CypherParser.containsAgg(it.expr))
 
     var projected: DataFrame = null

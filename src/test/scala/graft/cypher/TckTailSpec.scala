@@ -514,6 +514,19 @@ class TckTailSpec extends SparkSpec {
     assert(rows(q2).length == 6) // NATION_2, NATION_20..24
   }
 
+  test("duplicate projection names are rejected; no-arg temporal constructors work") {
+    intercept[Exception] { graph.cypher("RETURN 1 AS x, 2 AS x").collect() }
+    intercept[Exception] {
+      graph.cypher("MATCH (n:Nation) RETURN n.n_name, n.n_name").collect()
+    }
+    // same alias in DIFFERENT clauses is fine
+    assert(col("UNWIND [1] AS i WITH i AS x WITH x AS x RETURN x") == Seq(1L))
+    // current date/time constructors return sane values
+    val r = graph.cypher(
+      "RETURN date() AS d, timestamp() AS ms").collect()(0)
+    assert(!r.isNullAt(0) && r.getLong(1) > 1600000000000L)
+  }
+
   test("count(DISTINCT expr) over graph entities") {
     val q = """MATCH (c:Customer)-[:PLACED]->(:Order)
               |RETURN count(DISTINCT c.c_mktsegment) AS segs""".stripMargin
