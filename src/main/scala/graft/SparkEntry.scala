@@ -273,6 +273,34 @@ object SparkEntry {
            ORDER BY lname""")
     }),
 
+    // parameterized query: scalar + list params flow through WHERE
+    "q_str_params" -> ((s, dir) => {
+      g(s, dir).cypher(
+        """MATCH (c:Customer)-[:IN_NATION]->(n:Nation)
+           WHERE c.c_acctbal > $min AND n.n_name IN $nations
+           RETURN n.n_name AS n_name, count(*) AS cnt ORDER BY n_name""",
+        Map("min" -> 5000.0,
+            "nations" -> Seq("NATION_1", "NATION_7", "NATION_19")))
+    }),
+
+    // map projection (computed entry) → struct, then field access on the
+    // projected struct after WITH
+    "q_str_mapproj" -> ((s, dir) => {
+      g(s, dir).cypher(
+        """MATCH (n:Nation)
+           WITH n{.n_name, rk: n.n_regionkey * 10} AS m
+           RETURN m.n_name AS n_name, m.rk AS rk ORDER BY n_name""")
+    }),
+
+    // named path: full entity structs from nodes(p), hop count length(p)
+    "q_str_namedpath" -> ((s, dir) => {
+      g(s, dir).cypher(
+        """MATCH p = (n:Nation)-[:IN_REGION]->(r:Region)
+           RETURN nodes(p)[0].n_name AS n_name, nodes(p)[1].r_name AS r_name,
+                  length(p) AS len, size(relationships(p)) AS n_rels
+           ORDER BY n_name""")
+    }),
+
     // ================================================================
     // Cypher WRITE clauses under the gate (reference benchmark category
     // E, benchmark/src/queries.ts:120-148): each entry applies the write
@@ -332,6 +360,26 @@ object SparkEntry {
       g2.cypher(
         """MATCH (c:Customer)-[:PLACED]->(o:Order)
            RETURN c.c_mktsegment AS seg, count(*) AS cnt ORDER BY seg""")
+    }),
+
+    // REMOVE n.prop nulls the property on matched rows only
+    "q_write_remove" -> ((s, dir) => {
+      val (g2, _) = g(s, dir).cypherWrite(
+        "MATCH (c:Customer) WHERE c.c_acctbal < 0 REMOVE c.c_mktsegment")
+      g2.cypher(
+        """MATCH (c:Customer)
+           RETURN c.c_custkey AS c_custkey, c.c_mktsegment IS NULL AS seg_removed
+           ORDER BY c_custkey""")
+    }),
+
+    // SET n += map merges literal and self-referencing expression values
+    "q_write_set_map" -> ((s, dir) => {
+      val (g2, _) = g(s, dir).cypherWrite(
+        """MATCH (n:Nation) WHERE n.n_regionkey = 2
+           SET n += {audited: true, score: n.n_nationkey * 2}""")
+      g2.cypher(
+        """MATCH (n:Nation) WHERE n.audited
+           RETURN n.n_name AS n_name, n.score AS score ORDER BY n_name""")
     }),
 
     // ================================================================
@@ -453,6 +501,12 @@ object SparkEntry {
            RETURN r.r_name AS r_name, count(*) AS n_nations ORDER BY r_name""")
     }),
 
+    // whole-catalog report (CLI `info` analog): one row per node label
+    // and edge class with its row count — forces every frame
+    "q_catalog" -> ((s, dir) =>
+      sources.Tables.catalogReport(g(s, dir), lenient(s))
+        .select("kind", "name", "rows")),
+
     // ================================================================
     // Streaming tier under the gate: batch sessionization — the
     // deterministic batch twin of the flatMapGroupsWithState stream
@@ -505,6 +559,19 @@ object SparkEntry {
         .sessionizeWindowStreamed(lenient(s), dir, glob = "events.parquet")
         .withColumn("total_value", round(col("total_value"), 3))
         .orderBy("user_id", "session_start")
+    }),
+
+    // streaming graph updates: foreachBatch appends TRIGGERED edges to a
+    // parquet edge dir; the appended frame aggregates to the same counts
+    // as the source events (exactly-once per epoch)
+    "q_stream_graph_update" -> ((s, dir) => {
+      streaming.EventStreams.edgeAppendRun(lenient(s), dir,
+          edgeDir = "/tmp/graft_gate_stream_edges",
+          checkpointDir = "/tmp/graft_gate_stream_ckpt")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col(graph.PropertyGraph.EID)).as("n_edges"))
+        .orderBy("event_type")
     }),
 
     "q_sessionize" -> ((s, dir) => {
@@ -795,6 +862,54 @@ object SparkEntry {
       """SELECT c_mktsegment AS seg, count(*) AS cnt
          FROM customer JOIN orders ON o_custkey = c_custkey
          WHERE c_acctbal >= 0 GROUP BY c_mktsegment ORDER BY seg""",
+    "q_str_params" ->
+      """SELECT n_name, count(*) AS cnt
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         WHERE c_acctbal > 5000 AND n_name IN ('NATION_1','NATION_7','NATION_19')
+         GROUP BY n_name ORDER BY n_name""",
+    "q_str_mapproj" ->
+      """SELECT n_name, CAST(n_regionkey * 10 AS BIGINT) AS rk
+         FROM nation ORDER BY n_name""",
+    "q_str_namedpath" ->
+      """SELECT n_name, r_name, CAST(1 AS BIGINT) AS len,
+         CAST(1 AS INTEGER) AS n_rels
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         ORDER BY n_name""",
+    "q_write_remove" ->
+      """SELECT c_custkey, c_acctbal < 0 AS seg_removed
+         FROM customer ORDER BY c_custkey""",
+    "q_write_set_map" ->
+      """SELECT n_name, CAST(n_nationkey * 2 AS BIGINT) AS score
+         FROM nation WHERE n_regionkey = 2 ORDER BY n_name""",
+    "q_catalog" ->
+      """WITH related AS (
+           SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+         SELECT kind, name, "rows" FROM (
+           SELECT 'node' AS kind, 'Customer' AS name, (SELECT count(*) FROM customer) AS "rows"
+           UNION ALL SELECT 'node', 'Document', (SELECT count(*) FROM documents)
+           UNION ALL SELECT 'node', 'Embedding', (SELECT count(*) FROM embeddings)
+           UNION ALL SELECT 'node', 'Event', (SELECT count(*) FROM events)
+           UNION ALL SELECT 'node', 'Nation', (SELECT count(*) FROM nation)
+           UNION ALL SELECT 'node', 'Order', (SELECT count(*) FROM orders)
+           UNION ALL SELECT 'node', 'Part', (SELECT count(*) FROM part)
+           UNION ALL SELECT 'node', 'Region', (SELECT count(*) FROM region)
+           UNION ALL SELECT 'node', 'Supplier', (SELECT count(*) FROM supplier)
+           UNION ALL SELECT 'node', 'User', (SELECT count(DISTINCT user_id) FROM events)
+           UNION ALL SELECT 'edge', 'CONTAINS(Order->Part)', (SELECT count(*) FROM lineitem)
+           UNION ALL SELECT 'edge', 'IN_NATION(Customer->Nation)', (SELECT count(*) FROM customer)
+           UNION ALL SELECT 'edge', 'IN_NATION(Supplier->Nation)', (SELECT count(*) FROM supplier)
+           UNION ALL SELECT 'edge', 'IN_REGION(Nation->Region)', (SELECT count(*) FROM nation)
+           UNION ALL SELECT 'edge', 'PLACED(Customer->Order)', (SELECT count(*) FROM orders)
+           UNION ALL SELECT 'edge', 'RELATED_TO(Part->Part)', (SELECT count(*) FROM related)
+           UNION ALL SELECT 'edge', 'SUPPLIES(Supplier->Part)',
+             (SELECT count(*) FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem))
+           UNION ALL SELECT 'edge', 'TRIGGERED(User->Event)', (SELECT count(*) FROM events))
+         ORDER BY kind, name""",
+    "q_stream_graph_update" ->
+      """SELECT event_type, count(*) AS cnt, count(*) AS n_edges
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q_tokens" ->
       """SELECT doc_id,
          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens_ws,

@@ -208,6 +208,26 @@ object EventStreams {
       col("total_value"))
   }
 
+  /** End-to-end streaming-graph-update cycle for the correctness gate:
+    * file-stream ingest of the events parquet (availableNow) →
+    * [[streamingEdgeAppend]] foreachBatch writes of TRIGGERED edges →
+    * read the appended edge frame back. Edge and checkpoint dirs are
+    * wiped first so every invocation replays the full bounded input
+    * (append mode + a surviving checkpoint would otherwise skip it).
+    */
+  def edgeAppendRun(spark: SparkSession, eventsDir: String,
+      edgeDir: String, checkpointDir: String,
+      glob: String = "events.parquet"): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    Seq(edgeDir, checkpointDir).foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(d), true))
+    val ev = spark.readStream.schema(rawEventSchema)
+      .option("pathGlobFilter", glob)
+      .parquet(eventsDir)
+    streamingEdgeAppend(ev, edgeDir, checkpointDir).awaitTermination()
+    spark.read.parquet(edgeDir)
+  }
+
   /** Micro-batch streaming graph updates: append each batch's
     * (user)-[:TRIGGERED]->(event) edges to a parquet edge dir that
     * [[graft.graph.PropertyGraph]] snapshot loading can pick up
