@@ -903,6 +903,28 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
         }
         otherwise.map(o => chained.otherwise(go(o))).getOrElse(chained)
 
+      // Peephole: nodes(p)[k] / relationships(p)[k] with a literal index
+      // on a fixed-length in-scope path reads the k-th entity struct
+      // column directly — no per-row array materialization, and it dodges
+      // a Spark whole-stage-codegen defect (janino "not an rvalue") in
+      // the CreateArray(structs) → GetArrayItem → GetStructField chain
+      // that otherwise drops the projection to interpreter mode. Field
+      // access on the bare struct equals access on the padded array
+      // element: a field the entity lacks resolves to null either way
+      // (see the StructType case under Index below).
+      case Index(Func(fn0, Seq(Var(p)), _), Lit(i: Long))
+          if pathBindings.contains(p) &&
+             Set("nodes", "relationships")(fn0.toLowerCase) &&
+             !pathBindings(p)._2.exists(_.isVarLength) && {
+               val (nv, rl) = pathBindings(p)
+               val vars = if (fn0.toLowerCase == "nodes") nv else rl.map(_.name)
+               vars.forall(df.columns.contains)
+             } =>
+        val (nv, rl) = pathBindings(p)
+        val vars = if (fn0.toLowerCase == "nodes") nv else rl.map(_.name)
+        val k = if (i >= 0) i.toInt else vars.size + i.toInt
+        if (k >= 0 && k < vars.size) col(vars(k)) else lit(null)
+
       case Index(b, idx) =>
         val bc = go(b)
         idx match {
