@@ -448,7 +448,10 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
           case e if frame.columns.contains(s.text) => qcol(s.text)
           case e => compileExpr(frame, e)
         }
-        if (s.asc) c.asc_nulls_last else c.desc_nulls_last
+        // Neo4j/openCypher: null is the LARGEST value — last under ASC,
+        // first under DESC (reference parity; Spark's default would put
+        // nulls first on ASC)
+        if (s.asc) c.asc_nulls_last else c.desc_nulls_first
       }
       out = frame.orderBy(sortCols: _*)
     }

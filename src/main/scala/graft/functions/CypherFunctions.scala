@@ -140,8 +140,11 @@ object CypherFunctions {
         else when(a0 <= args(1), sequence(a0, args(1)))
           .otherwise(array().cast(ArrayType(LongType)))
       // ---- graph ----
+      // labels/properties/keys build a container AROUND the entity's
+      // fields, so a null entity (OPTIONAL MATCH miss) must null-guard —
+      // array(null-field) would otherwise yield [null], not null
       case "id" => a0.getField("_id")
-      case "labels" => array(a0.getField("_label"))
+      case "labels" => when(a0.isNotNull, array(a0.getField("_label")))
       case "type" => a0.getField("_label")
       case "startnode" => a0.getField("_src")
       case "endnode" => a0.getField("_dst")
@@ -149,14 +152,15 @@ object CypherFunctions {
         argType(0) match {
           case Some(st: StructType) =>
             val props = st.fields.filterNot(f => internalFields(f.name))
-            struct(props.toIndexedSeq.map(f => a0.getField(f.name).as(f.name)): _*)
+            when(a0.isNotNull,
+              struct(props.toIndexedSeq.map(f => a0.getField(f.name).as(f.name)): _*))
           case _ => a0
         }
       case "keys" =>
         argType(0) match {
           case Some(st: StructType) =>
             val props = st.fields.filterNot(f => internalFields(f.name)).map(_.name)
-            array(props.toIndexedSeq.map(lit): _*)
+            when(a0.isNotNull, array(props.toIndexedSeq.map(lit): _*))
           case Some(_: MapType) => map_keys(a0)
           case _ => map_keys(a0)
         }

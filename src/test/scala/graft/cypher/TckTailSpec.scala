@@ -532,4 +532,114 @@ class TckTailSpec extends SparkSpec {
               |RETURN count(DISTINCT c.c_mktsegment) AS segs""".stripMargin
     assert(col(q) == Seq(5L))
   }
+
+  // ---- Batch 4 (r9): ordering nulls, zero-length paths, null
+  // propagation, identifier quoting, arithmetic edges ----
+
+  test("ORDER BY: null sorts last ASC, first DESC (null is largest)") {
+    assert(col("UNWIND [3, null, 1] AS x RETURN x ORDER BY x") ==
+      Seq(1L, 3L, null))
+    assert(col("UNWIND [3, null, 1] AS x RETURN x ORDER BY x DESC") ==
+      Seq(null, 3L, 1L))
+  }
+
+  test("var-length *0..: zero-length path binds both vars to the start node") {
+    // *0..1 from Part 1: the zero-hop row has q = p itself
+    val q = """MATCH (p:Part {p_partkey: 1})-[:RELATED_TO*0..1]->(q:Part)
+              |RETURN q.p_partkey AS k ORDER BY k""".stripMargin
+    val ks = col(q)
+    assert(ks.contains(1L), "zero-length path must include the start node")
+    // *1..1 must NOT include it (unless a self-loop or cycle-back exists,
+    // which the canonical p1<p2 derivation precludes)
+    val strict = col(
+      """MATCH (p:Part {p_partkey: 1})-[:RELATED_TO*1..1]->(q:Part)
+        |RETURN q.p_partkey AS k ORDER BY k""".stripMargin)
+    assert(!strict.contains(1L))
+    assert(ks.toSet == strict.toSet + 1L)
+  }
+
+  test("OPTIONAL MATCH WHERE filters during matching, not after") {
+    // WHERE belongs to the OPTIONAL MATCH: non-qualifying regions keep
+    // their row with n null — a post-filter would drop them entirely
+    val q = """MATCH (r:Region)
+              |OPTIONAL MATCH (r)<-[:IN_REGION]-(n:Nation)
+              |WHERE n.n_nationkey < 2
+              |RETURN r.r_regionkey AS rk, n.n_nationkey AS nk
+              |ORDER BY rk, nk""".stripMargin
+    val rs = rows(q)
+    assert(rs.map(_.head).distinct.size == 5, "every region keeps >=1 row")
+    assert(rs.count(_(1) != null) == 2, "only nations 0 and 1 qualify")
+  }
+
+  test("null entity: property access, labels, id, type all null-propagate") {
+    val q = """MATCH (r:Region {r_regionkey: 0})
+              |OPTIONAL MATCH (r)<-[:IN_REGION]-(n:Nation {n_nationkey: -1})
+              |RETURN n.n_name AS p, id(n) AS i, labels(n) AS l""".stripMargin
+    val row = graph.cypher(q).collect()(0)
+    assert(row.isNullAt(0) && row.isNullAt(1) && row.isNullAt(2))
+  }
+
+  test("string predicates with null operands are null (row filtered)") {
+    assert(col("UNWIND ['a'] AS x RETURN x STARTS WITH null AS r") == Seq(null))
+    assert(col("UNWIND ['a'] AS x RETURN null CONTAINS x AS r") == Seq(null))
+    assert(col("WITH 'abc' AS s WHERE s STARTS WITH null RETURN s").isEmpty)
+  }
+
+  test("string functions null-propagate") {
+    assert(scalar("toUpper(null)") == null)
+    assert(scalar("replace('ab', null, 'x')") == null)
+    assert(scalar("split(null, ',')") == null)
+    assert(scalar("substring(null, 1)") == null)
+    assert(scalar("'a' + null") == null)
+  }
+
+  test("simple CASE with null subject matches no branch (falls to ELSE)") {
+    assert(scalar("CASE null WHEN null THEN 'hit' ELSE 'else' END") == "else")
+    assert(scalar("CASE null WHEN 1 THEN 'one' END") == null)
+  }
+
+  test("nested lists compare element-wise inside IN") {
+    assert(scalar("[1, 2] IN [[1, 2], [3]]") == true)
+    assert(scalar("[1] IN [[1, 2]]") == false)
+  }
+
+  test("size over strings, lists, and null") {
+    assert(scalar("size('hello')") == 5)
+    assert(scalar("size([1, 2, 3])") == 3)
+    assert(scalar("size(null)") == null)
+  }
+
+  test("coalesce returns the first non-null and tolerates all-null") {
+    assert(scalar("coalesce(null, 2, 3)") == 2L)
+    assert(scalar("coalesce(null, null)") == null)
+  }
+
+  test("backtick-quoted identifiers: aliases and property access") {
+    val r = graph.cypher("RETURN 1 AS `weird name`").collect()(0)
+    assert(r.schema.fieldNames.toSeq == Seq("weird name") && r.getLong(0) == 1L)
+    assert(col("MATCH (`n`:Nation {n_nationkey: 0}) RETURN `n`.`n_name` AS x")
+      .head != null)
+  }
+
+  test("modulo keeps the dividend sign; ^ always returns float") {
+    assert(scalar("-5 % 3") == -2L)
+    assert(scalar("5 % -3") == 2L)
+    assert(scalar("2 ^ -1") == 0.5)
+    assert(scalar("0 ^ 0") == 1.0)
+    assert(scalar("2 ^ 10") == 1024.0)
+  }
+
+  test("substring/left/right edge cases") {
+    assert(scalar("substring('hello', 10)") == "")
+    assert(scalar("left('hello', 99)") == "hello")
+    assert(scalar("right('hello', 2)") == "lo")
+    assert(scalar("split('a--b--c', '--')") == Seq("a", "b", "c"))
+  }
+
+  test("head/last/tail of the empty list") {
+    assert(scalar("head([])") == null)
+    assert(scalar("last([])") == null)
+    assert(scalar("tail([])") == Seq.empty)
+    assert(scalar("tail([1])") == Seq.empty)
+  }
 }
