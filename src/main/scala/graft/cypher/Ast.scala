@@ -69,7 +69,8 @@ object Ast {
   final case class WithClause(p: Projection) extends Clause
   final case class UnwindClause(list: Expr, alias: String) extends Clause
   /** CALL db.labels() YIELD label — catalog procedures only. */
-  final case class CallClause(procedure: String, yields: Seq[String]) extends Clause
+  final case class CallClause(procedure: String, yields: Seq[String],
+      where: Option[Expr] = None) extends Clause
   final case class ReturnClause(p: Projection) extends Clause
 
   // ---- write clauses (compiled by CypherWriter) ----

@@ -88,8 +88,8 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
         ctx = Some(applyMatch(ctx, paths, optional, where))
       case UnwindClause(list, alias) =>
         ctx = Some(applyUnwind(ctx, list, alias))
-      case CallClause(proc, yields) =>
-        ctx = Some(applyCall(ctx, proc, yields))
+      case CallClause(proc, yields, where) =>
+        ctx = Some(applyCall(ctx, proc, yields, where))
       case WithClause(p) =>
         ctx = Some(Ctx(applyProjection(ctx, p), keptLabels(ctx, p)))
       case ReturnClause(p) =>
@@ -269,8 +269,9 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
     }
   }
 
-  private[cypher] def applyCall(ctx: Option[Ctx], proc: String, yields: Seq[String]): Ctx = {
-    val df = proc.toLowerCase match {
+  private[cypher] def applyCall(ctx: Option[Ctx], proc: String, yields: Seq[String],
+      where: Option[Expr] = None): Ctx = {
+    val df0 = proc.toLowerCase match {
       case "db.labels" =>
         val out = g.labelsDF(spark)
         yields.headOption.map(y => out.withColumnRenamed("label", y)).getOrElse(out)
@@ -279,6 +280,8 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
         yields.headOption.map(y => out.withColumnRenamed("relationshipType", y)).getOrElse(out)
       case other => sys.error(s"Unknown procedure: $other")
     }
+    val df = where.map(w => df0.filter(compileExpr(df0, w).cast(BooleanType)))
+      .getOrElse(df0)
     ctx match {
       case Some(c) => Ctx(c.df.crossJoin(df), c.labels)
       case None => Ctx(df, Map.empty)

@@ -216,11 +216,14 @@ object CypherParser {
       while (tryTok(".")) { sb.append('.').append(ident()) }
       expect("("); expect(")")
       val yields = Vector.newBuilder[String]
+      var where: Option[Expr] = None
       if (tryTok("YIELD")) {
         yields += ident()
         while (tryTok(",")) yields += ident()
+        // CALL … YIELD col WHERE pred — filter on the yielded columns
+        if (tryTok("WHERE")) where = Some(expr())
       }
-      CallClause(sb.toString, yields.result())
+      CallClause(sb.toString, yields.result(), where)
     }
 
     private def projection(withWhere: Boolean): Projection = {

@@ -295,6 +295,16 @@ class CypherCompilerSpec extends SparkSpec {
     assert(rowsOf(types).map(_.head) == graph.relationshipTypes)
   }
 
+  test("CALL ... YIELD ... WHERE filters the yielded rows") {
+    // reference test shape: CALL db.labels() YIELD label WHERE label <> X
+    val got = graph.cypher(
+      "CALL db.labels() YIELD label WHERE label <> 'Customer' RETURN label ORDER BY label")
+    assert(rowsOf(got).map(_.head) == graph.labels.filterNot(_ == "Customer"))
+    val pre = graph.cypher(
+      "CALL db.labels() YIELD l WHERE l STARTS WITH 'E' RETURN l ORDER BY l")
+    assert(rowsOf(pre).map(_.head) == graph.labels.filter(_.startsWith("E")))
+  }
+
   test("RETURN DISTINCT") {
     val got = graph.cypher(
       "MATCH (c:Customer) RETURN DISTINCT c.c_mktsegment AS seg ORDER BY seg")

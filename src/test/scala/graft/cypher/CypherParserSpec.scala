@@ -131,7 +131,11 @@ class CypherParserSpec extends AnyFunSuite {
 
   test("CALL db.labels YIELD") {
     val q = CypherParser.parse("CALL db.labels() YIELD label RETURN label ORDER BY label")
-    val CallClause(proc, yields) = q.parts.head.clauses.head
-    assert(proc == "db.labels" && yields == Seq("label"))
+    val CallClause(proc, yields, where) = q.parts.head.clauses.head
+    assert(proc == "db.labels" && yields == Seq("label") && where.isEmpty)
+    val CallClause(_, _, where2) = CypherParser.parse(
+      "CALL db.labels() YIELD label WHERE label <> 'X' RETURN label")
+      .parts.head.clauses.head
+    assert(where2.nonEmpty)
   }
 }
