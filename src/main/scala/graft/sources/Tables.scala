@@ -60,19 +60,26 @@ object Tables {
 
   /** One row per node label and edge class: kind, name, row count, and
     * the schema rendered as DDL. Forces every frame — a whole-catalog op
-    * by definition.
+    * by definition. Counts run as CONCURRENT Spark jobs (scala Futures
+    * over the shared scheduler): a serial per-frame loop would leave the
+    * cluster idle between frames, turning an 18-frame catalog into 18
+    * latency-bound round trips.
     */
   def catalogReport(g: PropertyGraph, spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val nodeRows = g.labels.map { l =>
-      val df = g.nodeFrame(l)
-      ("node", l, df.count(), df.schema.toDDL)
-    }
-    val edgeRows = g.edgeClasses.map { et =>
-      val df = g.edgeFrame(et)
-      ("edge", s"${et.relType}(${et.srcLabel}->${et.dstLabel})", df.count(), df.schema.toDDL)
-    }
-    (nodeRows ++ edgeRows).toDF("kind", "name", "rows", "schema")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val tasks =
+      g.labels.map { l => () =>
+        val df = g.nodeFrame(l)
+        ("node", l, df.count(), df.schema.toDDL)
+      } ++ g.edgeClasses.map { et => () =>
+        val df = g.edgeFrame(et)
+        ("edge", s"${et.relType}(${et.srcLabel}->${et.dstLabel})", df.count(), df.schema.toDDL)
+      }
+    val rows = Await.result(Future.sequence(tasks.map(t => Future(t()))), Duration.Inf)
+    rows.toDF("kind", "name", "rows", "schema")
       .orderBy("kind", "name")
   }
 }
