@@ -258,7 +258,10 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
     // explode, so type it as an (empty) array first
     def listCol(df: DataFrame): Column = list match {
       case Lit(null) => lit(null).cast("array<bigint>")
-      case _ => compileExpr(df, list)
+      case _ =>
+        val c = compileExpr(df, list)
+        // a missing property resolves to a VOID null — same no-rows rule
+        if (dtypeOf(df, c).contains(NullType)) c.cast("array<bigint>") else c
     }
     ctx match {
       case Some(c) =>

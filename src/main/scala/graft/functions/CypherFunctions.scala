@@ -130,8 +130,13 @@ object CypherFunctions {
       case "rand" => rand()
       case "randomuuid" => expr("uuid()")
       // ---- list ----
+      // a VOID-typed arg (missing property) is null-in-null-out; the raw
+      // Spark functions would reject the unresolved NULL type outright
+      case "head" if argType(0).contains(NullType) => lit(null)
       case "head" => element_at(a0, 1)
+      case "last" if argType(0).contains(NullType) => lit(null)
       case "last" => element_at(a0, -1)
+      case "tail" if argType(0).contains(NullType) => lit(null)
       case "tail" => slice(a0, lit(2), greatest(size(a0) - lit(1), lit(0)))
       case "range" =>
         // Spark's two-arg sequence auto-descends (sequence(3,1) =

@@ -642,4 +642,25 @@ class TckTailSpec extends SparkSpec {
     assert(scalar("tail([])") == Seq.empty)
     assert(scalar("tail([1])") == Seq.empty)
   }
+
+  test("property-map key absent from the label matches nothing, not error") {
+    // reference scenario shape: {sku: ...} on a label without that column
+    assert(rows("MATCH (n:Nation {no_such_prop: 1}) RETURN n.n_name AS x").isEmpty)
+    assert(rows(
+      "MATCH (:Nation)-[r:IN_REGION {no_such_prop: 1}]->(:Region) RETURN r AS x").isEmpty)
+    assert(rows(
+      """MATCH (p:Part {p_partkey: 1})-[:RELATED_TO*1..2 {no_such_prop: 1}]->(q:Part)
+        |RETURN q.p_partkey AS k""".stripMargin).isEmpty)
+  }
+
+  test("missing property feeds UNWIND and list functions as null") {
+    // UNWIND of a VOID null (missing property) removes the row
+    assert(rows(
+      "MATCH (n:Nation {n_nationkey: 0}) UNWIND n.no_such AS s RETURN s").isEmpty)
+    val r = graph.cypher(
+      """MATCH (n:Nation {n_nationkey: 0})
+        |RETURN head(n.no_such) AS h, last(n.no_such) AS l, tail(n.no_such) AS t""".stripMargin)
+      .collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
 }
