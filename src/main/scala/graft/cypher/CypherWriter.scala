@@ -58,7 +58,8 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
         val c = compiler
         ctx = Some(Ctx(c.applyProjection(ctx, p), c.keptLabels(ctx, p)))
       case CreateClause(paths) =>
-        graph = applyCreate(graph, ctx, paths)
+        val (g2, ctx2) = applyCreate(graph, ctx, paths)
+        graph = g2; ctx = ctx2
       case MergeClause(path, onCreate, onMatch) =>
         graph = applyMerge(graph, ctx, path, onCreate, onMatch)
       case SetClause(items) =>
@@ -144,13 +145,32 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
           props.sortBy(_._1).map(p => propCol(p._2, frame))): _*))
 
   private def applyCreate(g: PropertyGraph, ctx: Option[Ctx],
-      paths: Vector[PathPat]): PropertyGraph = {
+      paths: Vector[PathPat]): (PropertyGraph, Option[Ctx]) = {
     var out = g
     // 1. nodes not bound by a previous MATCH — created once per current
     // row (UNWIND/MATCH cardinality: bag semantics, one node PER ROW)
     val boundVars = ctx.map(_.df.columns.toSet).getOrElse(Set.empty)
     val base = ctx.map(_.df).getOrElse(spark.range(1).toDF())
-    val newPats = paths.flatMap(_.nodes).filterNot(n => boundVars(n.name))
+    // a variable may appear in several paths of ONE CREATE — defined with
+    // a label once, referenced bare in later paths (reference shape:
+    // CREATE (a:P {..})-[:X]->(b:P {..}), (a)-[:Y]->(c:C {..})) — so
+    // dedupe by name, merging the labeled occurrence in
+    val newPatsAll = paths.flatMap(_.nodes).filterNot(n => boundVars(n.name))
+    val byName = scala.collection.mutable.LinkedHashMap[String, NodePat]()
+    newPatsAll.foreach { n =>
+      byName.get(n.name) match {
+        case None => byName(n.name) = n
+        case Some(prev) =>
+          require(prev.label.isEmpty || n.label.isEmpty || prev.label == n.label,
+            s"CREATE variable ${n.name} labeled twice differently")
+          require(prev.props.isEmpty || n.props.isEmpty,
+            s"CREATE variable ${n.name} carries a property map in two patterns")
+          byName(n.name) = prev.copy(
+            label = prev.label.orElse(n.label),
+            props = if (prev.props.nonEmpty) prev.props else n.props)
+      }
+    }
+    val newPats = byName.values.toVector
     val needUid = newPats.exists(!_.props.exists(_._1 == ID))
     // Per-row uid for id minting, frozen by an eager localCheckpoint so
     // the node select and the edge select (two evaluations) agree.
@@ -203,7 +223,32 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
           r.props.map { case (k, v) => propCol(v, rowFrame).as(k) }): _*)
       out = out.addEdges(EdgeType(relType, sl, dl), edgeRow)
     }
-    out
+    // 3. bind created NODE vars into the context as entity structs so
+    // later clauses see them (reference shape: CREATE (...)->(t:Topic)
+    // RETURN t). Relationship vars stay unbound (their EIDs are minted
+    // inside addEdges, not expressible as a column here).
+    val named = newPats.filterNot(_.anonymous)
+    val newCtx =
+      if (named.isEmpty) ctx
+      else {
+        var df2 = rowFrame
+        named.foreach { n =>
+          val (label, idc) = newNodeIds(n.name)
+          val fields = idc.cast("long").as(ID) +:
+            n.props.filterNot(_._1 == ID)
+              .map { case (k, v) => propCol(v, rowFrame).as(k) } :+
+            lit(label).as(PropertyGraph.LABEL)
+          df2 = df2.withColumn(n.name, struct(fields: _*))
+        }
+        df2 = df2.drop(ROW_UID)
+        // no prior context: only the created vars are in scope (the
+        // internal seed frame's column must not leak)
+        if (ctx.isEmpty) df2 = df2.select(named.map(n => col(n.name)): _*)
+        val labels2 = ctx.map(_.labels).getOrElse(Map.empty) ++
+          named.map(n => n.name -> newNodeIds(n.name)._1)
+        Some(Ctx(df2, labels2))
+      }
+    (out, newCtx)
   }
 
   // ------------------------------------------------------------------

@@ -293,6 +293,37 @@ class GraphWriteSpec extends SparkSpec {
     assert(g3.nodeFrame("Person").count() == 1)
   }
 
+  test("cypherWrite: CREATE variable reused across paths in one clause") {
+    // reference shape: (a) defined in path 1, referenced bare in path 2
+    val g = tinyGraph()
+    val (g2, _) = g.cypherWrite(
+      """CREATE (a:Person {name: 'hub'})-[:KNOWS]->(b:Person {name: 'x'}),
+               (a)-[:KNOWS]->(c:Person {name: 'y'})""")
+    assert(g2.nodeFrame("Person").filter(col("name").isin("hub", "x", "y")).count() == 3)
+    val hub = g2.nodeFrame("Person").filter(col("name") === "hub")
+      .head().getAs[Long]("_id")
+    val et = EdgeType("KNOWS", "Person", "Person")
+    assert(g2.edgeFrame(et).filter(col("_src") === hub).count() == 2,
+      "both edges share the ONE node created for a")
+  }
+
+  test("cypherWrite: RETURN a node created in the same query") {
+    val g = tinyGraph()
+    val (g2, ret) = g.cypherWrite(
+      """MATCH (p:Person {name: 'ann'})
+         CREATE (p)-[:KNOWS]->(t:Person {name: 'new', age: 1})
+         RETURN t.name AS name, t.age AS age""")
+    val r = ret.get.collect()(0)
+    assert(r.getString(0) == "new" && r.getAs[Long](1) == 1L)
+    assert(g2.nodeFrame("Person").filter(col("name") === "new").count() == 1)
+    // the returned id matches the persisted node's id
+    val rid = g.cypherWrite(
+      """MATCH (p:Person {name: 'ann'})
+         CREATE (p)-[:KNOWS]->(t:Person {name: 'n2'}) RETURN id(t) AS i""")
+      ._2.get.collect()(0).getLong(0)
+    assert(rid != 0L)
+  }
+
   test("snapshot save/load round-trips a written graph") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-write-snap").toString
     val (g2, _) = tinyGraph().cypherWrite(
