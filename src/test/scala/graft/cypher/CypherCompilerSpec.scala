@@ -295,6 +295,21 @@ class CypherCompilerSpec extends SparkSpec {
     assert(rowsOf(types).map(_.head) == graph.relationshipTypes)
   }
 
+  test("literal-indexed path access builds no per-row array (peephole)") {
+    // nodes(p)[0].f must compile to the entity column directly: the
+    // CreateArray(structs) → GetArrayItem → GetStructField chain both
+    // costs a per-row array build and trips a Spark codegen defect
+    // (janino "not an rvalue" → silent interpreter fallback)
+    import org.apache.spark.sql.catalyst.expressions.CreateArray
+    val df = graph.cypher(
+      """MATCH p = (n:Nation)-[:IN_REGION]->(r:Region)
+         RETURN nodes(p)[0].n_name AS a, nodes(p)[1].r_name AS b""")
+    val hasArray = df.queryExecution.analyzed.expressions
+      .exists(_.exists(_.isInstanceOf[CreateArray]))
+    assert(!hasArray, "literal index should bypass the path-array build")
+    assert(df.collect().length == 25)
+  }
+
   test("CALL ... YIELD ... WHERE filters the yielded rows") {
     // reference test shape: CALL db.labels() YIELD label WHERE label <> X
     val got = graph.cypher(
