@@ -328,7 +328,9 @@ object CypherFunctions {
     case "hour" => Some(hour(c).cast(LongType))
     case "minute" => Some(minute(c).cast(LongType))
     case "second" => Some(second(c).cast(LongType))
-    case "dayofweek" => Some(dayofweek(c).cast(LongType))
+    // Neo4j dayOfWeek is ISO (Monday=1..Sunday=7); Spark's dayofweek is
+    // Sunday=1..Saturday=7 — weekday() (0=Mon..6=Sun) + 1 is ISO directly
+    case "dayofweek" => Some((weekday(c.cast(DateType)) + 1).cast(LongType))
     case "dayofyear" | "ordinalday" => Some(dayofyear(c).cast(LongType))
     case "week" => Some(weekofyear(c).cast(LongType))
     // ISO week-based year = calendar year of this week's Thursday

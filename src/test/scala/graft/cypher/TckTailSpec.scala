@@ -653,6 +653,84 @@ class TckTailSpec extends SparkSpec {
         |RETURN q.p_partkey AS k""".stripMargin).isEmpty)
   }
 
+  // ---- Batch 5 (r9): temporal accessors, conversions, numeric edges ----
+
+  test("temporal accessors on a fixed date") {
+    val r = graph.cypher(
+      """WITH date('2024-03-15') AS d
+        |RETURN d.year AS y, d.month AS m, d.day AS dd, d.week AS w,
+        |       d.quarter AS q, d.ordinalDay AS od, d.dayOfWeek AS dow""".stripMargin)
+      .collect()(0)
+    assert(r.getAs[Long]("y") == 2024L && r.getAs[Long]("m") == 3L &&
+      r.getAs[Long]("dd") == 15L)
+    assert(r.getAs[Long]("w") == 11L)       // ISO week
+    assert(r.getAs[Long]("q") == 1L)
+    assert(r.getAs[Long]("od") == 75L)      // 31 + 29 + 15 (leap year)
+    assert(r.getAs[Long]("dow") == 5L)      // Friday, ISO numbering
+  }
+
+  test("leap-year date arithmetic and comparisons") {
+    assert(scalar("toString(date('2024-02-28') + duration({days: 1}))") == "2024-02-29")
+    assert(scalar("toString(date('2023-02-28') + duration({days: 1}))") == "2023-03-01")
+    assert(scalar("date('2024-01-01') < date('2024-01-02')") == true)
+    assert(scalar("date('2024-01-01') = date('2024-01-01')") == true)
+  }
+
+  test("type conversions: bad input is null, not an error") {
+    assert(scalar("toInteger('abc')") == null)
+    assert(scalar("toInteger('42')") == 42L)
+    assert(scalar("toFloat('3.5')") == 3.5)
+    assert(scalar("toFloat('x')") == null)
+    assert(scalar("toBoolean('true')") == true)
+    assert(scalar("toBoolean('nope')") == null)
+    assert(scalar("toString(1.5)") == "1.5")
+    assert(scalar("toString(true)") == "true")
+  }
+
+  test("trig and numeric function values") {
+    assert(scalar("sin(0)") == 0.0)
+    assert(scalar("cos(0)") == 1.0)
+    assert(math.abs(scalar("atan2(1, 1)").asInstanceOf[Double] - math.Pi / 4) < 1e-12)
+    assert(scalar("sqrt(16)") == 4.0)
+    assert(scalar("abs(-7)") == 7L)
+    assert(scalar("sign(-3)") == -1)
+    assert(scalar("ceil(1.1)") == 2.0)
+    assert(scalar("floor(-1.1)") == -2.0)
+  }
+
+  test("reverse over strings and lists") {
+    assert(scalar("reverse('abc')") == "cba")
+    assert(scalar("reverse([1, 2, 3])") == Seq(3L, 2L, 1L))
+    assert(scalar("reverse([])") == Seq.empty)
+  }
+
+  test("percentileDisc boundary fractions select min and max") {
+    val q = """UNWIND [10, 20, 30, 40] AS x
+              |RETURN percentileDisc(x, 0) AS lo, percentileDisc(x, 1) AS hi""".stripMargin
+    assert(rows(q) == Seq(Seq(10L, 40L)))
+  }
+
+  test("MERGE of a relationship between matched endpoints is idempotent") {
+    var (g2, _) = graph.cypherWrite(
+      """MATCH (n:Nation {n_nationkey: 0}), (r:Region {r_regionkey: 2})
+        |MERGE (n)-[:IN_REGION]->(r)""".stripMargin)
+    val after1 = g2.cypher(
+      "MATCH (n:Nation {n_nationkey: 0})-[:IN_REGION]->(r:Region) RETURN r.r_regionkey AS k")
+      .collect().length
+    val (g3, _) = g2.cypherWrite(
+      """MATCH (n:Nation {n_nationkey: 0}), (r:Region {r_regionkey: 2})
+        |MERGE (n)-[:IN_REGION]->(r)""".stripMargin)
+    val after2 = g3.cypher(
+      "MATCH (n:Nation {n_nationkey: 0})-[:IN_REGION]->(r:Region) RETURN r.r_regionkey AS k")
+      .collect().length
+    assert(after1 == 2 && after2 == 2, "second MERGE must not add an edge")
+  }
+
+  test("split of empty and delimiter-free strings") {
+    assert(scalar("split('', ',')") == Seq(""))
+    assert(scalar("split('abc', ',')") == Seq("abc"))
+  }
+
   test("missing property feeds UNWIND and list functions as null") {
     // UNWIND of a VOID null (missing property) removes the row
     assert(rows(
