@@ -701,6 +701,46 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
         val want = if (fn.toLowerCase == "startnode") s else t
         sys.error(s"$fn($rv): endpoint variable '$want' is no longer in scope — " +
           s"carry it through the WITH (openCypher returns the full node, not an id)")
+      // date/datetime from a component map (reference translator.ts:
+      // 6430-6520): calendar {year,month,day}, ISO week
+      // {year,week,dayOfWeek}, ordinal {year,ordinalDay}, quarter
+      // {year,quarter,dayOfQuarter}, or a projection base {date: d};
+      // datetime adds {hour,minute,second,millisecond,microsecond}
+      case Func(fn, Seq(MapLit(kvs)), _)
+          if Set("date", "datetime", "localdatetime")(fn.toLowerCase) &&
+             kvs.nonEmpty =>
+        val m = kvs.map { case (k, v) => k.toLowerCase -> go(v) }.toMap
+        def geti(k: String, d: Int): Column =
+          m.get(k).map(_.cast(IntegerType)).getOrElse(lit(d))
+        val datePart: Column =
+          if (m.contains("week")) {
+            // ISO week date: week 1 always contains Jan 4; weekday() is
+            // 0=Mon so jan4 - weekday(jan4) is that week's Monday
+            val jan4 = make_date(geti("year", 1970), lit(1), lit(4))
+            val week1Mon = date_sub(jan4, weekday(jan4))
+            date_add(week1Mon,
+              (geti("week", 1) - 1) * 7 + (geti("dayofweek", 1) - 1))
+          } else if (m.contains("ordinalday")) {
+            date_add(make_date(geti("year", 1970), lit(1), lit(1)),
+              geti("ordinalday", 1) - 1)
+          } else if (m.contains("quarter")) {
+            date_add(make_date(geti("year", 1970),
+              (geti("quarter", 1) - 1) * 3 + 1, lit(1)),
+              geti("dayofquarter", 1) - 1)
+          } else if (m.contains("date")) {
+            m("date").cast(DateType)
+          } else {
+            make_date(geti("year", 1970), geti("month", 1), geti("day", 1))
+          }
+        if (fn.toLowerCase == "date") datePart
+        else timestamp_micros(
+          unix_micros(datePart.cast(TimestampType)) +
+            (geti("hour", 0).cast(LongType) * 3600L +
+             geti("minute", 0).cast(LongType) * 60L +
+             geti("second", 0).cast(LongType)) * 1000000L +
+            geti("millisecond", 0).cast(LongType) * 1000L +
+            geti("microsecond", 0).cast(LongType))
+
       // duration value: compiles to its ISO 8601 string (the reference's
       // duration representation, executor.ts:4115). Literal components
       // fold at compile time; non-literal maps build the string per row

@@ -669,6 +669,20 @@ class TckTailSpec extends SparkSpec {
     assert(r.getAs[Long]("dow") == 5L)      // Friday, ISO numbering
   }
 
+  test("date/datetime from component maps (calendar, week, ordinal, quarter)") {
+    assert(scalar("toString(date({year: 2024, month: 3, day: 15}))") == "2024-03-15")
+    assert(scalar("toString(date({year: 2024}))") == "2024-01-01")
+    // ISO week date: 2024-W11-5 is 2024-03-15
+    assert(scalar("toString(date({year: 2024, week: 11, dayOfWeek: 5}))") == "2024-03-15")
+    assert(scalar("toString(date({year: 2024, ordinalDay: 75}))") == "2024-03-15")
+    assert(scalar("toString(date({year: 2024, quarter: 1, dayOfQuarter: 75}))") == "2024-03-15")
+    assert(scalar("toString(date({date: date('2024-03-15')}))") == "2024-03-15")
+    assert(scalar("date({year: 2024, month: 3, day: 15}).week") == 11L)
+    val ts = scalar(
+      "toString(datetime({year: 2024, month: 3, day: 15, hour: 7, minute: 30, second: 5}))")
+    assert(ts.toString.startsWith("2024-03-15 07:30:05"))
+  }
+
   test("leap-year date arithmetic and comparisons") {
     assert(scalar("toString(date('2024-02-28') + duration({days: 1}))") == "2024-02-29")
     assert(scalar("toString(date('2023-02-28') + duration({days: 1}))") == "2023-03-01")
