@@ -741,6 +741,39 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
             geti("millisecond", 0).cast(LongType) * 1000L +
             geti("microsecond", 0).cast(LongType))
 
+      // time-of-day from a component map — TIME values are HH:mm:ss
+      // strings (documented divergence, same as the reference's storage)
+      case Func(fn, Seq(MapLit(kvs)), _)
+          if Set("time", "localtime")(fn.toLowerCase) && kvs.nonEmpty =>
+        val m = kvs.map { case (k, v) => k.toLowerCase -> go(v) }.toMap
+        def geti(k: String): Column =
+          m.get(k).map(_.cast(IntegerType)).getOrElse(lit(0))
+        format_string("%02d:%02d:%02d", geti("hour"), geti("minute"), geti("second"))
+
+      // date.truncate('month', d) family (reference translator.ts:9224):
+      // Spark date_trunc shares Neo4j's units incl. ISO 'week'
+      case Func(fn, args, _)
+          if Set("date.truncate", "datetime.truncate",
+                 "localdatetime.truncate")(fn.toLowerCase) && args.nonEmpty =>
+        val unit = args.head match {
+          case Lit(s: String) => s
+          case other => sys.error(s"truncate unit must be a string literal, got $other")
+        }
+        val tc = go(args(1))
+        val trunc = date_trunc(unit, tc.cast(TimestampType))
+        if (fn.toLowerCase == "date.truncate") trunc.cast(DateType) else trunc
+
+      // clock variants: realtime/statement/transaction are one value in a
+      // Spark batch plan (current_* is already fixed per query)
+      case Func(fn, Seq(), _)
+          if fn.toLowerCase.matches(
+            "(date|datetime|localdatetime|time|localtime)\\.(realtime|statement|transaction)") =>
+        fn.toLowerCase.split("\\.")(0) match {
+          case "date" => current_date()
+          case "time" | "localtime" => date_format(current_timestamp(), "HH:mm:ss")
+          case _ => current_timestamp()
+        }
+
       // duration value: compiles to its ISO 8601 string (the reference's
       // duration representation, executor.ts:4115). Literal components
       // fold at compile time; non-literal maps build the string per row

@@ -683,6 +683,19 @@ class TckTailSpec extends SparkSpec {
     assert(ts.toString.startsWith("2024-03-15 07:30:05"))
   }
 
+  test("temporal truncation, time maps, and clock variants") {
+    assert(scalar("toString(date.truncate('month', date('2024-03-15')))") == "2024-03-01")
+    assert(scalar("toString(date.truncate('year', date('2024-03-15')))") == "2024-01-01")
+    // ISO week truncation: Monday of that week
+    assert(scalar("toString(date.truncate('week', date('2024-03-15')))") == "2024-03-11")
+    assert(scalar("toString(datetime.truncate('day', datetime('2024-03-15 07:30:05')))")
+      .toString.startsWith("2024-03-15 00:00:00"))
+    assert(scalar("time({hour: 7, minute: 5, second: 9})") == "07:05:09")
+    assert(scalar("localtime({hour: 23})") == "23:00:00")
+    assert(scalar("date.transaction()") != null)
+    assert(scalar("datetime.statement()") != null)
+  }
+
   test("leap-year date arithmetic and comparisons") {
     assert(scalar("toString(date('2024-02-28') + duration({days: 1}))") == "2024-02-29")
     assert(scalar("toString(date('2023-02-28') + duration({days: 1}))") == "2023-03-01")
