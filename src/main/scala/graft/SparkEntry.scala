@@ -423,6 +423,10 @@ object SparkEntry {
     "q_dedup_jaccard" -> ((s, dir) =>
       pipeline.Dedup.jaccardPrefix(docs(s, dir))),
 
+    // near-dup pairs → connected components → canonical keep-list
+    "q_dedup_groups" -> ((s, dir) =>
+      pipeline.Dedup.dupGroups(docs(s, dir))),
+
     // rows-only oracles (hash-based signatures not expressible in DuckDB)
     "q_dedup_minhash" -> ((s, dir) =>
       pipeline.Dedup.minhashLsh(docs(s, dir))),
@@ -990,6 +994,36 @@ object SparkEntry {
          WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
              len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.8
          ORDER BY id_a, id_b""",
+    // the oracle recomputes pairs blind (same as q_dedup_jaccard), then
+    // clusters them with a recursive CTE and keeps min-id per component
+    "q_dedup_groups" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+         s AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+           FROM t WHERE len(toks) >= 3),
+         e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         p AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id),
+         dup AS (
+           SELECT p.id_a, p.id_b
+           FROM p JOIN s sa ON sa.doc_id = p.id_a JOIN s sb ON sb.doc_id = p.id_b
+           WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+               len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.8),
+         sym AS (SELECT id_a AS u, id_b AS v FROM dup
+                 UNION SELECT id_b, id_a FROM dup),
+         comp(k, c) AS (
+           SELECT u AS k, u AS c FROM (SELECT DISTINCT u FROM sym)
+           UNION
+           SELECT s2.v, comp.c FROM comp JOIN sym s2 ON s2.u = comp.k WHERE comp.c < s2.v)
+         SELECT d.doc_id, coalesce(m.c, d.doc_id) AS rep_id,
+                d.doc_id <> coalesce(m.c, d.doc_id) AS is_dup
+         FROM documents d LEFT JOIN
+           (SELECT k, min(c) AS c FROM comp GROUP BY k) m ON m.k = d.doc_id
+         ORDER BY d.doc_id""",
     // exact complete cosine join — the oracle recomputes it blind
     "q_dedup_embed" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

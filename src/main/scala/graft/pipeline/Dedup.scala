@@ -198,6 +198,33 @@ object Dedup {
     out
   }
 
+  // ---- near-dup GROUPING (q_dedup_groups) ----
+
+  /** Turns the pairwise near-dup relation into per-document dedup
+    * verdicts: similarity pairs (complete, from [[jaccardPrefix]]) are
+    * edges, connected components cluster transitively-linked documents,
+    * and the minimum doc id per cluster is the canonical representative
+    * to KEEP — the final step of a training-data dedup pass, where the
+    * pair list alone is not actionable.
+    *
+    * Scale: the pair relation scales with true near-dups (prefix
+    * filtering), components contract in O(log n) rounds
+    * ([[graft.algos.Algos.connectedComponents]]), and the final join is
+    * id-only — document text never reaches any shuffle here.
+    */
+  def dupGroups(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val pairs = jaccardPrefix(docs, k, threshold, id, text)
+    val cc = graft.algos.Algos.connectedComponents(
+      pairs.select(col("id_a").as("_src"), col("id_b").as("_dst")))
+    docs.select(col(id))
+      .join(cc.withColumnRenamed("id", id), Seq(id), "left_outer")
+      .select(col(id),
+        coalesce(col("component"), col(id)).as("rep_id"))
+      .withColumn("is_dup", col(id) =!= col("rep_id"))
+      .orderBy(id)
+  }
+
   // ---- SimHash (q_dedup_simhash) ----
 
   /** 64-bit SimHash (Charikar '02, public construction) as an array of 64

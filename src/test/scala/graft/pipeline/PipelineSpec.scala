@@ -54,6 +54,25 @@ class PipelineSpec extends SparkSpec {
     assert(got == want, s"missing=${want -- got} extra=${got -- want}")
   }
 
+  test("dupGroups clusters pairs transitively and keeps min-id reps") {
+    import spark.implicits._
+    // A~B and B~C overlap >= 0.8 pairwise, but A and C are linked only
+    // through B — one cluster of three, rep = min id; D is untouched
+    val base = (1 to 30).map(i => s"w$i")
+    val d = Seq(
+      (1L, base.mkString(" ")),
+      (2L, (base.take(29) :+ "x29").mkString(" ")),
+      (3L, (base.take(28) ++ Seq("x29", "y30")).mkString(" ")),
+      (4L, (1 to 30).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupGroups(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got(1L) == (1L, false), "min id is the kept representative")
+    assert(got(2L) == (1L, true))
+    assert(got(3L) == (1L, true), "3 reaches 1 through the cluster")
+    assert(got(4L) == (4L, false), "singleton keeps itself")
+  }
+
   test("embedding near-dup: exact matches brute force; LSH is a high-recall subset") {
     // brute force in scala, double precision
     val vecs = embs.select("vec_id", "embedding").collect()
