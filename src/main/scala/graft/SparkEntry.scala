@@ -406,6 +406,15 @@ object SparkEntry {
     "q_ngram_freq" -> ((s, dir) =>
       pipeline.TextOps.ngramFrequencies(docs(s, dir), n = 2, topN = 100)),
 
+    // token-budget packing via distributed prefix sum
+    "q_pack" -> ((s, dir) =>
+      pipeline.TextOps.packByBudget(docs(s, dir), budgetTokens = 2048)),
+
+    // deterministic md5-hash sampling (~10% of documents)
+    "q_sample" -> ((s, dir) =>
+      pipeline.TextOps.hashSample(docs(s, dir), permille = 100)
+        .select("doc_id").orderBy("doc_id")),
+
     // salted two-stage collect (skew-safe non-combinable aggregate),
     // stringified sorted for a deterministic oracle comparison
     "q_skew_collect" -> ((s, dir) => {
@@ -966,6 +975,20 @@ object SparkEntry {
            FROM t WHERE len(toks) >= 2)
          SELECT gram, count(*) AS cnt FROM g
          GROUP BY gram ORDER BY cnt DESC, gram LIMIT 100""",
+    "q_pack" ->
+      """SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         CAST(floor(coalesce(
+           sum(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)) OVER (
+             ORDER BY len(regexp_split_to_array(trim(text), '\s+')) DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048)
+           AS BIGINT) AS shard
+         FROM documents ORDER BY doc_id""",
+    "q_sample" ->
+      """SELECT doc_id FROM documents
+         WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 1000 < 100
+         ORDER BY doc_id""",
     "q_dedup_exact" ->
       """WITH k AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h FROM documents),
          g AS (SELECT h, min(doc_id) AS rep_id, count(*) AS group_size FROM k GROUP BY h)

@@ -166,4 +166,62 @@ object TextOps {
       .withColumn("n_fingerprints", size(col("fingerprint")).cast(LongType))
       .orderBy(id)
   }
+
+  // ---- token-budget packing (q_pack) ----
+
+  /** Assigns each document to a token-budget shard by contiguous fill in
+    * (n_tokens DESC, id ASC) order: shard = floor(prefix-sum-before-doc /
+    * budget). The deterministic global order makes shards reproducible
+    * and SQL-replayable.
+    *
+    * Scale shape — DISTRIBUTED prefix sum, not a global window: a window
+    * with a global ORDER BY and no PARTITION BY funnels the whole corpus
+    * through ONE partition. Instead: range-repartition on the sort key,
+    * per-partition windows (parallel), then a partition-count-sized
+    * offset table (32 rows, not 32M) carries the cross-partition
+    * carry-in. The frame is persisted so both passes see one frozen
+    * range partitioning (the range sampler is not deterministic across
+    * recomputes).
+    */
+  def packByBudget(docs: DataFrame, budgetTokens: Long,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val withTok = docs.select(col(id), size(tokens(col(text))).cast(LongType).as("n_tokens"))
+    val local = withTok
+      .repartitionByRange(parts, desc("n_tokens"), col(id))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("local_prefix", sum("n_tokens").over(
+        Window.partitionBy("pid").orderBy(desc("n_tokens"), col(id))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // P-row offset table: cumulative totals of the preceding partitions
+    val offsets = local.groupBy("pid").agg(sum("n_tokens").as("tot"))
+      .withColumn("offset", coalesce(sum("tot").over(
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "offset")
+    val out = local.join(broadcast(offsets), "pid")
+      .withColumn("shard",
+        floor((col("offset") + col("local_prefix") - col("n_tokens")) /
+          lit(budgetTokens)).cast(LongType))
+      .select(col(id), col("n_tokens"), col("shard"))
+      .orderBy(id)
+      .localCheckpoint()
+    local.unpersist()
+    out
+  }
+
+  // ---- deterministic hash sampling (q_sample) ----
+
+  /** Keeps a deterministic `permille`/1000 fraction of rows by an
+    * md5-prefix hash of the id — reproducible across engines and runs
+    * (unlike rand()-based sampling), uniform, and pure scan-side: no
+    * shuffle, pushdown-friendly, exactly replayable in SQL. Salt with a
+    * label to draw independent samples.
+    */
+  def hashSample(docs: DataFrame, permille: Int, salt: String = "",
+      id: String = "doc_id"): DataFrame = {
+    val h = conv(substring(md5(concat(lit(salt), col(id).cast(StringType))), 1, 8),
+      16, 10).cast(LongType)
+    docs.filter(h % 1000L < permille.toLong)
+  }
 }

@@ -73,6 +73,34 @@ class PipelineSpec extends SparkSpec {
     assert(got(4L) == (4L, false), "singleton keeps itself")
   }
 
+  test("packByBudget matches the sequential contiguous-fill reference") {
+    val budget = 512L
+    val want = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").length.toLong)
+      .sortBy { case (id, n) => (-n, id) }
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, acc), (id, n)) =>
+        (id, acc / budget, acc + n)
+      }.drop(1).map { case (id, shard, _) => id -> shard }.toMap
+    val got = TextOps.packByBudget(docs, budget).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == want, "distributed prefix sum must equal sequential fill")
+    assert(got.values.min == 0L)
+    // shards are contiguous
+    val shards = got.values.toSet
+    assert(shards == (0L until shards.size).toSet)
+  }
+
+  test("hashSample is deterministic, salted, and roughly uniform") {
+    val a = TextOps.hashSample(docs, 100).select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = TextOps.hashSample(docs, 100).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "same permille and salt must reproduce the sample")
+    val n = docs.count()
+    assert(a.size > n / 20 && a.size < n / 5, s"~10% of $n, got ${a.size}")
+    val salted = TextOps.hashSample(docs, 100, salt = "s2")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(salted != a, "different salt draws a different sample")
+  }
+
   test("embedding near-dup: exact matches brute force; LSH is a high-recall subset") {
     // brute force in scala, double precision
     val vecs = embs.select("vec_id", "embedding").collect()
