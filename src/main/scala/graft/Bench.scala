@@ -90,7 +90,11 @@ object Bench {
     // Warm-up discard: with ≥3 recorded runs, drop the first.
     val steady = timings.map { case (k, v) => k -> (if (v.size >= 3) v.tail else v) }
     val med = steady.map { case (k, v) => k -> r3dec(median(v)) }
-    val qs = med.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
+    // stdout medians at 2 decimals: the driver reads a ~2000-char tail
+    // window, and at 78 queries the 3-decimal line is within ~180 chars
+    // of overflowing (r4 incident). Files below keep full precision.
+    def r2dec(v: Double): Double = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val qs = med.map { case (k, v) => s""""${esc(k)}":${r2dec(v)}""" }.mkString("{", ",", "}")
     val qmin = steady.map { case (k, v) => s""""${esc(k)}":${r3dec(v.min)}""" }.mkString("{", ",", "}")
     val qmax = steady.map { case (k, v) => s""""${esc(k)}":${r3dec(v.max)}""" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
@@ -98,7 +102,8 @@ object Bench {
     // Compact line for stdout (driver tail window is ~2000 chars): medians
     // only. The files below carry min/max for spread analysis.
     val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"errors":$errJson,"sf":"${esc(sfDir)}"}"""
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"queries_min":$qmin,"queries_max":$qmax,"errors":$errJson,"sf":"${esc(sfDir)}"}"""
+    val qs3 = med.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs3,"queries_min":$qmin,"queries_max":$qmax,"errors":$errJson,"sf":"${esc(sfDir)}"}"""
     println(line)
     // r2 verdict: the driver saw this line only through sbt's "[info] "
     // logger prefix and parsed nothing. Persist the JSON to files too
