@@ -372,7 +372,9 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
   private[cypher] def applyProjection(ctx: Option[Ctx], p: Projection): DataFrame = {
     // pattern-comprehension pre-pass: each one joins its collected list
     // onto the frame and is replaced by a temp-column reference
-    var curCtx = ctx.getOrElse(Ctx(spark.range(1).toDF(), Map.empty))
+    // internal-prefixed seed column so RETURN * can't expand over it
+    var curCtx = ctx.getOrElse(
+      Ctx(spark.range(1).select(col("id").as("__seed")), Map.empty))
     val preItems = p.items.map { it =>
       val ne = extractComps(it.expr, pc => {
         val (nc, name) = attachPatternComp(curCtx, pc)
@@ -382,10 +384,13 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
       it.copy(expr = ne)
     }
     val base = curCtx.df
-    // RETURN * — expand to every visible column
+    // RETURN * — expand to every visible column; with no variables in
+    // scope it is a syntax error (openCypher TCK)
     val items = preItems.flatMap {
       case Item(Star, _, _) =>
-        base.columns.filterNot(_.startsWith("__")).toSeq.map(c => Item(Var(c), None, c))
+        val visible = base.columns.filterNot(_.startsWith("__")).toSeq
+        if (visible.isEmpty) sys.error("RETURN * is not allowed when there are no variables in scope")
+        visible.map(c => Item(Var(c), None, c))
       case it => Seq(it)
     }
     // openCypher rejects duplicate output names, explicit or implicit

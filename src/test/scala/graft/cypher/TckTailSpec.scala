@@ -643,6 +643,19 @@ class TckTailSpec extends SparkSpec {
     assert(scalar("tail([1])") == Seq.empty)
   }
 
+  test("invalid queries error: agg in WHERE, nested agg, bare RETURN *") {
+    intercept[Exception] {
+      graph.cypher("MATCH (n:Nation) WHERE count(n) > 1 RETURN n.n_name AS x").collect()
+    }
+    intercept[Exception] {
+      graph.cypher("MATCH (n:Nation) RETURN sum(count(n)) AS x").collect()
+    }
+    intercept[Exception] { graph.cypher("RETURN *").collect() }
+    intercept[Exception] {
+      graph.cypher("MATCH (n:Nation) RETURN m.name AS x").collect()
+    }
+  }
+
   test("property-map key absent from the label matches nothing, not error") {
     // reference scenario shape: {sku: ...} on a label without that column
     assert(rows("MATCH (n:Nation {no_such_prop: 1}) RETURN n.n_name AS x").isEmpty)
