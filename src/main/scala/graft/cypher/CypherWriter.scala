@@ -61,7 +61,8 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
         val (g2, ctx2) = applyCreate(graph, ctx, paths)
         graph = g2; ctx = ctx2
       case MergeClause(path, onCreate, onMatch) =>
-        graph = applyMerge(graph, ctx, path, onCreate, onMatch)
+        val (g2, ctx2) = applyMerge(graph, ctx, path, onCreate, onMatch)
+        graph = g2; ctx = ctx2
       case SetClause(items) =>
         graph = applySet(graph, ctxOrFail(ctx), items, relClasses)
       case RemoveClause(items) =>
@@ -255,10 +256,39 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
   // MERGE
   // ------------------------------------------------------------------
 
+  /** Bind a merged node var into the context as a full entity struct by
+    * joining the POST-merge label frame on the per-row minted id — so a
+    * following RETURN/SET sees every property, including ON CREATE /
+    * ON MATCH SET results (reference shape: MERGE (u {...}) ... RETURN u).
+    */
+  private def bindMerged(out: PropertyGraph, cur: DataFrame,
+      n: NodePat, label: String, idCol: Column): DataFrame = {
+    if (n.anonymous) return cur
+    val frame = out.nodeFrame(label)
+    val entity = frame.select(
+      struct((frame.columns.map(col) :+
+        lit(label).as(graft.graph.PropertyGraph.LABEL)).toIndexedSeq: _*).as(n.name),
+      col(ID).as("__merge_jid"))
+    cur.withColumn("__merge_id", idCol.cast("long"))
+      .join(entity, col("__merge_id") === col("__merge_jid"))
+      .drop("__merge_id", "__merge_jid")
+  }
+
   private def applyMerge(g: PropertyGraph, ctx: Option[Ctx], path: PathPat,
-      onCreate: Seq[(Expr, Expr)], onMatch: Seq[(Expr, Expr)]): PropertyGraph = {
+      onCreate: Seq[(Expr, Expr)], onMatch: Seq[(Expr, Expr)]): (PropertyGraph, Option[Ctx]) = {
     val boundVars = ctx.map(_.df.columns.toSet).getOrElse(Set.empty)
     val rowFrame = ctx.map(_.df).getOrElse(spark.range(1).toDF())
+    // post-merge context assembly: thread (graph, df, bindings) and
+    // restrict to named entities when there was no prior context (the
+    // internal seed column must not leak into RETURN *)
+    def ctxOf(out: PropertyGraph, df: DataFrame,
+        binds: Seq[(String, String)]): Option[Ctx] = {
+      val named = binds.filter(_._1.nonEmpty)
+      val df2 =
+        if (ctx.isEmpty) df.select(named.map(b => col(b._1)): _*)
+        else df
+      Some(Ctx(df2, ctx.map(_.labels).getOrElse(Map.empty) ++ named))
+    }
 
     def mergeNode(gr: PropertyGraph, n: NodePat,
         oc: Seq[(Expr, Expr)], om: Seq[(Expr, Expr)]): PropertyGraph = {
@@ -276,24 +306,64 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
       gr.mergeNodesWith(label, row, assigns(oc), assigns(om))
     }
 
+    def setsFor(n: NodePat, items: Seq[(Expr, Expr)]) = items.filter {
+      case (Prop(Var(v), _), _) => v == n.name
+      case _ => false
+    }
+
     if (path.rels.isEmpty) {
       // single node MERGE — one candidate row per current row (UNWIND /
       // MATCH cardinality), content-deduped
-      mergeNode(g, path.nodes.head, onCreate, onMatch)
+      val n = path.nodes.head
+      val out = mergeNode(g, n, onCreate, onMatch)
+      val label = n.label.getOrElse(sys.error("MERGE node needs a label"))
+      if (n.anonymous) (out, ctx)
+      else (out, ctxOf(out,
+        bindMerged(out, rowFrame, n, label, nodeIdOf(label, n.props, rowFrame)),
+        Seq(n.name -> label)))
     } else {
       require(path.rels.size == 1, "MERGE supports single-relationship paths")
       val r = path.rels.head
       val (sv, dv) = if (r.dir == Out) (path.nodes(0), path.nodes(1))
                      else (path.nodes(1), path.nodes(0))
+      val relType = r.relType.getOrElse(sys.error("MERGE edge needs a type"))
       if (path.nodes.forall(n => boundVars(n.name))) {
         // edge MERGE between two bound variables
         val labels = ctx.get.labels
-        val et = EdgeType(r.relType.getOrElse(sys.error("MERGE edge needs a type")),
-          labels(sv.name), labels(dv.name))
+        val et = EdgeType(relType, labels(sv.name), labels(dv.name))
         val rows = ctx.get.df.select(
           (col(s"${sv.name}.$ID").as(SRC) +: col(s"${dv.name}.$ID").as(DST) +:
             r.props.map { case (k, v) => propCol(v, ctx.get.df).as(k) }): _*)
-        g.mergeEdges(et, rows)
+        (g.mergeEdges(et, rows), ctx)
+      } else if (path.nodes.exists(n => boundVars(n.name))) {
+        // ONE endpoint bound (reference shape: MATCH (u) MERGE
+        // (u)-[:T]->(l:L {props})): merge the unbound node per row
+        // (content-addressed — reuses an existing node with those props,
+        // same decomposition divergence as the all-unbound branch), then
+        // merge edges between the bound ids and the merged node ids
+        val (bound, unbound) = if (boundVars(sv.name)) (sv, dv) else (dv, sv)
+        (onCreate ++ onMatch).foreach {
+          case (Prop(Var(v), _), _) if v == bound.name => sys.error(
+            s"MERGE ... SET on the already-bound endpoint $v is unsupported — use a separate SET clause")
+          case _ => ()
+        }
+        val out = mergeNode(g, unbound, setsFor(unbound, onCreate), setsFor(unbound, onMatch))
+        val uLabel = unbound.label.getOrElse(sys.error("MERGE endpoint needs a label"))
+        val bLabel = ctx.get.labels.getOrElse(bound.name,
+          sys.error(s"MERGE endpoint ${bound.name} has unknown label"))
+        val uid = nodeIdOf(uLabel, unbound.props, rowFrame)
+        val bid = col(s"${bound.name}.$ID")
+        val (et, srcCol, dstCol) =
+          if (bound eq sv) (EdgeType(relType, bLabel, uLabel), bid, uid)
+          else (EdgeType(relType, uLabel, bLabel), uid, bid)
+        val rows = rowFrame.select(
+          (srcCol.cast("long").as(SRC) +: dstCol.cast("long").as(DST) +:
+            r.props.map { case (k, v) => propCol(v, rowFrame).as(k) }): _*)
+          .distinct()
+        val out2 = out.mergeEdges(et, rows)
+        if (unbound.anonymous) (out2, ctx)
+        else (out2, ctxOf(out2, bindMerged(out2, rowFrame, unbound, uLabel, uid),
+          Seq(unbound.name -> uLabel)))
       } else {
         // general MERGE path with unbound endpoints: decomposed as
         // merge(src) → merge(dst) → merge(edge). Divergence (documented):
@@ -302,16 +372,10 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
         // which openCypher would also do; but a fresh pattern creates
         // nodes even when an identical edge exists elsewhere. ON CREATE /
         // ON MATCH SET apply per-endpoint-variable.
-        require(path.nodes.forall(n => !boundVars(n.name)),
-          "MERGE path endpoints must be all bound or all unbound")
-        def setsFor(n: NodePat, items: Seq[(Expr, Expr)]) = items.filter {
-          case (Prop(Var(v), _), _) => v == n.name
-          case _ => false
-        }
         var out = g
         out = mergeNode(out, sv, setsFor(sv, onCreate), setsFor(sv, onMatch))
         out = mergeNode(out, dv, setsFor(dv, onCreate), setsFor(dv, onMatch))
-        val et = EdgeType(r.relType.getOrElse(sys.error("MERGE edge needs a type")),
+        val et = EdgeType(relType,
           sv.label.getOrElse(sys.error("MERGE endpoint needs a label")),
           dv.label.getOrElse(sys.error("MERGE endpoint needs a label")))
         val sid = nodeIdOf(et.srcLabel, sv.props, rowFrame)
@@ -320,7 +384,15 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
           (sid.cast("long").as(SRC) +: did.cast("long").as(DST) +:
             r.props.map { case (k, v) => propCol(v, rowFrame).as(k) }): _*)
           .distinct()
-        out.mergeEdges(et, rows)
+        var df2 = rowFrame
+        val binds = Seq(sv -> et.srcLabel, dv -> et.dstLabel)
+          .filterNot(_._1.anonymous)
+        df2 = binds.foldLeft(df2) { case (d, (n, l)) =>
+          bindMerged(out, d, n, l, nodeIdOf(l, n.props, rowFrame))
+        }
+        val out2 = out.mergeEdges(et, rows)
+        if (binds.isEmpty) (out2, ctx)
+        else (out2, ctxOf(out2, df2, binds.map { case (n, l) => n.name -> l }))
       }
     }
   }

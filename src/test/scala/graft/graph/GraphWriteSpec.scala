@@ -324,6 +324,35 @@ class GraphWriteSpec extends SparkSpec {
     assert(rid != 0L)
   }
 
+  test("cypherWrite: MERGE with one bound endpoint creates or reuses the target") {
+    val g = tinyGraph()
+    val q = """MATCH (p:Person {name: 'ann'})
+               MERGE (p)-[:SPEAKS]->(l:Language {code: 'en'})
+               ON CREATE SET l.level = 'native'"""
+    val (g2, _) = g.cypherWrite(q)
+    val (g3, _) = g2.cypherWrite(q)
+    val et = EdgeType("SPEAKS", "Person", "Language")
+    assert(g3.nodeFrame("Language").count() == 1, "second MERGE reuses the node")
+    assert(g3.edgeFrame(et).count() == 1, "second MERGE reuses the edge")
+    assert(g3.nodeFrame("Language").head().getAs[String]("level") == "native")
+  }
+
+  test("cypherWrite: RETURN a MERGEd node sees ON CREATE SET properties") {
+    val g = tinyGraph()
+    val (_, ret) = g.cypherWrite(
+      """MERGE (t:Topic {name: 'graphs'}) ON CREATE SET t.created = true
+         RETURN t.name AS name, t.created AS created""")
+    val r = ret.get.collect()(0)
+    assert(r.getString(0) == "graphs" && r.getBoolean(1))
+    // MERGE with one bound endpoint binds the unbound var for RETURN
+    val (_, ret2) = g.cypherWrite(
+      """MATCH (p:Person {name: 'ann'})
+         MERGE (p)-[:SPEAKS]->(l:Language {code: 'fr'})
+         RETURN p.name AS pn, l.code AS lc""")
+    val r2 = ret2.get.collect()(0)
+    assert(r2.getString(0) == "ann" && r2.getString(1) == "fr")
+  }
+
   test("snapshot save/load round-trips a written graph") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-write-snap").toString
     val (g2, _) = tinyGraph().cypherWrite(
