@@ -643,6 +643,26 @@ class TckTailSpec extends SparkSpec {
     assert(scalar("tail([1])") == Seq.empty)
   }
 
+  test("MATCH after WITH: aggregate carry-over, filtered rebind, shared-var join") {
+    // post-aggregation MATCH is a cartesian carry-over of the aggregate
+    assert(rows(
+      """MATCH (n:Nation) WITH count(n) AS nations
+        |MATCH (r:Region) RETURN nations, count(r) AS regions""".stripMargin)
+      == Seq(Seq(25L, 5L)))
+    // a variable carried through WITH joins the next MATCH on identity
+    val joined = rows(
+      """MATCH (n:Nation) WITH n WHERE n.n_nationkey < 3
+        |MATCH (n)-[:IN_REGION]->(r:Region)
+        |RETURN n.n_name AS nn, r.r_name AS rn ORDER BY nn""".stripMargin)
+    assert(joined.size == 3 && joined.map(_.head) ==
+      Seq("NATION_0", "NATION_1", "NATION_2"))
+    // two sequential MATCH clauses join on their shared variable
+    assert(rows(
+      """MATCH (c:Customer {c_custkey: 1})-[:IN_NATION]->(n:Nation)
+        |MATCH (n)-[:IN_REGION]->(r:Region)
+        |RETURN c.c_custkey AS c, r.r_name AS r""".stripMargin).size == 1)
+  }
+
   test("invalid queries error: agg in WHERE, nested agg, bare RETURN *") {
     intercept[Exception] {
       graph.cypher("MATCH (n:Nation) WHERE count(n) > 1 RETURN n.n_name AS x").collect()

@@ -90,6 +90,19 @@ class PipelineSpec extends SparkSpec {
     assert(shards == (0L until shards.size).toSet)
   }
 
+  test("packByBudget's plan has no single-partition exchange") {
+    // the whole point of the distributed prefix sum: a global
+    // ORDER-BY-without-PARTITION-BY window would show SinglePartition
+    // over the full corpus. The only tolerated single-partition stage is
+    // the P-row offset table (matched by its tiny aggregate input).
+    val plan = TextOps.packByBudget(docs, 512).queryExecution.executedPlan.toString
+    val corpusSingle = plan.linesIterator.count(l =>
+      l.contains("SinglePartition") && !l.contains("__seed"))
+    // the offsets window runs over the P-row aggregate — at most one
+    // SinglePartition exchange whose input is partition counts, never docs
+    assert(corpusSingle <= 1, s"unexpected single-partition stages:\n$plan")
+  }
+
   test("hashSample is deterministic, salted, and roughly uniform") {
     val a = TextOps.hashSample(docs, 100).select("doc_id").collect().map(_.getLong(0)).toSet
     val b = TextOps.hashSample(docs, 100).select("doc_id").collect().map(_.getLong(0)).toSet
