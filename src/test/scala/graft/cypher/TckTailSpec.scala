@@ -643,6 +643,56 @@ class TckTailSpec extends SparkSpec {
     assert(scalar("tail([1])") == Seq.empty)
   }
 
+  // ---- Batch 6 (r9): aggregation interactions, entity ordering ----
+
+  test("conditional aggregation with CASE inside sum/count") {
+    val q = """MATCH (c:Customer)
+              |RETURN sum(CASE WHEN c.c_acctbal > 5000 THEN 1 ELSE 0 END) AS rich,
+              |       count(CASE WHEN c.c_acctbal < 0 THEN 1 END) AS neg""".stripMargin
+    val r = graph.cypher(q).collect()(0)
+    val rich = graph.cypher(
+      "MATCH (c:Customer) WHERE c.c_acctbal > 5000 RETURN count(*) AS n")
+      .collect()(0).getLong(0)
+    val neg = graph.cypher(
+      "MATCH (c:Customer) WHERE c.c_acctbal < 0 RETURN count(*) AS n")
+      .collect()(0).getLong(0)
+    assert(r.getLong(0) == rich, "CASE-sum counts qualifying rows")
+    assert(r.getLong(1) == neg, "count skips the null CASE branch")
+  }
+
+  test("min/max over dates and ORDER BY booleans") {
+    val r = graph.cypher(
+      """MATCH (:Customer)-[o:PLACED]->(:Order)
+        |RETURN min(o.o_orderdate) AS lo, max(o.o_orderdate) AS hi""".stripMargin)
+      .collect()(0)
+    assert(r.getAs[java.time.LocalDateTime](0).isBefore(
+      r.getAs[java.time.LocalDateTime](1)))
+    // booleans order false < true, nulls still last ASC
+    assert(col("UNWIND [true, null, false] AS b RETURN b ORDER BY b") ==
+      Seq(false, true, null))
+  }
+
+  test("collect of whole nodes yields entity structs") {
+    val r = graph.cypher(
+      """MATCH (n:Nation) WHERE n.n_nationkey < 3
+        |RETURN size(collect(n)) AS sz""".stripMargin).collect()(0)
+    assert(r.getInt(0) == 3)
+    val arr = graph.cypher(
+      """MATCH (n:Nation) WHERE n.n_nationkey < 2 WITH n ORDER BY n.n_nationkey
+        |RETURN collect(n) AS ns""".stripMargin).collect()(0)
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(arr.size == 2 && arr.head.getAs[String]("n_name") != null)
+  }
+
+  test("RETURN whole nodes with ORDER BY on their property") {
+    val rows0 = graph.cypher(
+      """MATCH (n:Nation) RETURN n ORDER BY n.n_nationkey DESC LIMIT 2""")
+      .collect()
+    assert(rows0.length == 2)
+    assert(rows0(0).getStruct(0).getAs[Long]("_id") >
+      rows0(1).getStruct(0).getAs[Long]("_id"))
+  }
+
   test("MATCH after WITH: aggregate carry-over, filtered rebind, shared-var join") {
     // post-aggregation MATCH is a cartesian carry-over of the aggregate
     assert(rows(
