@@ -436,6 +436,14 @@ object SparkEntry {
     "q_dedup_groups" -> ((s, dir) =>
       pipeline.Dedup.dupGroups(docs(s, dir))),
 
+    // benchmark decontamination: docs 0-49 act as the eval set, the rest
+    // as the training corpus; flag corpus docs sharing any 8-gram
+    "q_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      pipeline.Dedup.contamination(
+        d.filter(col("doc_id") >= 50), d.filter(col("doc_id") < 50), n = 8)
+    }),
+
     // rows-only oracles (hash-based signatures not expressible in DuckDB)
     "q_dedup_minhash" -> ((s, dir) =>
       pipeline.Dedup.minhashLsh(docs(s, dir))),
@@ -1017,6 +1025,26 @@ object SparkEntry {
          WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
              len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.8
          ORDER BY id_a, id_b""",
+    // distinct-shared-8-gram counts match the hashed-gram counts under
+    // the same collision-free-hash argument as q_dedup_jaccard
+    "q_decontaminate" ->
+      """WITH t AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+         g AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 6),
+               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+                              toks[i+4], toks[i+5], toks[i+6], toks[i+7]))) AS sh
+           FROM t WHERE len(toks) >= 8),
+         bench AS (SELECT DISTINCT unnest(sh) AS ng FROM g WHERE doc_id < 50),
+         corp AS (SELECT doc_id, unnest(sh) AS ng FROM g WHERE doc_id >= 50),
+         hits AS (
+           SELECT corp.doc_id, count(*) AS n_hits
+           FROM corp JOIN bench ON corp.ng = bench.ng GROUP BY corp.doc_id)
+         SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+                coalesce(h.n_hits, 0) > 0 AS contaminated
+         FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+         WHERE d.doc_id >= 50 ORDER BY d.doc_id""",
     // the oracle recomputes pairs blind (same as q_dedup_jaccard), then
     // clusters them with a recursive CTE and keeps min-id per component
     "q_dedup_groups" ->

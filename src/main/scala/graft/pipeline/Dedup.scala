@@ -225,6 +225,35 @@ object Dedup {
       .orderBy(id)
   }
 
+  // ---- benchmark decontamination (q_decontaminate) ----
+
+  /** Flags corpus documents that share any word n-gram with a benchmark
+    * set (training-data decontamination): both sides shingle to hashed
+    * n-grams, the match is one equi-join on the 8-byte hashes, and hit
+    * counts aggregate per document.
+    *
+    * Scale: the benchmark side is small by nature (eval sets) — its
+    * distinct-gram frame broadcasts, so the corpus is a single
+    * scan+broadcast-join pass: no shuffle of corpus text, no shuffle at
+    * all beyond the per-doc count aggregate.
+    */
+  def contamination(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    graft.functions.VectorExprs.register(corpus.sparkSession)
+    val corpusGrams = corpus
+      .select(col(id), explode(shingleHashes(col(text), n)).as("g"))
+    val benchGrams = benchmark
+      .select(explode(shingleHashes(col(text), n)).as("g")).distinct()
+    val hits = corpusGrams.join(broadcast(benchGrams), "g")
+      .groupBy(id).agg(count(lit(1)).as("n_hits"))
+    corpus.select(col(id))
+      .join(hits, Seq(id), "left_outer")
+      .select(col(id),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0L).as("contaminated"))
+      .orderBy(id)
+  }
+
   // ---- SimHash (q_dedup_simhash) ----
 
   /** 64-bit SimHash (Charikar '02, public construction) as an array of 64

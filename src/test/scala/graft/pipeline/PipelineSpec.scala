@@ -90,6 +90,23 @@ class PipelineSpec extends SparkSpec {
     assert(shards == (0L until shards.size).toSet)
   }
 
+  test("contamination flags exactly the docs sharing an n-gram with the benchmark") {
+    import spark.implicits._
+    val words = (1 to 20).map(i => s"w$i")
+    val bench = Seq((100L, words.mkString(" "))).toDF("doc_id", "text")
+    val corpus = Seq(
+      // embeds benchmark tokens 5..14 → one window of shared 8-grams
+      (1L, ((1 to 10).map(i => s"c$i") ++ words.slice(4, 14)).mkString(" ")),
+      (2L, (1 to 20).map(i => s"x$i").mkString(" ")), // clean
+      (3L, "too short")                               // < n tokens → clean
+    ).toDF("doc_id", "text")
+    val got = Dedup.contamination(corpus, bench, n = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got(1L)._2 && got(1L)._1 == 3L, "10 shared tokens hold 3 shared 8-grams")
+    assert(got(2L) == (0L, false))
+    assert(got(3L) == (0L, false))
+  }
+
   test("packByBudget's plan has no single-partition exchange") {
     // the whole point of the distributed prefix sum: a global
     // ORDER-BY-without-PARTITION-BY window would show SinglePartition
