@@ -415,6 +415,10 @@ object SparkEntry {
       pipeline.TextOps.hashSample(docs(s, dir), permille = 100)
         .select("doc_id").orderBy("doc_id")),
 
+    // PII masking + per-doc counts (RE2-portable patterns)
+    "q_redact" -> ((s, dir) =>
+      pipeline.TextOps.redact(docs(s, dir))),
+
     // salted two-stage collect (skew-safe non-combinable aggregate),
     // stringified sorted for a deterministic oracle comparison
     "q_skew_collect" -> ((s, dir) => {
@@ -997,6 +1001,15 @@ object SparkEntry {
          WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                % 1000 < 100
          ORDER BY doc_id""",
+    "q_redact" ->
+      """SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+         regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+           '\b[0-9][0-9()\- ]{5,}[0-9]\b', '<PHONE>', 'g') AS redacted
+         FROM documents ORDER BY doc_id""",
     "q_dedup_exact" ->
       """WITH k AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h FROM documents),
          g AS (SELECT h, min(doc_id) AS rep_id, count(*) AS group_size FROM k GROUP BY h)

@@ -210,6 +210,36 @@ object TextOps {
     out
   }
 
+  // ---- PII redaction (q_redact) ----
+
+  /** Masks common PII shapes — emails, 7+-digit phone-like number runs,
+    * dotted-quad IPs — with fixed tokens, and reports per-doc match
+    * counts. Pure scan-side regexp_replace chains (codegen'd, no
+    * shuffle); patterns stay in the RE2-compatible subset so the SQL
+    * oracle replays them verbatim.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val phoneRe = "\\b[0-9][0-9()\\- ]{5,}[0-9]\\b"
+
+  def redact(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
+    val t = col(text)
+    def hits(re: String) =
+      size(call_function("regexp_extract_all", t, lit(re), lit(0))).cast(LongType)
+    val masked =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, emailRe, "<EMAIL>"),
+          ipRe, "<IP>"),
+        phoneRe, "<PHONE>")
+    docs.select(
+      col(id),
+      hits(emailRe).as("n_emails"),
+      hits(ipRe).as("n_ips"),
+      masked.as("redacted"))
+      .orderBy(id)
+  }
+
   // ---- deterministic hash sampling (q_sample) ----
 
   /** Keeps a deterministic `permille`/1000 fraction of rows by an

@@ -107,6 +107,22 @@ class PipelineSpec extends SparkSpec {
     assert(got(3L) == (0L, false))
   }
 
+  test("redact masks planted emails, IPs, and phone runs") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "mail bob.smith+x@corp.example.org now"),
+      (2L, "server at 192.168.0.1 responded"),
+      (3L, "call 555-123 4567 today"),
+      (4L, "clean text only")
+    ).toDF("doc_id", "text")
+    val got = TextOps.redact(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L)._1 == 1L && got(1L)._3 == "mail <EMAIL> now")
+    assert(got(2L)._2 == 1L && got(2L)._3 == "server at <IP> responded")
+    assert(got(3L)._3 == "call <PHONE> today")
+    assert(got(4L) == (0L, 0L, "clean text only"))
+  }
+
   test("packByBudget's plan has no single-partition exchange") {
     // the whole point of the distributed prefix sum: a global
     // ORDER-BY-without-PARTITION-BY window would show SinglePartition
