@@ -653,6 +653,12 @@ object SparkEntry {
     "q_labelprop" -> ((s, dir) =>
       algos.Algos.labelPropagation(relatedTo(s, dir), iterations = 5)
         .select(col("id").as("p_partkey"), col("label"))
+        .orderBy("p_partkey")),
+
+    // k-core via fixed synchronous pruning rounds (chained-CTE oracle)
+    "q_kcore" -> ((s, dir) =>
+      algos.Algos.kCore(relatedTo(s, dir), k = 80, rounds = 10)
+        .select(col("id").as("p_partkey"), col("core_degree"))
         .orderBy("p_partkey"))
   )
 
@@ -735,10 +741,32 @@ object SparkEntry {
        FROM l$iterations ORDER BY p_partkey"""
   }
 
+  /** Fixed-round k-core replay mirroring [[algos.Algos.kCore]]: each
+    * round keeps nodes with in-subgraph degree >= k, then edges with
+    * both endpoints kept.
+    */
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    val iters = (1 to rounds).map { i =>
+      val p = s"e${i - 1}"
+      s"""k$i AS MATERIALIZED (
+           SELECT u FROM $p GROUP BY u HAVING count(*) >= $k),
+         e$i AS MATERIALIZED (
+           SELECT e.u, e.v FROM $p e
+           JOIN k$i a ON a.u = e.u JOIN k$i b ON b.u = e.v)"""
+    }.mkString(",\n")
+    s"""WITH $relatedSql,
+       e0 AS MATERIALIZED (SELECT p1 AS u, p2 AS v FROM related
+             UNION SELECT p2, p1 FROM related),
+       $iters
+       SELECT u AS p_partkey, count(*) AS core_degree
+       FROM e$rounds GROUP BY u ORDER BY p_partkey"""
+  }
+
   /** DuckDB-equivalent SQL per query (driver correctness gate). */
   def oracleSql: Map[String, String] = Map(
     "q_pagerank" -> pageRankOracle(10),
     "q_labelprop" -> labelPropOracle(5),
+    "q_kcore" -> kCoreOracle(80, 10),
     "q_lookup" ->
       "SELECT c_name, c_acctbal FROM customer WHERE c_custkey = 42",
     "q_placed_agg" ->

@@ -234,4 +234,33 @@ object Algos {
     }
     labels
   }
+
+  /** k-core: iteratively drop nodes whose (undirected) degree falls
+    * below k until stable; returns the surviving nodes with their
+    * in-core degree. Run as FIXED synchronous rounds — each round one
+    * degree aggregate and two semi-joins on ids — so a chained-CTE SQL
+    * replay computes the identical result; `rounds` big enough to reach
+    * the fixed point acts as the exact k-core (pruning converges in at
+    * most graph-diameter-ish rounds, and extra rounds are no-ops).
+    * Per-round frames are materialized (O(1) lineage, like the other
+    * iterative algos); ids-only shuffles throughout.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 10,
+      src: String = "_src", dst: String = "_dst"): DataFrame = {
+    val fwd = edges.select(col(src).as("u"), col(dst).as("v"))
+      .filter(col(src) =!= col(dst))
+    var e = materialize(
+      fwd.unionByName(fwd.select(col("v").as("u"), col("u").as("v"))).distinct())
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy("u").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select("u")
+      val prev = e
+      e = materialize(
+        e.join(keep, Seq("u"))
+          .join(keep.withColumnRenamed("u", "v"), Seq("v"))
+          .select("u", "v"))
+      prev.unpersist()
+    }
+    e.groupBy(col("u").as("id")).agg(count(lit(1)).as("core_degree"))
+  }
 }

@@ -60,4 +60,17 @@ class AlgosSpec extends SparkSpec {
     assert(Set(10L, 11L, 12L).map(got).size == 1)
     assert(got(1L) != got(10L))
   }
+
+  test("kCore keeps the clique and prunes the pendant chain transitively") {
+    // 4-clique (degree 3 each) with a pendant chain 4-5-6: node 5 has
+    // degree 2 only while 6 survives, so 3-core pruning must cascade
+    val clique = Seq(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L)
+    val chain = Seq(4L -> 5L, 5L -> 6L)
+    val got = Algos.kCore(edgesOf(clique ++ chain: _*), k = 3, rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L), "chain nodes cascade out")
+    assert(got.values.toSet == Set(3L), "in-core degree is 3 for all clique members")
+    // k above the clique degree empties the graph
+    assert(Algos.kCore(edgesOf(clique: _*), k = 4, rounds = 5).count() == 0)
+  }
 }
