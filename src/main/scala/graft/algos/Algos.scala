@@ -251,15 +251,27 @@ object Algos {
       .filter(col(src) =!= col(dst))
     var e = materialize(
       fwd.unionByName(fwd.select(col("v").as("u"), col("u").as("v"))).distinct())
-    for (_ <- 1 to rounds) {
+    var edgeCount = e.count()
+    var i = 1
+    var converged = false
+    while (i <= rounds && !converged) {
       val keep = e.groupBy("u").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select("u")
       val prev = e
-      e = materialize(
-        e.join(keep, Seq("u"))
-          .join(keep.withColumnRenamed("u", "v"), Seq("v"))
-          .select("u", "v"))
+      val next = e.join(keep, Seq("u"))
+        .join(keep.withColumnRenamed("u", "v"), Seq("v"))
+        .select("u", "v")
+      // checkpoint cadence like labelPropagation: cut lineage every 2nd
+      // round, cache otherwise — halves the eager write-out jobs
+      e = if (i % 2 == 0 || i == rounds) materialize(next) else cache(next)
+      val n = e.count()
       prev.unpersist()
+      // FIXED-POINT early exit — oracle-safe: a round that removes no
+      // edge leaves every remaining round a no-op, so the result equals
+      // the full `rounds` replay (one scalar count per round, no collect)
+      converged = n == edgeCount
+      edgeCount = n
+      i += 1
     }
     e.groupBy(col("u").as("id")).agg(count(lit(1)).as("core_degree"))
   }
