@@ -643,6 +643,23 @@ class TckTailSpec extends SparkSpec {
     assert(scalar("tail([1])") == Seq.empty)
   }
 
+  test("repeated node variables join on identity (cycles, shared middles)") {
+    // the canonical p1<p2 RELATED_TO derivation is acyclic, so a closed
+    // directed 2-cycle MUST be empty — nonzero would mean the second `a`
+    // was treated as a fresh variable instead of an identity join
+    assert(rows(
+      """MATCH (a:Part)-[:RELATED_TO]->(b:Part)-[:RELATED_TO]->(a)
+        |RETURN a.p_partkey AS x""".stripMargin).isEmpty)
+    assert(rows(
+      """MATCH (a:Part {p_partkey: 1})-[:RELATED_TO*2..2]->(a)
+        |RETURN a.p_partkey AS x""".stripMargin).isEmpty)
+    // a variable shared between two comma-separated paths joins them
+    val shared = rows(
+      """MATCH (a:Part)-[:RELATED_TO]->(b:Part), (c:Part)-[:RELATED_TO]->(b)
+        |WHERE a.p_partkey < c.p_partkey RETURN count(*) AS n""".stripMargin)
+    assert(shared.head.head.asInstanceOf[Long] > 0L)
+  }
+
   // ---- Batch 6 (r9): aggregation interactions, entity ordering ----
 
   test("conditional aggregation with CASE inside sum/count") {
