@@ -643,6 +643,39 @@ class TckTailSpec extends SparkSpec {
     assert(scalar("tail([1])") == Seq.empty)
   }
 
+  // ---- Batch 7 (r9): function-value pins ----
+
+  test("nullIf, exists-on-property, and round with precision") {
+    assert(scalar("nullIf(1, 1)") == null)
+    assert(scalar("nullIf(1, 2)") == 1L)
+    assert(scalar("exists(null)") == false)
+    assert(scalar("exists(5)") == true)
+    assert(scalar("round(3.14159, 2)") == 3.14)
+    assert(scalar("round(2.5)") == 3.0)
+  }
+
+  test("range with negative steps and bounds") {
+    assert(scalar("range(5, 1, -2)") == Seq(5L, 3L, 1L))
+    assert(scalar("range(-2, 2)") == Seq(-2L, -1L, 0L, 1L, 2L))
+    assert(scalar("range(3, 1)") == Seq.empty)
+  }
+
+  test("toString over temporal and list-containing expressions") {
+    assert(scalar("toString(date('2024-03-15'))") == "2024-03-15")
+    assert(scalar("toString(42)") == "42")
+    assert(scalar("ltrim('  x')") == "x")
+    assert(scalar("rtrim('x  ')") == "x")
+    assert(scalar("trim('  x  ')") == "x")
+  }
+
+  test("pi/e constants and log family") {
+    assert(math.abs(scalar("pi()").asInstanceOf[Double] - math.Pi) < 1e-12)
+    assert(math.abs(scalar("e()").asInstanceOf[Double] - math.E) < 1e-12)
+    assert(scalar("log(e())").asInstanceOf[Double] > 0.999)
+    assert(scalar("log10(1000)") == 3.0)
+    assert(scalar("exp(0)") == 1.0)
+  }
+
   test("repeated node variables join on identity (cycles, shared middles)") {
     // the canonical p1<p2 RELATED_TO derivation is acyclic, so a closed
     // directed 2-cycle MUST be empty — nonzero would mean the second `a`
