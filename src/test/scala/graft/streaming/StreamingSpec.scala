@@ -90,6 +90,18 @@ class StreamingSpec extends SparkSpec {
     assert(sortedRowsOf(streamed.select(batch.columns.map(col): _*)) == sortedRowsOf(batch))
   }
 
+  test("edgeAppendRun replays the full input on every invocation") {
+    // append mode + a surviving checkpoint would skip the input on rerun;
+    // the wrapper wipes both dirs so each call yields the complete frame
+    val tmp = java.nio.file.Files.createTempDirectory("graft-earun").toString
+    val a = EventStreams.edgeAppendRun(spark, sfDir,
+      s"$tmp/edges", s"$tmp/ckpt").count()
+    val b = EventStreams.edgeAppendRun(spark, sfDir,
+      s"$tmp/edges", s"$tmp/ckpt").count()
+    val want = graft.graph.GraphLoader.eventsTable(spark, sfDir).count()
+    assert(a == want && b == want, "reruns must not skip or double-append")
+  }
+
   test("streamingEdgeAppend writes TRIGGERED edges a graph can load") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-edges").toString
     val events = graft.graph.GraphLoader.eventsTable(spark, sfDir).limit(50)
