@@ -419,6 +419,14 @@ object SparkEntry {
     "q_redact" -> ((s, dir) =>
       pipeline.TextOps.redact(docs(s, dir))),
 
+    // stratified sampling composed with language ID: keep 300‰ of
+    // detected-English docs, 50‰ of everything else
+    "q_sample_stratified" -> ((s, dir) =>
+      pipeline.TextOps.hashSampleStratified(
+        pipeline.TextOps.langId(docs(s, dir)), "lang_pred",
+        Map("en" -> 300), defaultPermille = 50)
+        .select("doc_id", "lang_pred").orderBy("doc_id")),
+
     // salted two-stage collect (skew-safe non-combinable aggregate),
     // stringified sorted for a deterministic oracle comparison
     "q_skew_collect" -> ((s, dir) => {
@@ -1028,6 +1036,30 @@ object SparkEntry {
       """SELECT doc_id FROM documents
          WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                % 1000 < 100
+         ORDER BY doc_id""",
+    "q_sample_stratified" ->
+      """WITH t AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+         h AS (
+           SELECT doc_id,
+             CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','was'))) AS BIGINT) AS en_hits,
+             CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','mit','ein','zu','den'))) AS BIGINT) AS de_hits,
+             CAST(len(list_filter(toks, x -> x IN ('le','la','les','et','est','un','une','dans','que','pour'))) AS BIGINT) AS fr_hits,
+             CAST(len(list_filter(toks, x -> x IN ('el','los','y','es','en','se','del','las','por','con'))) AS BIGINT) AS es_hits,
+             CAST(len(list_filter(toks, x -> x IN ('的','是','在','了','不','我','有','他','这','中'))) AS BIGINT) AS zh_hits
+           FROM t),
+         lang AS (
+           SELECT doc_id,
+             CASE WHEN greatest(en_hits,de_hits,fr_hits,es_hits,zh_hits) = 0 THEN 'und'
+                  WHEN en_hits = greatest(en_hits,de_hits,fr_hits,es_hits,zh_hits) THEN 'en'
+                  WHEN de_hits = greatest(en_hits,de_hits,fr_hits,es_hits,zh_hits) THEN 'de'
+                  WHEN fr_hits = greatest(en_hits,de_hits,fr_hits,es_hits,zh_hits) THEN 'fr'
+                  WHEN es_hits = greatest(en_hits,de_hits,fr_hits,es_hits,zh_hits) THEN 'es'
+                  ELSE 'zh' END AS lang_pred
+           FROM h)
+         SELECT doc_id, lang_pred FROM lang
+         WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 1000 < CASE WHEN lang_pred = 'en' THEN 300 ELSE 50 END
          ORDER BY doc_id""",
     "q_redact" ->
       """SELECT doc_id,

@@ -254,4 +254,21 @@ object TextOps {
       16, 10).cast(LongType)
     docs.filter(h % 1000L < permille.toLong)
   }
+
+  /** Per-stratum deterministic sampling: each row's keep-permille comes
+    * from its stratum column (e.g. detected language), so mixture
+    * weights are enforced exactly and reproducibly — the downsample-
+    * the-head / keep-the-tail move of corpus balancing. Same md5-prefix
+    * hash as [[hashSample]]: scan-side, engine-portable, no shuffle.
+    */
+  def hashSampleStratified(docs: DataFrame, stratCol: String,
+      permilles: Map[String, Int], defaultPermille: Int,
+      salt: String = "", id: String = "doc_id"): DataFrame = {
+    val h = conv(substring(md5(concat(lit(salt), col(id).cast(StringType))), 1, 8),
+      16, 10).cast(LongType)
+    val p = permilles.foldLeft(lit(defaultPermille.toLong)) {
+      case (acc, (k, v)) => when(col(stratCol) === k, lit(v.toLong)).otherwise(acc)
+    }
+    docs.filter(h % 1000L < p)
+  }
 }

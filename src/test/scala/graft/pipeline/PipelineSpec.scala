@@ -107,6 +107,25 @@ class PipelineSpec extends SparkSpec {
     assert(got(3L) == (0L, false))
   }
 
+  test("stratified sampling enforces per-stratum keep rates") {
+    import spark.implicits._
+    val d = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val kept = TextOps.hashSampleStratified(d, "lang",
+      Map("en" -> 500), defaultPermille = 100)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("en") > 400 && kept("en") < 600, s"~50% of 1000 en, got ${kept("en")}")
+    assert(kept("de") > 50 && kept("de") < 160, s"~10% of 1000 de, got ${kept("de")}")
+    // same ids keep their verdict under the unstratified sampler at the
+    // same permille (one shared hash → composable filters)
+    val uniform = TextOps.hashSample(d, 100).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val strat = TextOps.hashSampleStratified(d, "lang",
+      Map.empty, defaultPermille = 100).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(uniform == strat)
+  }
+
   test("redact masks planted emails, IPs, and phone runs") {
     import spark.implicits._
     val d = Seq(
