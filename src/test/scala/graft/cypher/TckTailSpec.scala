@@ -643,6 +643,29 @@ class TckTailSpec extends SparkSpec {
     assert(scalar("tail([1])") == Seq.empty)
   }
 
+  test("pattern comprehension size as a degree expression") {
+    val got = rows(
+      """MATCH (r:Region)
+        |RETURN r.r_name AS name, size([(r)<-[:IN_REGION]-(n) | 1]) AS deg
+        |ORDER BY name""".stripMargin)
+    assert(got.size == 5 && got.map(_(1).asInstanceOf[Int].toLong).sum == 25L)
+  }
+
+  test("WITH LIMIT mid-pipeline bounds downstream processing") {
+    val got = rows(
+      """MATCH (n:Nation) WITH n ORDER BY n.n_nationkey LIMIT 3
+        |MATCH (n)-[:IN_REGION]->(r:Region)
+        |RETURN n.n_nationkey AS k, r.r_name AS rn ORDER BY k""".stripMargin)
+    assert(got.map(_.head) == Seq(0L, 1L, 2L))
+  }
+
+  test("string predicates are case-sensitive") {
+    assert(scalar("'ABC' CONTAINS 'b'") == false)
+    assert(scalar("'ABC' CONTAINS 'B'") == true)
+    assert(scalar("'Apple' STARTS WITH 'a'") == false)
+    assert(scalar("'Apple' ENDS WITH 'e'") == true)
+  }
+
   // ---- Batch 7 (r9): function-value pins ----
 
   test("nullIf, exists-on-property, and round with precision") {
