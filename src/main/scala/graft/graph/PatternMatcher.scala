@@ -178,8 +178,17 @@ final class PatternMatcher(g: PropertyGraph, varLengthCap: Int = 10) {
   // single-assignment compilation
   // ------------------------------------------------------------------
 
+  /** Broadcast hint for a small-dimension node frame — applied at JOIN
+    * SITES only (compileAssignment / optional), never baked into the
+    * struct frame itself: a hint on a frame that ends up outside any join
+    * (single-node MATCH, catalog counts) draws a HintErrorLogger warning
+    * per query (r9 verdict).
+    */
+  private def hintNode(nd: DataFrame, label: String): DataFrame =
+    if (g.smallLabels(label)) broadcast(nd) else nd
+
   private def nodeStruct(label: String, pat: NodePat): DataFrame = {
-    val raw = g.nodeFrameHinted(label)
+    val raw = g.nodeFrame(label)
     // Cypher: a property-map key the label's schema lacks matches NOTHING
     // (every node's value for it is null, and null = x is never true) —
     // zero rows, not an error
@@ -193,7 +202,7 @@ final class PatternMatcher(g: PropertyGraph, varLengthCap: Int = 10) {
 
   /** Edge view for one choice: rel struct + flat __from/__to join helpers. */
   private def edgeView(r: RelPat, c: RelChoice): DataFrame = {
-    val raw = g.edgeFrameHinted(c.et)
+    val raw = g.edgeFrame(c.et)
     // missing property key → matches nothing (same rule as nodeStruct)
     val filtered = r.props.foldLeft(raw) { case (d, (k, v)) =>
       if (raw.columns.contains(k)) d.filter(col(k) === lit(v))
