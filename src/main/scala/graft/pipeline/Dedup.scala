@@ -102,7 +102,22 @@ object Dedup {
       .select(col(id), shingleHashes(col(text), k).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = minhashSignatures(withSh, numHashes, id)
+    // Eager materialize, then release the cached shingle frame — no
+    // persisted blocks outlive the call (r4: persist leakage).
+    val out = minhashPairsFrom(withSh, bands, rowsPerBand, threshold, id).localCheckpoint()
+    withSh.unpersist()
+    out
+  }
+
+  /** The lazy pair plan behind [[minhashLsh]] (no persist/checkpoint) —
+    * the single source of truth for its join structure, exposed
+    * package-private so PlanAuditSpec can pin the physical shape
+    * (equi-joins only; the public entry returns a checkpointed RDD scan
+    * whose plan is opaque).
+    */
+  private[pipeline] def minhashPairsFrom(withSh: DataFrame, bands: Int,
+      rowsPerBand: Int, threshold: Double, id: String): DataFrame = {
+    val sigs = minhashSignatures(withSh, bands * rowsPerBand, id)
     val withBands = sigs
       .select(col(id), posexplode(bandKeys(col("sig"), bands, rowsPerBand))
         .as(Seq("band", "bucket")))
@@ -113,11 +128,7 @@ object Dedup {
     val candidates = l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // Eager materialize, then release the cached shingle frame — no
-    // persisted blocks outlive the call (r4: persist leakage).
-    val out = verifyJaccardHashes(candidates, withSh, threshold, id).localCheckpoint()
-    withSh.unpersist()
-    out
+    verifyJaccardHashes(candidates, withSh, threshold, id)
   }
 
   /** Exact Jaccard over pre-hashed shingle sets for candidate pairs. */
@@ -174,6 +185,16 @@ object Dedup {
       .select(col(id), shingleHashes(col(text), k).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = jaccardPairsFrom(withSh, threshold, id).localCheckpoint()
+    withSh.unpersist()
+    out
+  }
+
+  /** The lazy pair plan behind [[jaccardPrefix]] (no persist/checkpoint) —
+    * see [[minhashPairsFrom]] for why this is split out.
+    */
+  private[pipeline] def jaccardPairsFrom(withSh: DataFrame, threshold: Double,
+      id: String): DataFrame = {
     val ex = withSh.select(col(id), explode(col("sh")).as("h"))
     val freq = ex.groupBy("h").agg(count(lit(1)).as("df"))
     // Per-doc shingles in global (df, h) order — join df back, collect,
@@ -193,9 +214,7 @@ object Dedup {
       .filter(least(col("n_a"), col("n_b")).cast(DoubleType) >=
         lit(threshold) * greatest(col("n_a"), col("n_b")))
       .select("id_a", "id_b").distinct()
-    val out = verifyJaccardHashes(pairs, withSh, threshold, id).localCheckpoint()
-    withSh.unpersist()
-    out
+    verifyJaccardHashes(pairs, withSh, threshold, id)
   }
 
   // ---- near-dup GROUPING (q_dedup_groups) ----
@@ -213,8 +232,16 @@ object Dedup {
     * id-only — document text never reaches any shuffle here.
     */
   def dupGroups(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
-      id: String = "doc_id", text: String = "text"): DataFrame = {
-    val pairs = jaccardPrefix(docs, k, threshold, id, text)
+      id: String = "doc_id", text: String = "text"): DataFrame =
+    dupGroupsFromPairs(docs, jaccardPrefix(docs, k, threshold, id, text), id)
+
+  /** Grouping over PRECOMPUTED similarity pairs (columns id_a, id_b) — a
+    * pipeline that already ran [[jaccardPrefix]] (or [[minhashLsh]] /
+    * [[simhash]] / [[embedDupsLsh]]) passes its pair frame here instead of
+    * paying for candidate generation + verify a second time.
+    */
+  def dupGroupsFromPairs(docs: DataFrame, pairs: DataFrame,
+      id: String = "doc_id"): DataFrame = {
     val cc = graft.algos.Algos.connectedComponents(
       pairs.select(col("id_a").as("_src"), col("id_b").as("_dst")))
     docs.select(col(id))
@@ -294,6 +321,16 @@ object Dedup {
     // persisted: block-key explode + both hamming-verify sides reuse it
     val withBits = simhashBitsFrame(withSh, id)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = simhashPairsFrom(withBits, blocks, maxHamming, id).localCheckpoint()
+    withBits.unpersist()
+    out
+  }
+
+  /** The lazy pair plan behind [[simhash]] (no persist/checkpoint) — see
+    * [[minhashPairsFrom]] for why this is split out.
+    */
+  private[pipeline] def simhashPairsFrom(withBits: DataFrame, blocks: Int,
+      maxHamming: Int, id: String): DataFrame = {
     val withBlocks = withBits
       .select(col(id), col("bits"),
         posexplode(simhashBlockKeys(col("bits"), blocks)).as(Seq("blk", "key")))
@@ -304,7 +341,7 @@ object Dedup {
       .select("id_a", "id_b").distinct()
     val a = withBits.select(col(id).as("id_a"), col("bits").as("bits_a"))
     val b = withBits.select(col(id).as("id_b"), col("bits").as("bits_b"))
-    val out = candidates.join(a, "id_a").join(b, "id_b")
+    candidates.join(a, "id_a").join(b, "id_b")
       .withColumn("hamming",
         aggregate(zip_with(col("bits_a"), col("bits_b"),
           (x, y) => when(x =!= y, 1).otherwise(0)), lit(0), (acc, d) => acc + d)
@@ -312,9 +349,6 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
       .orderBy("id_a", "id_b")
-      .localCheckpoint()
-    withBits.unpersist()
-    out
   }
 
   // ---- embedding-cosine near-dup (q_dedup_embed) ----
@@ -334,10 +368,21 @@ object Dedup {
     * [[embedDupsLsh]] for candidate generation and keep this shape as its
     * verify step. The join broadcasts the smaller (projected: id, vector,
     * norm — never metadata) side; the per-pair work is one codegen'd dot.
+    *
+    * Guarded: fails fast above `maxRows` (default 100k ≈ 5·10⁹ pairs) —
+    * one careless call on a corpus-sized frame is otherwise a
+    * never-finishing job. Route large inputs to [[embedDupsLsh]].
     */
   def embedDupsExact(emb: DataFrame, threshold: Double = 0.45,
-      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+      id: String = "vec_id", vec: String = "embedding",
+      maxRows: Long = 100000L): DataFrame = {
     graft.functions.VectorExprs.register(emb.sparkSession)
+    // limit(maxRows+1).count scans at most maxRows+1 rows — O(guard), not O(N)
+    val n = emb.select(col(id)).limit((maxRows + 1).min(Int.MaxValue).toInt).count()
+    require(n <= maxRows,
+      s"embedDupsExact: input exceeds $maxRows rows — the all-pairs O(N²) " +
+        "baseline would not finish; use embedDupsLsh (bucketed candidates + " +
+        "exact verify) for corpus-scale inputs, or raise maxRows explicitly")
     val base = embedBase(emb, id, vec)
     val a = base.select(col("id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
     val b = base.select(col("id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))

@@ -73,6 +73,74 @@ class PipelineSpec extends SparkSpec {
     assert(got(4L) == (4L, false), "singleton keeps itself")
   }
 
+  test("dedup candidate/verify joins never fall back to nested-loop") {
+    // The scale-critical invariant: candidates come from equi-joins on
+    // bucket keys (bands / pigeonhole blocks / prefix hashes) and verify
+    // joins are equi-joins on ids — a nested-loop anywhere here is an
+    // accidental O(N²). Audited on the lazy *PairsFrom plans (the public
+    // entries return checkpointed RDD scans whose plans are opaque).
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    def badJoins(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.sparkPlan.collect {
+        case _: BroadcastNestedLoopJoinExec => "bnlj"
+        case _: CartesianProductExec => "cartesian"
+      }
+    val withSh = docs
+      .select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    graft.functions.VectorExprs.register(spark)
+    assert(badJoins(Dedup.jaccardPairsFrom(withSh, 0.8, "doc_id")).isEmpty)
+    assert(badJoins(Dedup.minhashPairsFrom(withSh, 16, 8, 0.8, "doc_id")).isEmpty)
+    val withBits = Dedup.simhashBitsFrame(withSh, "doc_id")
+    assert(badJoins(Dedup.simhashPairsFrom(withBits, 4, 3, "doc_id")).isEmpty)
+  }
+
+  test("dupGroupsFromPairs over precomputed pairs matches dupGroups") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"w$i")
+    val d = Seq(
+      (1L, base.mkString(" ")),
+      (2L, (base.take(29) :+ "x29").mkString(" ")),
+      (3L, (base.take(28) ++ Seq("x29", "y30")).mkString(" ")),
+      (4L, (1 to 30).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPrefix(d)
+    val viaPairs = Dedup.dupGroupsFromPairs(d, pairs).collect().map(_.toSeq).toSet
+    val direct = Dedup.dupGroups(d).collect().map(_.toSeq).toSet
+    assert(viaPairs == direct)
+  }
+
+  test("embedDupsExact fails fast above the all-pairs size guard") {
+    val err = intercept[IllegalArgumentException] {
+      Dedup.embedDupsExact(embs, maxRows = 10L)
+    }
+    assert(err.getMessage.contains("embedDupsLsh"),
+      "guard message must route callers to the scale path")
+    // explicit raise works
+    assert(Dedup.embedDupsExact(embs, maxRows = 1000000L).columns.nonEmpty)
+  }
+
+  test("ann recallAt computes the hit fraction of the exact top-k") {
+    import spark.implicits._
+    val exact = Seq((0L, 10L, 1L), (0L, 11L, 2L), (1L, 20L, 1L), (1L, 21L, 2L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val approx = Seq((0L, 10L, 1L), (0L, 99L, 2L), (1L, 21L, 1L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val r = Ann.recallAt(exact, approx).head
+    assert(r.getLong(0) == 2L)   // n_queries
+    assert(r.getLong(1) == 2L)   // hits: (0,10) and (1,21)
+    assert(r.getLong(2) == 4L)   // exact pairs
+    assert(r.getDouble(3) == 0.5)
+  }
+
+  test("auto-sized lshTopK keeps recall high on the test corpus") {
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val r = Ann.recallAt(
+      Ann.cosineTopK(embs, qids, k = 10),
+      Ann.lshTopK(embs, qids, k = 10)).head
+    assert(r.getDouble(3) >= 0.9, s"recall@10 ${r.getDouble(3)} below 0.9")
+  }
+
   test("packByBudget matches the sequential contiguous-fill reference") {
     val budget = 512L
     val want = docs.select("doc_id", "text").collect()
