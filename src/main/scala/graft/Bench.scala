@@ -55,6 +55,15 @@ object Bench {
       System.gc()
     }
 
+    // r10 postmortem: a 17.7% total "regression" (3 queries >2.5×) turned
+    // out to be background load — the whole round (build, tests, gate,
+    // bench) ran in one 498 s window, and nothing in the output could
+    // attribute it. Record the 1-minute OS load average at start/end and
+    // a run-to-run noise statistic so an anomalous round self-diagnoses.
+    def loadAvg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadAvg
+
     val timings = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1)
@@ -99,11 +108,18 @@ object Bench {
     val qmax = steady.map { case (k, v) => s""""${esc(k)}":${r3dec(v.max)}""" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     val total = r3dec(med.values.sum)
+    // noise = median over queries of (max-min)/median within each query's
+    // steady runs — one compact number: ~0.1-0.3 on a quiet machine;
+    // sustained background load inflates it with the timings it pollutes.
+    val noise = r2dec(median(steady.collect {
+      case (k, v) if v.nonEmpty && med(k) > 0 => (v.max - v.min) / med(k)
+    }.toSeq match { case Nil => Seq(0.0); case s => s }))
+    val loadEnd = loadAvg
     // Compact line for stdout (driver tail window is ~2000 chars): medians
     // only. The files below carry min/max for spread analysis.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"errors":$errJson,"sf":"${esc(sfDir)}"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"noise":$noise,"queries":$qs,"errors":$errJson,"sf":"${esc(sfDir)}"}"""
     val qs3 = med.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs3,"queries_min":$qmin,"queries_max":$qmax,"errors":$errJson,"sf":"${esc(sfDir)}"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"noise":$noise,"load_start":${r2dec(loadStart)},"load_end":${r2dec(loadEnd)},"queries":$qs3,"queries_min":$qmin,"queries_max":$qmax,"errors":$errJson,"sf":"${esc(sfDir)}"}"""
     println(line)
     // r2 verdict: the driver saw this line only through sbt's "[info] "
     // logger prefix and parsed nothing. Persist the JSON to files too

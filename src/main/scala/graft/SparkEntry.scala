@@ -382,6 +382,21 @@ object SparkEntry {
            RETURN n.n_name AS n_name, n.score AS score ORDER BY n_name""")
     }),
 
+    // multi-label shim end-to-end: SET n:L1:L2, non-detaching REMOVE of a
+    // secondary, CREATE (x:A:B), labels() and the n:Label predicate
+    "q_write_label" -> ((s, dir) => {
+      val (g1, _) = g(s, dir).cypherWrite(
+        "MATCH (n:Nation) WHERE n.n_regionkey = 0 SET n:Tagged:Africa")
+      val (g2, _) = g1.cypherWrite(
+        "MATCH (n:Nation) WHERE n.n_name = 'ALGERIA' REMOVE n:Tagged")
+      val (g3, _) = g2.cypherWrite("CREATE (x:Landmark:Poi {name: 'giza'})")
+      g3.cypher(
+        "MATCH (n:Nation) WHERE n:Africa RETURN n.n_name AS name, labels(n) AS labels")
+        .unionByName(g3.cypher(
+          "MATCH (m:Landmark) RETURN m.name AS name, labels(m) AS labels"))
+        .orderBy("name")
+    }),
+
     // ================================================================
     // LLM-data-pipeline operators (graft.pipeline) over documents /
     // embeddings — first-class per the build brief.
@@ -954,6 +969,15 @@ object SparkEntry {
     "q_write_set_map" ->
       """SELECT n_name, CAST(n_nationkey * 2 AS BIGINT) AS score
          FROM nation WHERE n_regionkey = 2 ORDER BY n_name""",
+    "q_write_label" ->
+      """SELECT name, labels FROM (
+           SELECT n_name AS name,
+             CASE WHEN n_name = 'ALGERIA' THEN ['Nation', 'Africa']
+                  ELSE ['Nation', 'Tagged', 'Africa'] END AS labels
+           FROM nation WHERE n_regionkey = 0
+           UNION ALL
+           SELECT 'giza' AS name, ['Landmark', 'Poi'] AS labels
+         ) ORDER BY name""",
     "q_catalog" ->
       """WITH related AS (
            SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2

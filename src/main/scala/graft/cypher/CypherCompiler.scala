@@ -133,8 +133,21 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
     }
   }
 
+  /** var -> the FRAME label it statically resolves to. A pattern label is
+    * usually its own frame, but under the multi-label shim it may resolve
+    * to a different frame carrying it as a secondary — and to SEVERAL
+    * frames, in which case the variable has no static frame and is left
+    * out (reads don't need it; writes then fail with their honest
+    * "no statically-known label" error).
+    */
   private def declaredLabels(paths: Vector[PathPat]): Map[String, String] =
-    paths.flatMap(_.nodes).flatMap(n => n.label.map(n.name -> _)).toMap
+    paths.flatMap(_.nodes).filter(_.allLabels.nonEmpty).groupBy(_.name)
+      .flatMap { case (v, ns) =>
+        g.frameCandidates(ns.flatMap(_.allLabels).toSet) match {
+          case Seq(one) => Some(v -> one)
+          case _ => None
+        }
+      }
 
   private[cypher] def applyMatch(ctx: Option[Ctx], paths0: Vector[PathPat],
       optional: Boolean, where: Option[Expr]): Ctx = {
@@ -974,7 +987,18 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
       case Neg(x) => -go(x)
       case IsNull(x, negated) => if (negated) go(x).isNotNull else go(x).isNull
       case LabelPred(v, label) =>
-        env.getOrElse(v, col(v)).getField(LABEL) === lit(label)
+        val ent = env.getOrElse(v, col(v))
+        val primary = ent.getField(LABEL) === lit(label)
+        // multi-label shim: also true when the label is in the entity's
+        // `_labels` array (field exists only on frames that saw
+        // SET n:Label / CREATE (n:A:B) — schema-gated to keep plain
+        // graphs' plans untouched)
+        dt(ent) match {
+          case Some(st: StructType) if st.fieldNames.contains(PropertyGraph.LABELS) =>
+            primary ||
+              coalesce(array_contains(ent.getField(PropertyGraph.LABELS), lit(label)), lit(false))
+          case _ => primary
+        }
 
       case CaseExpr(subject, whens, otherwise) =>
         val subj = subject.map(go)

@@ -155,10 +155,14 @@ object CypherParser {
           else ident()
         if (tryTok("+=")) items += (Var(v): Expr) -> expr() // map merge
         else if (tryTok(":")) {
-          // SET n:Label — unsupported under the single-label model; fail
-          // at parse with the divergence pointer instead of misparsing
-          sys.error("SET n:Label is unsupported: graft nodes carry ONE label " +
-            "(see SURVEY §6 single-label divergence); model secondary labels as properties")
+          // SET n:Label1:Label2 — multi-label shim: labels beyond the
+          // node's primary go into its `_labels` array (reference:
+          // translator.ts:921-933 SET-labels over label arrays).
+          // Marker Func consumed by CypherWriter.applySet.
+          val ls = Vector.newBuilder[Expr]
+          ls += Lit(ident())
+          while (tryTok(":")) ls += Lit(ident())
+          items += (Var(v): Expr) -> Func("__set_labels", ls.result())
         } else if (tryTok("=")) {
           // SET n = {map} — REPLACE all properties (reference: SET map
           // assignment); marker Func consumed by CypherWriter.applySet
@@ -281,11 +285,15 @@ object CypherParser {
       expect("(")
       val name = if (cur.kind == TIdent && !cur.is(")") ) Some(ident()) else None
       val label = if (tryTok(":")) Some(ident()) else None
+      // `:A:B:C` — first label is primary, the rest are secondaries
+      // (multi-label shim, see PropertyGraph.LABELS)
+      val secondary = Vector.newBuilder[String]
+      while (label.isDefined && cur.is(":") && cur.kind == TPunct) { i += 1; secondary += ident() }
       val ps = propMap()
       expect(")")
       name match {
-        case Some(n) => NodePat(n, anonymous = false, label, ps)
-        case None => NodePat(fresh(), anonymous = true, label, ps)
+        case Some(n) => NodePat(n, anonymous = false, label, ps, secondary.result())
+        case None => NodePat(fresh(), anonymous = true, label, ps, secondary.result())
       }
     }
 

@@ -6,7 +6,7 @@ import Ast._
 import CypherCompiler.Ctx
 import graft.graph.{EdgeType, PropertyGraph}
 import graft.graph.PatternParser.{NodePat, Out, PathPat}
-import graft.graph.PropertyGraph.{DST, EID, ID, SRC}
+import graft.graph.PropertyGraph.{DST, EID, ID, LABELS, SRC}
 
 /** Executes Cypher WRITE queries (CREATE / MERGE / SET / REMOVE / DELETE /
   * DETACH DELETE, mixed with read clauses) against a [[PropertyGraph]],
@@ -69,16 +69,26 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
         val (labelItems, propItems) = items.partition(_.isInstanceOf[LabelPred])
         graph = applySet(graph, ctxOrFail(ctx), propItems.map(p => p -> Lit(null)),
           relClasses)
-        // REMOVE n:Label — matched rows leave the label's frame (per-label
-        // storage: label membership IS frame membership). Divergence from
-        // multi-label Neo4j (documented): edges typed against the label
-        // cannot outlive the membership, so they are detached too.
+        // REMOVE n:Label — two cases under the multi-label shim:
+        //  * removing the PRIMARY label: matched rows leave the label's
+        //    frame (per-label storage: label membership IS frame
+        //    membership). Divergence from multi-label Neo4j (documented):
+        //    edges typed against the label cannot outlive the membership,
+        //    so they are detached too.
+        //  * removing a SECONDARY label: non-detaching `_labels` edit —
+        //    the node survives (reference: translator.ts:1149-1156,
+        //    REMOVE drops one entry from the label array). Removing a
+        //    label the node doesn't carry is a no-op (reference parity).
         labelItems.foreach { case LabelPred(v, label) =>
           val c = ctxOrFail(ctx)
-          require(c.labels.get(v).contains(label),
-            s"REMOVE $v:$label: $v is not statically bound to :$label")
+          val primary = c.labels.getOrElse(v,
+            sys.error(s"REMOVE $v:$label: $v has no statically-known label"))
           val ids = c.df.select(col(s"$v.${graft.graph.PropertyGraph.ID}"))
-          graph = graph.detachDeleteNodesByIds(label, ids)
+          if (primary == label) graph = graph.detachDeleteNodesByIds(label, ids)
+          else if (graph.nodeFrame(primary).columns.contains(LABELS))
+            graph = graph.setNodePropsForIds(primary, ids,
+              Map(LABELS -> array_remove(col(LABELS), label)))
+          // else: the frame has no secondary labels at all — no-op
         case other => sys.error(s"unsupported REMOVE item: $other")
         }
       case DeleteClause(vars, detach) =>
@@ -168,7 +178,8 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
             s"CREATE variable ${n.name} carries a property map in two patterns")
           byName(n.name) = prev.copy(
             label = prev.label.orElse(n.label),
-            props = if (prev.props.nonEmpty) prev.props else n.props)
+            props = if (prev.props.nonEmpty) prev.props else n.props,
+            secondary = (prev.secondary ++ n.secondary).distinct)
       }
     }
     val newPats = byName.values.toVector
@@ -187,13 +198,17 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
       val idCol = nodeIdOf(label, n.props, rowFrame,
         rowUid = if (n.props.exists(_._1 == ID)) None else Some(col(ROW_UID)),
         nonce = Seq(lit(g.writeEpoch), lit(pi)))
-      val cols = idCol.as(ID) +:
-        n.props.filterNot(_._1 == ID).map { case (k, v) => propCol(v, rowFrame).as(k) }
+      // multi-label shim: `CREATE (n:A:B:C)` stores A as the frame and
+      // [B, C] in the _labels array (reference: label arrays, db.ts:47-69)
+      val sec = n.secondary.distinct.filterNot(_ == label)
+      val cols = (idCol.as(ID) +:
+        n.props.filterNot(_._1 == ID).map { case (k, v) => propCol(v, rowFrame).as(k) }) ++
+        (if (sec.nonEmpty) Seq(array(sec.map(lit): _*).as(LABELS)) else Nil)
       // distinct() only collapses rows that are STILL identical after id
       // minting — i.e. explicit-_id duplicates (content addressing is the
       // user's opt-in); uid-minted rows are one node per row.
       val row = rowFrame.select(cols: _*).distinct()
-      out = out.addNodes(label, row)
+      out = out.addNodes(label, row).registerSecondaryLabels(label, sec.toSet)
       newNodeIds(n.name) = (label, idCol)
     }
     // 2. edges — endpoints either MATCH-bound (per-row) or just created
@@ -235,9 +250,11 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
         var df2 = rowFrame
         named.foreach { n =>
           val (label, idc) = newNodeIds(n.name)
-          val fields = idc.cast("long").as(ID) +:
+          val sec = n.secondary.distinct.filterNot(_ == label)
+          val fields = (idc.cast("long").as(ID) +:
             n.props.filterNot(_._1 == ID)
-              .map { case (k, v) => propCol(v, rowFrame).as(k) } :+
+              .map { case (k, v) => propCol(v, rowFrame).as(k) }) ++
+            (if (sec.nonEmpty) Seq(array(sec.map(lit): _*).as(LABELS)) else Nil) :+
             lit(label).as(PropertyGraph.LABEL)
           df2 = df2.withColumn(n.name, struct(fields: _*))
         }
@@ -294,8 +311,10 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
         oc: Seq[(Expr, Expr)], om: Seq[(Expr, Expr)]): PropertyGraph = {
       val label = n.label.getOrElse(sys.error("MERGE node needs a label"))
       val idCol = nodeIdOf(label, n.props, rowFrame)
-      val cols = idCol.as(ID) +:
-        n.props.filterNot(_._1 == ID).map { case (k, v) => propCol(v, rowFrame).as(k) }
+      val sec = n.secondary.distinct.filterNot(_ == label)
+      val cols = (idCol.as(ID) +:
+        n.props.filterNot(_._1 == ID).map { case (k, v) => propCol(v, rowFrame).as(k) }) ++
+        (if (sec.nonEmpty) Seq(array(sec.map(lit): _*).as(LABELS)) else Nil)
       val row = rowFrame.select(cols: _*).distinct()
       def assigns(items: Seq[(Expr, Expr)]): Map[String, Column] =
         items.map {
@@ -304,6 +323,7 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
           case other => sys.error(s"unsupported MERGE SET target: $other")
         }.toMap
       gr.mergeNodesWith(label, row, assigns(oc), assigns(om))
+        .registerSecondaryLabels(label, sec.toSet)
     }
 
     def setsFor(n: NodePat, items: Seq[(Expr, Expr)]) = items.filter {
@@ -425,12 +445,35 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
     new CypherCompiler(g0, spark, params).compileExpr(spark.range(0).toDF(), rewritten)
   }
 
-  private val internalCols = Set(ID, EID, SRC, DST, "_label", "_hops", "_eids")
+  private val internalCols = Set(ID, EID, SRC, DST, "_label", "_hops", "_eids", LABELS)
 
   private def applySet(g: PropertyGraph, ctx: Ctx,
       items: Seq[(Expr, Expr)],
       relClasses: Map[String, EdgeType] = Map.empty): PropertyGraph =
     items.foldLeft(g) {
+      // SET n:Label1:Label2 — multi-label shim: append to the `_labels`
+      // array (distinct, declaration order preserved); the primary label
+      // is implicit and never duplicated in. Reference:
+      // translator.ts:921-933 (SET-labels over label arrays).
+      case (acc, (Var(v), Func("__set_labels", labelLits, _))) =>
+        val label = ctx.labels.getOrElse(v,
+          sys.error(s"SET $v:... has no statically-known label"))
+        val adds = labelLits.map {
+          case Lit(s: String) => s
+          case other => sys.error(s"unexpected SET-label item: $other")
+        }.filterNot(_ == label)
+        if (adds.isEmpty) acc
+        else {
+          val ids = ctx.df.select(col(s"$v.$ID"))
+          val addArr = array(adds.map(lit): _*)
+          val newVal =
+            if (acc.nodeFrame(label).columns.contains(LABELS))
+              array_distinct(concat(
+                coalesce(col(LABELS), array().cast("array<string>")), addArr))
+            else addArr
+          acc.setNodePropsForIds(label, ids, Map(LABELS -> newVal))
+            .registerSecondaryLabels(label, adds.toSet)
+        }
       // SET r.prop = expr — rel variable pinned to one edge class by the
       // MATCH (type + endpoint labels); updates join on the eid frame
       // (reference: translator.ts SET translation covers rel updates

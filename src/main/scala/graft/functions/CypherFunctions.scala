@@ -25,7 +25,7 @@ object CypherFunctions {
   def isAggregate(name: String): Boolean = aggregateNames(name.toLowerCase)
 
   /** Internal columns of graph structs, excluded from `properties()`/`keys()`. */
-  private val internalFields = Set("_id", "_src", "_dst", "_eid", "_label", "_hops", "_eids")
+  private val internalFields = Set("_id", "_src", "_dst", "_eid", "_label", "_hops", "_eids", "_labels")
 
   /** Resolve an aggregate call. `star` marks count(*). */
   def aggregate(name: String, args: Seq[Column], distinct: Boolean, star: Boolean): Column =
@@ -149,7 +149,16 @@ object CypherFunctions {
       // fields, so a null entity (OPTIONAL MATCH miss) must null-guard —
       // array(null-field) would otherwise yield [null], not null
       case "id" => a0.getField("_id")
-      case "labels" => when(a0.isNotNull, array(a0.getField("_label")))
+      case "labels" =>
+        // multi-label shim: primary label first, then the `_labels`
+        // secondaries in declaration order (schema-gated — plain graphs
+        // keep the 1-element form)
+        argType(0) match {
+          case Some(st: StructType) if st.fieldNames.contains("_labels") =>
+            when(a0.isNotNull, concat(array(a0.getField("_label")),
+              coalesce(a0.getField("_labels"), array().cast(ArrayType(StringType)))))
+          case _ => when(a0.isNotNull, array(a0.getField("_label")))
+        }
       case "type" => a0.getField("_label")
       case "startnode" => a0.getField("_src")
       case "endnode" => a0.getField("_dst")

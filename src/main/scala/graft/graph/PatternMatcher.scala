@@ -32,6 +32,13 @@ final class PatternMatcher(g: PropertyGraph, varLengthCap: Int = 10) {
   /** Set per compile: lone anonymous var-length rel → frontier dedup. */
   private var dedupFrontier: Boolean = false
 
+  /** Set per compile: every label each variable must carry (union over
+    * its pattern occurrences — primary + `:A:B` secondaries). Labels
+    * beyond the assigned frame's own become `_labels` membership filters
+    * in [[nodeStruct]] (multi-label shim).
+    */
+  private var requiredLabels: Map[String, Set[String]] = Map.empty
+
   // ------------------------------------------------------------------
   // public API
   // ------------------------------------------------------------------
@@ -108,17 +115,27 @@ final class PatternMatcher(g: PropertyGraph, varLengthCap: Int = 10) {
 
   private def enumerateAssignments(paths: Vector[PathPat],
       known: Map[String, String]): Seq[Map[String, String]] = {
-    // fixed labels from explicit pattern labels + caller-known bindings
-    val fixed = scala.collection.mutable.Map[String, String]() ++ known
-    for (p <- paths; n <- p.nodes; l <- n.label) {
-      fixed.get(n.name).foreach { prev =>
-        require(prev == l, s"Variable ${n.name} labeled both $prev and $l")
-      }
-      fixed(n.name) = l
-    }
-    // an explicitly-named label absent from the graph matches nothing
-    if (!fixed.values.forall(g.hasLabel)) return Seq.empty
     val allVars = paths.flatMap(_.nodes.map(_.name)).distinct
+    // candidate FRAMES per variable: a caller-known binding pins the
+    // frame; explicit labels admit any frame satisfying ALL of them
+    // (its own label or a registered secondary — multi-label shim);
+    // unconstrained variables admit every frame. A label absent from
+    // both the catalog and the secondary registry matches nothing
+    // (zero rows, not an error — Cypher semantics and the reference).
+    requiredLabels = allVars.map { v =>
+      v -> paths.flatMap(_.nodes).filter(_.name == v).flatMap(_.allLabels).toSet
+    }.toMap
+    val candidates: Map[String, Seq[String]] = allVars.map { v =>
+      v -> (known.get(v) match {
+        case Some(l) => Seq(l)
+        case None =>
+          val req = requiredLabels(v)
+          if (req.isEmpty) g.labels else g.frameCandidates(req)
+      })
+    }.toMap
+    if (candidates.values.exists(_.isEmpty)) return Seq.empty
+    val fixed = scala.collection.mutable.Map[String, String]() ++
+      candidates.collect { case (v, Seq(one)) => v -> one }
     val free = allVars.filterNot(fixed.contains)
     // rel constraints: (leftVar, rightVar, relPat)
     val cons = for {
@@ -153,7 +170,7 @@ final class PatternMatcher(g: PropertyGraph, varLengthCap: Int = 10) {
     def dfs(remaining: List[String], acc: Map[String, String]): Unit = remaining match {
       case Nil => out += acc
       case v :: rest =>
-        for (l <- g.labels) {
+        for (l <- candidates(v)) {
           val a2 = acc + (v -> l)
           if (cons.forall(c => relSatisfiable(a2, c))) dfs(rest, a2)
         }
@@ -205,8 +222,16 @@ final class PatternMatcher(g: PropertyGraph, varLengthCap: Int = 10) {
       if (raw.columns.contains(k)) d.filter(col(k) === lit(v))
       else d.filter(lit(false))
     }
-    val fields = filtered.columns.map(col) :+ lit(label).as(LABEL)
-    filtered.select(struct(fields.toIndexedSeq: _*).as(pat.name))
+    // multi-label shim: required labels beyond the frame's own must be
+    // present in the row's `_labels` array (null/absent → no match)
+    val extraLabels = requiredLabels.getOrElse(pat.name, pat.allLabels) - label
+    val labFiltered = extraLabels.toSeq.sorted.foldLeft(filtered) { (d, s) =>
+      if (raw.columns.contains(PropertyGraph.LABELS))
+        d.filter(array_contains(col(PropertyGraph.LABELS), s))
+      else d.filter(lit(false))
+    }
+    val fields = labFiltered.columns.map(col) :+ lit(label).as(LABEL)
+    labFiltered.select(struct(fields.toIndexedSeq: _*).as(pat.name))
   }
 
   /** Edge view for one choice: rel struct + flat __from/__to join helpers. */

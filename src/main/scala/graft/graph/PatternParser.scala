@@ -22,8 +22,18 @@ object PatternParser {
   case object In extends Dir         // <-[]-
   case object Undirected extends Dir // -[]-
 
+  /** `label` is the PRIMARY label (the frame the node lives in when
+    * created); `secondary` are additional labels from a `:A:B:C` chain —
+    * the multi-label shim (see [[PropertyGraph.LABELS]]). In MATCH
+    * position every listed label must hold (primary OR registered
+    * secondary of the candidate frame).
+    */
   final case class NodePat(name: String, anonymous: Boolean,
-      label: Option[String], props: Seq[(String, Any)])
+      label: Option[String], props: Seq[(String, Any)],
+      secondary: Seq[String] = Seq.empty) {
+    /** Every label this pattern requires. */
+    def allLabels: Set[String] = label.toSet ++ secondary
+  }
 
   final case class RelPat(name: String, anonymous: Boolean,
       relType: Option[String], props: Seq[(String, Any)], dir: Dir,
@@ -138,11 +148,13 @@ object PatternParser {
       eat('(')
       val name = tryIdent()
       val label = if (tryEat(':')) Some(ident()) else None
+      val secondary = Vector.newBuilder[String]
+      while (label.isDefined && tryEat(':')) secondary += ident()
       val ps = props()
       eat(')')
       name match {
-        case Some(n) => NodePat(n, anonymous = false, label, ps)
-        case None => NodePat(fresh(), anonymous = true, label, ps)
+        case Some(n) => NodePat(n, anonymous = false, label, ps, secondary.result())
+        case None => NodePat(fresh(), anonymous = true, label, ps, secondary.result())
       }
     }
 

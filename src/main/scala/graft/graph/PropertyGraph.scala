@@ -21,6 +21,14 @@ object PropertyGraph {
   val DST = "_dst"  // edge target node id
   val EID = "_eid"  // edge identity (long), unique within its EdgeType
   val LABEL = "_label" // injected into match structs: node label / rel type
+  /** Secondary-labels column (array<string>): the multi-label shim.
+    * Nodes live in ONE per-label frame (their primary label — what makes
+    * parquet pruning work at 100 TB); additional labels from
+    * `CREATE (n:A:B)` / `SET n:Label` are stored here and consulted by
+    * `labels(n)`, `n:Label` predicates, and MATCH label resolution.
+    * Reference analog: label ARRAYS in db.ts:47-69.
+    */
+  val LABELS = "_labels"
 
   /** Build a graph whose table frames are materialized lazily on first
     * access (memoized). A query touching only Customer/Order never opens
@@ -32,8 +40,10 @@ object PropertyGraph {
       nodeThunks: Map[String, () => DataFrame],
       edgeThunks: Map[EdgeType, () => DataFrame],
       smallLabels: Set[String] = Set.empty,
-      smallTypes: Set[String] = Set.empty): PropertyGraph =
-    new PropertyGraph(nodeThunks, edgeThunks, smallLabels, smallTypes)
+      smallTypes: Set[String] = Set.empty,
+      secondaryLabels: Map[String, Set[String]] = Map.empty): PropertyGraph =
+    new PropertyGraph(nodeThunks, edgeThunks, smallLabels, smallTypes,
+      secondaryLabels = secondaryLabels)
 
   /** Strict construction from already-materialized frames. */
   def apply(nodes: Map[String, DataFrame], edges: Map[EdgeType, DataFrame],
@@ -60,7 +70,38 @@ object PropertyGraph {
       val Array(t, s, d) = enc.split("__", 3).map(dirDecode)
       EdgeType(t, s, d) -> (() => spark.read.parquet(s"$path/edges/$enc"))
     }.toMap
-    lazily(nodeThunks, edgeThunks)
+    // secondary-label catalog (tiny JSON, written by save): lets MATCH
+    // resolve secondary labels without forcing every frame's schema
+    val secFile = new Path(s"$path/secondary_labels.json")
+    val secondary: Map[String, Set[String]] =
+      if (!hfs.exists(secFile)) Map.empty
+      else {
+        val in = hfs.open(secFile)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        parseSecondaryJson(txt)
+      }
+    lazily(nodeThunks, edgeThunks, secondaryLabels = secondary)
+  }
+
+  /** Minimal parser/writer for the secondary-label catalog: a flat JSON
+    * object {"frameLabel": ["Sec1", "Sec2"], ...}. Labels are
+    * identifier-like (the Cypher parsers only produce ident tokens), so
+    * escaping beyond quote/backslash is not needed.
+    */
+  private[graph] def parseSecondaryJson(txt: String): Map[String, Set[String]] = {
+    val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*\[([^\]]*)\]""".r
+    val str = """"((?:[^"\\]|\\.)*)"""".r
+    def unesc(s: String): String = s.replace("\\\"", "\"").replace("\\\\", "\\")
+    entry.findAllMatchIn(txt).map { m =>
+      unesc(m.group(1)) -> str.findAllMatchIn(m.group(2)).map(x => unesc(x.group(1))).toSet
+    }.toMap
+  }
+
+  private[graph] def renderSecondaryJson(m: Map[String, Set[String]]): String = {
+    def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    m.toSeq.sortBy(_._1).map { case (k, vs) =>
+      s""""${esc(k)}": [${vs.toSeq.sorted.map(v => s""""${esc(v)}"""").mkString(", ")}]"""
+    }.mkString("{", ", ", "}")
   }
 
   /** Escape a label/relType for use as a snapshot directory component:
@@ -110,7 +151,15 @@ final class PropertyGraph private (
       * ids (openCypher bag semantics) while the same write sequence
       * stays reproducible run-to-run.
       */
-    val writeEpoch: Int = 0) {
+    val writeEpoch: Int = 0,
+    /** frame label -> secondary labels POSSIBLY present in that frame
+      * (see [[PropertyGraph.LABELS]]). Maintained conservatively by the
+      * write API (CREATE/SET/MERGE register; REMOVE never shrinks — a
+      * stale entry costs one zero-row filter branch, a missing entry
+      * would be a wrong answer). Kept driver-side so MATCH label
+      * resolution never forces frame schemas.
+      */
+    val secondaryLabels: Map[String, Set[String]] = Map.empty) {
 
   import PropertyGraph._
 
@@ -121,6 +170,11 @@ final class PropertyGraph private (
   //      src/translator.ts:4398-4412) ----
 
   def labels: Seq[String] = nodeThunks.keys.toSeq.sorted
+  /** All labels a node can carry: frame labels + registered secondaries
+    * (reference: db.labels() lists every label in the label arrays).
+    */
+  def allLabels: Seq[String] =
+    (nodeThunks.keys ++ secondaryLabels.values.flatten).toSeq.distinct.sorted
   def relationshipTypes: Seq[String] = edgeThunks.keys.map(_.relType).toSeq.distinct.sorted
   /** Edge classes without forcing any frame. */
   def edgeClasses: Seq[EdgeType] =
@@ -128,7 +182,7 @@ final class PropertyGraph private (
 
   def labelsDF(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    labels.toDF("label")
+    allLabels.toDF("label")
   }
   def relationshipTypesDF(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -136,6 +190,27 @@ final class PropertyGraph private (
   }
 
   def hasLabel(label: String): Boolean = nodeThunks.contains(label)
+
+  /** Frames that can hold a node carrying EVERY label in `required`: the
+    * frame's own label counts, and so do its registered secondaries.
+    * Empty `required` = no constraint = every frame. Driver-side only —
+    * O(catalog), never touches data or schemas.
+    */
+  def frameCandidates(required: Set[String]): Seq[String] =
+    labels.filter { f =>
+      required.forall(r => r == f || secondaryLabels.getOrElse(f, Set.empty)(r))
+    }
+
+  /** Record that `secondary` labels may now appear in `frameLabel`'s
+    * [[PropertyGraph.LABELS]] column (called by the write paths). Not a
+    * structural write: no epoch bump, caches preserved.
+    */
+  def registerSecondaryLabels(frameLabel: String, secondary: Set[String]): PropertyGraph = {
+    if (secondary.isEmpty) return this
+    new PropertyGraph(nodeThunks, edgeThunks, smallLabels, smallTypes, writeEpoch,
+      secondaryLabels + (frameLabel ->
+        (secondaryLabels.getOrElse(frameLabel, Set.empty) ++ secondary)))
+  }
 
   def nodeFrame(label: String): DataFrame =
     nodeCache.getOrElseUpdate(label, nodeThunks.getOrElse(label,
@@ -238,7 +313,7 @@ final class PropertyGraph private (
 
   private def copyWith(n: Map[String, () => DataFrame] = nodeThunks,
       e: Map[EdgeType, () => DataFrame] = edgeThunks): PropertyGraph =
-    new PropertyGraph(n, e, smallLabels, smallTypes, writeEpoch + 1)
+    new PropertyGraph(n, e, smallLabels, smallTypes, writeEpoch + 1, secondaryLabels)
 
   private def thunk(df: DataFrame): () => DataFrame = () => df
 
@@ -507,6 +582,15 @@ final class PropertyGraph private (
     edges.foreach { case (et, df) =>
       val enc = Seq(et.relType, et.srcLabel, et.dstLabel).map(dirEncode).mkString("__")
       df.write.mode("overwrite").parquet(s"$path/edges/$enc")
+    }
+    if (secondaryLabels.nonEmpty) {
+      import org.apache.hadoop.fs.Path
+      val spark = SparkSession.active
+      val p = new Path(s"$path/secondary_labels.json")
+      val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = hfs.create(p, true)
+      try out.write(renderSecondaryJson(secondaryLabels).getBytes("UTF-8"))
+      finally out.close()
     }
   }
 }

@@ -147,17 +147,15 @@ class GraphWriteSpec extends SparkSpec {
     assert(cleared.head().isNullAt(cleared.columns.indexOf("name")))
   }
 
-  test("cypherWrite: undirected CREATE rel and SET n:Label are rejected") {
+  test("cypherWrite: undirected CREATE rel is rejected") {
+    // (SET n:Label is now SUPPORTED via the multi-label shim —
+    // see MultiLabelSpec)
     val g = tinyGraph()
     val e1 = intercept[RuntimeException] {
       g.cypherWrite(
         "MATCH (a:Person {name: 'ann'}), (b:Person {name: 'bob'}) CREATE (a)-[:KNOWS]-(b)")
     }
     assert(e1.getMessage.contains("directed"))
-    val e2 = intercept[RuntimeException] {
-      g.cypherWrite("MATCH (p:Person {name: 'ann'}) SET p:Admin")
-    }
-    assert(e2.getMessage.contains("single-label"))
   }
 
   test("cypherWrite: SET += map merge") {
