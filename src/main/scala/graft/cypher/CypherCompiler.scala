@@ -52,6 +52,23 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
 
   private val pm = new PatternMatcher(g)
 
+  /** Statically-known element types of in-scope lambda variables
+    * (comprehension/quantifier/reduce bindings). Lambda parameter columns
+    * can't be resolved against `df`, so type-dependent functions (size on
+    * string vs list) consult this instead — set around each lambda-body
+    * compile, keyed by the bound variable name.
+    */
+  private var lambdaTypes: Map[String, DataType] = Map.empty
+
+  private def withLambdaType[T](v: String, t: Option[DataType])(body: => T): T =
+    t match {
+      case Some(tt) =>
+        val saved = lambdaTypes
+        lambdaTypes += (v -> tt)
+        try body finally lambdaTypes = saved
+      case None => body
+    }
+
   def run(query: String): DataFrame = compileQuery(CypherParser.parse(query))
 
   def compileQuery(q: Query): DataFrame = {
@@ -91,7 +108,8 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
       case CallClause(proc, yields, where) =>
         ctx = Some(applyCall(ctx, proc, yields, where))
       case WithClause(p) =>
-        ctx = Some(Ctx(applyProjection(ctx, p), keptLabels(ctx, p)))
+        ctx = Some(Ctx(applyProjection(ctx, p), keptLabels(ctx, p),
+          ctx.exists(_.staticallyEmpty)))
       case ReturnClause(p) =>
         ctx = Some(Ctx(applyProjection(ctx, p), Map.empty))
     }
@@ -159,6 +177,11 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
 
     val (plainWhere, patternPreds) = splitWhere(where)
 
+    // a label set no frame satisfies → provably zero rows (see Ctx doc)
+    val deadMatch = !optional && paths.flatMap(_.nodes)
+      .exists(n => n.allLabels.nonEmpty &&
+        !known.contains(n.name) && g.frameCandidates(n.allLabels).isEmpty)
+
     // anonymous variables inside a named-path pattern stay observable
     // (nodes(p)/relationships(p)/length(p)) — keep their columns
     val pathPats = pathBindings.values.toSet
@@ -182,7 +205,7 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
         var df = patDF
         df = applyPatternPreds(df, patternPreds, newLabels)
         plainWhere.foreach(w => df = df.filter(compileExpr(df, w)))
-        Ctx(df, newLabels)
+        Ctx(df, newLabels, deadMatch)
       case Some(c) =>
         val shared = c.df.columns.toSet.intersect(patDF.columns.toSet).toSeq.sorted
         val renamed = shared.foldLeft(patDF)((d, v) => d.withColumnRenamed(v, s"__m_$v"))
@@ -207,7 +230,7 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
           }
         var df = joined.drop(shared.map(v => s"__m_$v"): _*)
         df = applyPatternPreds(df, patternPreds, newLabels)
-        Ctx(df, newLabels)
+        Ctx(df, newLabels, c.staticallyEmpty || deadMatch)
     }
   }
 
@@ -278,7 +301,8 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
     }
     ctx match {
       case Some(c) =>
-        Ctx(c.df.withColumn(alias, explode(listCol(c.df))), c.labels - alias)
+        Ctx(c.df.withColumn(alias, explode(listCol(c.df))), c.labels - alias,
+          c.staticallyEmpty)
       case None =>
         val base = spark.range(1).toDF()
         Ctx(base.select(explode(listCol(base)).as(alias)), Map.empty)
@@ -299,7 +323,7 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
     val df = where.map(w => df0.filter(compileExpr(df0, w).cast(BooleanType)))
       .getOrElse(df0)
     ctx match {
-      case Some(c) => Ctx(c.df.crossJoin(df), c.labels)
+      case Some(c) => Ctx(c.df.crossJoin(df), c.labels, c.staticallyEmpty)
       case None => Ctx(df, Map.empty)
     }
   }
@@ -828,6 +852,16 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
         }
       case ListLit(items) => array(items.map(go): _*)
       case MapLit(items) => struct(items.map { case (k, v) => go(v).as(k) }: _*)
+      // bare `RETURN p` of a named path: a struct of the same values
+      // nodes()/relationships()/length() expose (reference returns a path
+      // object with those components)
+      case Var(p) if pathBindings.contains(p) && !env.contains(p) &&
+          !df.columns.contains(p) =>
+        struct(
+          go(Func("nodes", Seq(Var(p)))).as("nodes"),
+          go(Func("relationships", Seq(Var(p)))).as("relationships"),
+          go(Func("length", Seq(Var(p)))).as("length"))
+
       case Var(n) => env.getOrElse(n, col(n))
       case Prop(b, key) =>
         val bc = go(b)
@@ -869,7 +903,11 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
         } else {
           val cols = args.map(go)
           def argType(i: Int): Option[DataType] =
-            if (i < cols.size) dt(cols(i)) else None
+            if (i < cols.size) dt(cols(i)).orElse(args(i) match {
+              case Var(n) => lambdaTypes.get(n)
+              case _ => None
+            })
+            else None
           def argLit(i: Int): Option[Any] =
             if (i < args.size) args(i) match { case Lit(v) => Some(v); case _ => None }
             else None
@@ -1070,28 +1108,47 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
 
       case Comprehension(v, listE, whereE, projE) =>
         val listC = go(listE)
-        val afterWhere = whereE match {
-          case Some(w) => filter(listC, x => compileExpr(df, w, env + (v -> x)))
-          case None => listC
-        }
-        projE match {
-          case Some(pr) => transform(afterWhere, x => compileExpr(df, pr, env + (v -> x)))
-          case None => afterWhere
+        // a null-typed list (e.g. a missing property) folds to null —
+        // same Cypher rule as the literal-null case above, and a VOID
+        // column can't feed the higher-order functions
+        val listT = dtypeOf(df, listC)
+        if (listT.contains(NullType)) lit(null)
+        else {
+          val elemT = listT.collect { case ArrayType(et, _) => et }
+          withLambdaType(v, elemT) {
+            val afterWhere = whereE match {
+              case Some(w) => filter(listC, x => compileExpr(df, w, env + (v -> x)))
+              case None => listC
+            }
+            projE match {
+              case Some(pr) => transform(afterWhere, x => compileExpr(df, pr, env + (v -> x)))
+              case None => afterWhere
+            }
+          }
         }
 
       case Quantifier(kind, v, listE, whereE) =>
         val listC = go(listE)
-        def pred(x: Column) = compileExpr(df, whereE, env + (v -> x))
-        kind match {
-          case "all" => forall(listC, pred _)
-          case "any" => exists(listC, pred _)
-          case "none" => !exists(listC, pred _)
-          case "single" => size(filter(listC, pred _)) === 1
+        val listT = dtypeOf(df, listC)
+        if (listT.contains(NullType)) lit(null).cast(BooleanType)
+        else withLambdaType(v, listT.collect { case ArrayType(et, _) => et }) {
+          def pred(x: Column) = compileExpr(df, whereE, env + (v -> x))
+          kind match {
+            case "all" => forall(listC, pred _)
+            case "any" => exists(listC, pred _)
+            case "none" => !exists(listC, pred _)
+            case "single" => size(filter(listC, pred _)) === 1
+          }
         }
 
       case ReduceExpr(acc, init, v, listE, projE) =>
-        aggregate(go(listE), go(init),
-          (a, x) => compileExpr(df, projE, env + (acc -> a) + (v -> x)))
+        val listC = go(listE)
+        val listT = dtypeOf(df, listC)
+        if (listT.contains(NullType)) lit(null)
+        else withLambdaType(v, listT.collect { case ArrayType(et, _) => et }) {
+          aggregate(listC, go(init),
+            (a, x) => compileExpr(df, projE, env + (acc -> a) + (v -> x)))
+        }
 
       // map projection: struct of selected props / computed entries;
       // later entries override earlier ones, `.*` expands non-internal
@@ -1128,5 +1185,13 @@ object CypherCompiler {
     * with a statically-known single label (seeds [[PatternMatcher]] label
     * inference across clauses).
     */
-  final case class Ctx(df: DataFrame, labels: Map[String, String])
+  /** `staticallyEmpty`: a non-optional MATCH in this context required a
+    * label combination NO frame can satisfy — the frame is provably
+    * zero-row at compile time. The writer uses this to turn
+    * SET/DELETE/CREATE-edge over such contexts into no-ops (reference
+    * parity: writes over an empty match succeed and do nothing) instead
+    * of failing its static label resolution.
+    */
+  final case class Ctx(df: DataFrame, labels: Map[String, String],
+      staticallyEmpty: Boolean = false)
 }

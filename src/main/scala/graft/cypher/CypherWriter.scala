@@ -56,7 +56,16 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
         ctx = Some(compiler.applyUnwind(ctx, list, alias))
       case WithClause(p) =>
         val c = compiler
-        ctx = Some(Ctx(c.applyProjection(ctx, p), c.keptLabels(ctx, p)))
+        ctx = Some(Ctx(c.applyProjection(ctx, p), c.keptLabels(ctx, p),
+          ctx.exists(_.staticallyEmpty)))
+      // a statically-empty context (MATCH over an unsatisfiable label
+      // set) makes every write a no-op — reference parity: writes over an
+      // empty match succeed and do nothing. Guarded here because the
+      // writes below resolve labels STATICALLY and would otherwise error
+      // on a frame that provably matches nothing.
+      case CreateClause(_) | MergeClause(_, _, _) | SetClause(_) |
+           RemoveClause(_) | DeleteClause(_, _)
+          if ctx.exists(_.staticallyEmpty) => ()
       case CreateClause(paths) =>
         val (g2, ctx2) = applyCreate(graph, ctx, paths)
         graph = g2; ctx = ctx2
@@ -102,6 +111,25 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
 
   private def ctxOrFail(ctx: Option[Ctx]): Ctx =
     ctx.getOrElse(sys.error("SET/REMOVE/DELETE requires a preceding MATCH"))
+
+  /** Bind a created/merged rel variable by joining the POST-write edge
+    * frame on (src, dst) — so `CREATE/MERGE (a)-[r:T]->(b) RETURN r /
+    * type(r) / r.prop` sees the relationship (reference shape).
+    * Parallel-edge caveat (documented): matches every edge of the class
+    * between the pair, not only the property-matching one.
+    */
+  private def bindMergedRel(out: PropertyGraph, cur: DataFrame, relName: String,
+      et: EdgeType, srcId: Column, dstId: Column): DataFrame = {
+    val ef = out.edgeFrame(et)
+    val entity = ef.select(
+      struct((ef.columns.map(col) :+
+        lit(et.relType).as(PropertyGraph.LABEL)).toIndexedSeq: _*).as(relName),
+      col(SRC).as("__mr_src"), col(DST).as("__mr_dst"))
+    cur.withColumn("__mr_s", srcId.cast("long"))
+      .withColumn("__mr_d", dstId.cast("long"))
+      .join(entity, col("__mr_s") === col("__mr_src") && col("__mr_d") === col("__mr_dst"))
+      .drop("__mr_s", "__mr_d", "__mr_src", "__mr_dst")
+  }
 
   /** rel var -> unique EdgeType, when type + endpoint labels pin it down. */
   private def boundRelClasses(g: PropertyGraph, paths: Vector[PathPat],
@@ -191,7 +219,9 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
       else base
     val newNodeIds = scala.collection.mutable.Map[String, (String, Column)]()
     newPats.zipWithIndex.foreach { case (n, pi) =>
-      val label = n.label.getOrElse(sys.error(s"CREATE node ${n.name} needs a label"))
+      // label-less CREATE goes to the sentinel frame (reference: generic
+      // node table allows unlabeled nodes; labels() presents them as [])
+      val label = n.label.getOrElse(PropertyGraph.UNLABELED)
       // nonce = (writeEpoch, pattern position): two node patterns with
       // identical props in ONE clause are distinct nodes, and so are
       // identical CREATEs in successive statements.
@@ -212,6 +242,7 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
       newNodeIds(n.name) = (label, idCol)
     }
     // 2. edges — endpoints either MATCH-bound (per-row) or just created
+    val namedRels = Seq.newBuilder[(String, EdgeType, Column, Column)]
     for (p <- paths; i <- p.rels.indices) {
       val r = p.rels(i)
       val (sv, dv) = if (r.dir == Out) (p.nodes(i), p.nodes(i + 1))
@@ -237,15 +268,18 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
       val edgeRow = rowFrame.select(
         (sidCol.cast("long").as(SRC) +: didCol.cast("long").as(DST) +:
           r.props.map { case (k, v) => propCol(v, rowFrame).as(k) }): _*)
-      out = out.addEdges(EdgeType(relType, sl, dl), edgeRow)
+      val et = EdgeType(relType, sl, dl)
+      out = out.addEdges(et, edgeRow)
+      if (!r.anonymous) namedRels += ((r.name, et, sidCol, didCol))
     }
     // 3. bind created NODE vars into the context as entity structs so
     // later clauses see them (reference shape: CREATE (...)->(t:Topic)
-    // RETURN t). Relationship vars stay unbound (their EIDs are minted
-    // inside addEdges, not expressible as a column here).
+    // RETURN t); named REL vars bind by joining the post-create edge
+    // frame on (src, dst) — see [[bindMergedRel]].
     val named = newPats.filterNot(_.anonymous)
+    val rels = namedRels.result()
     val newCtx =
-      if (named.isEmpty) ctx
+      if (named.isEmpty && rels.isEmpty) ctx
       else {
         var df2 = rowFrame
         named.foreach { n =>
@@ -258,13 +292,17 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
             lit(label).as(PropertyGraph.LABEL)
           df2 = df2.withColumn(n.name, struct(fields: _*))
         }
+        rels.foreach { case (rn, et, sidCol, didCol) =>
+          df2 = bindMergedRel(out, df2, rn, et, sidCol, didCol)
+        }
         df2 = df2.drop(ROW_UID)
         // no prior context: only the created vars are in scope (the
         // internal seed frame's column must not leak)
-        if (ctx.isEmpty) df2 = df2.select(named.map(n => col(n.name)): _*)
+        if (ctx.isEmpty)
+          df2 = df2.select((named.map(_.name) ++ rels.map(_._1)).map(col): _*)
         val labels2 = ctx.map(_.labels).getOrElse(Map.empty) ++
           named.map(n => n.name -> newNodeIds(n.name)._1)
-        Some(Ctx(df2, labels2))
+        Some(Ctx(df2, labels2, ctx.exists(_.staticallyEmpty)))
       }
     (out, newCtx)
   }
@@ -299,13 +337,14 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
     // restrict to named entities when there was no prior context (the
     // internal seed column must not leak into RETURN *)
     def ctxOf(out: PropertyGraph, df: DataFrame,
-        binds: Seq[(String, String)]): Option[Ctx] = {
+        binds: Seq[(String, String)], extraKeep: Seq[String] = Nil): Option[Ctx] = {
       val named = binds.filter(_._1.nonEmpty)
       val df2 =
-        if (ctx.isEmpty) df.select(named.map(b => col(b._1)): _*)
+        if (ctx.isEmpty) df.select((named.map(_._1) ++ extraKeep).map(col): _*)
         else df
       Some(Ctx(df2, ctx.map(_.labels).getOrElse(Map.empty) ++ named))
     }
+
 
     def mergeNode(gr: PropertyGraph, n: NodePat,
         oc: Seq[(Expr, Expr)], om: Seq[(Expr, Expr)]): PropertyGraph = {
@@ -354,7 +393,12 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
         val rows = ctx.get.df.select(
           (col(s"${sv.name}.$ID").as(SRC) +: col(s"${dv.name}.$ID").as(DST) +:
             r.props.map { case (k, v) => propCol(v, ctx.get.df).as(k) }): _*)
-        (g.mergeEdges(et, rows), ctx)
+        val out = g.mergeEdges(et, rows)
+        if (r.anonymous) (out, ctx)
+        else (out, Some(Ctx(
+          bindMergedRel(out, ctx.get.df, r.name, et,
+            col(s"${sv.name}.$ID"), col(s"${dv.name}.$ID")),
+          ctx.get.labels, ctx.get.staticallyEmpty)))
       } else if (path.nodes.exists(n => boundVars(n.name))) {
         // ONE endpoint bound (reference shape: MATCH (u) MERGE
         // (u)-[:T]->(l:L {props})): merge the unbound node per row
@@ -381,9 +425,13 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
             r.props.map { case (k, v) => propCol(v, rowFrame).as(k) }): _*)
           .distinct()
         val out2 = out.mergeEdges(et, rows)
-        if (unbound.anonymous) (out2, ctx)
-        else (out2, ctxOf(out2, bindMerged(out2, rowFrame, unbound, uLabel, uid),
-          Seq(unbound.name -> uLabel)))
+        var df2 = if (unbound.anonymous) rowFrame
+          else bindMerged(out2, rowFrame, unbound, uLabel, uid)
+        if (!r.anonymous) df2 = bindMergedRel(out2, df2, r.name, et, srcCol, dstCol)
+        if (unbound.anonymous && r.anonymous) (out2, ctx)
+        else (out2, ctxOf(out2, df2,
+          Seq(unbound).filterNot(_.anonymous).map(n => n.name -> uLabel),
+          if (r.anonymous) Nil else Seq(r.name)))
       } else {
         // general MERGE path with unbound endpoints: decomposed as
         // merge(src) → merge(dst) → merge(edge). Divergence (documented):
@@ -411,8 +459,10 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
           bindMerged(out, d, n, l, nodeIdOf(l, n.props, rowFrame))
         }
         val out2 = out.mergeEdges(et, rows)
-        if (binds.isEmpty) (out2, ctx)
-        else (out2, ctxOf(out2, df2, binds.map { case (n, l) => n.name -> l }))
+        if (!r.anonymous) df2 = bindMergedRel(out2, df2, r.name, et, sid, did)
+        if (binds.isEmpty && r.anonymous) (out2, ctx)
+        else (out2, ctxOf(out2, df2, binds.map { case (n, l) => n.name -> l },
+          if (r.anonymous) Nil else Seq(r.name)))
       }
     }
   }
@@ -422,23 +472,29 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
   // ------------------------------------------------------------------
 
   /** Rewrite `v.prop` references to bare frame columns so the value expr
-    * can be evaluated against the label frame itself.
+    * can be evaluated against the label frame itself. When `frameCols` is
+    * known, a self-reference to a property the frame does NOT have
+    * becomes literal null (Cypher: missing property reads as null — `SET
+    * n.x = n.x + 1` on x-less nodes sets null, it does not error).
     */
-  private def rewriteSelfRefs(e: Expr, v: String): Expr = e match {
-    case Prop(Var(`v`), key) => Var(key)
-    case Bin(op, l, r) => Bin(op, rewriteSelfRefs(l, v), rewriteSelfRefs(r, v))
-    case Not(x) => Not(rewriteSelfRefs(x, v))
-    case Neg(x) => Neg(rewriteSelfRefs(x, v))
-    case IsNull(x, n) => IsNull(rewriteSelfRefs(x, v), n)
-    case Func(n, args, d) => Func(n, args.map(rewriteSelfRefs(_, v)), d)
-    case CaseExpr(s, ws, o) => CaseExpr(s.map(rewriteSelfRefs(_, v)),
-      ws.map { case (a, b) => (rewriteSelfRefs(a, v), rewriteSelfRefs(b, v)) },
-      o.map(rewriteSelfRefs(_, v)))
+  private def rewriteSelfRefs(e: Expr, v: String,
+      frameCols: Option[Set[String]] = None): Expr = e match {
+    case Prop(Var(`v`), key) =>
+      if (frameCols.forall(_.contains(key))) Var(key) else Lit(null)
+    case Bin(op, l, r) => Bin(op, rewriteSelfRefs(l, v, frameCols), rewriteSelfRefs(r, v, frameCols))
+    case Not(x) => Not(rewriteSelfRefs(x, v, frameCols))
+    case Neg(x) => Neg(rewriteSelfRefs(x, v, frameCols))
+    case IsNull(x, n) => IsNull(rewriteSelfRefs(x, v, frameCols), n)
+    case Func(n, args, d) => Func(n, args.map(rewriteSelfRefs(_, v, frameCols)), d)
+    case CaseExpr(s, ws, o) => CaseExpr(s.map(rewriteSelfRefs(_, v, frameCols)),
+      ws.map { case (a, b) => (rewriteSelfRefs(a, v, frameCols), rewriteSelfRefs(b, v, frameCols)) },
+      o.map(rewriteSelfRefs(_, v, frameCols)))
     case other => other
   }
 
-  private def compileValueOverFrame(value: Expr, v: String): Column = {
-    val rewritten = rewriteSelfRefs(value, v)
+  private def compileValueOverFrame(value: Expr, v: String,
+      frameCols: Option[Set[String]] = None): Column = {
+    val rewritten = rewriteSelfRefs(value, v, frameCols)
     // Var(key) resolves as a column of the label frame when the returned
     // Column is applied by set*Props; the frame passed here is only used
     // for (unneeded) type probes
@@ -481,7 +537,8 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
       case (acc, (Prop(Var(v), key), value)) if relClasses.contains(v) =>
         val eids = ctx.df.select(col(s"$v.$EID"))
         acc.setEdgePropsForIds(relClasses(v), eids,
-          Map(key -> compileValueOverFrame(value, v)))
+          Map(key -> compileValueOverFrame(value, v,
+            Some(acc.edgeFrame(relClasses(v)).columns.toSet))))
       // SET r = {map} / SET n = {map} — replace ALL properties: every
       // existing prop not in the map goes to null, map keys assign
       // (reference: translator.ts SET map replacement; `SET n = {}`
@@ -515,7 +572,8 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
         val label = ctx.labels.getOrElse(v,
           sys.error(s"SET target $v has no statically-known label"))
         val ids = ctx.df.select(col(s"$v.$ID"))
-        acc.setNodePropsForIds(label, ids, Map(key -> compileValueOverFrame(value, v)))
+        acc.setNodePropsForIds(label, ids, Map(key -> compileValueOverFrame(value, v,
+          Some(acc.nodeFrame(label).columns.toSet))))
       // SET n += {k: v, ...} — per-key map merge
       case (acc, (Var(v), MapLit(kvs))) =>
         val label = ctx.labels.getOrElse(v,

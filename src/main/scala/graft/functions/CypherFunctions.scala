@@ -148,16 +148,27 @@ object CypherFunctions {
       // labels/properties/keys build a container AROUND the entity's
       // fields, so a null entity (OPTIONAL MATCH miss) must null-guard —
       // array(null-field) would otherwise yield [null], not null
-      case "id" => a0.getField("_id")
+      // id() over a relationship struct returns the edge id
+      case "id" =>
+        argType(0) match {
+          case Some(st: StructType)
+              if !st.fieldNames.contains("_id") && st.fieldNames.contains("_eid") =>
+            a0.getField("_eid")
+          case _ => a0.getField("_id")
+        }
       case "labels" =>
         // multi-label shim: primary label first, then the `_labels`
         // secondaries in declaration order (schema-gated — plain graphs
-        // keep the 1-element form)
+        // keep the 1-element form). The unlabeled-node sentinel frame
+        // presents as label-less.
+        val unlabeled = graft.graph.PropertyGraph.UNLABELED
         argType(0) match {
           case Some(st: StructType) if st.fieldNames.contains("_labels") =>
-            when(a0.isNotNull, concat(array(a0.getField("_label")),
-              coalesce(a0.getField("_labels"), array().cast(ArrayType(StringType)))))
-          case _ => when(a0.isNotNull, array(a0.getField("_label")))
+            when(a0.isNotNull, array_remove(concat(array(a0.getField("_label")),
+              coalesce(a0.getField("_labels"), array().cast(ArrayType(StringType)))),
+              unlabeled))
+          case _ =>
+            when(a0.isNotNull, array_remove(array(a0.getField("_label")), unlabeled))
         }
       case "type" => a0.getField("_label")
       case "startnode" => a0.getField("_src")

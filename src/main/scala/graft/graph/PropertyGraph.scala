@@ -29,6 +29,12 @@ object PropertyGraph {
     * Reference analog: label ARRAYS in db.ts:47-69.
     */
   val LABELS = "_labels"
+  /** Sentinel frame label for nodes created WITHOUT a label
+    * (`CREATE ()-[:R]->()` — the reference's generic node table allows
+    * them). They match unlabeled patterns like any frame; `labels(n)`
+    * filters the sentinel out so they present as label-less.
+    */
+  val UNLABELED = "_Unlabeled"
 
   /** Build a graph whose table frames are materialized lazily on first
     * access (memoized). A query touching only Customer/Order never opens
@@ -174,7 +180,8 @@ final class PropertyGraph private (
     * (reference: db.labels() lists every label in the label arrays).
     */
   def allLabels: Seq[String] =
-    (nodeThunks.keys ++ secondaryLabels.values.flatten).toSeq.distinct.sorted
+    (nodeThunks.keys ++ secondaryLabels.values.flatten)
+      .toSeq.distinct.filterNot(_ == UNLABELED).sorted
   def relationshipTypes: Seq[String] = edgeThunks.keys.map(_.relType).toSeq.distinct.sorted
   /** Edge classes without forcing any frame. */
   def edgeClasses: Seq[EdgeType] =
