@@ -443,7 +443,7 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
     var needFinalSelect = false
 
     if (hasAgg) {
-      val (aggItems, groupItems) = items.partition(it => CypherParser.containsAgg(it.expr))
+      val (aggItems0, groupItems) = items.partition(it => CypherParser.containsAgg(it.expr))
       // Entity group items hash-partition on identity ids, not the whole
       // property struct; the payload is re-attached with first() so at
       // most one struct per group per partition crosses the exchange
@@ -459,11 +459,55 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
         }
       }
       val groupCols = plans.flatMap(_._1)
+      // percentileDisc WITHOUT collect_list: exact nearest-rank (Neo4j
+      // semantics — the ceil(p·n)-th smallest actual element) via two
+      // staged window passes over the PRE-aggregation frame: rank rows
+      // per group (nulls last), count non-nulls per group, then project
+      // the row whose rank hits the target as a group-constant column
+      // and reduce it with max() in the aggregation. Windows sort with
+      // spill-capable external sorters, so group size is disk-bounded —
+      // unlike collect_list's in-memory array (the last unbounded-group-
+      // memory contract in the function library, carried since r5).
+      val rawKeys: Seq[Column] = groupItems.flatMap { it =>
+        it.expr match {
+          case Var(n) if entityIdCols(base, n).isDefined => entityIdCols(base, n).get
+          case e => Seq(compileExpr(base, e))
+        }
+      }
+      var base2 = base
+      var discN = 0
+      def attachDisc(v: Expr, pp: Expr): Expr = {
+        import org.apache.spark.sql.expressions.Window
+        val tag = s"__pdisc_$discN"; discN += 1
+        val vCol = compileExpr(base2, v)
+        val pCol = compileExpr(base2, pp)
+        val wAll = Window.partitionBy(rawKeys: _*)
+        val wOrd = wAll.orderBy(vCol.asc_nulls_last)
+        base2 = base2
+          .withColumn(s"${tag}_rn", row_number().over(wOrd))
+          .withColumn(s"${tag}_n", count(vCol).over(wAll))
+        val target = greatest(ceil(col(s"${tag}_n") * pCol), lit(1))
+        base2 = base2.withColumn(tag,
+          max(when(col(s"${tag}_rn") === target, compileExpr(base2, v))).over(wAll))
+        Func("max", Seq(Var(tag)))
+      }
+      def rewriteDisc(x: Expr): Expr = x match {
+        case Func(n, Seq(v, pp), _) if n.toLowerCase == "percentiledisc" =>
+          attachDisc(v, pp)
+        case Bin(op, l, r) => Bin(op, rewriteDisc(l), rewriteDisc(r))
+        case Not(y) => Not(rewriteDisc(y))
+        case Neg(y) => Neg(rewriteDisc(y))
+        case Func(n, args, d) => Func(n, args.map(rewriteDisc), d)
+        case CaseExpr(s, ws, o) => CaseExpr(s.map(rewriteDisc),
+          ws.map { case (a, b) => (rewriteDisc(a), rewriteDisc(b)) }, o.map(rewriteDisc))
+        case other => other
+      }
+      val aggItems = aggItems0.map(it => it.copy(expr = rewriteDisc(it.expr)))
       val aggCols = plans.flatMap(_._2) ++
-        aggItems.map(it => compileExpr(base, it.expr).as(it.name))
+        aggItems.map(it => compileExpr(base2, it.expr).as(it.name))
       projected =
-        if (groupCols.isEmpty) base.groupBy().agg(aggCols.head, aggCols.tail: _*)
-        else base.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
+        if (groupCols.isEmpty) base2.groupBy().agg(aggCols.head, aggCols.tail: _*)
+        else base2.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
       // restore declared item order (backticks: unaliased items like
       // `u.id` are literal column names, not struct field paths)
       projected = projected.select(items.map(it => qcol(it.name)): _*)

@@ -45,11 +45,12 @@ object CypherFunctions {
       case "stdev" => coalesce(stddev_samp(args.head), lit(0.0))
       case "stdevp" => coalesce(stddev_pop(args.head), lit(0.0))
       // exact percentile (Spark's `percentile` is exact; matches DuckDB
-      // quantile_cont); disc = EXACT nearest-rank (ceil(p*n)-th smallest
-      // actual element, Neo4j semantics) via sort over the collected
-      // group — groups must fit in executor memory, same contract as
-      // collect()/percentile itself
+      // quantile_cont)
       case "percentilecont" => percentile(args.head, args(1))
+      // The Cypher compiler rewrites percentileDisc to a spill-capable
+      // windowed nearest-rank plan BEFORE aggregation (CypherCompiler
+      // applyProjection) — this collect_list form is only the fallback
+      // for direct API callers and carries its in-memory-group contract.
       case "percentiledisc" =>
         val sorted = sort_array(collect_list(args.head))
         element_at(sorted,
