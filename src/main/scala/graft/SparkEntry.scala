@@ -797,6 +797,32 @@ object SparkEntry {
        FROM e$rounds GROUP BY u ORDER BY p_partkey"""
   }
 
+  /** Complete 3-gram Jaccard similarity self-join (j >= 0.8) — shared by
+    * q_dedup_jaccard (prefix filtering is 100%-recall by construction)
+    * and q_dedup_minhash (the exact-verify stage guarantees precision and
+    * 16×8-band recall at j>=0.8 is >99.9%, so its output equals the
+    * complete join; the shared oracle doubles as a standing recall gate).
+    */
+  private val jaccardPairsOracle: String =
+    """WITH t AS (
+         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+       s AS (
+         SELECT doc_id,
+           list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+         FROM t WHERE len(toks) >= 3),
+       e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+       p AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id)
+       SELECT p.id_a, p.id_b,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+           len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+       FROM p JOIN s sa ON sa.doc_id = p.id_a JOIN s sb ON sb.doc_id = p.id_b
+       WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+           len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.8
+       ORDER BY id_a, id_b"""
+
   /** DuckDB-equivalent SQL per query (driver correctness gate). */
   def oracleSql: Map[String, String] = Map(
     "q_pagerank" -> pageRankOracle(10),
@@ -1115,25 +1141,14 @@ object SparkEntry {
     // found — so the oracle computes the TRUE similarity join with no
     // knowledge of the candidate scheme: candidates = docs sharing any
     // shingle (a necessary condition for J > 0).
-    "q_dedup_jaccard" ->
-      """WITH t AS (
-           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
-         s AS (
-           SELECT doc_id,
-             list_distinct(list_transform(range(1, len(toks) - 1),
-               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
-           FROM t WHERE len(toks) >= 3),
-         e AS (SELECT doc_id, unnest(sh) AS g FROM s),
-         p AS (
-           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id)
-         SELECT p.id_a, p.id_b,
-           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-             len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
-         FROM p JOIN s sa ON sa.doc_id = p.id_a JOIN s sb ON sb.doc_id = p.id_b
-         WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-             len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.8
-         ORDER BY id_a, id_b""",
+    "q_dedup_jaccard" -> jaccardPairsOracle,
+    // Same complete-Jaccard oracle for the MinHash+LSH path: at b=16,r=8
+    // band recall at j>=0.8 is >99.9% and the exact-Jaccard verify stage
+    // guarantees precision, so the LSH output EQUALS the complete join on
+    // this corpus — the shared oracle doubles as a standing recall gate
+    // (any missed pair flips it red; PipelineSpec pins the same equality
+    // at sf0.001).
+    "q_dedup_minhash" -> jaccardPairsOracle,
     // distinct-shared-8-gram counts match the hashed-gram counts under
     // the same collision-free-hash argument as q_dedup_jaccard
     "q_decontaminate" ->

@@ -44,6 +44,22 @@ object EventStreams {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
 
+  /** FileStreamSource needs a directory basePath. The driver testdata
+    * keeps events as a single FILE `<dir>/events.parquet` (selected with
+    * a pathGlobFilter on the parent), but Spark-written datasets (the
+    * 10× rehearsal) have a DIRECTORY `<dir>/events.parquet/part-*` whose
+    * leaf files the same glob does NOT match — the stream then silently
+    * reads zero files (the r11 10× run's only failure). Pick per layout.
+    */
+  private def eventsRawStream(spark: SparkSession, eventsDir: String,
+      glob: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$eventsDir/$glob")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = spark.readStream.schema(rawEventSchema)
+    if (fs.exists(p) && fs.getFileStatus(p).isDirectory) base.parquet(p.toString)
+    else base.option("pathGlobFilter", glob).parquet(eventsDir)
+  }
+
   /** Tumbling (or sliding, when `slide` is set) windowed event counts with
     * a watermark for state eviction. Works on bounded frames too.
     */
@@ -152,11 +168,7 @@ object EventStreams {
   def windowedCountsStreamed(spark: SparkSession, eventsDir: String,
       glob: String = "events.parquet",
       queryName: String = "q_stream_window"): DataFrame = {
-    // FileStreamSource requires a directory basePath — select the events
-    // file with a glob filter rather than a file path
-    val raw = spark.readStream.schema(rawEventSchema)
-      .option("pathGlobFilter", glob)
-      .parquet(eventsDir)
+    val raw = eventsRawStream(spark, eventsDir, glob)
     val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val query = windowedCounts(ev, window = "1 hour")
       .writeStream.format("memory").queryName(queryName)
@@ -185,9 +197,7 @@ object EventStreams {
   def sessionizeWindowStreamed(spark: SparkSession, eventsDir: String,
       glob: String = "events.parquet", gapMinutes: Int = 30,
       queryName: String = "q_stream_sessionize"): DataFrame = {
-    val raw = spark.readStream.schema(rawEventSchema)
-      .option("pathGlobFilter", glob)
-      .parquet(eventsDir)
+    val raw = eventsRawStream(spark, eventsDir, glob)
     val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withColumn("tss", date_trunc("second", col("ts")))
     val query = ev
@@ -221,9 +231,7 @@ object EventStreams {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     Seq(edgeDir, checkpointDir).foreach(d =>
       fs.delete(new org.apache.hadoop.fs.Path(d), true))
-    val ev = spark.readStream.schema(rawEventSchema)
-      .option("pathGlobFilter", glob)
-      .parquet(eventsDir)
+    val ev = eventsRawStream(spark, eventsDir, glob)
     streamingEdgeAppend(ev, edgeDir, checkpointDir).awaitTermination()
     spark.read.parquet(edgeDir)
   }
