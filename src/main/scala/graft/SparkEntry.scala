@@ -417,6 +417,13 @@ object SparkEntry {
         .select(col("doc_id"), col("n_fingerprints"),
           array_join(col("fingerprint"), ",").as("fingerprint"))),
 
+    // engine-portable twin (md5-60-bit leaf hash) — same ordered
+    // shingling + native SlidingMin kernel + distinct, but with a leaf
+    // hash DuckDB can replay, so the oracle DERIVES every fingerprint
+    // value (the xxhash64 kernel entry above stays the benched path)
+    "q_fingerprint_md5" -> ((s, dir) =>
+      pipeline.TextOps.fingerprintsPortable(docs(s, dir))),
+
     // corpus bigram frequencies, top 100 (vocabulary statistics)
     "q_ngram_freq" -> ((s, dir) =>
       pipeline.TextOps.ngramFrequencies(docs(s, dir), n = 2, topN = 100)),
@@ -477,6 +484,13 @@ object SparkEntry {
 
     "q_dedup_simhash" -> ((s, dir) =>
       pipeline.Dedup.simhash(docs(s, dir))),
+
+    // engine-portable twin (md5-60-bit leaf hash) — the same bit-majority
+    // / pigeonhole-block / hamming-verify pipeline, but with a leaf hash
+    // DuckDB can replay, so the oracle DERIVES the full expected output
+    // (the xxhash64 kernel entry above stays the benched scale path)
+    "q_dedup_simhash_md5" -> ((s, dir) =>
+      pipeline.Dedup.simhashPortable(docs(s, dir))),
 
     "q_dedup_embed" -> ((s, dir) =>
       pipeline.Dedup.embedDupsExact(embs(s, dir)).orderBy("a_id", "b_id")),
@@ -1175,6 +1189,71 @@ object SparkEntry {
     // knowledge of the candidate scheme: candidates = docs sharing any
     // shingle (a necessary condition for J > 0).
     "q_dedup_jaccard" -> jaccardPairsOracle,
+    // Full derivation of the portable (md5-60-bit) SimHash twin: same
+    // shingling as the jaccard oracle, md5-prefix hash, per-bit majority
+    // over 60 bits, 4 pigeonhole block keys (15 bits each, MSB-first
+    // fold), candidates sharing any block, hamming <= 3 verify.
+    "q_dedup_simhash_md5" ->
+      """WITH t AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+         s AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+           FROM t WHERE len(toks) >= 3),
+         e AS (
+           SELECT doc_id,
+             CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) AS h
+           FROM (SELECT doc_id, unnest(sh) AS g FROM s)),
+         bc AS (
+           SELECT doc_id, b, sum((h >> b) & 1) AS c1, count(*) AS n
+           FROM e CROSS JOIN range(60) r(b) GROUP BY doc_id, b),
+         sig AS (
+           SELECT doc_id,
+             list(CASE WHEN c1 * 2 > n THEN 1 ELSE 0 END ORDER BY b) AS bits
+           FROM bc GROUP BY doc_id),
+         blk AS (
+           SELECT doc_id, blk,
+             list_reduce(bits[blk * 15 + 1 : blk * 15 + 15],
+               (acc, x) -> acc * 2 + x) AS key
+           FROM sig CROSS JOIN range(4) r(blk)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM blk a JOIN blk b
+             ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b,
+           CAST(list_sum(list_transform(range(1, 61),
+             i -> CASE WHEN sa.bits[i] <> sb.bits[i] THEN 1 ELSE 0 END))
+             AS BIGINT) AS hamming
+         FROM cand JOIN sig sa ON sa.doc_id = id_a
+                   JOIN sig sb ON sb.doc_id = id_b
+         WHERE list_sum(list_transform(range(1, 61),
+             i -> CASE WHEN sa.bits[i] <> sb.bits[i] THEN 1 ELSE 0 END)) <= 3
+         ORDER BY id_a, id_b""",
+    // Full derivation of the portable winnowing twin: ORDERED (bag)
+    // 3-gram shingles, md5-prefix-60-bit hash, min of each width-4
+    // sliding window, distinct minima exploded to rows.
+    "q_fingerprint_md5" ->
+      """WITH t AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+         s AS (
+           SELECT doc_id,
+             list_transform(range(1, len(toks) - 1),
+               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS sh
+           FROM t WHERE len(toks) >= 3),
+         h AS (
+           SELECT doc_id,
+             list_transform(sh,
+               g -> CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)) AS hs
+           FROM s WHERE len(sh) >= 4),
+         m AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(hs) - 2),
+               i -> list_min(hs[i : i + 3]))) AS fps
+           FROM h)
+         SELECT doc_id, fp
+         FROM (SELECT doc_id, unnest(fps) AS fp FROM m)
+         ORDER BY doc_id, fp""",
     // Same complete-Jaccard oracle for the MinHash+LSH path: at b=16,r=8
     // band recall at j>=0.8 is >99.9% and the exact-Jaccard verify stage
     // guarantees precision, so the LSH output EQUALS the complete join on

@@ -17,7 +17,7 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
-  import TextOps.{normText, tokens}
+  import TextOps.{md5Hash60, normText, tokens}
 
   // ---- exact dedup (q_dedup_exact) ----
 
@@ -289,12 +289,13 @@ object Dedup {
     * counters; the shuffle carries 65 longs per doc) — see
     * [[minhashSignatures]] for why not nested lambdas.
     */
-  def simhashBitsFrame(withSh: DataFrame, id: String): DataFrame = {
+  def simhashBitsFrame(withSh: DataFrame, id: String,
+      nbits: Int = 64): DataFrame = {
     val exploded = withSh.select(col(id), explode(col("sh")).as("h"))
-    val bitCols = (0 until 64).map(b =>
+    val bitCols = (0 until nbits).map(b =>
       sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"_b$b"))
     exploded.groupBy(id).agg(count(lit(1)).as("_n"), bitCols: _*)
-      .select(col(id), array((0 until 64).map(b =>
+      .select(col(id), array((0 until nbits).map(b =>
         when(col(s"_b$b") * 2 > col("_n"), 1).otherwise(0)): _*).as("bits"))
   }
 
@@ -302,8 +303,8 @@ object Dedup {
     * `blocks` equal slices; two signatures within hamming distance
     * `blocks - 1` share at least one identical block (pigeonhole).
     */
-  def simhashBlockKeys(bits: Column, blocks: Int): Column = {
-    val width = 64 / blocks
+  def simhashBlockKeys(bits: Column, blocks: Int, nbits: Int = 64): Column = {
+    val width = nbits / blocks
     transform(sequence(lit(0), lit(blocks - 1)),
       blk => aggregate(slice(bits, blk * width + 1, lit(width)), lit(0L),
         (acc, b) => acc * 2 + b))
@@ -326,14 +327,43 @@ object Dedup {
     out
   }
 
+  /** Engine-portable SimHash twin: identical pipeline to [[simhash]]
+    * (same bit-majority, same pigeonhole blocks, same hamming verify —
+    * all via the shared [[simhashBitsFrame]]/[[simhashPairsFrom]]), with
+    * the leaf hash swapped from the native xxhash64 kernel to
+    * md5-prefix-60-bit — a hash any ANSI-ish engine can replay, which
+    * is what lets the driver's DuckDB oracle DERIVE the full expected
+    * output instead of a rows-only check (q_dedup_simhash_md5). 60 bits
+    * (15 hex chars) keeps the value positive in a signed BIGINT on both
+    * engines. The xxhash64 kernel remains the production/scale path:
+    * md5-over-materialized-shingle-strings costs one interpreted HOF +
+    * a cryptographic hash per shingle, fine at gate scale, wasteful at
+    * 100 TB.
+    */
+  def simhashPortable(docs: DataFrame, k: Int = 3, blocks: Int = 4,
+      maxHamming: Int = 3, nbits: Int = 60,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    require(nbits == 60, "portable twin is fixed to the md5Hash60 leaf hash")
+    val hashed = transform(shingleStrings(col(text), k), g => md5Hash60(g))
+    val withSh = docs
+      .select(col(id), hashed.as("sh"))
+      .filter(size(col("sh")) > 0)
+    val withBits = simhashBitsFrame(withSh, id, nbits)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = simhashPairsFrom(withBits, blocks, maxHamming, id, nbits)
+      .localCheckpoint()
+    withBits.unpersist()
+    out
+  }
+
   /** The lazy pair plan behind [[simhash]] (no persist/checkpoint) — see
     * [[minhashPairsFrom]] for why this is split out.
     */
   private[pipeline] def simhashPairsFrom(withBits: DataFrame, blocks: Int,
-      maxHamming: Int, id: String): DataFrame = {
+      maxHamming: Int, id: String, nbits: Int = 64): DataFrame = {
     val withBlocks = withBits
       .select(col(id), col("bits"),
-        posexplode(simhashBlockKeys(col("bits"), blocks)).as(Seq("blk", "key")))
+        posexplode(simhashBlockKeys(col("bits"), blocks, nbits)).as(Seq("blk", "key")))
     val l = withBlocks.select(col("blk"), col("key"), col(id).as("id_a"))
     val r = withBlocks.select(col("blk"), col("key"), col(id).as("id_b"))
     val candidates = l.join(r, Seq("blk", "key"))

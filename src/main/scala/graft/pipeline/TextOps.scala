@@ -167,6 +167,39 @@ object TextOps {
       .orderBy(id)
   }
 
+  /** md5-prefix 60-bit hash — the engine-portable leaf hash shared by
+    * the *Portable twins: 15 hex chars keep the value positive in a
+    * signed BIGINT on any engine, so a DuckDB oracle can DERIVE twin
+    * outputs instead of a rows-only check.
+    */
+  def md5Hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast(LongType)
+
+  /** Engine-portable winnowing twin: identical pipeline to
+    * [[fingerprints]] — same ordered shingling, same native O(n)
+    * SlidingMin kernel, same distinct step — with the leaf hash swapped
+    * from the xxhash64 kernel to [[md5Hash60]], and the fingerprint SET
+    * exploded to scalar rows (arrays hash engine-dependently in the
+    * gate). The xxhash64 entry stays the benched scale path: md5 over
+    * materialized shingle strings costs an interpreted HOF per doc,
+    * fine at gate scale.
+    */
+  def fingerprintsPortable(docs: DataFrame, k: Int = 3, w: Int = 4,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    val toks = tokens(col(text))
+    val n = size(toks) - (k - 1)
+    val shStr = when(n <= 0, array().cast(ArrayType(StringType)))
+      .otherwise(transform(sequence(lit(0), greatest(n - 1, lit(0))),
+        i => array_join(slice(toks, i + 1, lit(k)), " ")))
+    docs
+      .select(col(id), transform(shStr, g => md5Hash60(g)).as("sh"))
+      .filter(size(col("sh")) >= w)
+      .select(col(id), explode(array_distinct(
+        graft.functions.VectorExprs.slidingMin(col("sh"), lit(w)))).as("fp"))
+      .orderBy(id, "fp")
+  }
+
   // ---- token-budget packing (q_pack) ----
 
   /** Assigns each document to a token-budget shard by contiguous fill in

@@ -383,6 +383,35 @@ class PipelineSpec extends SparkSpec {
     assert(got(3L) == "und")
   }
 
+  test("portable twins find the planted near-dups the kernel paths find") {
+    // same pipeline, different leaf hash: the one cross-hash invariant
+    // is that docs with IDENTICAL shingle sets get identical signatures
+    // under ANY hash — so every exact-duplicate pair must be a
+    // hamming-0 pair in BOTH twins (near-dup pairs may legitimately
+    // land on different hamming values per hash)
+    val planted = docs.select(col("doc_id"), col("text"))
+      .union(docs.filter(col("doc_id") < 3)
+        .select((col("doc_id") + 90000L).as("doc_id"), col("text")))
+    val exactPairs = (0L until 3L).map(i => (i, i + 90000L)).toSet
+    val kernel = Dedup.simhash(planted).collect()
+      .filter(_.getLong(2) == 0L).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val portable = Dedup.simhashPortable(planted).collect()
+      .filter(_.getLong(2) == 0L).map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.subsetOf(kernel),
+      s"exact dups $exactPairs not all hamming-0 in kernel twin $kernel")
+    assert(exactPairs.subsetOf(portable),
+      s"exact dups $exactPairs not all hamming-0 in portable twin $portable")
+
+    // winnowing twin: same per-doc fingerprint COUNT structure is not
+    // guaranteed (different hash → different minima), but coverage is:
+    // every doc long enough to fingerprint appears in both
+    val kDocs = TextOps.fingerprints(docs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val pDocs = TextOps.fingerprintsPortable(docs).select("doc_id")
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(kDocs == pDocs)
+  }
+
   test("fingerprints are stable and non-trivial") {
     val a = TextOps.fingerprints(docs).collect()
     val b = TextOps.fingerprints(docs).collect()
