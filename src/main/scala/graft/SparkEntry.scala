@@ -411,6 +411,10 @@ object SparkEntry {
     "q_langid" -> ((s, dir) =>
       pipeline.TextOps.langId(docs(s, dir))),
 
+    // Gopher repetition filters (Rae et al. 2021 Table A1)
+    "q_repetition" -> ((s, dir) =>
+      pipeline.TextOps.repetition(docs(s, dir))),
+
     // rows-only oracle (xxhash64 winnowing not expressible in DuckDB)
     "q_fingerprint" -> ((s, dir) =>
       pipeline.TextOps.fingerprints(docs(s, dir))
@@ -870,6 +874,72 @@ object SparkEntry {
        SELECT a_id, b_id, round(c, 6) AS sim FROM s
        WHERE c >= CAST(0.45 AS DOUBLE) ORDER BY a_id, b_id"""
 
+  /** Full derivation of the Gopher repetition filters: the same
+    * (n=0, line) + (n, gram) bag as the Spark side, but grouped by the
+    * gram STRINGS (the Spark shuffle carries xxhash64 keys — counts
+    * agree under the collision-free-64-bit argument shared with the
+    * jaccard family). Generated: the 9 n-gram branches differ only in n.
+    */
+  private val repetitionOracle: String = {
+    val topNs = Seq(2, 3, 4)
+    val dupNs = Seq(5, 6, 7, 8, 9, 10)
+    def gramBranch(n: Int): String = {
+      val parts = (0 until n).map(j => s"toks[i+$j]").mkString(", ")
+      s"""SELECT doc_id, char_len, $n AS n,
+            unnest(list_transform(range(1, len(toks) - ${n - 2}),
+              i -> concat_ws(' ', $parts))) AS g
+          FROM d WHERE len(toks) >= $n"""
+    }
+    val topAggs = topNs.map(n =>
+      s"max(CASE WHEN n = $n THEN c * glen END) AS t$n").mkString(", ")
+    val dupAggs = dupNs.map(n =>
+      s"sum(CASE WHEN n = $n AND c > 1 THEN c * glen END) AS d$n").mkString(", ")
+    def charFrac(num: String, alias: String) =
+      s"""CASE WHEN char_len > 0
+          THEN least(CAST(1.0 AS DOUBLE),
+                     CAST(coalesce($num, 0) AS DOUBLE) / char_len)
+          ELSE 0.0 END AS $alias"""
+    val topFracs = topNs.map(n => charFrac(s"t$n", s"top${n}_frac")).mkString(", ")
+    val dupFracs = dupNs.map(n => charFrac(s"d$n", s"dup${n}_frac")).mkString(", ")
+    val keep = (Seq("dup_line_frac <= CAST(0.30 AS DOUBLE)",
+      "top2_frac <= CAST(0.20 AS DOUBLE)", "top3_frac <= CAST(0.18 AS DOUBLE)",
+      "top4_frac <= CAST(0.16 AS DOUBLE)") ++
+      dupNs.zip(Seq("0.15", "0.14", "0.13", "0.12", "0.11", "0.10")).map {
+        case (n, th) => s"dup${n}_frac <= CAST($th AS DOUBLE)"
+      }).mkString(" AND ")
+    s"""WITH d AS (
+          SELECT doc_id, text, CAST(length(trim(text)) AS BIGINT) AS char_len,
+                 regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents),
+        u AS (
+          SELECT doc_id, char_len, 0 AS n, unnest(string_split(text, chr(10))) AS g
+          FROM d
+          ${(topNs ++ dupNs).map(n => "UNION ALL " + gramBranch(n)).mkString("\n          ")}),
+        c AS (
+          SELECT doc_id, n, g, count(*) AS c, len(g) AS glen,
+                 any_value(char_len) AS char_len
+          FROM u GROUP BY doc_id, n, g),
+        a AS (
+          SELECT doc_id, any_value(char_len) AS char_len,
+            sum(CASE WHEN n = 0 THEN c END) AS n_lines,
+            count(CASE WHEN n = 0 THEN 1 END) AS d_lines,
+            sum(CASE WHEN n = 0 THEN c * glen END) AS line_chars,
+            sum(CASE WHEN n = 0 AND c > 1 THEN c * glen END) AS dup_line_chars,
+            $topAggs, $dupAggs
+          FROM c GROUP BY doc_id),
+        f AS (
+          SELECT doc_id, n_lines,
+            CASE WHEN n_lines > 0
+              THEN CAST(n_lines - d_lines AS DOUBLE) / n_lines ELSE 0.0 END
+              AS dup_line_frac,
+            CASE WHEN line_chars > 0
+              THEN CAST(coalesce(dup_line_chars, 0) AS DOUBLE) / line_chars
+              ELSE 0.0 END AS dup_line_char_frac,
+            $topFracs, $dupFracs
+          FROM a)
+        SELECT f.*, ($keep) AS keep FROM f ORDER BY doc_id"""
+  }
+
   /** DuckDB-equivalent SQL per query (driver correctness gate). */
   def oracleSql: Map[String, String] = Map(
     "q_pagerank" -> pageRankOracle(10),
@@ -1189,6 +1259,7 @@ object SparkEntry {
     // knowledge of the candidate scheme: candidates = docs sharing any
     // shingle (a necessary condition for J > 0).
     "q_dedup_jaccard" -> jaccardPairsOracle,
+    "q_repetition" -> repetitionOracle,
     // Full derivation of the portable (md5-60-bit) SimHash twin: same
     // shingling as the jaccard oracle, md5-prefix hash, per-bit majority
     // over 60 bits, 4 pigeonhole block keys (15 bits each, MSB-first

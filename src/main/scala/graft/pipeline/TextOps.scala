@@ -167,6 +167,97 @@ object TextOps {
       .orderBy(id)
   }
 
+  // ---- repetition filters (q_repetition) ----
+
+  /** Gopher-style repetition quality filters (Rae et al. 2021,
+    * "Scaling Language Models: ... Gopher", Table A1 — public
+    * construction): per document,
+    *  - `dup_line_frac`: fraction of lines that repeat an earlier line;
+    *  - `dup_line_char_frac`: fraction of line characters inside
+    *    repeated lines;
+    *  - `top{2,3,4}_frac`: characters covered by the occurrences of the
+    *    MOST frequent word n-gram, over total characters;
+    *  - `dup{5..10}_frac`: characters covered by occurrences of ALL
+    *    repeated word n-grams, over total characters (occurrence-
+    *    weighted: overlapping occurrences each count — the interval-
+    *    union variant is not SQL-replayable, divergence documented);
+    *  - `keep`: the published Gopher thresholds (dup_line <= 0.30,
+    *    top2/3/4 <= 0.20/0.18/0.16, dup5..10 <= 0.15..0.10).
+    *
+    * Shape: ONE explode emits (n=0, line) rows plus (n, gram) rows for
+    * every n — but the shuffle never carries gram STRINGS: each gram
+    * travels as (xxhash64 key, char length), 16 bytes, under the same
+    * collision-free-64-bit argument as the jaccard family (the DuckDB
+    * oracle groups by the strings themselves and must agree). Two
+    * hash aggregations, both with map-side partial combine; everything
+    * codegen'd, no UDFs. Linear in corpus size.
+    */
+  def repetition(docs: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val topNs = Seq(2, 3, 4)
+    val dupNs = Seq(5, 6, 7, 8, 9, 10)
+    val t = col(text)
+    val gramType = ArrayType(StructType(Seq(
+      StructField("n", IntegerType, nullable = false),
+      StructField("g", StringType, nullable = true))))
+    val lineGrams = transform(split(t, "\n"),
+      l => struct(lit(0).as("n"), l.as("g")))
+    val toks = tokens(t)
+    def grams(n: Int): Column = {
+      val cnt = size(toks) - (n - 1)
+      when(cnt <= 0, array().cast(gramType))
+        .otherwise(transform(sequence(lit(0), greatest(cnt - 1, lit(0))),
+          i => struct(lit(n).as("n"),
+            array_join(slice(toks, i + 1, lit(n)), " ").as("g"))))
+    }
+    val all = concat(lineGrams +: (topNs ++ dupNs).map(grams): _*)
+    val exploded = docs
+      .select(col(id), length(trim(t)).cast(LongType).as("char_len"),
+        explode(all).as("x"))
+      .select(col(id), col("char_len"), col("x.n").as("n"),
+        xxhash64(col("x.n"), col("x.g")).as("h"),
+        length(col("x.g")).cast(LongType).as("glen"))
+    val counts = exploded
+      .groupBy(col(id), col("n"), col("h"))
+      .agg(count(lit(1)).as("c"), first(col("glen")).as("glen"),
+        first(col("char_len")).as("char_len"))
+    def chars(pred: Column): Column = col("c") * col("glen") * when(pred, 1L)
+    val aggExprs = Seq(
+      sum(when(col("n") === 0, col("c"))).as("n_lines"),
+      count(when(col("n") === 0, 1)).as("d_lines"),
+      sum(chars(col("n") === 0)).as("line_chars"),
+      sum(chars(col("n") === 0 && col("c") > 1)).as("dup_line_chars")) ++
+      topNs.map(n => max(chars(col("n") === n)).as(s"_top$n")) ++
+      dupNs.map(n => sum(chars(col("n") === n && col("c") > 1)).as(s"_dup$n"))
+    val aggd = counts.groupBy(col(id))
+      .agg(first(col("char_len")).as("char_len"), aggExprs: _*)
+    // capped at 1.0: occurrence-weighted coverage can exceed the char
+    // count when occurrences overlap (the interval-union variant that
+    // cannot is not SQL-replayable — divergence documented above)
+    def frac(num: Column, den: Column): Column =
+      when(den > 0,
+        least(lit(1.0), coalesce(num, lit(0L)).cast(DoubleType) / den))
+        .otherwise(lit(0.0))
+    val fracCols = Seq(
+      col(id),
+      col("n_lines"),
+      frac(col("n_lines") - col("d_lines"), col("n_lines"))
+        .as("dup_line_frac"),
+      frac(col("dup_line_chars"), col("line_chars"))
+        .as("dup_line_char_frac")) ++
+      topNs.map(n => frac(col(s"_top$n"), col("char_len")).as(s"top${n}_frac")) ++
+      dupNs.map(n => frac(col(s"_dup$n"), col("char_len")).as(s"dup${n}_frac"))
+    val withFracs = aggd.select(fracCols: _*)
+    val thresholds = Seq("dup_line_frac" -> 0.30,
+      "top2_frac" -> 0.20, "top3_frac" -> 0.18, "top4_frac" -> 0.16,
+      "dup5_frac" -> 0.15, "dup6_frac" -> 0.14, "dup7_frac" -> 0.13,
+      "dup8_frac" -> 0.12, "dup9_frac" -> 0.11, "dup10_frac" -> 0.10)
+    withFracs
+      .withColumn("keep", thresholds.map { case (c, th) => col(c) <= th }
+        .reduce(_ && _))
+      .orderBy(id)
+  }
+
   /** md5-prefix 60-bit hash — the engine-portable leaf hash shared by
     * the *Portable twins: 15 hex chars keep the value positive in a
     * signed BIGINT on any engine, so a DuckDB oracle can DERIVE twin

@@ -412,6 +412,28 @@ class PipelineSpec extends SparkSpec {
     assert(kDocs == pDocs)
   }
 
+  test("repetition filters: planted degenerate doc is rejected, metrics bounded") {
+    import spark.implicits._
+    val degenerate = ("spam ham " * 40).trim
+    val planted = docs.select(col("doc_id"), col("text"))
+      .union(Seq((91000L, degenerate)).toDF("doc_id", "text"))
+    val r = TextOps.repetition(planted).collect()
+    val byId = r.map(row => row.getLong(0) -> row).toMap
+    // every fraction is in [0, 1]
+    for (row <- r; i <- 2 until row.length - 1)
+      assert(row.getDouble(i) >= 0.0 && row.getDouble(i) <= 1.0,
+        s"column $i out of range in $row")
+    // the planted 2-token loop: top-2-gram coverage is ~half the chars,
+    // and every 5..10-gram repeats → dup fracs ~1 → rejected
+    val bad = byId(91000L)
+    assert(bad.getDouble(bad.fieldIndex("top2_frac")) > 0.4)
+    assert(bad.getDouble(bad.fieldIndex("dup10_frac")) > 0.9)
+    assert(!bad.getBoolean(bad.fieldIndex("keep")))
+    // a real doc from the corpus survives with bounded metrics
+    assert(r.count(_.getBoolean(r.head.fieldIndex("keep"))) > 0,
+      "no document passed the Gopher thresholds")
+  }
+
   test("fingerprints are stable and non-trivial") {
     val a = TextOps.fingerprints(docs).collect()
     val b = TextOps.fingerprints(docs).collect()
