@@ -415,6 +415,10 @@ object SparkEntry {
     "q_repetition" -> ((s, dir) =>
       pipeline.TextOps.repetition(docs(s, dir))),
 
+    // corpus-frequency commonness (CCNet-style two-pass scoring)
+    "q_commonness" -> ((s, dir) =>
+      pipeline.TextOps.commonness(docs(s, dir))),
+
     // rows-only oracle (xxhash64 winnowing not expressible in DuckDB)
     "q_fingerprint" -> ((s, dir) =>
       pipeline.TextOps.fingerprints(docs(s, dir))
@@ -1260,6 +1264,25 @@ object SparkEntry {
     // shingle (a necessary condition for J > 0).
     "q_dedup_jaccard" -> jaccardPairsOracle,
     "q_repetition" -> repetitionOracle,
+    // corpus token counts joined back per token occurrence; Spark
+    // groups by xxhash64(token), the oracle by the token itself —
+    // counts agree under the collision-free-64-bit argument
+    "q_commonness" ->
+      """WITH d AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+         e AS (SELECT doc_id, unnest(toks) AS w FROM d),
+         f AS (SELECT w, count(*) AS cnt FROM e GROUP BY w),
+         j AS (SELECT e.doc_id, f.cnt FROM e JOIN f USING (w)),
+         a AS (
+           SELECT doc_id, count(*) AS n_tokens, sum(cnt) AS sum_cnt,
+             min(cnt) AS min_token_count, max(cnt) AS max_token_count,
+             sum(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) AS rare_count
+           FROM j GROUP BY doc_id)
+         SELECT doc_id, n_tokens,
+           CAST(sum_cnt AS DOUBLE) / n_tokens AS mean_token_count,
+           min_token_count, max_token_count,
+           CAST(rare_count AS DOUBLE) / n_tokens AS rare_ratio
+         FROM a ORDER BY doc_id""",
     // Full derivation of the portable (md5-60-bit) SimHash twin: same
     // shingling as the jaccard oracle, md5-prefix hash, per-bit majority
     // over 60 bits, 4 pigeonhole block keys (15 bits each, MSB-first

@@ -258,6 +258,46 @@ object TextOps {
       .orderBy(id)
   }
 
+  // ---- corpus-frequency commonness (q_commonness) ----
+
+  /** Corpus-frequency commonness score per document — the two-pass
+    * shape CCNet-style filters use (corpus statistics → per-doc score;
+    * Wenzek et al. 2020 filter on LM perplexity, we score on corpus
+    * token frequency): pass 1 counts every token's corpus occurrences,
+    * pass 2 joins the counts back to each document's tokens and rolls
+    * up mean/min/max corpus count and the rare-token ratio
+    * (corpus count <= rareMaxCount). All metrics are integer ratios
+    * with ONE final division — IEEE-exact on any engine, so the oracle
+    * derives them (no transcendentals: a log-perplexity variant would
+    * hash-diverge in the last ulp between libm and the JVM).
+    *
+    * Scale: tokens travel as xxhash64 keys (8 bytes; collision-free-
+    * 64-bit argument as everywhere), both aggregations partial-combine
+    * map-side, and the count join-back is an equi-join on longs that
+    * AQE broadcasts when the vocabulary is small.
+    */
+  def commonness(docs: DataFrame, rareMaxCount: Long = 2,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val e = docs.select(col(id), explode(tokens(col(text))).as("w"))
+      .select(col(id), xxhash64(col("w")).as("h"))
+    val f = e.groupBy("h").agg(count(lit(1)).as("cnt"))
+    e.join(f, "h")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("cnt").as("sum_cnt"),
+        min("cnt").as("min_token_count"),
+        max("cnt").as("max_token_count"),
+        sum(when(col("cnt") <= rareMaxCount, 1L).otherwise(0L))
+          .as("rare_count"))
+      .select(col(id), col("n_tokens"),
+        (col("sum_cnt").cast(DoubleType) / col("n_tokens"))
+          .as("mean_token_count"),
+        col("min_token_count"), col("max_token_count"),
+        (col("rare_count").cast(DoubleType) / col("n_tokens"))
+          .as("rare_ratio"))
+      .orderBy(id)
+  }
+
   /** md5-prefix 60-bit hash — the engine-portable leaf hash shared by
     * the *Portable twins: 15 hex chars keep the value positive in a
     * signed BIGINT on any engine, so a DuckDB oracle can DERIVE twin

@@ -53,4 +53,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(js.nonEmpty && !js.exists(Set("smj", "bnlj", "cartesian")),
       s"var-length hop over hinted small type degraded: $js")
   }
+
+  test("q_repetition: join-free, bounded exchanges, gram strings never shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = SparkEntry.queries("q_repetition")(spark, sfDir)
+    assert(joinKinds(df).isEmpty,
+      "repetition must be pure aggregation — no joins")
+    val exchanges = df.queryExecution.sparkPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    // one exchange per hash aggregation (gram counts, per-doc rollup);
+    // the final orderBy adds a range exchange
+    assert(exchanges.length <= 3, s"unexpected exchanges: ${exchanges.length}")
+    // the gram STRING column must be hashed away before any exchange —
+    // only (hash, length) travel
+    exchanges.foreach { e =>
+      val names = e.child.output.map(_.name)
+      assert(!names.contains("g") && !names.contains("x"),
+        s"gram strings on the wire: exchange carries $names")
+    }
+  }
 }

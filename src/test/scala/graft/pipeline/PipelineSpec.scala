@@ -434,6 +434,24 @@ class PipelineSpec extends SparkSpec {
       "no document passed the Gopher thresholds")
   }
 
+  test("commonness: planted unique-token doc scores all-rare") {
+    import spark.implicits._
+    val planted = docs.select(col("doc_id"), col("text"))
+      .union(Seq((92000L, "zxqv1 zxqv2 zxqv3 zxqv4")).toDF("doc_id", "text"))
+    val r = TextOps.commonness(planted).collect()
+      .map(row => row.getLong(0) -> row).toMap
+    val u = r(92000L)
+    assert(u.getLong(u.fieldIndex("n_tokens")) == 4L)
+    // each invented token occurs exactly once in the corpus
+    assert(u.getDouble(u.fieldIndex("mean_token_count")) == 1.0)
+    assert(u.getDouble(u.fieldIndex("rare_ratio")) == 1.0)
+    // corpus docs draw from a ~30-word vocab: every token is common
+    val real = r.filterNot(_._1 == 92000L).values
+    assert(real.forall(_.getDouble(2) > 100.0),
+      "synthetic-vocab tokens should be corpus-common")
+    assert(real.forall(_.getDouble(5) == 0.0))
+  }
+
   test("fingerprints are stable and non-trivial") {
     val a = TextOps.fingerprints(docs).collect()
     val b = TextOps.fingerprints(docs).collect()
