@@ -419,6 +419,21 @@ object SparkEntry {
     "q_commonness" -> ((s, dir) =>
       pipeline.TextOps.commonness(docs(s, dir))),
 
+    // three pipeline stages composed under one gate: near-dup grouping
+    // keeps canonical reps -> Gopher repetition filter keeps quality
+    // docs -> survivors pack into token-budget shards. The pruning
+    // joins carry ids only; keep-lists scale WITH the corpus, so no
+    // broadcast hint — AQE picks per actual size.
+    "q_pipeline_e2e" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val reps = pipeline.Dedup.dupGroups(d)
+        .filter(!col("is_dup")).select("doc_id")
+      val keep = pipeline.TextOps.repetition(d)
+        .filter(col("keep")).select("doc_id")
+      val survivors = d.join(reps, "doc_id").join(keep, "doc_id")
+      pipeline.TextOps.packByBudget(survivors, budgetTokens = 2048)
+    }),
+
     // rows-only oracle (xxhash64 winnowing not expressible in DuckDB)
     "q_fingerprint" -> ((s, dir) =>
       pipeline.TextOps.fingerprints(docs(s, dir))
@@ -877,6 +892,39 @@ object SparkEntry {
              FROM e a JOIN e b ON a.vec_id < b.vec_id)
        SELECT a_id, b_id, round(c, 6) AS sim FROM s
        WHERE c >= CAST(0.45 AS DOUBLE) ORDER BY a_id, b_id"""
+
+  /** Blind near-dup grouping derivation (pairs via complete shingle
+    * join, components via recursive CTE, min-id representative) —
+    * shared by q_dedup_groups and the q_pipeline_e2e composition.
+    */
+  private val dupGroupsOracle: String =
+    """WITH RECURSIVE t AS (
+         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+       s AS (
+         SELECT doc_id,
+           list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+         FROM t WHERE len(toks) >= 3),
+       e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+       p AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id),
+       dup AS (
+         SELECT p.id_a, p.id_b
+         FROM p JOIN s sa ON sa.doc_id = p.id_a JOIN s sb ON sb.doc_id = p.id_b
+         WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+             len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.8),
+       sym AS (SELECT id_a AS u, id_b AS v FROM dup
+               UNION SELECT id_b, id_a FROM dup),
+       comp(k, c) AS (
+         SELECT u AS k, u AS c FROM (SELECT DISTINCT u FROM sym)
+         UNION
+         SELECT s2.v, comp.c FROM comp JOIN sym s2 ON s2.u = comp.k WHERE comp.c < s2.v)
+       SELECT d.doc_id, coalesce(m.c, d.doc_id) AS rep_id,
+              d.doc_id <> coalesce(m.c, d.doc_id) AS is_dup
+       FROM documents d LEFT JOIN
+         (SELECT k, min(c) AS c FROM comp GROUP BY k) m ON m.k = d.doc_id
+       ORDER BY d.doc_id"""
 
   /** Full derivation of the Gopher repetition filters: the same
     * (n=0, line) + (n, gram) bag as the Spark side, but grouped by the
@@ -1377,34 +1425,26 @@ object SparkEntry {
          WHERE d.doc_id >= 50 ORDER BY d.doc_id""",
     // the oracle recomputes pairs blind (same as q_dedup_jaccard), then
     // clusters them with a recursive CTE and keeps min-id per component
-    "q_dedup_groups" ->
-      """WITH RECURSIVE t AS (
-           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
-         s AS (
-           SELECT doc_id,
-             list_distinct(list_transform(range(1, len(toks) - 1),
-               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
-           FROM t WHERE len(toks) >= 3),
-         e AS (SELECT doc_id, unnest(sh) AS g FROM s),
-         p AS (
-           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id),
-         dup AS (
-           SELECT p.id_a, p.id_b
-           FROM p JOIN s sa ON sa.doc_id = p.id_a JOIN s sb ON sb.doc_id = p.id_b
-           WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-               len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.8),
-         sym AS (SELECT id_a AS u, id_b AS v FROM dup
-                 UNION SELECT id_b, id_a FROM dup),
-         comp(k, c) AS (
-           SELECT u AS k, u AS c FROM (SELECT DISTINCT u FROM sym)
-           UNION
-           SELECT s2.v, comp.c FROM comp JOIN sym s2 ON s2.u = comp.k WHERE comp.c < s2.v)
-         SELECT d.doc_id, coalesce(m.c, d.doc_id) AS rep_id,
-                d.doc_id <> coalesce(m.c, d.doc_id) AS is_dup
-         FROM documents d LEFT JOIN
-           (SELECT k, min(c) AS c FROM comp GROUP BY k) m ON m.k = d.doc_id
-         ORDER BY d.doc_id""",
+    "q_dedup_groups" -> dupGroupsOracle,
+    // three library stages chained under ONE gate entry — near-dup
+    // grouping keeps canonical reps, Gopher filters keep quality docs,
+    // survivors pack into token-budget shards; the oracle nests the
+    // per-stage oracles as subqueries, so any stage regressing breaks
+    // the composition hash too
+    "q_pipeline_e2e" ->
+      s"""WITH surv AS (
+           SELECT d.doc_id, d.text
+           FROM documents d
+           JOIN ($dupGroupsOracle) g ON g.doc_id = d.doc_id AND NOT g.is_dup
+           JOIN ($repetitionOracle) r ON r.doc_id = d.doc_id AND r.keep)
+         SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(floor(coalesce(
+             sum(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)) OVER (
+               ORDER BY len(regexp_split_to_array(trim(text), '\\s+')) DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048)
+             AS BIGINT) AS shard
+         FROM surv ORDER BY doc_id""",
     // exact complete cosine join — the oracle recomputes it blind
     "q_dedup_embed" -> embedPairsOracle,
     // same complete all-pairs oracle — see the queries-side comment:
