@@ -894,6 +894,11 @@ final class CypherCompiler(g: PropertyGraph, spark: SparkSession,
           case "duration.indays" =>
             concat(lit("P"), datediff(bc, ac).cast(StringType), lit("D"))
         }
+      // Heterogeneous list literals ride Spark's non-ANSI coercion:
+      // [1, 'two'] becomes a STRING array (['1', 'two']) — a documented
+      // divergence from the reference's untyped JS arrays (SURVEY §6;
+      // values coerce instead of keeping per-element types). Mixes with
+      // no common type ([1, 'a', true]) fail at analysis.
       case ListLit(items) => array(items.map(go): _*)
       case MapLit(items) => struct(items.map { case (k, v) => go(v).as(k) }: _*)
       // bare `RETURN p` of a named path: a struct of the same values

@@ -554,4 +554,19 @@ class CypherCompilerSpec extends SparkSpec {
       .orderBy("name")
     assert(rowsOf(got) == rowsOf(want))
   }
+
+  test("heterogeneous list literals: divergence pinned") {
+    // number/string mixes COERCE to string arrays under Spark's
+    // non-ANSI rules (the reference keeps per-element JS types —
+    // SURVEY §6 divergence, pinned here so a behavior change surfaces)
+    val coerced = graph.cypher("RETURN [1, 'two'] AS l").collect()
+    assert(coerced.head.getSeq[String](0) == Seq("1", "two"))
+    // mixes with no common type fail at analysis
+    intercept[Exception] {
+      graph.cypher("RETURN [1, 'a', true] AS l").collect()
+    }
+    // homogeneous literals keep their type
+    assert(graph.cypher("RETURN [1, 2, 3] AS l").collect()
+      .head.getSeq[Long](0) == Seq(1L, 2L, 3L))
+  }
 }
