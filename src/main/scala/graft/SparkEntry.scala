@@ -678,6 +678,11 @@ object SparkEntry {
         .orderBy("user_id", "session_start")
     }),
 
+    // streaming stateful exact-dedup: first-arrival-wins per key, keys
+    // only so the drained result equals batch DISTINCT
+    "q_stream_dedup" -> ((s, dir) =>
+      streaming.EventStreams.streamingDedup(lenient(s), dir)),
+
     // streaming graph updates: foreachBatch appends TRIGGERED edges to a
     // parquet edge dir; the appended frame aggregates to the same counts
     // as the source events (exactly-once per epoch)
@@ -1524,6 +1529,11 @@ object SparkEntry {
               event_type, count(*) AS cnt, round(sum(value), 3) AS total_value
          FROM events
          GROUP BY 1, 2, 3 ORDER BY window_start, event_type""",
+    // keys-only output makes the streamed dropDuplicates deterministic
+    // and equal to batch DISTINCT regardless of arrival order
+    "q_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
     // same sessionization oracle gates the batch twin and the
     // session_window Structured Streaming run (see q_stream_window_agg)
     "q_stream_sessionize" ->

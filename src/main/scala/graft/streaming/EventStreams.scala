@@ -179,6 +179,38 @@ object EventStreams {
     spark.table(queryName)
   }
 
+  /** Streaming stateful exact-dedup: file-stream ingest (availableNow)
+    * → `dropDuplicates` on the key columns → append-mode memory sink,
+    * drained fully. First-arrival-wins on the keys; emitting KEYS ONLY
+    * keeps the result deterministic (equal to batch DISTINCT — the
+    * oracle), independent of file/batch arrival order.
+    *
+    * State contract, 100 TB framing: exact streaming dedup necessarily
+    * holds one state row per distinct key — bounded by key cardinality,
+    * not stream length (keys here are 8+small bytes; a digest column is
+    * the right key for document streams, same digests-not-bodies
+    * discipline as [[graft.pipeline.Dedup.exact]]). When the dedup
+    * horizon can be bounded in event time, swap in
+    * `dropDuplicatesWithinWatermark` to make Spark EVICT state at the
+    * watermark — the TTL variant trades cross-horizon dups for bounded
+    * state; the gate pins the exact variant.
+    */
+  def streamingDedup(spark: SparkSession, eventsDir: String,
+      glob: String = "events.parquet",
+      keys: Seq[String] = Seq("user_id", "event_type"),
+      queryName: String = "q_stream_dedup"): DataFrame = {
+    val raw = eventsRawStream(spark, eventsDir, glob)
+    val query = raw
+      .dropDuplicates(keys)
+      .select(keys.map(col): _*)
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(queryName).orderBy(keys.map(col): _*)
+  }
+
   /** Sessionization executed THROUGH Structured Streaming, built-in
     * `session_window` flavor: file-stream ingest (availableNow) →
     * session-window aggregation → complete-mode memory sink, drained

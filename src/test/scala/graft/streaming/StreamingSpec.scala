@@ -90,6 +90,19 @@ class StreamingSpec extends SparkSpec {
     assert(sortedRowsOf(streamed.select(batch.columns.map(col): _*)) == sortedRowsOf(batch))
   }
 
+  test("streamingDedup equals batch DISTINCT and is rerun-stable") {
+    val want = graft.graph.GraphLoader.eventsTable(spark, sfDir)
+      .select("user_id", "event_type").distinct().count()
+    // two invocations in one session: the memory sink must be replaced,
+    // not appended to (Bench reruns every query in one session)
+    val a = EventStreams.streamingDedup(spark, sfDir,
+      queryName = "stream_dedup_spec").count()
+    val b = EventStreams.streamingDedup(spark, sfDir,
+      queryName = "stream_dedup_spec").count()
+    assert(a == want && b == want,
+      s"streamed dedup $a/$b != batch distinct $want")
+  }
+
   test("edgeAppendRun replays the full input on every invocation") {
     // append mode + a surviving checkpoint would skip the input on rerun;
     // the wrapper wipes both dirs so each call yields the complete frame
