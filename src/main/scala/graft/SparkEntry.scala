@@ -430,7 +430,12 @@ object SparkEntry {
         .filter(!col("is_dup")).select("doc_id")
       val keep = pipeline.TextOps.repetition(d)
         .filter(col("keep")).select("doc_id")
+      // materialize the filtered corpus once: packByBudget's range
+      // repartition SAMPLES its input in a separate job, which would
+      // re-execute the whole dedup+filter chain a second time (real
+      // pipelines persist between stages at scale for the same reason)
       val survivors = d.join(reps, "doc_id").join(keep, "doc_id")
+        .localCheckpoint()
       pipeline.TextOps.packByBudget(survivors, budgetTokens = 2048)
     }),
 

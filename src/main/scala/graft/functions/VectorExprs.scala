@@ -387,6 +387,123 @@ object VectorExprs {
       copy(child = newChild)
   }
 
+  /** All word-n-gram (n, xxhash64, char length) stats for EVERY n in
+    * `ns`, one expression eval per row — the repetition-filter kernel.
+    * Hash values equal [[ShingleHashes]] (xxhash64 of the space-joined
+    * gram, seed 42), so grouping by (n, hash) counts exactly what a
+    * string-side oracle counts; glen is the gram's CHARACTER length
+    * (sum of token char lengths + n-1 separators), matching SQL
+    * `len(g)`. Replaces a transform(slice+array_join) HOF pipeline
+    * that built every gram string interpreted per element — the r11
+    * bench showed that shape costing 26 s at sf0.1; this is one tight
+    * loop sharing per-token lengths across all n.
+    */
+  case class GramStats(left: Expression, right: Expression)
+      extends BinaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    import org.apache.spark.unsafe.types.UTF8String
+    private val structType = StructType(Seq(
+      StructField("n", IntegerType, nullable = false),
+      StructField("h", LongType, nullable = false),
+      StructField("glen", IntegerType, nullable = false)))
+    override def dataType: DataType = ArrayType(structType, containsNull = false)
+    override def prettyName: String = "graft_gram_stats"
+
+    private val space = UTF8String.fromString(" ")
+
+    override protected def nullSafeEval(t: Any, nsv: Any): Any = {
+      val arr = t.asInstanceOf[ArrayData]
+      val ns = nsv.asInstanceOf[ArrayData].toIntArray()
+      val n = arr.numElements()
+      val toks = new Array[UTF8String](n)
+      val lens = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        toks(i) = arr.getUTF8String(i)
+        lens(i) = toks(i).numChars()
+        i += 1
+      }
+      var total = 0
+      ns.foreach(k => if (k > 0 && n - k + 1 > 0) total += n - k + 1)
+      val rows = new Array[Any](total)
+      var o = 0
+      ns.foreach { k =>
+        val cnt = n - k + 1
+        if (k > 0 && cnt > 0) {
+          // running char length of the window, updated O(1) per slide
+          var wlen = k - 1
+          var j = 0
+          while (j < k) { wlen += lens(j); j += 1 }
+          val parts = new Array[UTF8String](k)
+          i = 0
+          while (i < cnt) {
+            var p = 0
+            while (p < k) { parts(p) = toks(i + p); p += 1 }
+            val joined = UTF8String.concatWs(space, parts: _*)
+            val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+              .hash(joined, StringType, 42L)
+            rows(o) = new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(Array[Any](k, h, wlen))
+            o += 1
+            if (i + k < n) wlen += lens(i + k) - lens(i)
+            i += 1
+          }
+        }
+      }
+      ArrayData.toArrayData(rows)
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): GramStats =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** md5-prefix-60-bit hashes of every k-token shingle (space-joined,
+    * ordered, non-distinct) — the native twin of
+    * `conv(substring(md5(g), 1, 15), 16, 10)`: the first 15 hex chars
+    * are bytes 0..6 plus the high nibble of byte 7 of the digest.
+    * One eval per row replaces an interpreted HOF chain (md5 →
+    * substring → conv per element) that cost ~7 s per md5-twin gate
+    * query at sf0.1.
+    */
+  case class ShingleMd5(left: Expression, right: Expression)
+      extends BinaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    import org.apache.spark.unsafe.types.UTF8String
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_shingle_md5"
+
+    private val space = UTF8String.fromString(" ")
+
+    override protected def nullSafeEval(t: Any, kv: Any): Any = {
+      val arr = t.asInstanceOf[ArrayData]
+      val k = kv.asInstanceOf[Int]
+      val n = arr.numElements()
+      val cnt = n - k + 1
+      if (k <= 0 || cnt <= 0) return ArrayData.toArrayData(Array.empty[Long])
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val out = new Array[Long](cnt)
+      val parts = new Array[UTF8String](k)
+      var i = 0
+      while (i < cnt) {
+        var j = 0
+        while (j < k) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+        md.reset()
+        val d = md.digest(UTF8String.concatWs(space, parts: _*).getBytes)
+        var v = 0L
+        j = 0
+        while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+        out(i) = (v << 4) | ((d(7) >> 4) & 0xfL)
+        i += 1
+      }
+      ArrayData.toArrayData(out)
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): ShingleMd5 =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Register as session functions; `dot`/`l2norm` Columns below use
     * call_function so callers never touch catalyst internals.
     */
@@ -400,6 +517,10 @@ object VectorExprs {
       exprs => SlidingMin(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_shingle_hashes",
       exprs => ShingleHashes(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_gram_stats",
+      exprs => GramStats(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_shingle_md5",
+      exprs => ShingleMd5(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_count_in",
       exprs => ArrayCountIn(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_hyperplane_key",
@@ -427,6 +548,10 @@ object VectorExprs {
     call_function("graft_sliding_min", a, w)
   def shingleHashes(tokens: Column, k: Column): Column =
     call_function("graft_shingle_hashes", tokens, k)
+  def gramStats(tokens: Column, ns: Column): Column =
+    call_function("graft_gram_stats", tokens, ns)
+  def shingleMd5(tokens: Column, k: Column): Column =
+    call_function("graft_shingle_md5", tokens, k)
   def countIn(arr: Column, words: Seq[String]): Column =
     call_function("graft_count_in", arr,
       org.apache.spark.sql.functions.array(words.map(org.apache.spark.sql.functions.lit): _*))

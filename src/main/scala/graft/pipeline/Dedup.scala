@@ -343,8 +343,12 @@ object Dedup {
   def simhashPortable(docs: DataFrame, k: Int = 3, blocks: Int = 4,
       maxHamming: Int = 3, nbits: Int = 60,
       id: String = "doc_id", text: String = "text"): DataFrame = {
-    require(nbits == 60, "portable twin is fixed to the md5Hash60 leaf hash")
-    val hashed = transform(shingleStrings(col(text), k), g => md5Hash60(g))
+    require(nbits == 60, "portable twin is fixed to the md5-prefix-60 leaf hash")
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    // native kernel (one eval per row); VectorExprsSpec pins
+    // bit-equality with the md5Hash60-over-shingleStrings HOF form
+    val hashed = array_distinct(
+      graft.functions.VectorExprs.shingleMd5(tokens(col(text)), lit(k)))
     val withSh = docs
       .select(col(id), hashed.as("sh"))
       .filter(size(col("sh")) > 0)

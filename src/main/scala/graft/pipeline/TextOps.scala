@@ -194,29 +194,23 @@ object TextOps {
     */
   def repetition(docs: DataFrame, id: String = "doc_id",
       text: String = "text"): DataFrame = {
+    graft.functions.VectorExprs.register(docs.sparkSession)
     val topNs = Seq(2, 3, 4)
     val dupNs = Seq(5, 6, 7, 8, 9, 10)
     val t = col(text)
-    val gramType = ArrayType(StructType(Seq(
-      StructField("n", IntegerType, nullable = false),
-      StructField("g", StringType, nullable = true))))
+    // lines ride the same (n, h, glen) struct shape under n = 0 — one
+    // struct per line, built by a lambda that only packs (lines are
+    // few); every word n-gram comes from ONE native kernel eval per row
     val lineGrams = transform(split(t, "\n"),
-      l => struct(lit(0).as("n"), l.as("g")))
-    val toks = tokens(t)
-    def grams(n: Int): Column = {
-      val cnt = size(toks) - (n - 1)
-      when(cnt <= 0, array().cast(gramType))
-        .otherwise(transform(sequence(lit(0), greatest(cnt - 1, lit(0))),
-          i => struct(lit(n).as("n"),
-            array_join(slice(toks, i + 1, lit(n)), " ").as("g"))))
-    }
-    val all = concat(lineGrams +: (topNs ++ dupNs).map(grams): _*)
+      l => struct(lit(0).as("n"), xxhash64(l).as("h"),
+        length(l).as("glen")))
+    val wordGrams = graft.functions.VectorExprs.gramStats(tokens(t),
+      typedLit((topNs ++ dupNs).toArray))
     val exploded = docs
       .select(col(id), length(trim(t)).cast(LongType).as("char_len"),
-        explode(all).as("x"))
+        explode(concat(lineGrams, wordGrams)).as("x"))
       .select(col(id), col("char_len"), col("x.n").as("n"),
-        xxhash64(col("x.n"), col("x.g")).as("h"),
-        length(col("x.g")).cast(LongType).as("glen"))
+        col("x.h").as("h"), col("x.glen").cast(LongType).as("glen"))
     val counts = exploded
       .groupBy(col(id), col("n"), col("h"))
       .agg(count(lit(1)).as("c"), first(col("glen")).as("glen"),
@@ -318,13 +312,11 @@ object TextOps {
   def fingerprintsPortable(docs: DataFrame, k: Int = 3, w: Int = 4,
       id: String = "doc_id", text: String = "text"): DataFrame = {
     graft.functions.VectorExprs.register(docs.sparkSession)
-    val toks = tokens(col(text))
-    val n = size(toks) - (k - 1)
-    val shStr = when(n <= 0, array().cast(ArrayType(StringType)))
-      .otherwise(transform(sequence(lit(0), greatest(n - 1, lit(0))),
-        i => array_join(slice(toks, i + 1, lit(k)), " ")))
+    // native kernel (one eval per row); VectorExprsSpec pins
+    // bit-equality with the md5Hash60-over-shingleStrings HOF form
     docs
-      .select(col(id), transform(shStr, g => md5Hash60(g)).as("sh"))
+      .select(col(id), graft.functions.VectorExprs
+        .shingleMd5(tokens(col(text)), lit(k)).as("sh"))
       .filter(size(col("sh")) >= w)
       .select(col(id), explode(array_distinct(
         graft.functions.VectorExprs.slidingMin(col("sh"), lit(w)))).as("fp"))

@@ -83,6 +83,26 @@ class VectorExprsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
+  test("shingle md5-60 matches the HOF md5Hash60 formulation exactly") {
+    import spark.implicits._
+    VectorExprs.register(spark)
+    val df = Seq("the quick brown fox jumps over the lazy dog", "a b", "one",
+        "padded   whitespace  here", "ünïcödé tökens mätter too yes")
+      .toDF("text")
+      .select(split(trim(col("text")), "\\s+").as("toks"))
+    val k = 3
+    val n = size(col("toks")) - (k - 1)
+    val hof = when(n <= 0, array().cast("array<long>"))
+      .otherwise(transform(sequence(lit(0), greatest(n - 1, lit(0))),
+        i => graft.pipeline.TextOps.md5Hash60(
+          array_join(slice(col("toks"), i + 1, lit(k)), " "))))
+    val rows = df.select(
+      VectorExprs.shingleMd5(col("toks"), lit(k)).as("native"),
+      hof.as("hof")).collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+      s"native ${r.getSeq[Long](0)} != hof ${r.getSeq[Long](1)}"))
+  }
+
   test("hyperplane keys match the HOF formulation bit-for-bit") {
     import spark.implicits._
     VectorExprs.register(spark)
