@@ -14,8 +14,19 @@ cd "$(dirname "$0")/.."
 OUT=${1:-/tmp/graft_sf10x}
 MEM=${SPARK_DRIVER_MEM:-48g}
 
-SPARK_DRIVER_MEM=$MEM sbt -batch "runMain graft.tools.Scale10x $OUT"
+if [ ! -f "$OUT/lineitem.parquet/_SUCCESS" ] && [ ! -d "$OUT/lineitem.parquet" ]; then
+  SPARK_DRIVER_MEM=$MEM sbt -batch "runMain graft.tools.Scale10x $OUT"
+else
+  echo "[bench10x] reusing existing $OUT"
+fi
+# shuffle partitions scale with the data (32 -> 128 at 10x): per-reduce
+# shuffle state must fit the heap, same sizing a real cluster does.
+# Bench writes BENCH_OUT.json — preserve the sf0.1 artifact around the
+# 10x run.
+cp BENCH_OUT.json /tmp/BENCH_OUT.sf01.bak 2>/dev/null || true
 SPARK_GRAFT_SF_DIR=$OUT SPARK_GRAFT_BENCH_RUNS=${SPARK_GRAFT_BENCH_RUNS:-3} \
+  SPARK_GRAFT_SHUFFLE_PARTITIONS=${SPARK_GRAFT_SHUFFLE_PARTITIONS:-128} \
   SPARK_DRIVER_MEM=$MEM sbt -batch "runMain graft.Bench"
 cp BENCH_OUT.json BENCH_10x.json
+cp /tmp/BENCH_OUT.sf01.bak BENCH_OUT.json 2>/dev/null || true
 echo "wrote BENCH_10x.json"
