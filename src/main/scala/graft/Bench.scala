@@ -10,21 +10,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // shuffle partitions must scale with DATA, not cores: at the 10×
-    // rehearsal, 32 reduce partitions put ~10× the per-task shuffle
-    // state in one heap and q_triangles OOM'd; a real cluster sizes
-    // this so partitions fit executor memory (AQE coalesces the small
-    // ones back). Default stays = cpus for sf0.1.
+    // Partition policy, MEASURED at the 10× rehearsal (three strategies
+    // on identical data): fixed 32 = cores won — 128 fixed partitions
+    // taxed iterative algos with 128-task rounds on KB shuffles (kcore
+    // 29.8s→109.8s), and size-first AQE coalescing (parallelismFirst=
+    // false, 64m advisory — the cluster-production setting) serialized
+    // the tens-of-MB 10× shuffles to 1-2 tasks (concomp 11s→54s). At
+    // local[32] the shuffles are ≤GB, so keeping all cores busy
+    // dominates task sizing; what actually broke the first 91-query 10×
+    // run was cumulative multi-query JVM pressure, fixed with heap, not
+    // partitions. The env knob stays for scale experiments.
     val shufflePartitions =
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
-    // In scale mode (partitions raised above core count) also switch AQE
-    // coalescing from parallelism-first to size-first — the Spark-docs
-    // production setting. Without it the 10× rehearsal paid 128 fixed
-    // reduce tasks on KB-sized iterative shuffles (kcore 29.8s→109.8s);
-    // with it, big shuffles keep ~64MB tasks (OOM-safe) while per-round
-    // iteration shuffles coalesce back to a handful.
-    val scaleMode = sys.env.contains("SPARK_GRAFT_SHUFFLE_PARTITIONS")
-    val builder = SparkSession.builder()
+    val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
@@ -32,12 +30,7 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-    if (scaleMode) {
-      builder
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
-    }
-    val spark = builder.getOrCreate()
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def esc(s: String): String = s.flatMap {

@@ -4,28 +4,31 @@
 #
 # Materializes an id-offset 10x copy of sf0.1 (graft.tools.Scale10x),
 # runs the FULL query set — including the q_write_* tier, never before
-# exercised above sf0.1 — at 3-run medians with a 48g driver heap
+# exercised above sf0.1 — at 3-run medians with a 64g driver heap
 # (local[32] holds executor-sized state in one JVM; real clusters get
 # per-executor heaps), and records the artifact as BENCH_10x.json.
+#
+# Partitions stay at 32 (= cores): measured at 10x, both 128 fixed
+# partitions and size-first AQE coalescing LOST to 32 — local shuffles
+# are ≤GB, so core utilization dominates task sizing. The 91-query 10x
+# run needs the bigger heap for cumulative multi-query JVM pressure
+# (q_triangles OOM'd at 48g with the full set), not per-task state.
 #
 # Usage: tools/bench10x.sh [dataDir]   (default /tmp/graft_sf10x)
 set -euo pipefail
 cd "$(dirname "$0")/.."
 OUT=${1:-/tmp/graft_sf10x}
-MEM=${SPARK_DRIVER_MEM:-48g}
+MEM=${SPARK_DRIVER_MEM:-64g}
 
 if [ ! -f "$OUT/lineitem.parquet/_SUCCESS" ] && [ ! -d "$OUT/lineitem.parquet" ]; then
   SPARK_DRIVER_MEM=$MEM sbt -batch "runMain graft.tools.Scale10x $OUT"
 else
   echo "[bench10x] reusing existing $OUT"
 fi
-# shuffle partitions scale with the data (32 -> 128 at 10x): per-reduce
-# shuffle state must fit the heap, same sizing a real cluster does.
 # Bench writes BENCH_OUT.json — preserve the sf0.1 artifact around the
 # 10x run.
 cp BENCH_OUT.json /tmp/BENCH_OUT.sf01.bak 2>/dev/null || true
 SPARK_GRAFT_SF_DIR=$OUT SPARK_GRAFT_BENCH_RUNS=${SPARK_GRAFT_BENCH_RUNS:-3} \
-  SPARK_GRAFT_SHUFFLE_PARTITIONS=${SPARK_GRAFT_SHUFFLE_PARTITIONS:-128} \
   SPARK_DRIVER_MEM=$MEM sbt -batch "runMain graft.Bench"
 cp BENCH_OUT.json BENCH_10x.json
 cp /tmp/BENCH_OUT.sf01.bak BENCH_OUT.json 2>/dev/null || true
