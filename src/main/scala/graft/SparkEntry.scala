@@ -469,6 +469,14 @@ object SparkEntry {
     "q_redact" -> ((s, dir) =>
       pipeline.TextOps.redact(docs(s, dir))),
 
+    // deterministic train/val/test split — the oracle hash-checks the
+    // ENTIRE per-document assignment (80‰ test / 100‰ val here so all
+    // three buckets are populated at sf0.01)
+    "q_split" -> ((s, dir) =>
+      pipeline.TextOps.hashSplit(docs(s, dir),
+        testPermille = 80, valPermille = 100)
+        .select("doc_id", "split").orderBy("doc_id")),
+
     // stratified sampling composed with language ID: keep 300‰ of
     // detected-English docs, 50‰ of everything else
     "q_sample_stratified" -> ((s, dir) =>
@@ -1277,6 +1285,16 @@ object SparkEntry {
       """SELECT doc_id FROM documents
          WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                % 1000 < 100
+         ORDER BY doc_id""",
+    "q_split" ->
+      """SELECT doc_id,
+           CASE WHEN hv < 80 THEN 'test'
+                WHEN hv < 180 THEN 'val'
+                ELSE 'train' END AS split
+         FROM (SELECT doc_id,
+                 CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 1000 AS hv
+               FROM documents)
          ORDER BY doc_id""",
     "q_sample_stratified" ->
       """WITH t AS (

@@ -411,6 +411,27 @@ object TextOps {
     docs.filter(h % 1000L < permille.toLong)
   }
 
+  /** Deterministic train/val/test split assignment — the hash-bucket
+    * three-way split a training pipeline performs before packing.
+    * Buckets are disjoint md5-permille ranges over the document id, so
+    * the SAME document lands in the SAME split on any engine, cluster
+    * size, or rerun, independent of row order and partitioning — the
+    * property that keeps held-out sets uncontaminated when the corpus
+    * is rebuilt. Scan-side: one hash per row, no shuffle; salt to draw
+    * a fresh fold (k-fold = k salts).
+    */
+  def hashSplit(docs: DataFrame, testPermille: Int = 10,
+      valPermille: Int = 10, salt: String = "",
+      id: String = "doc_id"): DataFrame = {
+    require(testPermille + valPermille <= 1000, "permilles exceed 1000")
+    val h = conv(substring(md5(concat(lit(salt), col(id).cast(StringType))), 1, 8),
+      16, 10).cast(LongType) % 1000L
+    docs.withColumn("split",
+      when(h < testPermille.toLong, "test")
+        .when(h < (testPermille + valPermille).toLong, "val")
+        .otherwise("train"))
+  }
+
   /** Per-stratum deterministic sampling: each row's keep-permille comes
     * from its stratum column (e.g. detected language), so mixture
     * weights are enforced exactly and reproducibly — the downsample-

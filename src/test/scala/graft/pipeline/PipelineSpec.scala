@@ -234,6 +234,30 @@ class PipelineSpec extends SparkSpec {
     assert(salted != a, "different salt draws a different sample")
   }
 
+  test("hashSplit: disjoint, exhaustive, deterministic, order-independent") {
+    val s = TextOps.hashSplit(docs, testPermille = 80, valPermille = 100)
+      .select("doc_id", "split")
+    val assign = s.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(assign.size == docs.count(), "every doc gets exactly one split")
+    val bySplit = assign.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"),
+      s"all three buckets populated, got ${bySplit.keySet}")
+    // expected ~8% / ~10% / ~82%; allow wide tolerance at 500 docs
+    val n = assign.size.toDouble
+    assert(bySplit("test") / n > 0.03 && bySplit("test") / n < 0.16, bySplit.toString)
+    assert(bySplit("train") / n > 0.70, bySplit.toString)
+    // partitioning/order independence: same assignment after repartition
+    val reassign = TextOps.hashSplit(docs.repartition(7), 80, 100)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(reassign == assign, "assignment must not depend on partitioning")
+    // a salt draws an independent fold
+    val fold2 = TextOps.hashSplit(docs, 80, 100, salt = "fold2")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fold2 != assign, "salt must produce a different fold")
+  }
+
   test("embedding near-dup: exact matches brute force; LSH is a high-recall subset") {
     // brute force in scala, double precision
     val vecs = embs.select("vec_id", "embedding").collect()
