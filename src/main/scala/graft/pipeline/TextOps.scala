@@ -119,17 +119,24 @@ object TextOps {
     val hitCols = langProfiles.map { case (lang, words) =>
       lang -> graft.functions.VectorExprs.countIn(toks, words)
     }
-    // strict argmax in profile order: a later language wins only with
-    // strictly more hits than every earlier one
-    val best = hitCols.foldLeft((lit("und"), lit(0L))) {
-      case ((bestLang, bestHits), (lang, hits)) =>
-        (when(hits > bestHits, lit(lang)).otherwise(bestLang),
-          when(hits > bestHits, hits).otherwise(bestHits))
-    }
+    // strict argmax in profile order, kept LINEAR in expression size: a
+    // when-chain fold doubles the best-so-far subtree at every step, so
+    // once CollapseProject inlines lang_pred into a downstream predicate
+    // (q_sample_stratified filters on it) each probe is re-evaluated
+    // O(2^|profiles|) times. greatest() over (hits, -idx) structs embeds
+    // each probe once; ties on hits pick the larger -idx = the EARLIER
+    // profile, and a (0, 1) sentinel outranks all-zero rows so 'und'
+    // falls out of the same lookup with no second reference to `best`.
+    val langArr = array(("und" +: langProfiles.map(_._1)).map(lit): _*)
+    val best = greatest(
+      struct(lit(0L).as("h"), lit(1).as("ni")) +:
+        hitCols.zipWithIndex.map { case ((_, hits), i) =>
+          struct(hits.as("h"), lit(-i).as("ni"))
+        }: _*)
     docs.select(
       col(id) +:
       hitCols.map { case (lang, hits) => hits.as(s"${lang}_hits") } :+
-      best._1.as("lang_pred"): _*)
+      element_at(langArr, lit(2) - best.getField("ni")).as("lang_pred"): _*)
       .orderBy(id)
   }
 
