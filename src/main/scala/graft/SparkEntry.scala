@@ -485,6 +485,25 @@ object SparkEntry {
         Map("en" -> 300), defaultPermille = 50)
         .select("doc_id", "lang_pred").orderBy("doc_id")),
 
+    // mixture auto-balancing: every source downsampled to the smallest
+    // one's size via integer-exact per-stratum keep rates
+    "q_mix" -> ((s, dir) =>
+      pipeline.TextOps.balanceMixture(docs(s, dir), "source")),
+
+    // deterministic seeded global shuffle — materialized training order
+    // via the distributed prefix sum (no single-partition window)
+    "q_shuffle" -> ((s, dir) =>
+      pipeline.TextOps.globalShuffle(docs(s, dir), seed = "ep0:")),
+
+    // cross-document duplicate n-gram fraction (Lee et al. 2022 signal)
+    "q_crossdoc" -> ((s, dir) =>
+      pipeline.TextOps.crossDocNgrams(docs(s, dir), n = 5)),
+
+    // top-3 distinctive terms per doc (tf/df, the linear-idf member of
+    // the tf-idf family — log-idf would hash-diverge in the last ulp)
+    "q_tfidf" -> ((s, dir) =>
+      pipeline.TextOps.distinctiveTerms(docs(s, dir), topK = 3)),
+
     // salted two-stage collect (skew-safe non-combinable aggregate),
     // stringified sorted for a deterministic oracle comparison
     "q_skew_collect" -> ((s, dir) => {
@@ -1320,6 +1339,51 @@ object SparkEntry {
          WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                % 1000 < CASE WHEN lang_pred = 'en' THEN 300 ELSE 50 END
          ORDER BY doc_id""",
+    "q_mix" ->
+      """WITH c AS (SELECT source, count(*) AS strat_cnt FROM documents GROUP BY source),
+         r AS (SELECT source,
+                 (1000 * min(strat_cnt) OVER ()) // strat_cnt AS keep_permille
+               FROM c)
+         SELECT d.doc_id, d.source, r.keep_permille
+         FROM documents d JOIN r USING (source)
+         WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 1000 < r.keep_permille
+         ORDER BY d.doc_id""",
+    "q_shuffle" ->
+      """SELECT doc_id,
+           row_number() OVER (ORDER BY md5('ep0:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+             AS pos
+         FROM documents ORDER BY doc_id""",
+    // same collision-free-64-bit argument as q_commonness: Spark groups
+    // grams by xxhash64, the oracle by the gram strings themselves
+    "q_crossdoc" ->
+      """WITH t AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+         s AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 3),
+               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]))) AS sh
+           FROM t WHERE len(toks) >= 5),
+         e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         f AS (SELECT g, count(*) AS ndocs FROM e GROUP BY g),
+         a AS (SELECT e.doc_id, count(*) AS n_grams,
+                 CAST(sum(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+               FROM e JOIN f USING (g) GROUP BY e.doc_id)
+         SELECT doc_id, n_grams, n_shared,
+           CAST(n_shared AS DOUBLE) / n_grams AS shared_frac
+         FROM a ORDER BY doc_id""",
+    "q_tfidf" ->
+      """WITH e AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM e GROUP BY doc_id, term),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                 row_number() OVER (PARTITION BY tf.doc_id
+                   ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term) AS rnk
+               FROM tf JOIN df USING (term))
+         SELECT doc_id, term, tf, df, CAST(rnk AS BIGINT) AS "rank"
+         FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""",
     "q_redact" ->
       """SELECT doc_id,
          CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,

@@ -455,4 +455,144 @@ object TextOps {
     }
     docs.filter(h % 1000L < p)
   }
+
+  // ---- mixture auto-balancing (q_mix) ----
+
+  /** Downsamples every stratum to (approximately) the size of the
+    * SMALLEST one: keep-permille for stratum s is
+    * `(1000 * min_count) div count_s` — integer division, so the rate
+    * is exact on any engine — then rows pass the same md5-permille
+    * filter as [[hashSample]]. This is the self-tuning form of
+    * [[hashSampleStratified]]: no hand-chosen rates, the corpus's own
+    * histogram decides, and a rebuilt corpus reproduces the identical
+    * per-document decision.
+    *
+    * Scale: pass 1 is a tiny partial-combining count per stratum
+    * (|strata| rows); the rate table joins back by stratum key and is
+    * broadcast; the filter itself is scan-side. No wide shuffle at any
+    * corpus size.
+    */
+  def balanceMixture(docs: DataFrame, stratCol: String,
+      salt: String = "", id: String = "doc_id"): DataFrame = {
+    val counts = docs.groupBy(stratCol).agg(count(lit(1)).as("strat_cnt"))
+    val rates = counts
+      .withColumn("min_cnt", min("strat_cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col(stratCol),
+        expr("(1000 * min_cnt) div strat_cnt").as("keep_permille"))
+    val h = conv(substring(md5(concat(lit(salt), col(id).cast(StringType))), 1, 8),
+      16, 10).cast(LongType)
+    docs.join(broadcast(rates), stratCol)
+      .filter(h % 1000L < col("keep_permille"))
+      .select(col(id), col(stratCol), col("keep_permille"))
+      .orderBy(id)
+  }
+
+  // ---- deterministic global shuffle (q_shuffle) ----
+
+  /** Seeded, reproducible global corpus shuffle with MATERIALIZED
+    * positions — the training-order randomization step: every document
+    * gets the dense rank of md5(seed, id), so any engine, cluster size,
+    * or rerun produces the identical order, and a different seed is a
+    * fresh permutation (epoch reshuffle = new seed).
+    *
+    * Scale shape — the same distributed prefix sum as [[packByBudget]],
+    * counting rows instead of tokens: a global `row_number()` window
+    * would funnel the corpus through ONE partition; instead the frame
+    * range-repartitions on the hash key (so partition p holds a
+    * contiguous hash range), each partition numbers its rows in
+    * parallel, and a P-row broadcast offset table adds the carry-in.
+    * The frame is persisted so both passes see one frozen range
+    * partitioning (the range sampler is not deterministic across
+    * recomputes).
+    */
+  def globalShuffle(docs: DataFrame, seed: String = "",
+      id: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val keyed = docs.select(col(id),
+      md5(concat(lit(seed), col(id).cast(StringType))).as("hkey"))
+    val local = keyed
+      .repartitionByRange(parts, col("hkey"), col(id))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("local_rn", row_number().over(
+        Window.partitionBy("pid").orderBy(col("hkey"), col(id))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val offsets = local.groupBy("pid").agg(count(lit(1)).as("n"))
+      .withColumn("offset", coalesce(sum("n").over(
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "offset")
+    val out = local.join(broadcast(offsets), "pid")
+      .select(col(id),
+        (col("offset") + col("local_rn") - 1L).cast(LongType).as("pos"))
+      .orderBy(id)
+      .localCheckpoint()
+    local.unpersist()
+    out
+  }
+
+  // ---- cross-document duplicate n-gram fraction (q_crossdoc) ----
+
+  /** Per document, the fraction of its DISTINCT word n-grams that also
+    * appear in at least one OTHER document — the cross-document
+    * duplication signal of Lee et al. 2022 ("Deduplicating Training
+    * Data Makes Language Models Better", public construction): high
+    * `shared_frac` marks boilerplate / templated / near-copied text
+    * that per-document repetition filters cannot see. Documents shorter
+    * than n tokens are excluded (no n-grams to measure).
+    *
+    * Scale: grams travel as xxhash64 keys (8 bytes, collision-free-
+    * 64-bit argument as everywhere — the oracle groups by the gram
+    * STRINGS and must agree); grams are distinct per doc, so the
+    * document-frequency aggregation is a plain partial-combining count;
+    * one final integer-ratio division is IEEE-exact on any engine.
+    */
+  def crossDocNgrams(docs: DataFrame, n: Int = 5,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    val sh = docs
+      .select(col(id), Dedup.shingleHashes(col(text), n).as("sh"))
+      .filter(size(col("sh")) >= 1)
+      .select(col(id), explode(col("sh")).as("h"))
+    val df = sh.groupBy("h").agg(count(lit(1)).as("ndocs"))
+    sh.join(df, "h")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("ndocs") >= 2L, 1L).otherwise(0L)).as("n_shared"))
+      .select(col(id), col("n_grams"), col("n_shared"),
+        (col("n_shared").cast(DoubleType) / col("n_grams")).as("shared_frac"))
+      .orderBy(id)
+  }
+
+  // ---- distinctive terms (q_tfidf) ----
+
+  /** Top-k distinctive terms per document, ranked by term frequency
+    * over document frequency (tf/df, the linear-idf member of the
+    * tf-idf family) — keyword extraction for corpus exploration and
+    * topic-mix audits. The LOG-idf variant ranks near-identically but
+    * `ln` hash-diverges in the last ulp between libm and the JVM (see
+    * [[commonness]]), so the score here is a single integer-ratio
+    * division, IEEE-exact on any engine; ties break by term.
+    *
+    * Scale: tf is a partial-combining (doc, term) count; df aggregates
+    * the tf frame again (vocabulary-sized, broadcast back by AQE); the
+    * top-k window partitions by document — parallel, bounded state per
+    * group. Term strings must travel once (they ARE the output), so
+    * there is no hash-key trick to apply.
+    */
+  def distinctiveTerms(docs: DataFrame, topK: Int = 3,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col(id), explode(tokens(col(text))).as("term"))
+      .groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(df, "term")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(id)).orderBy(
+          (col("tf").cast(DoubleType) / col("df")).desc, col("term"))))
+      .filter(col("rank") <= topK)
+      .select(col(id), col("term"), col("tf"), col("df"),
+        col("rank").cast(LongType).as("rank"))
+      .orderBy(col(id), col("rank"))
+  }
 }

@@ -483,6 +483,82 @@ class PipelineSpec extends SparkSpec {
     assert(a.forall(_.getLong(2) > 0))
   }
 
+  test("balanceMixture: every stratum downsampled toward the smallest") {
+    val kept = TextOps.balanceMixture(docs, "source").collect()
+    val byRate = kept.map(r => r.getString(1) -> r.getLong(2)).toMap
+    val counts = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minCnt = counts.values.min
+    // the smallest stratum keeps everything; larger strata get the
+    // integer-exact rate (1000*min) div cnt
+    for ((s, cnt) <- counts) {
+      assert(byRate(s) == 1000L * minCnt / cnt, s"rate for $s")
+    }
+    assert(byRate.exists(_._2 == 1000L))
+    // decisions are per-document deterministic: rerun on a reshuffled
+    // frame yields the identical keep set
+    val again = TextOps.balanceMixture(docs.repartition(7), "source")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == kept.map(_.getLong(0)).toSet)
+  }
+
+  test("globalShuffle: a deterministic permutation, reshuffled by seed") {
+    val n = docs.count()
+    val p1 = TextOps.globalShuffle(docs, seed = "s1:").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // positions are exactly 0..n-1 with no gaps or dups
+    assert(p1.values.toSeq.sorted == (0L until n).toSeq)
+    // rerun (different partitioning) gives the identical permutation
+    val p1b = TextOps.globalShuffle(docs.repartition(5), seed = "s1:").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p1b == p1)
+    // a different seed is a genuinely different permutation
+    val p2 = TextOps.globalShuffle(docs, seed = "s2:").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p2.values.toSeq.sorted == (0L until n).toSeq)
+    assert(p2 != p1)
+    // and the order is not the identity (ids are hashed apart)
+    assert(p1.toSeq.count { case (id, pos) => id == pos } < n / 2)
+  }
+
+  test("crossDocNgrams: planted near-copy pair saturates shared_frac") {
+    import spark.implicits._
+    val t = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val planted = docs.select(col("doc_id"), col("text")).union(
+      Seq((93000L, t), (93001L, t + " kilo")).toDF("doc_id", "text"))
+    val r = TextOps.crossDocNgrams(planted, n = 5).collect()
+      .map(row => (row.getLong(0),
+        (row.getLong(1), row.getLong(2), row.getDouble(3)))).toMap
+    // 93000's six 5-grams all appear in 93001 → fully shared
+    assert(r(93000L) == ((6L, 6L, 1.0)))
+    // 93001 has one extra gram ('golf hotel india juliet kilo'... ) —
+    // 7 grams, 6 shared
+    assert(r(93001L)._1 == 7L && r(93001L)._2 == 6L)
+    // short doc (<5 tokens) is excluded entirely
+    val short = TextOps.crossDocNgrams(
+      Seq((1L, "one two three four")).toDF("doc_id", "text"), n = 5)
+    assert(short.count() == 0L)
+  }
+
+  test("distinctiveTerms: rare term outranks common ones; k respected") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the the the zebra"),
+      (2L, "the quick fox"),
+      (3L, "the lazy fox")).toDF("doc_id", "text")
+    val r = TextOps.distinctiveTerms(df, topK = 2).collect()
+      .map(row => (row.getLong(0), row.getLong(4)) ->
+        (row.getString(1), row.getLong(2), row.getLong(3))).toMap
+    // doc 1: 'zebra' df=1 → tf/df=1.0 vs 'the' 3/3=1.0 — tie broken by
+    // term: 'the' < 'zebra', both rank
+    assert(Set(r((1L, 1L))._1, r((1L, 2L))._1) == Set("zebra", "the"))
+    // doc 2: quick/fox df 1 vs 2 → quick first
+    assert(r((2L, 1L)) == (("quick", 1L, 1L)))
+    assert(r((2L, 2L)) == (("fox", 1L, 2L)))
+    // exactly topK rows per doc
+    assert(r.keys.groupBy(_._1).forall(_._2.size == 2))
+  }
+
   test("multimodal: media schema, features, frame sampling") {
     val media = Multimodal.syntheticMediaTable(docs)
     assert(media.schema.fieldNames.toSeq == Seq("media_id", "meta", "payload"))
