@@ -490,6 +490,11 @@ object SparkEntry {
     "q_mix" -> ((s, dir) =>
       pipeline.TextOps.balanceMixture(docs(s, dir), "source")),
 
+    // fixed-size deterministic sample (TakeOrderedAndProject, no global
+    // sort) with prefix-stable pick ranks
+    "q_sample_n" -> ((s, dir) =>
+      pipeline.TextOps.hashSampleN(docs(s, dir), n = 50)),
+
     // deterministic seeded global shuffle — materialized training order
     // via the distributed prefix sum (no single-partition window)
     "q_shuffle" -> ((s, dir) =>
@@ -596,6 +601,11 @@ object SparkEntry {
         .select(col("n_queries"), col("n_total"),
           (floor(col("recall") * 10) / 10.0).as("recall_floor"))
     }),
+
+    // exact kNN graph over a deterministic 400‰ hash sample — the
+    // similarity-graph construction step (sample bounds the N² node set)
+    "q_knn_graph" -> ((s, dir) =>
+      pipeline.Ann.knnGraph(embs(s, dir), k = 5, samplePermille = 400)),
 
     // rows-only oracle (stub codec features not expressible in DuckDB)
     "q_multimodal" -> ((s, dir) =>
@@ -714,6 +724,12 @@ object SparkEntry {
     // only so the drained result equals batch DISTINCT
     "q_stream_dedup" -> ((s, dir) =>
       streaming.EventStreams.streamingDedup(lenient(s), dir)),
+
+    // train/val/test assignment through Structured Streaming ingest —
+    // stateless per-row hash, so any micro-batch order lands every doc
+    // in the same split; gated by the q_split batch oracle unchanged
+    "q_stream_split" -> ((s, dir) =>
+      streaming.EventStreams.streamingSplit(lenient(s), dir)),
 
     // streaming graph updates: foreachBatch appends TRIGGERED edges to a
     // parquet edge dir; the appended frame aggregates to the same counts
@@ -1354,6 +1370,37 @@ object SparkEntry {
            row_number() OVER (ORDER BY md5('ep0:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
              AS pos
          FROM documents ORDER BY doc_id""",
+    "q_sample_n" ->
+      """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hkey FROM documents),
+         r AS (SELECT doc_id,
+                 row_number() OVER (ORDER BY hkey, doc_id) - 1 AS pick_rank
+               FROM h)
+         SELECT doc_id, pick_rank FROM r WHERE pick_rank < 50 ORDER BY doc_id""",
+    "q_knn_graph" ->
+      """WITH e AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 % 1000 < 400),
+         s AS (SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+                 list_cosine_similarity(a.v, b.v) AS sim
+               FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         r AS (SELECT src_id, dst_id,
+                 row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, dst_id) AS rnk
+               FROM s)
+         SELECT src_id, dst_id, CAST(rnk AS BIGINT) AS "rank"
+         FROM r WHERE rnk <= 5 ORDER BY src_id, rnk""",
+    // the q_split batch oracle verbatim — the streaming twin must land
+    // every document in the identical split
+    "q_stream_split" ->
+      """SELECT doc_id,
+           CASE WHEN hv < 80 THEN 'test'
+                WHEN hv < 180 THEN 'val'
+                ELSE 'train' END AS split
+         FROM (SELECT doc_id,
+                 CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 1000 AS hv
+               FROM documents)
+         ORDER BY doc_id""",
     // same collision-free-64-bit argument as q_commonness: Spark groups
     // grams by xxhash64, the oracle by the gram strings themselves
     "q_crossdoc" ->

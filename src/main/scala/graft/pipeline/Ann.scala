@@ -75,6 +75,40 @@ object Ann {
     topKPerQuery(scored, k)
   }
 
+  /** Exact k-nearest-neighbor GRAPH over a deterministic hash sample of
+    * the corpus — the construction step for similarity-graph clustering
+    * and embedding-space visualization: every sampled vector gets edges
+    * to its k most-cosine-similar peers within the sample, ranks only
+    * (ties by neighbor id).
+    *
+    * Scale contract: a FULL kNN graph is Θ(N²) and has no exact
+    * subquadratic form; the scale knob is the sample itself. The
+    * md5-permille sample (reproducible on any engine — same family as
+    * [[graft.pipeline.TextOps.hashSample]]) bounds the node set, the
+    * sampled side is broadcast as the query side, the corpus side
+    * streams once through the scan, and [[TopKAgg]] keeps at most k
+    * candidates per node per partition on the wire. For a graph over
+    * the FULL corpus, route through the bucketed paths (lshTopK /
+    * ivfTopK) per node set instead.
+    */
+  def knnGraph(emb: DataFrame, k: Int, samplePermille: Int = 1000,
+      salt: String = "", id: String = "vec_id",
+      vec: String = "embedding"): DataFrame = {
+    graft.functions.VectorExprs.register(emb.sparkSession)
+    val h = conv(substring(md5(concat(lit(salt), col(id).cast(StringType))), 1, 8),
+      16, 10).cast(LongType)
+    val sample = emb.filter(h % 1000L < samplePermille.toLong)
+      .select(col(id), col(vec))
+    val queries = broadcast(
+      sample.select(col(id).as("query_id"), col(vec).as("qvec")))
+    val scored = sample.join(queries, col(id) =!= col("query_id"))
+      .select(col("query_id"), col(id).as("neighbor_id"),
+        cosine(col("qvec"), col(vec)).as("sim"))
+    topKPerQuery(scored, k)
+      .withColumnRenamed("query_id", "src_id")
+      .withColumnRenamed("neighbor_id", "dst_id")
+  }
+
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._

@@ -439,6 +439,30 @@ object TextOps {
         .otherwise("train"))
   }
 
+  /** Deterministic FIXED-SIZE sample: exactly `n` rows (fewer only when
+    * the corpus is smaller), chosen as the n smallest md5(salt, id)
+    * hashes — a reproducible "give me 10k eval docs" draw, stable under
+    * reruns, engine changes, and corpus repartitioning, and cheap:
+    * hash-order LIMIT compiles to TakeOrderedAndProject (per-partition
+    * top-n, driver merges P×n rows — never a global sort). `pick_rank`
+    * (0-based hash order) makes any prefix of the sample itself a valid
+    * smaller sample. Permille sampling ([[hashSample]]) can't promise an
+    * exact count; this can't promise a scan-side filter — complementary
+    * tools.
+    */
+  def hashSampleN(docs: DataFrame, n: Int, salt: String = "",
+      id: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hkey = md5(concat(lit(salt), col(id).cast(StringType)))
+    docs.select(col(id), hkey.as("hkey"))
+      .orderBy(col("hkey"), col(id))
+      .limit(n)
+      .withColumn("pick_rank", (row_number().over(
+        Window.orderBy(col("hkey"), col(id))) - 1).cast(LongType))
+      .select(col(id), col("pick_rank"))
+      .orderBy(id)
+  }
+
   /** Per-stratum deterministic sampling: each row's keep-permille comes
     * from its stratum column (e.g. detected language), so mixture
     * weights are enforced exactly and reproducibly — the downsample-

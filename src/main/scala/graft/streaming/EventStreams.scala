@@ -52,12 +52,16 @@ object EventStreams {
     * reads zero files (the r11 10× run's only failure). Pick per layout.
     */
   private def eventsRawStream(spark: SparkSession, eventsDir: String,
-      glob: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(s"$eventsDir/$glob")
+      glob: String): DataFrame =
+    rawFileStream(spark, eventsDir, glob, rawEventSchema)
+
+  private def rawFileStream(spark: SparkSession, dir: String,
+      glob: String, schema: StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$glob")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val base = spark.readStream.schema(rawEventSchema)
+    val base = spark.readStream.schema(schema)
     if (fs.exists(p) && fs.getFileStatus(p).isDirectory) base.parquet(p.toString)
-    else base.option("pathGlobFilter", glob).parquet(eventsDir)
+    else base.option("pathGlobFilter", glob).parquet(dir)
   }
 
   /** Tumbling (or sliding, when `slide` is set) windowed event counts with
@@ -273,6 +277,39 @@ object EventStreams {
     * [[graft.graph.PropertyGraph]] snapshot loading can pick up
     * (foreachBatch — exactly-once per epoch with checkpointing).
     */
+  private val rawDocSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Train/val/test split assignment executed THROUGH Structured
+    * Streaming: file-stream ingest of the documents parquet
+    * (availableNow) → the same scan-side md5-permille assignment as
+    * [[graft.pipeline.TextOps.hashSplit]] → append-mode memory sink,
+    * drained fully. Because the assignment is a pure per-row hash (no
+    * state, no watermark), a document ingested in ANY micro-batch, in
+    * any order, on any engine lands in the same split — which is the
+    * entire point of hash-splitting a continuously-ingested corpus.
+    * The q_split batch oracle gates this twin unchanged.
+    */
+  def streamingSplit(spark: SparkSession, docsDir: String,
+      glob: String = "documents.parquet",
+      testPermille: Int = 80, valPermille: Int = 100,
+      queryName: String = "q_stream_split"): DataFrame = {
+    val raw = rawFileStream(spark, docsDir, glob, rawDocSchema)
+    val query = graft.pipeline.TextOps
+      .hashSplit(raw, testPermille, valPermille)
+      .select("doc_id", "split")
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(queryName).orderBy("doc_id")
+  }
+
   def streamingEdgeAppend(events: DataFrame, edgeDir: String,
       checkpointDir: String): StreamingQuery =
     events.writeStream

@@ -559,6 +559,39 @@ class PipelineSpec extends SparkSpec {
     assert(r.keys.groupBy(_._1).forall(_._2.size == 2))
   }
 
+  test("hashSampleN: exact size, prefix-stable, partitioning-independent") {
+    val s50 = TextOps.hashSampleN(docs, 50).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s50.size == 50)
+    assert(s50.values.toSeq.sorted == (0L until 50L))
+    // the 20-sample is exactly the pick_rank<20 prefix of the 50-sample
+    val s20 = TextOps.hashSampleN(docs, 20).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s20 == s50.filter(_._2 < 20))
+    // repartitioning does not change the draw
+    val again = TextOps.hashSampleN(docs.repartition(7), 50).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == s50)
+    // n larger than the corpus returns everything
+    assert(TextOps.hashSampleN(docs, 10 * docs.count().toInt).count() == docs.count())
+  }
+
+  test("knnGraph: k edges per sampled node, ranks dense, deterministic") {
+    val g = Ann.knnGraph(embs, k = 3, samplePermille = 300).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nodes = g.map(_._1).distinct
+    assert(nodes.nonEmpty)
+    // every node has exactly k ranked edges 1..k (sample >> k here)
+    val byNode = g.groupBy(_._1)
+    assert(byNode.forall(_._2.map(_._3).sorted.toSeq == Seq(1L, 2L, 3L)))
+    // edges stay inside the sampled node set and never self-loop
+    val nodeSet = nodes.toSet
+    assert(g.forall { case (s, d, _) => s != d && nodeSet(d) })
+    val again = Ann.knnGraph(embs.repartition(5), k = 3, samplePermille = 300)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSet == g.toSet)
+  }
+
   test("multimodal: media schema, features, frame sampling") {
     val media = Multimodal.syntheticMediaTable(docs)
     assert(media.schema.fieldNames.toSeq == Seq("media_id", "meta", "payload"))

@@ -115,6 +115,18 @@ class StreamingSpec extends SparkSpec {
     assert(a == want && b == want, "reruns must not skip or double-append")
   }
 
+  test("streamingSplit equals the batch hashSplit assignment exactly") {
+    val streamed = EventStreams.streamingSplit(spark, sfDir,
+        queryName = "spec_stream_split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docs = graft.graph.GraphLoader.table(spark, sfDir, "documents")
+    val batch = graft.pipeline.TextOps.hashSplit(docs, 80, 100)
+      .select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed == batch)
+    assert(streamed.values.toSet == Set("train", "val", "test"))
+  }
+
   test("streamingEdgeAppend writes TRIGGERED edges a graph can load") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-edges").toString
     val events = graft.graph.GraphLoader.eventsTable(spark, sfDir).limit(50)
