@@ -520,6 +520,25 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // distributed backward as-of join (union + per-key merge window, one
+    // shuffle — never a range cross-join): every event gets the user's
+    // most recent error at-or-before it, timestamps as epoch micros
+    "q_asof" -> ((s, dir) => {
+      val ev = GraphLoader.table(lenient(s), dir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("t_us"), col("event_type"), col("value"))
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("t_us"), col("value"))
+      operators.Temporal.asofJoin(
+          ev.select("event_id", "user_id", "t_us"), errs,
+          keys = Seq("user_id"), leftTime = "t_us", rightTime = "t_us",
+          rightCols = Seq("value"))
+        .select(col("event_id"), col("user_id"), col("t_us"),
+          col("asof_time").as("err_t_us"), col("asof_value").as("err_value"),
+          (col("t_us") - col("asof_time")).as("gap_us"))
+        .orderBy("event_id")
+    }),
+
     "q_dedup_exact" -> ((s, dir) =>
       pipeline.Dedup.exact(docs(s, dir))),
 
@@ -1440,6 +1459,24 @@ object SparkEntry {
            '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
            '\b[0-9][0-9()\- ]{5,}[0-9]\b', '<PHONE>', 'g') AS redacted
          FROM documents ORDER BY doc_id""",
+    // backward as-of semantics replayed relationally: right side deduped
+    // to max(value) per (user, micro-ts), correlated max picks the match
+    "q_asof" ->
+      """WITH r AS (
+           SELECT user_id, epoch_us(ts) AS rt, max(value) AS err_value
+           FROM events WHERE event_type = 'error'
+           GROUP BY user_id, epoch_us(ts)),
+         l AS (SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events),
+         m AS (
+           SELECT l.event_id, l.user_id, l.t_us,
+             (SELECT max(r.rt) FROM r
+              WHERE r.user_id = l.user_id AND r.rt <= l.t_us) AS err_t_us
+           FROM l)
+         SELECT m.event_id, m.user_id, m.t_us, m.err_t_us,
+           r.err_value, m.t_us - m.err_t_us AS gap_us
+         FROM m LEFT JOIN r
+           ON r.user_id = m.user_id AND r.rt = m.err_t_us
+         ORDER BY m.event_id""",
     "q_dedup_exact" ->
       """WITH k AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h FROM documents),
          g AS (SELECT h, min(doc_id) AS rep_id, count(*) AS group_size FROM k GROUP BY h)

@@ -54,6 +54,20 @@ class PlanAuditSpec extends SparkSpec {
       s"var-length hop over hinted small type degraded: $js")
   }
 
+  test("q_asof: merge-window shape, never a range cross-join") {
+    val df = SparkEntry.queries("q_asof")(spark, sfDir)
+    val js = joinKinds(df)
+    // the as-of core is union + one keyed window; any nested-loop or
+    // cartesian means the operator regressed to a range theta-join
+    assert(!js.exists(Set("bnlj", "cartesian")),
+      s"as-of join degraded to a range cross-join: $js")
+    import org.apache.spark.sql.execution.window.WindowExec
+    val windows = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected the carry-forward window")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "as-of window must be keyed - a global window funnels the corpus through one partition")
+  }
+
   test("q_repetition: join-free, bounded exchanges, gram strings never shuffle") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val df = SparkEntry.queries("q_repetition")(spark, sfDir)
