@@ -539,6 +539,28 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // bucketized point-in-interval range join (equi-join on time
+    // buckets, never BroadcastNestedLoop): every event joined into the
+    // session interval that contains it
+    "q_range" -> ((s, dir) => {
+      val ev = GraphLoader.table(lenient(s), dir, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val sessions = streaming.EventStreams.sessionizeBatch(ev, gapMinutes = 30)
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("session_start"),
+          unix_micros(col("session_end")).as("session_end"),
+          col("n_events"))
+      val points = ev.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("t_us"))
+      operators.Temporal.rangeJoin(points, sessions,
+          keys = Seq("user_id"), pointCol = "t_us",
+          startCol = "session_start", endCol = "session_end",
+          bucketWidth = 1800L * 1000000L)
+        .select("event_id", "user_id", "t_us",
+          "session_start", "n_events")
+        .orderBy("event_id")
+    }),
+
     "q_dedup_exact" -> ((s, dir) =>
       pipeline.Dedup.exact(docs(s, dir))),
 
@@ -1477,6 +1499,32 @@ object SparkEntry {
          FROM m LEFT JOIN r
            ON r.user_id = m.user_id AND r.rt = m.err_t_us
          ORDER BY m.event_id""",
+    // the sessionize oracle's sessions re-joined to their events by
+    // BETWEEN — the relational ground truth for the bucketized join
+    "q_range" ->
+      """WITH w AS (
+           SELECT user_id, event_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         f AS (
+           SELECT *, CASE WHEN prev_ts IS NULL
+             OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_session
+           FROM w),
+         g AS (
+           SELECT *, sum(new_session) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS session_seq
+           FROM f),
+         sess AS (
+           SELECT user_id, epoch_us(min(ts)) AS session_start,
+                  epoch_us(max(ts)) AS session_end,
+                  count(*) AS n_events
+           FROM g GROUP BY user_id, session_seq)
+         SELECT e.event_id, e.user_id, epoch_us(e.ts) AS t_us,
+                s.session_start, s.n_events
+         FROM events e JOIN sess s ON s.user_id = e.user_id
+           AND epoch_us(e.ts) BETWEEN s.session_start AND s.session_end
+         ORDER BY e.event_id""",
     "q_dedup_exact" ->
       """WITH k AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h FROM documents),
          g AS (SELECT h, min(doc_id) AS rep_id, count(*) AS group_size FROM k GROUP BY h)

@@ -66,4 +66,34 @@ object Temporal {
           rightCols.map(c =>
             matched.getField("_rv").getField(c).as(s"asof_$c"))): _*)
   }
+
+  /** Point-in-interval range join, bucketized to an equi-join.
+    *
+    * Stock Spark plans `p BETWEEN start AND end` as BroadcastNestedLoop
+    * (|P|×|I| comparisons per key). Here every interval is exploded to
+    * the `bucketWidth`-sized time buckets it covers and every point to
+    * the ONE bucket containing it, the sides meet on a (keys, bucket)
+    * equi-join — shuffled, partial-pruned, AQE-broadcastable like any
+    * equi-join — and the exact BETWEEN predicate filters the bucket-
+    * local candidates. No dedup step: a point matches an interval's
+    * copy only in the point's own bucket. Integer `div` bucketing, so
+    * bucket edges are engine-exact.
+    *
+    * `bucketWidth` trades interval duplication ((len/width)+1 copies)
+    * against candidate selectivity: pick it near the typical interval
+    * length. Inner join; output is every point column plus the matched
+    * interval's non-key columns (names must not collide).
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
+      pointCol: String, startCol: String, endCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val iv = intervals.withColumn("_bk",
+      explode(expr(s"sequence(`$startCol` div ${bucketWidth}L, " +
+        s"`$endCol` div ${bucketWidth}L)")))
+    val pt = points.withColumn("_bk", expr(s"`$pointCol` div ${bucketWidth}L"))
+    pt.join(iv, keys :+ "_bk")
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("_bk")
+  }
 }

@@ -33,6 +33,23 @@ class TemporalSpec extends SparkSpec {
     assert(tol(1L).contains(10L)) // gap 0 still within tolerance
   }
 
+  test("rangeJoin: boundary-inclusive, multi-match, cross-bucket intervals") {
+    import spark.implicits._
+    val points = Seq(
+      (1L, "u1", 100L), (2L, "u1", 150L), (3L, "u1", 999L),
+      (4L, "u2", 100L)).toDF("id", "user", "t")
+    val intervals = Seq(
+      ("u1", 100L, 150L, "a"), // both endpoints inclusive: matches 1 and 2
+      ("u1", 120L, 400L, "b"), // overlaps the first: point 2 matches both
+      ("u2", 90L, 110L, "c") // other key: only point 4
+    ).toDF("user", "s", "e", "tag")
+    // bucketWidth 64 → interval (100,150) spans buckets 1-2, (120,400)
+    // spans 1-6: the cross-bucket copies must not duplicate matches
+    val got = Temporal.rangeJoin(points, intervals, Seq("user"), "t", "s", "e", 64L)
+      .select("id", "tag").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "a"), (2L, "b"), (4L, "c")))
+  }
+
   test("asofJoin keeps every left row and all its columns") {
     import spark.implicits._
     val left = Seq((1L, "u1", 10L, "x"), (2L, "u2", 20L, "y"))
