@@ -643,10 +643,11 @@ object SparkEntry {
           (floor(col("recall") * 10) / 10.0).as("recall_floor"))
     }),
 
-    // exact kNN graph over a deterministic 400‰ hash sample — the
-    // similarity-graph construction step (sample bounds the N² node set)
+    // exact kNN graph over a FIXED-SIZE deterministic hash sample — the
+    // similarity-graph construction step; the cap (not a fraction)
+    // bounds the Θ(n²) node set at any corpus size
     "q_knn_graph" -> ((s, dir) =>
-      pipeline.Ann.knnGraph(embs(s, dir), k = 5, samplePermille = 400)),
+      pipeline.Ann.knnGraph(embs(s, dir), k = 5, maxNodes = 200)),
 
     // rows-only oracle (stub codec features not expressible in DuckDB)
     "q_multimodal" -> ((s, dir) =>
@@ -1418,10 +1419,11 @@ object SparkEntry {
                FROM h)
          SELECT doc_id, pick_rank FROM r WHERE pick_rank < 50 ORDER BY doc_id""",
     "q_knn_graph" ->
-      """WITH e AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-           WHERE CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
-                 % 1000 < 400),
+      """WITH ranked AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+           FROM embeddings),
+         e AS (SELECT vec_id, v FROM ranked WHERE rn <= 200),
          s AS (SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
                  list_cosine_similarity(a.v, b.v) AS sim
                FROM e a JOIN e b ON a.vec_id <> b.vec_id),

@@ -576,20 +576,25 @@ class PipelineSpec extends SparkSpec {
     assert(TextOps.hashSampleN(docs, 10 * docs.count().toInt).count() == docs.count())
   }
 
-  test("knnGraph: k edges per sampled node, ranks dense, deterministic") {
-    val g = Ann.knnGraph(embs, k = 3, samplePermille = 300).collect()
+  test("knnGraph: fixed node cap, k edges per node, deterministic") {
+    val g = Ann.knnGraph(embs, k = 3, maxNodes = 120).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val nodes = g.map(_._1).distinct
-    assert(nodes.nonEmpty)
+    // the cap is exact: 120 nodes regardless of corpus size
+    assert(nodes.length == 120)
     // every node has exactly k ranked edges 1..k (sample >> k here)
     val byNode = g.groupBy(_._1)
     assert(byNode.forall(_._2.map(_._3).sorted.toSeq == Seq(1L, 2L, 3L)))
     // edges stay inside the sampled node set and never self-loop
     val nodeSet = nodes.toSet
     assert(g.forall { case (s, d, _) => s != d && nodeSet(d) })
-    val again = Ann.knnGraph(embs.repartition(5), k = 3, samplePermille = 300)
+    val again = Ann.knnGraph(embs.repartition(5), k = 3, maxNodes = 120)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(again.toSet == g.toSet)
+    // a smaller cap's node set is a prefix (subset) of the larger one's
+    val g60 = Ann.knnGraph(embs, k = 3, maxNodes = 60).collect()
+      .map(_.getLong(0)).distinct
+    assert(g60.toSet.subsetOf(nodeSet))
   }
 
   test("multimodal: media schema, features, frame sampling") {
