@@ -835,6 +835,14 @@ object SparkEntry {
         .select(col("id").as("p_partkey"), round(col("rank"), 6).as("rank"))
         .orderBy("p_partkey")),
 
+    // personalized PageRank: restart + dangling mass return to the seed
+    // set — "related to these parts" by graph proximity
+    "q_ppr" -> ((s, dir) =>
+      algos.Algos.personalizedPageRank(relatedTo(s, dir),
+          seeds = Seq(1L, 2L, 3L), iterations = 10)
+        .select(col("id").as("p_partkey"), round(col("rank"), 6).as("rank"))
+        .orderBy("p_partkey")),
+
     // DuckDB 5-iteration chained-CTE oracle (fixed synchronous rounds,
     // deterministic smallest-label tie-break — exactly the Spark rule)
     "q_labelprop" -> ((s, dir) =>
@@ -898,6 +906,45 @@ object SparkEntry {
            ON dd.p1 = id),
        params AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
        r0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM params) AS rank FROM nodes),
+       $iters
+       SELECT id AS p_partkey, round(rank, 6) AS rank
+       FROM r$iterations ORDER BY p_partkey"""
+  }
+
+  /** Fixed-iteration personalized-PageRank replay mirroring
+    * [[algos.Algos.personalizedPageRank]] term by term: restart and
+    * dangling mass go to the seed set only, |S| is the CONSTANT size of
+    * the given seed list (absent seeds park their share).
+    */
+  private def pprOracle(iterations: Int, seeds: Seq[Long]): String = {
+    val seedList = seeds.mkString(", ")
+    val sN = s"${seeds.size}.0"
+    val iters = (1 to iterations).map { i =>
+      val p = s"r${i - 1}"
+      s"""r$i AS MATERIALIZED (
+         SELECT d.id,
+           CASE WHEN d.id IN ($seedList) THEN
+             (1 - CAST(0.85 AS DOUBLE)) / $sN
+             + CAST(0.85 AS DOUBLE) * (SELECT coalesce(sum(r.rank), 0)
+                 FROM $p r JOIN deg dd ON dd.id = r.id WHERE dd.outdeg = 0)
+               / $sN
+           ELSE 0 END
+           + CAST(0.85 AS DOUBLE) * coalesce(c.contrib, 0) AS rank
+         FROM deg d LEFT JOIN (
+           SELECT rel.p2 AS id, sum(r.rank / dd.outdeg) AS contrib
+           FROM $p r JOIN deg dd ON dd.id = r.id AND dd.outdeg > 0
+           JOIN related rel ON rel.p1 = r.id
+           GROUP BY rel.p2) c ON c.id = d.id)"""
+    }.mkString(",\n")
+    s"""WITH $relatedSql,
+       nodes AS MATERIALIZED (SELECT DISTINCT x AS id FROM
+         (SELECT p1 AS x FROM related UNION ALL SELECT p2 FROM related)),
+       deg AS MATERIALIZED (SELECT id, coalesce(dd.cnt, 0) AS outdeg FROM nodes
+         LEFT JOIN (SELECT p1, count(*) AS cnt FROM related GROUP BY 1) dd
+           ON dd.p1 = id),
+       r0 AS MATERIALIZED (
+         SELECT id, CASE WHEN id IN ($seedList) THEN 1.0 / $sN ELSE 0 END AS rank
+         FROM nodes),
        $iters
        SELECT id AS p_partkey, round(rank, 6) AS rank
        FROM r$iterations ORDER BY p_partkey"""
@@ -1090,6 +1137,7 @@ object SparkEntry {
   /** DuckDB-equivalent SQL per query (driver correctness gate). */
   def oracleSql: Map[String, String] = Map(
     "q_pagerank" -> pageRankOracle(10),
+    "q_ppr" -> pprOracle(10, Seq(1L, 2L, 3L)),
     "q_labelprop" -> labelPropOracle(5),
     "q_kcore" -> kCoreOracle(80, 10),
     "q_lookup" ->

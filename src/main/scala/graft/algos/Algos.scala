@@ -203,6 +203,54 @@ object Algos {
     ranks
   }
 
+  /** Personalized PageRank: random-walk-with-restart where the restart
+    * mass (and any dangling mass) returns to the SEED set instead of the
+    * whole graph — "what's similar to these nodes" by graph proximity,
+    * the recommendation / related-items primitive. Same iteration shape
+    * as [[pageRank]] (one shuffle per round, dangling mass as a
+    * broadcast one-row frame, O(1) lineage via materialize), with the
+    * restart term gated by a seed-membership flag carried on the graph
+    * frame. `|S|` normalization uses the size of the GIVEN seed list;
+    * seeds absent from the graph keep their share of restart mass
+    * parked (standard PPR-on-subgraph convention — the oracle replays
+    * it with the same constant).
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: Seq[Long],
+      iterations: Int = 10, damping: Double = 0.85,
+      src: String = "_src", dst: String = "_dst"): DataFrame = {
+    require(seeds.nonEmpty, "seed set must be non-empty")
+    val sN = seeds.size.toDouble
+    val e = edges.select(col(src).as("u"), col(dst).as("v")).distinct()
+    val nodes = materialize(
+      e.select(col("u").as("id")).unionByName(e.select(col("v").as("id"))).distinct())
+    val outDeg = e.groupBy(col("u").as("id")).agg(count(lit(1)).as("outdeg"))
+    val graph = materialize(nodes.join(outDeg, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+        col("id").isin(seeds: _*).as("is_seed")))
+    var ranks = materialize(graph.select(col("id"),
+      when(col("is_seed"), lit(1.0 / sN)).otherwise(lit(0.0)).as("rank")))
+    for (_ <- 1 to iterations) {
+      val withDeg = cache(ranks.join(graph, "id"))
+      val contribs = withDeg.filter(col("outdeg") > 0)
+        .join(e, col("id") === col("u"))
+        .select(col("v").as("id"), (col("rank") / col("outdeg")).as("c"))
+        .groupBy("id").agg(sum("c").as("contrib"))
+      val dangling = withDeg.filter(col("outdeg") === 0)
+        .agg(coalesce(sum("rank"), lit(0.0)).as("dmass"))
+      val prev = ranks
+      ranks = materialize(graph.select(col("id"), col("is_seed"))
+        .join(contribs, Seq("id"), "left_outer")
+        .crossJoin(broadcast(dangling))
+        .select(col("id"),
+          (when(col("is_seed"),
+            lit((1.0 - damping) / sN) + lit(damping) * col("dmass") / sN)
+            .otherwise(lit(0.0)) +
+            lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank")))
+      prev.unpersist(); withDeg.unpersist()
+    }
+    ranks
+  }
+
   /** Synchronous label propagation (community detection): each round a
     * node adopts the most frequent label among its neighbors (ties → the
     * smallest label, deterministic). Fixed round count — LPA has no

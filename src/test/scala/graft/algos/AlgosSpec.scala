@@ -50,6 +50,24 @@ class AlgosSpec extends SparkSpec {
     assert(Seq(1L, 2L, 3L, 4L).map(ranks).distinct.size == 1) // symmetry
   }
 
+  test("personalizedPageRank concentrates mass near the seeds") {
+    // two chains joined at the tail: 1->2->3->6, 4->5->6
+    val e = edgesOf(1L -> 2L, 2L -> 3L, 3L -> 6L, 4L -> 5L, 5L -> 6L)
+    val ranks = Algos.personalizedPageRank(e, seeds = Seq(1L), iterations = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // total mass conserved (6 is dangling, its mass returns to the seed)
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-6)
+    // the seed outranks everything; mass decays along its chain
+    assert(ranks(1L) > ranks(2L) && ranks(2L) > ranks(3L))
+    // the off-seed chain receives nothing except through the shared sink
+    assert(ranks(4L) == 0.0 && ranks(5L) == 0.0)
+    assert(ranks(6L) > 0.0)
+    // multi-seed: symmetric seeds get symmetric ranks
+    val r2 = Algos.personalizedPageRank(e, seeds = Seq(1L, 4L), iterations = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(r2(2L) - r2(5L)) < 1e-9)
+  }
+
   test("labelPropagation separates two cliques") {
     val clique1 = Seq(1L -> 2L, 1L -> 3L, 2L -> 3L)
     val clique2 = Seq(10L -> 11L, 10L -> 12L, 11L -> 12L)
