@@ -509,6 +509,11 @@ object SparkEntry {
     "q_tfidf" -> ((s, dir) =>
       pipeline.TextOps.distinctiveTerms(docs(s, dir), topK = 3)),
 
+    // inverted index via skew-safe salted collect (hot terms pre-chunked
+    // across reducers), sorted postings for determinism
+    "q_postings" -> ((s, dir) =>
+      pipeline.TextOps.invertedIndex(docs(s, dir))),
+
     // salted two-stage collect (skew-safe non-combinable aggregate),
     // stringified sorted for a deterministic oracle comparison
     "q_skew_collect" -> ((s, dir) => {
@@ -1510,6 +1515,14 @@ object SparkEntry {
          SELECT doc_id, n_grams, n_shared,
            CAST(n_shared AS DOUBLE) / n_grams AS shared_frac
          FROM a ORDER BY doc_id""",
+    "q_postings" ->
+      """WITH p AS (
+           SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\s+')) AS term,
+             doc_id
+           FROM documents)
+         SELECT term, count(*) AS df,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+         FROM p GROUP BY term ORDER BY term""",
     "q_tfidf" ->
       """WITH e AS (
            SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term

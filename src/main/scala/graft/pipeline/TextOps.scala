@@ -588,6 +588,37 @@ object TextOps {
       .orderBy(id)
   }
 
+  // ---- inverted index (q_postings) ----
+
+  /** Inverted index: term → (document frequency, sorted posting list) —
+    * the retrieval-side artifact a corpus pipeline emits for search,
+    * contamination lookup, and duplicate triage.
+    *
+    * Skew is the whole problem at scale: a stop-word's posting list is
+    * the corpus, and a plain `collect_list` groupBy ships every one of
+    * its rows to ONE reducer. Shape here: distinct (term, doc) pairs
+    * (hash-partitioned by the PAIR, so hot terms spread), then
+    * [[Skew.saltedCollectList]] merges per-salt chunks — the hot term's
+    * postings arrive pre-chunked across `buckets` reducers exactly like
+    * a combinable aggregate. `maxDf` drops terms whose lists exceed the
+    * cap (the standard stop-list move — a term in half the corpus is
+    * useless for retrieval and unbounded on the wire); postings are
+    * sorted so output is deterministic.
+    */
+  def invertedIndex(docs: DataFrame, maxDf: Long = 100000,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val pairs = docs
+      .select(explode(tokens(col(text))).as("term"), col(id))
+      .distinct()
+    val dfCounts = pairs.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    Skew.saltedCollectList(pairs.join(dfCounts, "term"), "term", id)
+      .join(dfCounts, "term")
+      .select(col("term"), col("df"),
+        array_join(array_sort(col(s"${id}s")), ",").as("postings"))
+      .orderBy("term")
+  }
+
   // ---- distinctive terms (q_tfidf) ----
 
   /** Top-k distinctive terms per document, ranked by term frequency

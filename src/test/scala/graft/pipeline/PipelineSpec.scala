@@ -597,6 +597,24 @@ class PipelineSpec extends SparkSpec {
     assert(g60.toSet.subsetOf(nodeSet))
   }
 
+  test("invertedIndex: sorted dedup'd postings, maxDf stop-list cap") {
+    import spark.implicits._
+    val df = Seq(
+      (3L, "apple banana apple"), // repeated term → one posting
+      (1L, "apple cherry"),
+      (2L, "banana date date")).toDF("doc_id", "text")
+    val idx = TextOps.invertedIndex(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(idx("apple") == ((2L, "1,3"))) // sorted, deduped
+    assert(idx("banana") == ((2L, "2,3")))
+    assert(idx("cherry") == ((1L, "1")))
+    assert(idx("date") == ((1L, "2")))
+    // maxDf drops the stop-word tier entirely
+    val capped = TextOps.invertedIndex(df, maxDf = 1).collect()
+      .map(_.getString(0)).toSet
+    assert(capped == Set("cherry", "date"))
+  }
+
   test("multimodal: media schema, features, frame sampling") {
     val media = Multimodal.syntheticMediaTable(docs)
     assert(media.schema.fieldNames.toSeq == Seq("media_id", "meta", "payload"))
