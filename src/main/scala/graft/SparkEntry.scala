@@ -1403,14 +1403,18 @@ object SparkEntry {
          SELECT gram, count(*) AS cnt FROM g
          GROUP BY gram ORDER BY cnt DESC, gram LIMIT 100""",
     "q_pack" ->
-      """SELECT doc_id,
-         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-         CAST(floor(coalesce(
-           sum(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)) OVER (
-             ORDER BY len(regexp_split_to_array(trim(text), '\s+')) DESC, doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048)
-           AS BIGINT) AS shard
-         FROM documents ORDER BY doc_id""",
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         p AS (
+           SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+           FROM t)
+         SELECT doc_id, n_tokens, prefix // 2048 AS shard,
+           prefix % 2048 AS offset_in_shard
+         FROM p ORDER BY doc_id""",
     "q_sample" ->
       """SELECT doc_id FROM documents
          WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
@@ -1723,15 +1727,19 @@ object SparkEntry {
            SELECT d.doc_id, d.text
            FROM documents d
            JOIN ($dupGroupsOracle) g ON g.doc_id = d.doc_id AND NOT g.is_dup
-           JOIN ($repetitionOracle) r ON r.doc_id = d.doc_id AND r.keep)
-         SELECT doc_id,
-           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
-           CAST(floor(coalesce(
-             sum(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)) OVER (
-               ORDER BY len(regexp_split_to_array(trim(text), '\\s+')) DESC, doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048)
-             AS BIGINT) AS shard
-         FROM surv ORDER BY doc_id""",
+           JOIN ($repetitionOracle) r ON r.doc_id = d.doc_id AND r.keep),
+         t AS (
+           SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+           FROM surv),
+         p AS (
+           SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+           FROM t)
+         SELECT doc_id, n_tokens, prefix // 2048 AS shard,
+           prefix % 2048 AS offset_in_shard
+         FROM p ORDER BY doc_id""",
     // exact complete cosine join — the oracle recomputes it blind
     "q_dedup_embed" -> embedPairsOracle,
     // same complete all-pairs oracle — see the queries-side comment:

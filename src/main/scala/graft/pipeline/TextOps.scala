@@ -363,10 +363,13 @@ object TextOps {
         Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("pid", "offset")
     val out = local.join(broadcast(offsets), "pid")
-      .withColumn("shard",
-        floor((col("offset") + col("local_prefix") - col("n_tokens")) /
-          lit(budgetTokens)).cast(LongType))
-      .select(col(id), col("n_tokens"), col("shard"))
+      .withColumn("_prefix",
+        col("offset") + col("local_prefix") - col("n_tokens"))
+      .withColumn("shard", expr(s"_prefix div ${budgetTokens}L"))
+      // where the doc's tokens start inside its shard — the writer-side
+      // cursor that makes the assignment directly consumable
+      .withColumn("offset_in_shard", expr(s"_prefix % ${budgetTokens}L"))
+      .select(col(id), col("n_tokens"), col("shard"), col("offset_in_shard"))
       .orderBy(id)
       .localCheckpoint()
     local.unpersist()

@@ -146,16 +146,18 @@ class PipelineSpec extends SparkSpec {
     val want = docs.select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").length.toLong)
       .sortBy { case (id, n) => (-n, id) }
-      .scanLeft((0L, 0L, 0L)) { case ((_, _, acc), (id, n)) =>
-        (id, acc / budget, acc + n)
-      }.drop(1).map { case (id, shard, _) => id -> shard }.toMap
+      .scanLeft((0L, 0L, 0L, 0L)) { case ((_, _, _, acc), (id, n)) =>
+        (id, acc / budget, acc % budget, acc + n)
+      }.drop(1).map { case (id, shard, off, _) => id -> ((shard, off)) }.toMap
     val got = TextOps.packByBudget(docs, budget).collect()
-      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
     assert(got == want, "distributed prefix sum must equal sequential fill")
-    assert(got.values.min == 0L)
+    assert(got.values.map(_._1).min == 0L)
     // shards are contiguous
-    val shards = got.values.toSet
+    val shards = got.values.map(_._1).toSet
     assert(shards == (0L until shards.size).toSet)
+    // offsets stay inside the budget
+    assert(got.values.forall(_._2 < budget))
   }
 
   test("contamination flags exactly the docs sharing an n-gram with the benchmark") {
