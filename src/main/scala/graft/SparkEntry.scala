@@ -460,6 +460,11 @@ object SparkEntry {
     "q_pack" -> ((s, dir) =>
       pipeline.TextOps.packByBudget(docs(s, dir), budgetTokens = 2048)),
 
+    // materialized shards: per-shard payload bounded by the budget, so
+    // reducers stay capped at any corpus size (more shards, not bigger)
+    "q_pack_shards" -> ((s, dir) =>
+      pipeline.TextOps.packShards(docs(s, dir), budgetTokens = 2048)),
+
     // deterministic md5-hash sampling (~10% of documents)
     "q_sample" -> ((s, dir) =>
       pipeline.TextOps.hashSample(docs(s, dir), permille = 100)
@@ -1413,8 +1418,23 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
            FROM t)
          SELECT doc_id, n_tokens, prefix // 2048 AS shard,
-           prefix % 2048 AS offset_in_shard
+           prefix - min(prefix) OVER (PARTITION BY prefix // 2048)
+             AS offset_in_shard
          FROM p ORDER BY doc_id""",
+    "q_pack_shards" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         p AS (
+           SELECT doc_id, text, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+           FROM t)
+         SELECT prefix // 2048 AS shard, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           string_agg(text, ' ' ORDER BY n_tokens DESC, doc_id) AS shard_text
+         FROM p GROUP BY 1 ORDER BY shard""",
     "q_sample" ->
       """SELECT doc_id FROM documents
          WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
@@ -1738,7 +1758,8 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
            FROM t)
          SELECT doc_id, n_tokens, prefix // 2048 AS shard,
-           prefix % 2048 AS offset_in_shard
+           prefix - min(prefix) OVER (PARTITION BY prefix // 2048)
+             AS offset_in_shard
          FROM p ORDER BY doc_id""",
     // exact complete cosine join — the oracle recomputes it blind
     "q_dedup_embed" -> embedPairsOracle,

@@ -366,14 +366,48 @@ object TextOps {
       .withColumn("_prefix",
         col("offset") + col("local_prefix") - col("n_tokens"))
       .withColumn("shard", expr(s"_prefix div ${budgetTokens}L"))
-      // where the doc's tokens start inside its shard — the writer-side
-      // cursor that makes the assignment directly consumable
-      .withColumn("offset_in_shard", expr(s"_prefix % ${budgetTokens}L"))
+      // where the doc's tokens start inside its shard's token stream —
+      // the writer-side cursor that makes the assignment directly
+      // consumable (docs are not split, so a shard's first doc is NOT
+      // at a budget multiple: subtract the shard's first prefix, a
+      // bounded per-shard window)
+      .withColumn("offset_in_shard",
+        col("_prefix") - min("_prefix").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("shard")))
       .select(col(id), col("n_tokens"), col("shard"), col("offset_in_shard"))
       .orderBy(id)
       .localCheckpoint()
     local.unpersist()
     out
+  }
+
+  /** Materializes the packed shards [[packByBudget]] assigns: one row
+    * per shard with the member docs' text concatenated in fill order
+    * ((tokens desc, id) — exactly the assignment order, so offsets from
+    * packByBudget index into this text) — the terminal step that turns
+    * a packing PLAN into training-ready sequences.
+    *
+    * Scale: the shuffle is keyed by shard id, and a shard's payload is
+    * BOUNDED BY THE BUDGET (≈budget tokens by construction), so the
+    * per-reducer state is capped no matter the corpus size — packing
+    * 100 TB makes more shards, not bigger ones. collect_list over
+    * (order key, text) structs then array_sort gives deterministic
+    * in-shard order without a second window.
+    */
+  def packShards(docs: DataFrame, budgetTokens: Long,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val assign = packByBudget(docs, budgetTokens, id, text)
+    docs.select(col(id), col(text))
+      .join(assign, id)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(
+            (-col("n_tokens")).as("negTok"), col(id).cast(LongType).as("tid"),
+            col(text).as("t")))),
+          s => s.getField("t")), " ").as("shard_text"))
+      .orderBy("shard")
   }
 
   // ---- PII redaction (q_redact) ----

@@ -143,12 +143,16 @@ class PipelineSpec extends SparkSpec {
 
   test("packByBudget matches the sequential contiguous-fill reference") {
     val budget = 512L
-    val want = docs.select("doc_id", "text").collect()
+    val seq = docs.select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").length.toLong)
       .sortBy { case (id, n) => (-n, id) }
-      .scanLeft((0L, 0L, 0L, 0L)) { case ((_, _, _, acc), (id, n)) =>
-        (id, acc / budget, acc % budget, acc + n)
-      }.drop(1).map { case (id, shard, off, _) => id -> ((shard, off)) }.toMap
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, acc), (id, n)) =>
+        (id, acc, acc + n)
+      }.drop(1).map { case (id, prefix, _) => (id, prefix, prefix / budget) }
+    val shardStart = seq.groupBy(_._3).map { case (s, xs) => s -> xs.map(_._2).min }
+    val want = seq.map { case (id, prefix, shard) =>
+      id -> ((shard, prefix - shardStart(shard)))
+    }.toMap
     val got = TextOps.packByBudget(docs, budget).collect()
       .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
     assert(got == want, "distributed prefix sum must equal sequential fill")
@@ -156,8 +160,35 @@ class PipelineSpec extends SparkSpec {
     // shards are contiguous
     val shards = got.values.map(_._1).toSet
     assert(shards == (0L until shards.size).toSet)
-    // offsets stay inside the budget
-    assert(got.values.forall(_._2 < budget))
+    // each shard's fill starts at offset zero
+    assert(got.values.groupBy(_._1).values.forall(_.map(_._2).min == 0L))
+  }
+
+  test("packShards: payload matches the plan; offsets index into shard text") {
+    val budget = 512L
+    val plan = TextOps.packByBudget(docs, budget).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+    val shards = TextOps.packShards(docs, budget).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // every planned doc is in its shard; totals agree
+    val byShard = plan.groupBy(_._2._2)
+    assert(byShard.keySet == shards.keySet)
+    for ((shard, members) <- byShard) {
+      val (nDocs, totTok, text) = shards(shard)
+      assert(nDocs == members.size)
+      assert(totTok == members.map(_._2._1).sum)
+      // the concatenated shard re-tokenizes to exactly total_tokens
+      assert(text.trim.split("\\s+").length.toLong == totTok)
+    }
+    // offset contract: each doc's first token appears at its offset in
+    // the shard's token stream (fill order = (tokens desc, id))
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, (nTok, shard, off)) <- plan.take(50)) {
+      val shardToks = shards(shard)._3.trim.split("\\s+")
+      val docToks = texts(id).trim.split("\\s+")
+      assert(shardToks.slice(off.toInt, off.toInt + nTok.toInt).toSeq == docToks.toSeq,
+        s"doc $id not at offset $off of shard $shard")
+    }
   }
 
   test("contamination flags exactly the docs sharing an n-gram with the benchmark") {
