@@ -40,6 +40,84 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
   def run(query: String): (PropertyGraph, Option[DataFrame]) = {
     val q = CypherParser.parse(query)
     require(q.parts.size == 1, "write queries cannot use UNION")
+    runPart(q.parts.head)
+  }
+
+  /** Writes through an UNLABELED match (`MATCH (n) SET n.x = 1`): the
+    * write clauses resolve labels statically (per-label ids are not
+    * globally unique, so one cross-frame id join could touch wrong
+    * rows), so the query expands to one run per candidate label with
+    * the variable's NodePat pinned — the write-side analog of the read
+    * compiler's union-over-label-assignments, threading the graph
+    * snapshot through the runs (frames are disjoint, so order is
+    * unobservable). RETURN parts union by name; heterogeneous entity
+    * structs across labels reject naturally in the union. Reference:
+    * unlabeled writes update every matching node (translator.ts SET/
+    * DELETE translation is label-agnostic over the generic node table).
+    */
+  private def runPart(part: SingleQuery): (PropertyGraph, Option[DataFrame]) =
+    unlabeledWriteTarget(part) match {
+      case Some((ci, pi, ni)) =>
+        // per-label RETURN parts union AFTER projection, so an aggregate
+        // would collapse per label instead of globally — reject rather
+        // than answer wrong (label the match to aggregate over one frame)
+        part.clauses.foreach {
+          case ReturnClause(p) if p.items.exists(it =>
+              CypherParser.containsAgg(it.expr)) =>
+            sys.error("aggregating RETURN over an unlabeled write match " +
+              "is unsupported — label the matched variable")
+          case _ => ()
+        }
+        var cur = g0
+        val rets = scala.collection.mutable.Buffer.empty[DataFrame]
+        g0.labels.foreach { l =>
+          val m = part.clauses(ci).asInstanceOf[MatchClause]
+          val path = m.paths(pi)
+          val pinned = path.copy(nodes =
+            path.nodes.updated(ni, path.nodes(ni).copy(label = Some(l))))
+          val sub = SingleQuery(part.clauses.updated(ci,
+            m.copy(paths = m.paths.updated(pi, pinned))))
+          val (g2, r) = new CypherWriter(cur, spark, params).runPart(sub)
+          cur = g2
+          r.foreach(rets += _)
+        }
+        val ret =
+          if (rets.isEmpty) None
+          else Some(rets.reduce(_.unionByName(_, allowMissingColumns = true)))
+        (cur, ret)
+      case None => runResolved(part)
+    }
+
+  /** First (clause, path, node) position binding an unlabeled,
+    * non-anonymous variable that a later write clause targets.
+    */
+  private def unlabeledWriteTarget(part: SingleQuery): Option[(Int, Int, Int)] = {
+    val written: Set[String] = part.clauses.flatMap {
+      case SetClause(items) => items.flatMap {
+        case (Prop(Var(v), _), _) => Seq(v)
+        case (Var(v), _) => Seq(v)
+        case _ => Nil
+      }
+      case RemoveClause(items) => items.flatMap {
+        case Prop(Var(v), _) => Seq(v)
+        case LabelPred(v, _) => Seq(v)
+        case _ => Nil
+      }
+      case DeleteClause(vars, _) => vars
+      case _ => Nil
+    }.toSet
+    part.clauses.zipWithIndex.flatMap {
+      case (m: MatchClause, ci) =>
+        for {
+          (p, pi) <- m.paths.zipWithIndex
+          (n, ni) <- p.nodes.zipWithIndex
+          if !n.anonymous && n.allLabels.isEmpty && written(n.name)
+        } yield (ci, pi, ni)
+      case _ => Nil
+    }.headOption
+  }
+
+  private def runResolved(part: SingleQuery): (PropertyGraph, Option[DataFrame]) = {
     var graph = g0
     def compiler = new CypherCompiler(graph, spark, params)
     var ctx: Option[Ctx] = None
@@ -47,7 +125,7 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
     var relClasses = Map.empty[String, EdgeType]
     var returned: Option[DataFrame] = None
 
-    q.parts.head.clauses.foreach {
+    part.clauses.foreach {
       case MatchClause(paths, optional, where, _) =>
         ctx = Some(compiler.applyMatch(ctx, paths, optional, where))
         relClasses = relClasses ++ boundRelClasses(graph, paths,

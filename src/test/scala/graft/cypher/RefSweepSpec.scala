@@ -122,11 +122,6 @@ object RefSweepSpec {
     // truncated string in the reference source itself (an error-path
     // fixture) — not a well-formed query
     "CREATE (n:Person",
-    // documented divergence: writes need a statically-known label frame;
-    // an UNLABELED MATCH can bind nodes of every frame, and per-label
-    // node ids are not globally unique, so a cross-frame SET-by-id could
-    // touch the wrong rows (SURVEY §6)
-    "MATCH (b) SET b.numbers = b.numbers + [4, 5] RETURN b.numbers AS nums",
     // documented divergence: heterogeneous list literals don't fit typed
     // array columns (SURVEY §6; reference executes over JS arrays)
     "UNWIND [1, 'two', true] AS x RETURN x",

@@ -351,6 +351,35 @@ class GraphWriteSpec extends SparkSpec {
     assert(r2.getString(0) == "ann" && r2.getString(1) == "fr")
   }
 
+  test("unlabeled-match writes expand over every label") {
+    import spark.implicits._
+    val cities = Seq((1L, "oslo")).toDF("_id", "city")
+    val g = PropertyGraph(
+      Map("Person" -> Seq((1L, "ann", 30L), (2L, "bob", 40L)).toDF("_id", "name", "age"),
+        "City" -> cities),
+      Map(EdgeType("KNOWS", "Person", "Person") ->
+        Seq((1L, 2L, 100L)).toDF("_src", "_dst", "_eid")))
+    // SET over everything: both frames get the new property
+    val (g2, _) = g.cypherWrite("MATCH (n) SET n.audit = 1")
+    assert(g2.nodeFrame("Person").filter(col("audit") === 1).count() == 2)
+    assert(g2.nodeFrame("City").filter(col("audit") === 1).count() == 1)
+    // WHERE on a prop only one label carries: missing prop matches nothing
+    val (g3, _) = g.cypherWrite("MATCH (n) WHERE n.age > 35 SET n.senior = true")
+    assert(g3.nodeFrame("Person").filter(col("senior")).count() == 1)
+    // the column may appear on the other frame, but no row matches
+    assert(g3.nodeFrame("City").filter(col("senior") === true).count() == 0)
+    // non-aggregate RETURN unions across labels (one row per matched node)
+    val (_, ret) = g.cypherWrite("MATCH (n) SET n.audit = 2 RETURN id(n) AS i")
+    assert(ret.get.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 1L, 2L))
+    // DETACH DELETE everything
+    val (g4, _) = g.cypherWrite("MATCH (n) DETACH DELETE n")
+    assert(g4.labels.forall(l => g4.nodeFrame(l).isEmpty))
+    // aggregate RETURN is rejected, not answered wrong
+    val err = intercept[RuntimeException](
+      g.cypherWrite("MATCH (n) SET n.x = 1 RETURN count(n) AS c"))
+    assert(err.getMessage.contains("unlabeled"))
+  }
+
   test("snapshot save/load round-trips a written graph") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-write-snap").toString
     val (g2, _) = tinyGraph().cypherWrite(
