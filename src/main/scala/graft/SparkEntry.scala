@@ -394,6 +394,10 @@ object SparkEntry {
         "MATCH (n:Nation) WHERE n:Africa RETURN n.n_name AS name, labels(n) AS labels")
         .unionByName(g3.cypher(
           "MATCH (m:Landmark) RETURN m.name AS name, labels(m) AS labels"))
+        // array columns ship as sorted joined strings per SURVEY §4 —
+        // the driver's pandas comparator can't sort raw array cells
+        .select(col("name"),
+          array_join(sort_array(col("labels")), ",").as("labels"))
         .orderBy("name")
     }),
 
@@ -534,9 +538,9 @@ object SparkEntry {
     // shuffle — never a range cross-join): every event gets the user's
     // most recent error at-or-before it, timestamps as epoch micros
     "q_asof" -> ((s, dir) => {
-      val ev = GraphLoader.table(lenient(s), dir, "events")
+      val ev = GraphLoader.eventsTable(lenient(s), dir)
         .select(col("event_id"), col("user_id"),
-          expr("ts div 1000").as("t_us"), col("event_type"), col("value"))
+          unix_micros(col("ts")).as("t_us"), col("event_type"), col("value"))
       val errs = ev.filter(col("event_type") === "error")
         .select(col("user_id"), col("t_us"), col("value"))
       operators.Temporal.asofJoin(
@@ -553,8 +557,7 @@ object SparkEntry {
     // buckets, never BroadcastNestedLoop): every event joined into the
     // session interval that contains it
     "q_range" -> ((s, dir) => {
-      val ev = GraphLoader.table(lenient(s), dir, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val ev = GraphLoader.eventsTable(lenient(s), dir)
       val sessions = streaming.EventStreams.sessionizeBatch(ev, gapMinutes = 30)
         .select(col("user_id"),
           unix_micros(col("session_start")).as("session_start"),
@@ -727,8 +730,7 @@ object SparkEntry {
     // sliding windows (1h window, 30m slide): every event lands in two
     // windows; the oracle replays via the two 30-minute-floor starts
     "q_window_sliding" -> ((s, dir) => {
-      val ev = GraphLoader.table(lenient(s), dir, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val ev = GraphLoader.eventsTable(lenient(s), dir)
       streaming.EventStreams.windowedCounts(ev, window = "1 hour",
         slide = Some("30 minutes"))
         .select(
@@ -740,8 +742,7 @@ object SparkEntry {
     // tumbling-window counts (same definition the watermarked stream
     // runs); window bounds exported as epoch micros
     "q_window_agg" -> ((s, dir) => {
-      val ev = GraphLoader.table(lenient(s), dir, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val ev = GraphLoader.eventsTable(lenient(s), dir)
       streaming.EventStreams.windowedCounts(ev, window = "1 hour")
         .select(
           unix_micros(col("window_start")).as("window_start"),
@@ -797,8 +798,7 @@ object SparkEntry {
     }),
 
     "q_sessionize" -> ((s, dir) => {
-      val ev = GraphLoader.table(lenient(s), dir, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val ev = GraphLoader.eventsTable(lenient(s), dir)
       streaming.EventStreams.sessionizeBatch(ev, gapMinutes = 30)
         .select(col("user_id"),
           unix_micros(col("session_start")).as("session_start"),
@@ -1132,7 +1132,7 @@ object SparkEntry {
             $topAggs, $dupAggs
           FROM c GROUP BY doc_id),
         f AS (
-          SELECT doc_id, n_lines,
+          SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
             CASE WHEN n_lines > 0
               THEN CAST(n_lines - d_lines AS DOUBLE) / n_lines ELSE 0.0 END
               AS dup_line_frac,
@@ -1320,11 +1320,11 @@ object SparkEntry {
     "q_write_label" ->
       """SELECT name, labels FROM (
            SELECT n_name AS name,
-             CASE WHEN n_name = 'ALGERIA' THEN ['Nation', 'Africa']
-                  ELSE ['Nation', 'Tagged', 'Africa'] END AS labels
+             CASE WHEN n_name = 'ALGERIA' THEN 'Africa,Nation'
+                  ELSE 'Africa,Nation,Tagged' END AS labels
            FROM nation WHERE n_regionkey = 0
            UNION ALL
-           SELECT 'giza' AS name, ['Landmark', 'Poi'] AS labels
+           SELECT 'giza' AS name, 'Landmark,Poi' AS labels
          ) ORDER BY name""",
     "q_catalog" ->
       """WITH related AS (
@@ -1417,9 +1417,9 @@ object SparkEntry {
              coalesce(sum(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
            FROM t)
-         SELECT doc_id, n_tokens, prefix // 2048 AS shard,
-           prefix - min(prefix) OVER (PARTITION BY prefix // 2048)
-             AS offset_in_shard
+         SELECT doc_id, n_tokens, CAST(prefix // 2048 AS BIGINT) AS shard,
+           CAST(prefix - min(prefix) OVER (PARTITION BY prefix // 2048)
+             AS BIGINT) AS offset_in_shard
          FROM p ORDER BY doc_id""",
     "q_pack_shards" ->
       """WITH t AS (
@@ -1431,7 +1431,7 @@ object SparkEntry {
              coalesce(sum(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
            FROM t)
-         SELECT prefix // 2048 AS shard, count(*) AS n_docs,
+         SELECT CAST(prefix // 2048 AS BIGINT) AS shard, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            string_agg(text, ' ' ORDER BY n_tokens DESC, doc_id) AS shard_text
          FROM p GROUP BY 1 ORDER BY shard""",
@@ -1757,9 +1757,9 @@ object SparkEntry {
              coalesce(sum(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
            FROM t)
-         SELECT doc_id, n_tokens, prefix // 2048 AS shard,
-           prefix - min(prefix) OVER (PARTITION BY prefix // 2048)
-             AS offset_in_shard
+         SELECT doc_id, n_tokens, CAST(prefix // 2048 AS BIGINT) AS shard,
+           CAST(prefix - min(prefix) OVER (PARTITION BY prefix // 2048)
+             AS BIGINT) AS offset_in_shard
          FROM p ORDER BY doc_id""",
     // exact complete cosine join — the oracle recomputes it blind
     "q_dedup_embed" -> embedPairsOracle,

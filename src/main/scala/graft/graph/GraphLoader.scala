@@ -32,18 +32,28 @@ object GraphLoader {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     lenient(spark).read.parquet(s"$dir/$name.parquet")
 
-  /** events with `ts` converted from raw nanos (long) back to a proper
-    * timestamp column (microsecond precision — Spark's native resolution).
+  /** events with `ts` normalized to TimestampType (µs precision) across
+    * every physical layout the corpus has shipped in: INT64
+    * TIMESTAMP(NANOS) surfaced as long under nanosAsLong (pre-r12
+    * testdata), TIMESTAMP_NTZ micros (r12 testdata — cast under the UTC
+    * session, so wall time = instant), or a plain TIMESTAMP (Spark-written
+    * rehearsal data). Callers never see the physical unit.
     */
   def eventsTable(spark: SparkSession, dir: String): DataFrame = {
     val raw = table(spark, dir, "events")
-    raw.schema("ts").dataType.typeName match {
-      case "long" | "bigint" =>
-        // integer division — Column./(Long) is DOUBLE division, whose
-        // 53-bit mantissa rounds epoch-micros up by 1µs for 2024-era nanos
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
-    }
+    raw.withColumn("ts", normalizeTs(raw.schema("ts").dataType, "ts"))
+  }
+
+  /** The layout-aware ts conversion, shared with the streaming readers.
+    * Takes the column NAME because the nanos branch needs `div` (integer
+    * division) — Column./(Long) is DOUBLE division, whose 53-bit mantissa
+    * rounds epoch-micros up by 1µs for 2024-era nanos.
+    */
+  def normalizeTs(physical: org.apache.spark.sql.types.DataType,
+      name: String): Column = physical.typeName match {
+    case "long" | "bigint"  => timestamp_micros(expr(s"$name div 1000"))
+    case "timestamp_ntz"    => col(name).cast("timestamp")
+    case _                  => col(name)
   }
 
   /** Derived Part->Part co-occurrence edges: two parts appearing in the

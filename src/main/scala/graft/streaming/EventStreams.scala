@@ -51,9 +51,19 @@ object EventStreams {
     * leaf files the same glob does NOT match — the stream then silently
     * reads zero files (the r11 10× run's only failure). Pick per layout.
     */
+  /** Streaming events read with `ts` already normalized to TimestampType
+    * (µs), whatever the file's physical unit — the batch-inferred type
+    * drives both the stream schema and the conversion.
+    */
   private def eventsRawStream(spark: SparkSession, eventsDir: String,
-      glob: String): DataFrame =
-    rawFileStream(spark, eventsDir, glob, rawEventSchema)
+      glob: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$eventsDir/$glob")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchPath = if (fs.exists(p)) p.toString else eventsDir
+    val tsType = spark.read.parquet(batchPath).schema("ts").dataType
+    val raw = rawFileStream(spark, eventsDir, glob, rawEventSchema(tsType))
+    raw.withColumn("ts", graft.graph.GraphLoader.normalizeTs(tsType, "ts"))
+  }
 
   private def rawFileStream(spark: SparkSession, dir: String,
       glob: String, schema: StructType): DataFrame = {
@@ -151,16 +161,24 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
-  /** Raw schema of the driver's events parquet: `ts` is TIMESTAMP(NANOS),
-    * surfaced as a nanos long under spark.sql.legacy.parquet.nanosAsLong.
+  /** Raw schema of the driver's events parquet. `ts`'s physical layout has
+    * varied across testdata generations — INT64 TIMESTAMP(NANOS) surfaced
+    * as long under nanosAsLong, TIMESTAMP_NTZ micros, or a Spark-written
+    * TIMESTAMP — and a file stream needs the schema UP FRONT, so we
+    * batch-infer it once from the same path and splice the inferred ts
+    * type in. Declaring the wrong type doesn't fail loudly: a LongType
+    * over micros reads raw micros, which a nanos→micros `div 1000` then
+    * silently collapses to 1970-era millis (r12's driver data flip caught
+    * exactly this).
     */
-  private val rawEventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  private def rawEventSchema(tsType: org.apache.spark.sql.types.DataType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
 
   /** The windowed-count pipeline executed THROUGH Structured Streaming:
     * file-stream ingest of the events parquet (availableNow trigger) →
@@ -173,7 +191,7 @@ object EventStreams {
       glob: String = "events.parquet",
       queryName: String = "q_stream_window"): DataFrame = {
     val raw = eventsRawStream(spark, eventsDir, glob)
-    val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = raw  // ts already normalized by eventsRawStream
     val query = windowedCounts(ev, window = "1 hour")
       .writeStream.format("memory").queryName(queryName)
       .outputMode(OutputMode.Complete)
@@ -234,7 +252,7 @@ object EventStreams {
       glob: String = "events.parquet", gapMinutes: Int = 30,
       queryName: String = "q_stream_sessionize"): DataFrame = {
     val raw = eventsRawStream(spark, eventsDir, glob)
-    val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = raw  // ts already normalized by eventsRawStream
       .withColumn("tss", date_trunc("second", col("ts")))
     val query = ev
       .groupBy(session_window(col("tss"), s"${gapMinutes * 60} seconds"),

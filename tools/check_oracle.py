@@ -20,14 +20,32 @@ for t in glob.glob(os.path.join(sf_dir, "*.parquet")):
 
 def canon(df):
     df = df[sorted(df.columns)]
+    # Driver parity #1: the driver sorts with pandas sort_values, which
+    # CRASHES on unhashable cells (raw array columns). Reproduce that
+    # failure mode locally instead of silently tolerating it.
+    df.sort_values(by=list(df.columns), kind="mergesort")
+    # Driver parity #2: the driver hashes values exactly, so an int64
+    # column vs a float64 column ('11' vs '11.0') is a mismatch. repr()
+    # of the exact float keeps the trailing '.0' that %.9g used to hide.
     def norm(v):
         if isinstance(v, float):
-            return f"{v:.9g}"
+            return repr(float(v))
         return str(v)
     rows = sorted(tuple(norm(v) for v in row) for row in df.itertuples(index=False))
     return rows
 
 fails = []
+# Driver parity #3: a query that THREW in graft.Verify writes no parquet
+# at all — the driver records that as an error row, so the replica must
+# not silently skip it (r12: five batch queries threw on a testdata
+# layout change and the replica reported all-green).
+dumped = {os.path.basename(p).replace(".parquet", "")
+          for p in glob.glob(os.path.join(out_dir, "*.parquet"))}
+for qname in sorted(set(oracle) - dumped):
+    if only and qname not in only:
+        continue
+    fails.append(qname)
+    print(f"{qname}: MISSING DUMP (query threw in Verify?)")
 for name in sorted(glob.glob(os.path.join(out_dir, "*.parquet"))):
     qname = os.path.basename(name).replace(".parquet", "")
     if only and qname not in only:
