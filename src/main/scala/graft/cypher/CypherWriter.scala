@@ -59,15 +59,35 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
     unlabeledWriteTarget(part) match {
       case Some((ci, pi, ni)) =>
         // per-label RETURN parts union AFTER projection, so an aggregate
-        // would collapse per label instead of globally — reject rather
-        // than answer wrong (label the match to aggregate over one frame)
-        part.clauses.foreach {
-          case ReturnClause(p) if p.items.exists(it =>
-              CypherParser.containsAgg(it.expr)) =>
-            sys.error("aggregating RETURN over an unlabeled write match " +
-              "is unsupported — label the matched variable")
-          case _ => ()
-        }
+        // collapses per label instead of globally. For DECOMPOSABLE
+        // aggregates (count/sum/min/max — the `MATCH (n) DETACH DELETE n
+        // RETURN count(n)` family; reference answers these over its
+        // single nodes table) we re-aggregate the per-label partials
+        // over the union: count→sum, sum→sum, min→min, max→max, grouped
+        // by the non-aggregate output columns. Non-decomposable shapes
+        // (avg/collect/percentiles, DISTINCT, agg-inside-expression,
+        // ORDER BY/SKIP/LIMIT) still reject rather than answer wrong.
+        val mergePlan: Option[Seq[Option[String]]] =
+          part.clauses.collectFirst {
+            case ReturnClause(p) if p.items.exists(it =>
+                CypherParser.containsAgg(it.expr)) => p
+          }.map { p =>
+            def reject(): Nothing = sys.error(
+              "aggregating RETURN over an unlabeled write match supports " +
+                "only top-level count/sum/min/max without DISTINCT/ORDER " +
+                "BY/SKIP/LIMIT — label the matched variable")
+            if (p.distinct || p.orderBy.nonEmpty || p.skip.nonEmpty ||
+              p.limit.nonEmpty) reject()
+            p.items.map { it =>
+              it.expr match {
+                case Func(n, _, false)
+                    if Set("count", "sum", "min", "max")(n.toLowerCase) =>
+                  Some(n.toLowerCase)
+                case e if !CypherParser.containsAgg(e) => None
+                case _ => reject()
+              }
+            }
+          }
         var cur = g0
         val rets = scala.collection.mutable.Buffer.empty[DataFrame]
         g0.labels.foreach { l =>
@@ -83,7 +103,27 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
         }
         val ret =
           if (rets.isEmpty) None
-          else Some(rets.reduce(_.unionByName(_, allowMissingColumns = true)))
+          else {
+            val u = rets.reduce(_.unionByName(_, allowMissingColumns = true))
+            mergePlan match {
+              case Some(fns) =>
+                import org.apache.spark.sql.functions.{col, sum, min, max}
+                val cols = u.columns.toSeq
+                val aggCols = cols.zip(fns).collect { case (c, Some(f)) =>
+                  (f match {
+                    case "count" | "sum" => sum(col(c))
+                    case "min"           => min(col(c))
+                    case "max"           => max(col(c))
+                  }).as(c)
+                }
+                val keys = cols.zip(fns).collect { case (c, None) => c }
+                val merged =
+                  if (keys.isEmpty) u.agg(aggCols.head, aggCols.tail: _*)
+                  else u.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+                Some(merged.select(cols.map(col): _*))
+              case None => Some(u)
+            }
+          }
         (cur, ret)
       case None => runResolved(part)
     }
@@ -157,11 +197,11 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
         graph = applySet(graph, ctxOrFail(ctx), propItems.map(p => p -> Lit(null)),
           relClasses)
         // REMOVE n:Label — two cases under the multi-label shim:
-        //  * removing the PRIMARY label: matched rows leave the label's
-        //    frame (per-label storage: label membership IS frame
-        //    membership). Divergence from multi-label Neo4j (documented):
-        //    edges typed against the label cannot outlive the membership,
-        //    so they are detached too.
+        //  * removing the PRIMARY label: NON-detaching demotion — the
+        //    node moves to its first remaining label's frame (or the
+        //    unlabeled sentinel when none remain) and incident edge
+        //    classes are retyped for the moved ids (reference:
+        //    db.ts:47-69, labels are an array and the node survives).
         //  * removing a SECONDARY label: non-detaching `_labels` edit —
         //    the node survives (reference: translator.ts:1149-1156,
         //    REMOVE drops one entry from the label array). Removing a
@@ -171,7 +211,7 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
           val primary = c.labels.getOrElse(v,
             sys.error(s"REMOVE $v:$label: $v has no statically-known label"))
           val ids = c.df.select(col(s"$v.${graft.graph.PropertyGraph.ID}"))
-          if (primary == label) graph = graph.detachDeleteNodesByIds(label, ids)
+          if (primary == label) graph = graph.demotePrimaryLabel(label, ids)
           else if (graph.nodeFrame(primary).columns.contains(LABELS))
             graph = graph.setNodePropsForIds(primary, ids,
               Map(LABELS -> array_remove(col(LABELS), label)))

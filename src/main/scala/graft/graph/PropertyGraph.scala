@@ -440,6 +440,90 @@ final class PropertyGraph private (
       })
   }
 
+  /** REMOVE of a node's PRIMARY label WITHOUT detaching (reference
+    * db.ts:47-69: labels are an array; removing one keeps the node with
+    * its remaining labels). Per-label frame storage makes this a MOVE,
+    * not an in-place array edit: each matched row leaves `from`'s frame
+    * and takes up residency under its first remaining secondary label —
+    * or the unlabeled sentinel frame when none remain — and every edge
+    * class typed against `from` is retyped to the destination label for
+    * the moved ids (the edges themselves survive, reference parity).
+    *
+    * All work is id-keyed semi/anti joins plus driver-side loops over
+    * the (small) label/edge-class catalog — nothing is collected.
+    * Caveat (documented, SURVEY §6): per-label ids are minted
+    * content-hashed 64-bit, so a moved row colliding with an existing id
+    * in the destination frame is a hash collision, not an expected case.
+    */
+  def demotePrimaryLabel(from: String, ids: DataFrame): PropertyGraph = {
+    val idDf = ids.select(col(ids.columns.head).as(ID)).distinct()
+    val frame = nodeFrame(from)
+    val hasLabels = frame.columns.contains(LABELS)
+    val moved = frame.join(idDf, Seq(ID))
+    val remainder = frame.join(idDf, Seq(ID), "left_anti")
+    val firstLbl =
+      if (hasLabels)
+        when(size(col(LABELS)) > 0, element_at(col(LABELS), 1))
+          .otherwise(lit(UNLABELED))
+      else lit(UNLABELED)
+    val tagged = moved.withColumn("__to", firstLbl)
+    val fromSecondaries = secondaryLabels.getOrElse(from, Set.empty)
+    val targets = (fromSecondaries + UNLABELED).toSeq.sorted
+    var g = copyWith(n = nodeThunks + (from -> thunk(remainder)))
+    targets.foreach { s =>
+      var rows = tagged.filter(col("__to") === s).drop("__to")
+      if (hasLabels)
+        rows = rows.withColumn(LABELS,
+          when(size(col(LABELS)) > 0, array_remove(col(LABELS), s))
+            .otherwise(col(LABELS)))
+      // the registry is conservative (a superset) — don't mint an empty
+      // frame (a new catalog label) for a target no row actually takes
+      if (g.hasLabel(s) || !rows.isEmpty) {
+        g = g.addNodes(s, rows)
+        g = g.registerSecondaryLabels(s, fromSecondaries - s)
+        g = g.retypeEdgesFor(from, s, rows.select(ID))
+      }
+    }
+    g
+  }
+
+  /** Retype the incident edge classes of ids moving from label `from` to
+    * label `to` (see [[demotePrimaryLabel]]): two passes (src then dst)
+    * over the live class list, so an edge whose BOTH endpoints move is
+    * carried through intermediate classes correctly.
+    */
+  private def retypeEdgesFor(from: String, to: String,
+      moveIds: DataFrame): PropertyGraph = {
+    val idDf = moveIds.select(col(moveIds.columns.head).as(ID)).distinct()
+    var g = this
+    Seq(SRC, DST).foreach { side =>
+      g.edgeClasses
+        .filter(et => (if (side == SRC) et.srcLabel else et.dstLabel) == from)
+        .foreach { et =>
+          val e = g.edgeFrame(et)
+          val key = idDf.withColumnRenamed(ID, side)
+          val mv = e.join(key, Seq(side), "left_semi")
+          val keep = e.join(key, Seq(side), "left_anti")
+          val newEt =
+            if (side == SRC) et.copy(srcLabel = to) else et.copy(dstLabel = to)
+          g = g.retypeOne(et, keep, newEt, mv)
+        }
+    }
+    g
+  }
+
+  /** One class split for [[retypeEdgesFor]] — runs on the OWNING instance
+    * because constructor params aren't members across instances.
+    */
+  private def retypeOne(oldEt: EdgeType, keep: DataFrame,
+      newEt: EdgeType, mv: DataFrame): PropertyGraph = {
+    val mvMerged =
+      if (edgeThunks.contains(newEt))
+        edgeFrame(newEt).unionByName(mv, allowMissingColumns = true)
+      else mv
+    copyWith(e = edgeThunks + (oldEt -> thunk(keep)) + (newEt -> thunk(mvMerged)))
+  }
+
   /** Plain (non-DETACH) DELETE: Cypher errors when a deleted node still
     * has relationships (reference: translator.ts DELETE translation).
     * This forces an eager existence check — an action at call time.

@@ -111,6 +111,24 @@ class MultiLabelSpec extends SparkSpec {
     assert(g2.cypher("MATCH (n:A) RETURN n").count() == 1)
   }
 
+  test("REMOVE of the PRIMARY label demotes, never detaches (ref db:47-69 semantics)") {
+    var g = run(empty, "CREATE (a:A:B:C {id: 'x'})-[:R]->(b:D {id: 'y'})")
+    g = run(g, "MATCH (n:A) REMOVE n:A")
+    // the node survives under its first remaining label, which becomes
+    // the new primary; the rest stay secondary
+    val labels = g.cypher("MATCH (n:B) RETURN labels(n) AS ls")
+      .collect().head.pipe(r => seqOf(r, "ls"))
+    assert(labels == Seq("B", "C"), "A gone, node survives as B:C")
+    assert(g.cypher("MATCH (n:A) RETURN n").count() == 0)
+    // the incident edge survives the demotion (retyped, not detached)
+    assert(g.cypher("MATCH (:B)-[:R]->(m:D) RETURN m.id AS id").count() == 1)
+    // removing the LAST label keeps a label-less node (matchable by (n))
+    var g2 = run(empty, "CREATE (a:OnlyOne {id: 'z'})")
+    g2 = run(g2, "MATCH (n:OnlyOne) REMOVE n:OnlyOne")
+    assert(g2.cypher("MATCH (n:OnlyOne) RETURN n").count() == 0)
+    assert(strings(g2.cypher("MATCH (n) RETURN n.id AS id")) == Seq("z"))
+  }
+
   test("WHERE n:Label consults secondary labels") {
     var g = run(empty, "CREATE (n:A:B {id: 'ab'})")
     g = run(g, "CREATE (n:A {id: 'a'})")

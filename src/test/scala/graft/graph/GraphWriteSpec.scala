@@ -374,9 +374,18 @@ class GraphWriteSpec extends SparkSpec {
     // DETACH DELETE everything
     val (g4, _) = g.cypherWrite("MATCH (n) DETACH DELETE n")
     assert(g4.labels.forall(l => g4.nodeFrame(l).isEmpty))
-    // aggregate RETURN is rejected, not answered wrong
+    // decomposable aggregate RETURN re-aggregates the per-label partials
+    // globally (reference shape: MATCH (n) DETACH DELETE n RETURN count(n))
+    val (g5, ret5) = g.cypherWrite("MATCH (n) DETACH DELETE n RETURN count(n) AS c")
+    assert(ret5.get.collect()(0).getLong(0) == 3L)
+    assert(g5.labels.forall(l => g5.nodeFrame(l).isEmpty))
+    val (_, ret6) = g.cypherWrite(
+      "MATCH (n) SET n.x = 1 RETURN count(n) AS c, max(id(n)) AS m")
+    val r6 = ret6.get.collect()(0)
+    assert(r6.getLong(0) == 3L && r6.getLong(1) == 2L)
+    // non-decomposable aggregates still reject rather than answer wrong
     val err = intercept[RuntimeException](
-      g.cypherWrite("MATCH (n) SET n.x = 1 RETURN count(n) AS c"))
+      g.cypherWrite("MATCH (n) SET n.x = 1 RETURN collect(id(n)) AS xs"))
     assert(err.getMessage.contains("unlabeled"))
   }
 
