@@ -61,6 +61,7 @@ object Bench {
     def resetSessionState(): Unit = {
       spark.sharedState.cacheManager.clearCache()
       graft.graph.GraphLoader.invalidate(spark)
+      SparkEntry.invalidatePairs(spark)
       // deterministic release of localCheckpoint blocks (ContextCleaner
       // would only free them at some future GC)
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))

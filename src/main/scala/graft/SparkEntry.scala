@@ -885,6 +885,14 @@ object SparkEntry {
   private def dupPairs(s: SparkSession, dir: String): DataFrame =
     pairsCache.getOrElseUpdate((s, dir),
       pipeline.Dedup.jaccardPrefix(docs(s, dir)))
+
+  /** Drop this session's memoized pair frames. The bench harness
+    * unpersists every RDD between queries — which frees the memoized
+    * frame's localCheckpoint blocks and would leave a dangling plan —
+    * so its reset hook must call this alongside GraphLoader.invalidate.
+    */
+  def invalidatePairs(s: SparkSession): Unit =
+    pairsCache.keys.filter(_._1 == s).foreach(pairsCache.remove)
   private def embs(s: SparkSession, dir: String): DataFrame =
     GraphLoader.table(lenient(s), dir, "embeddings")
 
