@@ -423,6 +423,10 @@ object SparkEntry {
     "q_commonness" -> ((s, dir) =>
       pipeline.TextOps.commonness(docs(s, dir))),
 
+    // RefinedWeb-style corpus-wide line dedup (boilerplate removal)
+    "q_line_dedup" -> ((s, dir) =>
+      pipeline.TextOps.lineDedup(docs(s, dir))),
+
     // three pipeline stages composed under one gate: near-dup grouping
     // keeps canonical reps -> Gopher repetition filter keeps quality
     // docs -> survivors pack into token-budget shards. The pruning
@@ -699,6 +703,18 @@ object SparkEntry {
         .groupBy(col("n_regionkey").cast("long").as("rk"))
         .agg(count(lit(1)).as("cnt"), min("n_name").as("first_name"))
         .orderBy("rk")
+    }),
+
+    "q_orc_roundtrip" -> ((s, dir) => {
+      val tmp = "/tmp/graft_gate_orc"
+      sources.Tables.writeOrc(
+        GraphLoader.table(lenient(s), dir, "supplier")
+          .select("s_suppkey", "s_nationkey", "s_acctbal"), tmp)
+      sources.Tables.readOrc(s, tmp)
+        .groupBy(col("s_nationkey").as("nk"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("s_acctbal").cast(dec)).cast("double").as("bal"))
+        .orderBy("nk")
     }),
 
     "q_snapshot_roundtrip" -> ((s, dir) => {
@@ -1644,6 +1660,36 @@ object SparkEntry {
     // shingle (a necessary condition for J > 0).
     "q_dedup_jaccard" -> jaccardPairsOracle,
     "q_repetition" -> repetitionOracle,
+    // corpus-wide line dedup: every line hashes to the portable 60-bit
+    // md5 prefix on both engines, so the oracle derives the canonical
+    // site (first position in the lowest doc id) and the cleaned text
+    "q_line_dedup" ->
+      """WITH l0 AS (
+           SELECT doc_id, string_split(text, chr(10)) AS parts FROM documents),
+         l AS (
+           SELECT doc_id,
+                  unnest(range(1, len(parts) + 1)) AS pos,
+                  trim(unnest(parts)) AS line
+           FROM l0),
+         f AS (
+           SELECT doc_id, pos, line,
+                  CAST(concat('0x', substr(md5(line), 1, 15)) AS BIGINT) AS h
+           FROM l WHERE length(line) > 0),
+         k AS (
+           SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+           FROM f),
+         a AS (
+           SELECT doc_id, count(*) AS n_lines,
+                  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+                  string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY pos)
+                    AS clean_text
+           FROM k GROUP BY doc_id)
+         SELECT d.doc_id,
+           CAST(coalesce(a.n_lines, 0) AS BIGINT) AS n_lines,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(a.clean_text, '') AS clean_text
+         FROM documents d LEFT JOIN a USING (doc_id)
+         ORDER BY doc_id""",
     // corpus token counts joined back per token occurrence; Spark
     // groups by xxhash64(token), the oracle by the token itself —
     // counts agree under the collision-free-64-bit argument
@@ -1822,6 +1868,10 @@ object SparkEntry {
       """SELECT CAST(n_regionkey AS BIGINT) AS rk, count(*) AS cnt,
          min(n_name) AS first_name
          FROM nation GROUP BY 1 ORDER BY rk""",
+    "q_orc_roundtrip" ->
+      """SELECT s_nationkey AS nk, count(*) AS cnt,
+         CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+         FROM supplier GROUP BY 1 ORDER BY nk""",
     "q_snapshot_roundtrip" ->
       """SELECT r_name, count(*) AS n_nations
          FROM nation JOIN region ON n_regionkey = r_regionkey

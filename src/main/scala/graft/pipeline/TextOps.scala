@@ -687,4 +687,51 @@ object TextOps {
         col("rank").cast(LongType).as("rank"))
       .orderBy(col(id), col("rank"))
   }
+
+  // ---- corpus line-level exact dedup (q_line_dedup) ----
+
+  /** RefinedWeb/CCNet-style LINE-level exact dedup across the whole
+    * corpus: every document's non-empty (trimmed) lines are hashed; each
+    * distinct line is KEPT at exactly one canonical site — its first
+    * position in the lowest doc id containing it — and dropped
+    * everywhere else (within-doc repeats of the same line dedup by the
+    * same rule). Per-document output: surviving-line counts and the
+    * cleaned text, which is what removes nav bars / cookie banners /
+    * boilerplate headers that per-document filters cannot see.
+    *
+    * Scale: lines travel the ownership aggregation as 60-bit md5 keys
+    * (8 bytes; portable so the oracle can DERIVE every hash). The
+    * canonical-site choice is `min(struct(doc, pos))` — a combinable
+    * aggregate, so the corpus-wide hot lines (exactly the boilerplate
+    * this operator exists for) partial-aggregate map-side instead of
+    * converging on one reducer. Line STRINGS only travel the final
+    * per-document reassembly shuffle, which is output-sized by
+    * definition.
+    */
+  def lineDedup(docs: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val lines = docs
+      .select(col(id), posexplode(split(col(text), "\n")))
+      .withColumn("line", trim(col("col")))
+      .filter(length(col("line")) > 0)
+      .select(col(id), col("pos"), col("line"),
+        md5Hash60(col("line")).as("h"))
+    val owner = lines.groupBy("h")
+      .agg(min(struct(col(id), col("pos"))).as("site"))
+    val marked = lines.join(owner, "h")
+      .withColumn("kept",
+        col(id) === col(s"site.$id") && col("pos") === col("site.pos"))
+    val perDoc = marked.groupBy(col(id))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws("\n", sort_array(collect_list(
+          when(col("kept"), struct(col("pos"), col("line")))))
+          .getField("line")).as("clean_text"))
+    docs.select(col(id)).join(perDoc, Seq(id), "left_outer")
+      .select(col(id),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(id)
+  }
 }

@@ -32,6 +32,14 @@ object Tables {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  // ---- ORC (columnar interchange beyond parquet) ----
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   // ---- bucketed tables (co-located joins) ----
 
   /** Write a frame as a bucketed+sorted managed table. Two tables

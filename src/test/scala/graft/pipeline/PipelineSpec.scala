@@ -661,4 +661,28 @@ class PipelineSpec extends SparkSpec {
     assert(s1.map(_.toString).toSeq == s2.map(_.toString).toSeq)
     assert(s1.length == docs.count())
   }
+
+  test("lineDedup keeps each line only at its canonical site") {
+    import spark.implicits._
+    val d = Seq(
+      // doc 1: boilerplate header + unique body + an internal repeat
+      (1L, "Cookie notice\nalpha body one\nrepeat me\nrepeat me"),
+      // doc 2: same header (must drop here), unique body
+      (2L, "Cookie notice\nbeta body two"),
+      // doc 3: header again plus whitespace-only lines (ignored)
+      (3L, "  Cookie notice  \n\n   \ngamma body three"),
+      // doc 4: empty text → zero lines, still present in the output
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextOps.lineDedup(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // doc 1 owns "Cookie notice" and "repeat me" (first pos only)
+    assert(out(1L) == ((4L, 3L, "Cookie notice\nalpha body one\nrepeat me")))
+    // doc 2 loses the header, keeps its body
+    assert(out(2L) == ((2L, 1L, "beta body two")))
+    // doc 3: whitespace lines never count; header dropped (owned by doc 1)
+    assert(out(3L) == ((2L, 1L, "gamma body three")))
+    // doc 4 survives with empty stats
+    assert(out(4L) == ((0L, 0L, "")))
+  }
 }
