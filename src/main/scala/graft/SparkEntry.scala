@@ -427,6 +427,10 @@ object SparkEntry {
     "q_line_dedup" -> ((s, dir) =>
       pipeline.TextOps.lineDedup(docs(s, dir))),
 
+    // per-source quota cap (domain-dominance guard, absolute not rate)
+    "q_source_cap" -> ((s, dir) =>
+      pipeline.TextOps.sourceCap(docs(s, dir), maxDocs = 10)),
+
     // three pipeline stages composed under one gate: near-dup grouping
     // keeps canonical reps -> Gopher repetition filter keeps quality
     // docs -> survivors pack into token-budget shards. The pruning
@@ -1660,6 +1664,16 @@ object SparkEntry {
     // shingle (a necessary condition for J > 0).
     "q_dedup_jaccard" -> jaccardPairsOracle,
     "q_repetition" -> repetitionOracle,
+    // per-source cap: md5 rank within source is derivable on both engines
+    "q_source_cap" ->
+      """SELECT doc_id, source, src_rank, src_rank <= 10 AS keep FROM (
+           SELECT doc_id, source,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(concat(source, '|', CAST(doc_id AS VARCHAR))),
+                        doc_id) AS BIGINT) AS src_rank
+           FROM documents)
+         ORDER BY doc_id""",
     // corpus-wide line dedup: every line hashes to the portable 60-bit
     // md5 prefix on both engines, so the oracle derives the canonical
     // site (first position in the lowest doc id) and the cleaned text

@@ -688,6 +688,38 @@ object TextOps {
       .orderBy(col(id), col("rank"))
   }
 
+  // ---- per-source quota capping (q_source_cap) ----
+
+  /** Deterministic per-source quota: keep at most `maxDocs` documents
+    * from each source (domain), chosen by md5 hash order — the standard
+    * curation guard against any single domain dominating a crawl mix.
+    * Differs from [[hashSampleStratified]] (per-stratum RATES) in being
+    * an absolute cap: a source with fewer docs than the cap keeps all
+    * of them, an over-represented one is cut to exactly `maxDocs`,
+    * independent of corpus growth elsewhere. Hash order (not doc id)
+    * means the kept subset of a source is stable as OTHER sources grow,
+    * and adding new docs to a source displaces old picks only at the
+    * hash boundary.
+    *
+    * Scale: one window over `source` — per-group state is a counter,
+    * groups parallelize across reducers; skewed sources are exactly the
+    * ones being cut, and the rank short-circuits at `maxDocs` per
+    * partition once TOP-K pushdown applies. Emits the keep decision
+    * (not just survivors) so pipelines can audit what the cap removed.
+    */
+  def sourceCap(docs: DataFrame, maxDocs: Long, id: String = "doc_id",
+      source: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .withColumn("__h", md5(concat_ws("|", col(source), col(id).cast(StringType))))
+      .withColumn("src_rank", row_number().over(
+        Window.partitionBy(col(source)).orderBy(col("__h"), col(id)))
+        .cast(LongType))
+      .select(col(id), col(source), col("src_rank"),
+        (col("src_rank") <= maxDocs).as("keep"))
+      .orderBy(id)
+  }
+
   // ---- corpus line-level exact dedup (q_line_dedup) ----
 
   /** RefinedWeb/CCNet-style LINE-level exact dedup across the whole

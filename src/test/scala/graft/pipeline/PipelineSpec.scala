@@ -662,6 +662,28 @@ class PipelineSpec extends SparkSpec {
     assert(s1.length == docs.count())
   }
 
+  test("sourceCap keeps at most maxDocs per source, deterministically") {
+    import spark.implicits._
+    val d = (1L to 30L).map(i => (i, s"doc $i", if (i <= 24) "big.com" else "small.org"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.sourceCap(d, maxDocs = 5)
+    val kept = out.filter(col("keep")).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // over-represented source cut to exactly the cap; small one keeps all
+    assert(kept == Map("big.com" -> 5L, "small.org" -> 5L))
+    val kept2 = TextOps.sourceCap(d, maxDocs = 10).filter(col("keep"))
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept2 == Map("big.com" -> 10L, "small.org" -> 6L))
+    // determinism + cap monotonicity: the 5-cap picks are a subset of the 10-cap picks
+    val pick5 = out.filter(col("keep") && col("source") === "big.com")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val pick10 = TextOps.sourceCap(d, maxDocs = 10)
+      .filter(col("keep") && col("source") === "big.com")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(pick5.subsetOf(pick10))
+  }
+
   test("lineDedup keeps each line only at its canonical site") {
     import spark.implicits._
     val d = Seq(
