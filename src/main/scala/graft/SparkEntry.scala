@@ -852,6 +852,11 @@ object SparkEntry {
         .select(col("id").as("p_partkey"), col("dist").cast("long").as("dist"))
         .orderBy("p_partkey")),
 
+    // multi-source BFS hop histogram (effective-diameter raw material)
+    "q_hop_histogram" -> ((s, dir) =>
+      algos.Algos.hopHistogram(relatedTo(s, dir),
+        seeds = Seq(1L, 2L, 3L), maxDepth = 3)),
+
     "q_concomp" -> ((s, dir) =>
       algos.Algos.connectedComponents(relatedTo(s, dir))
         .select(col("id").as("p_partkey"), col("component"))
@@ -2009,6 +2014,24 @@ object SparkEntry {
            SELECT r.p2, w.d + 1 FROM walk w JOIN related r ON r.p1 = w.k WHERE w.d < 4)
          SELECT k AS p_partkey, CAST(min(d) AS BIGINT) AS dist
          FROM walk GROUP BY k ORDER BY p_partkey""",
+    // per-seed min hop distance via one recursive walk from 3 seeds,
+    // then first-reach counts per (seed, dist)
+    "q_hop_histogram" ->
+      """WITH RECURSIVE related AS (
+           SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         walk(s, k, d) AS (
+           SELECT CAST(s AS BIGINT), CAST(s AS BIGINT), 0
+           FROM (SELECT unnest([1, 2, 3]) AS s)
+           UNION
+           SELECT w.s, r.p2, w.d + 1
+           FROM walk w JOIN related r ON r.p1 = w.k WHERE w.d < 3),
+         firstreach AS (
+           SELECT s, k, min(d) AS d FROM walk GROUP BY s, k)
+         SELECT s AS seed, CAST(d AS BIGINT) AS dist,
+           count(*) AS n_nodes
+         FROM firstreach GROUP BY s, d ORDER BY seed, dist""",
     "q_concomp" ->
       """WITH RECURSIVE related AS (
            SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2

@@ -61,6 +61,40 @@ object Algos {
     visited
   }
 
+  /** Multi-source BFS hop histogram: per seed, how many nodes are first
+    * reached at each hop distance ≤ maxDepth — the raw material of
+    * effective-diameter / reachability audits, and the multi-seed
+    * generalization of [[shortestPaths]]. All seeds advance in ONE
+    * frontier keyed by (seed, node): each level is one equi-join against
+    * edges + one anti-join against the visited set, so the level count
+    * (not the seed count) bounds the number of shuffles — the standard
+    * distributed multi-source BFS shape. Returns (seed, dist, n_nodes)
+    * with dist 0 = the seed itself.
+    */
+  def hopHistogram(edges: DataFrame, seeds: Seq[Long], maxDepth: Int,
+      src: String = "_src", dst: String = "_dst"): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(src).as("es"), col(dst).as("ed"))
+    var visited = materialize(
+      seeds.map(s => (s, s, 0)).toDF("seed", "id", "dist"))
+    var frontier = visited
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      depth += 1
+      val next = frontier.join(e, col("id") === col("es"))
+        .select(col("seed"), col("ed").as("id"), lit(depth).as("dist"))
+        .distinct()
+        .join(visited.select("seed", "id"), Seq("seed", "id"), "left_anti")
+      frontier = materialize(next)
+      visited = materialize(visited.unionByName(frontier))
+    }
+    visited.groupBy("seed", "dist")
+      .agg(count(lit(1)).as("n_nodes"))
+      .select(col("seed"), col("dist").cast("long").as("dist"), col("n_nodes"))
+      .orderBy("seed", "dist")
+  }
+
   /** Triangle count over the undirected graph given by a canonically
     * oriented edge frame (src < dst, each undirected edge once).
     *

@@ -25,6 +25,16 @@ class AlgosSpec extends SparkSpec {
     assert(got == Set(1L, 2L, 3L))
   }
 
+  test("hopHistogram counts first-reach nodes per seed and level") {
+    // 1->2->3->4 chain plus 5->3 shortcut; seeds 1 and 5
+    val e = edgesOf(1L -> 2L, 2L -> 3L, 3L -> 4L, 5L -> 3L)
+    val got = Algos.hopHistogram(e, seeds = Seq(1L, 5L), maxDepth = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L, (1L, 2L) -> 1L, (1L, 3L) -> 1L,
+      (5L, 0L) -> 1L, (5L, 1L) -> 1L, (5L, 2L) -> 1L))
+  }
+
   test("triangleCount on canonically ordered edges") {
     // triangles: (1,2,3) and (1,3,4); non-triangle edge 2->5
     val e = edgesOf(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L, 1L -> 4L, 2L -> 5L)
