@@ -797,6 +797,11 @@ object SparkEntry {
     "q_stream_dedup" -> ((s, dir) =>
       streaming.EventStreams.streamingDedup(lenient(s), dir)),
 
+    // watermarked stream-stream interval join: non-error events joined
+    // to the same user's errors from the trailing 30 minutes
+    "q_stream_join" -> ((s, dir) =>
+      streaming.EventStreams.intervalJoinStreamed(lenient(s), dir)),
+
     // train/val/test assignment through Structured Streaming ingest —
     // stateless per-row hash, so any micro-batch order lands every doc
     // in the same split; gated by the q_split batch oracle unchanged
@@ -1935,6 +1940,17 @@ object SparkEntry {
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",
+    // the batch interval join replays the streamed inner join exactly
+    // (bounded input, no late data): same user, error in the trailing
+    // 30 minutes inclusive on both ends
+    "q_stream_join" ->
+      """SELECT e.event_id, e.user_id,
+           epoch_us(e.ts) AS t_us, epoch_us(x.ts) AS err_us
+         FROM events e JOIN events x
+           ON x.user_id = e.user_id AND x.event_type = 'error'
+          AND e.event_type <> 'error'
+          AND x.ts <= e.ts AND x.ts >= e.ts - INTERVAL 30 MINUTE
+         ORDER BY e.event_id, err_us""",
     // same sessionization oracle gates the batch twin and the
     // session_window Structured Streaming run (see q_stream_window_agg)
     "q_stream_sessionize" ->

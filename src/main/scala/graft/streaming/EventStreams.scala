@@ -328,6 +328,44 @@ object EventStreams {
     spark.table(queryName).orderBy("doc_id")
   }
 
+  /** Watermarked STREAM-STREAM interval join — the remaining core
+    * Structured Streaming primitive: every non-error event inner-joins
+    * the same user's error events from the preceding `windowMinutes`.
+    * Both sides carry a watermark and the join condition bounds each
+    * side's event time relative to the other, which is exactly what lets
+    * Spark EVICT join state at the watermark — per-key state is bounded
+    * by the interval width, not the stream length (the 100 TB contract
+    * for stream-stream joins). Inner join + bounded input (availableNow)
+    * makes the drained output deterministic, so the batch interval-join
+    * oracle gates it directly.
+    */
+  def intervalJoinStreamed(spark: SparkSession, eventsDir: String,
+      glob: String = "events.parquet", windowMinutes: Int = 30,
+      queryName: String = "q_stream_join"): DataFrame = {
+    val wm = s"$windowMinutes minutes"
+    val left = eventsRawStream(spark, eventsDir, glob)
+      .filter(col("event_type") =!= "error")
+      .select(col("event_id"), col("user_id").as("l_uid"), col("ts").as("lts"))
+      .withWatermark("lts", wm)
+    val right = eventsRawStream(spark, eventsDir, glob)
+      .filter(col("event_type") === "error")
+      .select(col("user_id").as("r_uid"), col("ts").as("rts"))
+      .withWatermark("rts", wm)
+    val joined = left.join(right,
+      col("l_uid") === col("r_uid") &&
+        col("rts") <= col("lts") &&
+        col("rts") >= col("lts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+    val query = joined
+      .select(col("event_id"), col("l_uid").as("user_id"),
+        unix_micros(col("lts")).as("t_us"), unix_micros(col("rts")).as("err_us"))
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(queryName).orderBy("event_id", "err_us")
+  }
+
   def streamingEdgeAppend(events: DataFrame, edgeDir: String,
       checkpointDir: String): StreamingQuery =
     events.writeStream

@@ -139,4 +139,21 @@ class StreamingSpec extends SparkSpec {
     assert(edges.columns.toSet ==
       Set("_src", "_dst", "ts", "event_type", "_eid"))
   }
+
+  test("intervalJoinStreamed equals the batch interval join") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.graph.GraphLoader.eventsTable(spark, sfDir)
+    val batch = ev.filter(col("event_type") =!= "error").as("e")
+      .join(ev.filter(col("event_type") === "error").as("x"),
+        col("x.user_id") === col("e.user_id") &&
+          col("x.ts") <= col("e.ts") &&
+          col("x.ts") >= col("e.ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("e.event_id"), unix_micros(col("x.ts")).as("err_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val streamed = EventStreams
+      .intervalJoinStreamed(spark, sfDir, queryName = "tt_interval_join")
+      .select(col("event_id"), col("err_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(batch.nonEmpty && streamed == batch)
+  }
 }
