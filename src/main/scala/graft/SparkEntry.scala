@@ -431,6 +431,10 @@ object SparkEntry {
     "q_source_cap" -> ((s, dir) =>
       pipeline.TextOps.sourceCap(docs(s, dir), maxDocs = 10)),
 
+    // positional duplicate-span coverage (exact-substring dedup family)
+    "q_span_coverage" -> ((s, dir) =>
+      pipeline.TextOps.duplicateSpanCoverage(docs(s, dir))),
+
     // three pipeline stages composed under one gate: near-dup grouping
     // keeps canonical reps -> Gopher repetition filter keeps quality
     // docs -> survivors pack into token-budget shards. The pruning
@@ -1674,6 +1678,44 @@ object SparkEntry {
     // shingle (a necessary condition for J > 0).
     "q_dedup_jaccard" -> jaccardPairsOracle,
     "q_repetition" -> repetitionOracle,
+    // span coverage: the oracle re-derives grams as strings (Spark
+    // groups xxhash64 keys) and replays the same interval-union window
+    "q_span_coverage" ->
+      """WITH t AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+             unnest(range(0, greatest(len(toks) - 7, 0))) AS pos,
+             unnest(list_transform(range(1, greatest(len(toks) - 7, 0) + 1),
+               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+                 toks[i+4], toks[i+5], toks[i+6], toks[i+7]))) AS gram
+           FROM t WHERE len(toks) >= 8),
+         c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY gram),
+         s AS (SELECT g.doc_id, g.pos FROM g JOIN c USING (gram) WHERE cnt >= 2),
+         sw AS (
+           SELECT doc_id, pos,
+             max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+           FROM s),
+         cv AS (
+           SELECT doc_id,
+             sum(greatest(0, pos + 8 - greatest(pos, coalesce(prev_end, 0))))
+               AS covered
+           FROM sw GROUP BY doc_id),
+         base AS (
+           SELECT doc_id,
+             CASE WHEN length(trim(text)) > 0
+               THEN len(regexp_split_to_array(trim(text), '\s+'))
+               ELSE 0 END AS n_tokens
+           FROM documents)
+         SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(cv.covered, 0) AS BIGINT) AS covered_tokens,
+           CASE WHEN b.n_tokens > 0
+             THEN CAST(coalesce(cv.covered, 0) AS DOUBLE) / b.n_tokens
+             ELSE 0.0 END AS coverage_frac
+         FROM base b LEFT JOIN cv USING (doc_id)
+         ORDER BY doc_id""",
     // per-source cap: md5 rank within source is derivable on both engines
     "q_source_cap" ->
       """SELECT doc_id, source, src_rank, src_rank <= 10 AS keep FROM (

@@ -688,6 +688,54 @@ object TextOps {
       .orderBy(col(id), col("rank"))
   }
 
+  // ---- duplicate-span coverage (q_span_coverage) ----
+
+  /** Positional duplicate-SPAN coverage per document — the
+    * span-granular member of the Lee et al. 2022 exact-substring dedup
+    * family: for each document, the fraction of its token positions
+    * covered by at least one word n-gram that occurs ≥2 times anywhere
+    * in the corpus (other documents or elsewhere in the same one).
+    * Unlike [[crossDocNgrams]] (distinct-gram fraction), overlapping
+    * duplicated grams are merged as intervals, so the score reads as
+    * "this much of the document's TEXT is duplicated material" — the
+    * quantity exact-substring dedup thresholds on.
+    *
+    * Scale: grams travel as ordered xxhash64 positions (8-byte keys;
+    * the oracle re-derives with gram strings under the standard
+    * collision-free-64-bit argument); occurrence counting is a
+    * partial-combining aggregate; the interval union is ONE window per
+    * document (running max of span ends — linear, no self-join).
+    */
+  def duplicateSpanCoverage(docs: DataFrame, n: Int = 8,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    val sh = docs
+      .select(col(id), posexplode(graft.functions.VectorExprs
+        .shingleHashes(tokens(col(text)), lit(n))))
+      .select(col(id), col("pos"), col("col").as("h"))
+    val cnt = sh.groupBy("h").agg(count(lit(1)).as("cnt"))
+    val shared = sh.join(cnt, "h").filter(col("cnt") >= 2)
+    val w = Window.partitionBy(id).orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val covered = shared
+      .withColumn("prev_end", max(col("pos") + n).over(w))
+      .withColumn("contrib", greatest(lit(0),
+        col("pos") + n - greatest(col("pos"), coalesce(col("prev_end"), lit(0)))))
+      .groupBy(col(id)).agg(sum("contrib").cast(LongType).as("covered_tokens"))
+    docs
+      .select(col(id),
+        when(length(trim(col(text))) > 0, size(tokens(col(text))))
+          .otherwise(0).cast(LongType).as("n_tokens"))
+      .join(covered, Seq(id), "left_outer")
+      .select(col(id), col("n_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        when(col("n_tokens") > 0,
+          coalesce(col("covered_tokens"), lit(0L)).cast(DoubleType) / col("n_tokens"))
+          .otherwise(0.0).as("coverage_frac"))
+      .orderBy(id)
+  }
+
   // ---- per-source quota capping (q_source_cap) ----
 
   /** Deterministic per-source quota: keep at most `maxDocs` documents

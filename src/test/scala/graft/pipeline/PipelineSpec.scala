@@ -662,6 +662,22 @@ class PipelineSpec extends SparkSpec {
     assert(s1.length == docs.count())
   }
 
+  test("duplicateSpanCoverage merges overlapping duplicated spans") {
+    import spark.implicits._
+    val shared = (1 to 9).map(i => s"w$i").mkString(" ") // 9 tokens: two overlapping 8-grams
+    val d = Seq(
+      (1L, s"$shared unique tail one two three"),  // covered: tokens 0..8 (9 of 14)
+      (2L, s"prefix only here $shared"),           // covered: 9 of 12
+      (3L, "totally different text with no duplicated grams at all")
+    ).toDF("doc_id", "text")
+    val out = TextOps.duplicateSpanCoverage(d, n = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // overlapping 8-grams at pos 0 and 1 union to one 9-token interval
+    assert(out(1L) == ((14L, 9L)))
+    assert(out(2L) == ((12L, 9L)))
+    assert(out(3L) == ((9L, 0L)))
+  }
+
   test("sourceCap keeps at most maxDocs per source, deterministically") {
     import spark.implicits._
     val d = (1L to 30L).map(i => (i, s"doc $i", if (i <= 24) "big.com" else "small.org"))
