@@ -87,4 +87,31 @@ class PlanAuditSpec extends SparkSpec {
         s"gram strings on the wire: exchange carries $names")
     }
   }
+
+  test("q_span_coverage: interval union is one keyed window, no self-join on positions") {
+    val df = SparkEntry.queries("q_span_coverage")(spark, sfDir)
+    assert(!joinKinds(df).exists(Set("bnlj", "cartesian")),
+      "span union degraded to an interval theta-join")
+    import org.apache.spark.sql.execution.window.WindowExec
+    val windows = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected the running-max interval window")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "interval window must partition by document")
+  }
+
+  test("q_source_cap: the per-source rank window is keyed, never global") {
+    val df = SparkEntry.queries("q_source_cap")(spark, sfDir)
+    import org.apache.spark.sql.execution.window.WindowExec
+    val windows = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected the per-source rank window")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "source-cap window must partition by source")
+  }
+
+  test("q_line_dedup: ownership is aggregation, line strings shuffle only output-sized") {
+    val df = SparkEntry.queries("q_line_dedup")(spark, sfDir)
+    // ownership join may broadcast or shuffle, but must never nested-loop
+    assert(!joinKinds(df).exists(Set("bnlj", "cartesian")),
+      "line ownership degraded to a non-equi join")
+  }
 }
