@@ -129,6 +129,16 @@ class MultiLabelSpec extends SparkSpec {
     assert(strings(g2.cypher("MATCH (n) RETURN n.id AS id")) == Seq("z"))
   }
 
+  test("primary-label REMOVE retypes edges whose BOTH endpoints demote") {
+    // a:A:B -[:R]-> c:A:C — removing :A demotes a→B and c→C; the edge
+    // must survive the two-step retype (src pass creates (R,B,A), dst
+    // pass must find it and finish at (R,B,C))
+    var g = run(empty, "CREATE (a:A:B {id: 'x'})-[:R]->(c:A:C {id: 'y'})")
+    g = run(g, "MATCH (n:A) REMOVE n:A")
+    assert(g.cypher("MATCH (n:A) RETURN n").count() == 0)
+    assert(strings(g.cypher("MATCH (b:B)-[:R]->(c:C) RETURN c.id AS id")) == Seq("y"))
+  }
+
   test("WHERE n:Label consults secondary labels") {
     var g = run(empty, "CREATE (n:A:B {id: 'ab'})")
     g = run(g, "CREATE (n:A {id: 'a'})")
