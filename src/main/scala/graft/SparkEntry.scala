@@ -435,6 +435,14 @@ object SparkEntry {
     "q_span_coverage" -> ((s, dir) =>
       pipeline.TextOps.duplicateSpanCoverage(docs(s, dir))),
 
+    // contamination depth: span coverage against the doc 0-49 "eval set"
+    // (same split as q_decontaminate's binary flag)
+    "q_decontaminate_spans" -> ((s, dir) => {
+      val d = docs(s, dir)
+      pipeline.TextOps.contaminationSpanCoverage(
+        d.filter(col("doc_id") >= 50), d.filter(col("doc_id") < 50))
+    }),
+
     // three pipeline stages composed under one gate: near-dup grouping
     // keeps canonical reps -> Gopher repetition filter keeps quality
     // docs -> survivors pack into token-budget shards. The pruning
@@ -1709,6 +1717,46 @@ object SparkEntry {
                THEN len(regexp_split_to_array(trim(text), '\s+'))
                ELSE 0 END AS n_tokens
            FROM documents)
+         SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(cv.covered, 0) AS BIGINT) AS covered_tokens,
+           CASE WHEN b.n_tokens > 0
+             THEN CAST(coalesce(cv.covered, 0) AS DOUBLE) / b.n_tokens
+             ELSE 0.0 END AS coverage_frac
+         FROM base b LEFT JOIN cv USING (doc_id)
+         ORDER BY doc_id""",
+    // contamination depth: identical sweep, but spans count only when
+    // the gram appears in the doc<50 benchmark split
+    "q_decontaminate_spans" ->
+      """WITH t AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+         g0 AS (
+           SELECT doc_id,
+             unnest(range(0, greatest(len(toks) - 7, 0))) AS pos,
+             unnest(list_transform(range(1, greatest(len(toks) - 7, 0) + 1),
+               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+                 toks[i+4], toks[i+5], toks[i+6], toks[i+7]))) AS gram
+           FROM t WHERE len(toks) >= 8),
+         bench AS (SELECT DISTINCT gram FROM g0 WHERE doc_id < 50),
+         s AS (
+           SELECT g.doc_id, g.pos FROM g0 g
+           JOIN bench USING (gram) WHERE g.doc_id >= 50),
+         sw AS (
+           SELECT doc_id, pos,
+             max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+           FROM s),
+         cv AS (
+           SELECT doc_id,
+             sum(greatest(0, pos + 8 - greatest(pos, coalesce(prev_end, 0))))
+               AS covered
+           FROM sw GROUP BY doc_id),
+         base AS (
+           SELECT doc_id,
+             CASE WHEN length(trim(text)) > 0
+               THEN len(regexp_split_to_array(trim(text), '\s+'))
+               ELSE 0 END AS n_tokens
+           FROM documents WHERE doc_id >= 50)
          SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
            CAST(coalesce(cv.covered, 0) AS BIGINT) AS covered_tokens,
            CASE WHEN b.n_tokens > 0

@@ -708,17 +708,54 @@ object TextOps {
     */
   def duplicateSpanCoverage(docs: DataFrame, n: Int = 8,
       id: String = "doc_id", text: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     graft.functions.VectorExprs.register(docs.sparkSession)
-    val sh = docs
+    val sh = gramPositions(docs, n, id, text)
+    val cnt = sh.groupBy("h").agg(count(lit(1)).as("cnt"))
+    val shared = sh.join(cnt, "h").filter(col("cnt") >= 2)
+    spanSweep(docs, shared, n, id, text)
+  }
+
+  /** Contamination DEPTH against a benchmark set: the span-coverage
+    * sweep of [[duplicateSpanCoverage]], but a span counts only when its
+    * n-gram appears in `benchmark` — so the score reads as "this
+    * fraction of the document's text IS benchmark material", where
+    * [[graft.pipeline.Dedup.contamination]] only flags that some gram
+    * matched. The standard decision this feeds: drop the doc above a
+    * threshold, keep-and-mask below it.
+    *
+    * Scale: the benchmark gram set is eval-sized — its distinct hashes
+    * broadcast, so the corpus side is one scan + broadcast semi-join +
+    * the per-document window; corpus text never shuffles.
+    */
+  def contaminationSpanCoverage(docs: DataFrame, benchmark: DataFrame,
+      n: Int = 8, id: String = "doc_id", text: String = "text"): DataFrame = {
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    val sh = gramPositions(docs, n, id, text)
+    val benchGrams = gramPositions(benchmark, n, id, text)
+      .select("h").distinct()
+    val shared = sh.join(broadcast(benchGrams), Seq("h"), "left_semi")
+    spanSweep(docs, shared, n, id, text)
+  }
+
+  /** (id, pos, h) for every word n-gram start, in token order. */
+  private def gramPositions(docs: DataFrame, n: Int, id: String,
+      text: String): DataFrame =
+    docs
       .select(col(id), posexplode(graft.functions.VectorExprs
         .shingleHashes(tokens(col(text)), lit(n))))
       .select(col(id), col("pos"), col("col").as("h"))
-    val cnt = sh.groupBy("h").agg(count(lit(1)).as("cnt"))
-    val shared = sh.join(cnt, "h").filter(col("cnt") >= 2)
+
+  /** Interval-union sweep shared by the span-coverage operators: merge
+    * the [pos, pos+n) spans of `sharedStarts` per document (one keyed
+    * running-max window — linear, no self-join) and emit per-document
+    * coverage over ALL docs.
+    */
+  private def spanSweep(docs: DataFrame, sharedStarts: DataFrame, n: Int,
+      id: String, text: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(id).orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val covered = shared
+    val covered = sharedStarts
       .withColumn("prev_end", max(col("pos") + n).over(w))
       .withColumn("contrib", greatest(lit(0),
         col("pos") + n - greatest(col("pos"), coalesce(col("prev_end"), lit(0)))))
