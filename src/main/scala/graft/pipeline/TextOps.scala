@@ -786,22 +786,42 @@ object TextOps {
     * and adding new docs to a source displaces old picks only at the
     * hash boundary.
     *
-    * Scale: one window over `source` — per-group state is a counter,
-    * groups parallelize across reducers; skewed sources are exactly the
-    * ones being cut, and the rank short-circuits at `maxDocs` per
-    * partition once TOP-K pushdown applies. Emits the keep decision
-    * (not just survivors) so pipelines can audit what the cap removed.
+    * Scale: `source` is skewed BY THE OPERATOR'S PROBLEM STATEMENT —
+    * the over-represented mega-domain this cap exists to cut can be a
+    * double-digit percent of a crawl, so a plain per-source window
+    * would funnel it through one reducer. Instead the exact rank is a
+    * distributed prefix sum (same pattern as [[packByBudget]] /
+    * [[globalShuffle]]): salt each source into 256 hash-range buckets
+    * by the md5's leading byte, `row_number` within (source, bucket) —
+    * the widest group is 1/256th of the worst domain — then add the
+    * per-(source,bucket) running offsets from a tiny aggregate
+    * (≤ 256 rows per DISTINCT source, broadcastable at any corpus
+    * size). Ordering by (bucket, hash) equals ordering by hash because
+    * the bucket IS the hash prefix, so the ranks — and the kept set —
+    * are bit-identical to the single-window definition. Emits the keep
+    * decision (not just survivors) so pipelines can audit what the cap
+    * removed.
     */
   def sourceCap(docs: DataFrame, maxDocs: Long, id: String = "doc_id",
       source: String = "source"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    docs
+    val salted = docs
       .withColumn("__h", md5(concat_ws("|", col(source), col(id).cast(StringType))))
-      .withColumn("src_rank", row_number().over(
-        Window.partitionBy(col(source)).orderBy(col("__h"), col(id)))
-        .cast(LongType))
-      .select(col(id), col(source), col("src_rank"),
-        (col("src_rank") <= maxDocs).as("keep"))
+      .withColumn("__b", substring(col("__h"), 1, 2))
+    val local = salted
+      .withColumn("__lr", row_number().over(
+        Window.partitionBy(col(source), col("__b"))
+          .orderBy(col("__h"), col(id))).cast(LongType))
+    val offsets = salted.groupBy(col(source), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(
+        Window.partitionBy(col(source)).orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(source), col("__b"), col("__off"))
+    local.join(broadcast(offsets), Seq(source, "__b"))
+      .select(col(id), col(source),
+        (col("__off") + col("__lr")).as("src_rank"),
+        (col("__off") + col("__lr") <= maxDocs).as("keep"))
       .orderBy(id)
   }
 

@@ -99,13 +99,25 @@ class PlanAuditSpec extends SparkSpec {
       "interval window must partition by document")
   }
 
-  test("q_source_cap: the per-source rank window is keyed, never global") {
+  test("q_source_cap: the per-doc rank window is salted, never per-source-global") {
     val df = SparkEntry.queries("q_source_cap")(spark, sfDir)
     import org.apache.spark.sql.execution.window.WindowExec
     val windows = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
-    assert(windows.nonEmpty, "expected the per-source rank window")
+    assert(windows.nonEmpty, "expected the salted rank window")
     assert(windows.forall(_.partitionSpec.nonEmpty),
-      "source-cap window must partition by source")
+      "source-cap windows must be keyed")
+    // the window that ranks DOCUMENTS (its output carries doc_id) must
+    // partition by (source, hash-bucket) — a window keyed by source
+    // alone puts every document of a mega-domain on one reducer. The
+    // per-bucket offset window legitimately keys by source only, but it
+    // runs over the ≤256-rows-per-source aggregate (no doc_id).
+    val docWindows = windows.filter(_.output.exists(_.name == "doc_id"))
+    assert(docWindows.nonEmpty, "expected the per-document rank window")
+    docWindows.foreach { w =>
+      assert(w.partitionSpec.length >= 2,
+        s"document rank window must be salted (source + hash bucket), " +
+          s"got partition keys: ${w.partitionSpec.map(_.sql)}")
+    }
   }
 
   test("q_line_dedup: ownership is aggregation, line strings shuffle only output-sized") {

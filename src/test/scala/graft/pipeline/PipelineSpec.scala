@@ -700,6 +700,33 @@ class PipelineSpec extends SparkSpec {
     assert(pick5.subsetOf(pick10))
   }
 
+  test("sourceCap: salted ranks are bit-identical to the single-window definition on a skewed corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // one mega-domain owns 50% of the corpus — the exact shape the salted
+    // plan exists for; the rest spread across 40 long-tail sources
+    val d = (1L to 2000L).map { i =>
+      val src = if (i <= 1000L) "mega.com" else s"tail${i % 40}.org"
+      (i, s"doc $i", src)
+    }.toDF("doc_id", "text", "source").repartition(7)
+    val out = TextOps.sourceCap(d, maxDocs = 25)
+    // naive oracle: one global window per source (fine at spec scale)
+    val naive = d
+      .withColumn("__h", md5(concat_ws("|", col("source"), col("doc_id").cast("string"))))
+      .withColumn("src_rank", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("__h"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("source"), col("src_rank"),
+        (col("src_rank") <= 25).as("keep"))
+    assert(sortedRowsOf(out) == sortedRowsOf(naive))
+    // ranks are a contiguous permutation per source, independent of layout
+    val out1 = TextOps.sourceCap(d.repartition(1), maxDocs = 25)
+    assert(sortedRowsOf(out1) == sortedRowsOf(out))
+    val megaRanks = out.filter(col("source") === "mega.com")
+      .select("src_rank").collect().map(_.getLong(0)).sorted
+    assert(megaRanks.toSeq == (1L to 1000L))
+    assert(out.filter(col("keep") && col("source") === "mega.com").count() == 25L)
+  }
+
   test("lineDedup keeps each line only at its canonical site") {
     import spark.implicits._
     val d = Seq(
