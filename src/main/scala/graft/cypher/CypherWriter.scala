@@ -54,39 +54,102 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
     * structs across labels reject naturally in the union. Reference:
     * unlabeled writes update every matching node (translator.ts SET/
     * DELETE translation is label-agnostic over the generic node table).
+    *
+    * Aggregating / DISTINCT / ORDER BY / SKIP / LIMIT RETURNs cannot
+    * simply union per-label projections (an aggregate would collapse
+    * per label, a LIMIT would apply per label). Those shapes are
+    * answered by SPLITTING the projection: each per-label run returns
+    * the raw grouping keys and aggregate ARGUMENTS (row-wise, so the
+    * per-label compile stays trivial), the rows union across labels,
+    * and the original aggregation + DISTINCT + ORDER BY/SKIP/LIMIT
+    * apply ONCE over the union — the reference's single-nodes-table
+    * aggregation (translator.ts), re-expressed. Spark's hash aggregate
+    * still partial-aggregates the union map-side, so count/sum/min/max
+    * keep the same scale shape the old per-label-partials path had,
+    * while avg/collect/stdev/percentiles/DISTINCT aggregates are now
+    * answered exactly. Only aggregates nested inside expressions
+    * (`RETURN count(n)+1`) still reject.
     */
   private def runPart(part: SingleQuery): (PropertyGraph, Option[DataFrame]) =
     unlabeledWriteTarget(part) match {
       case Some((ci, pi, ni)) =>
-        // per-label RETURN parts union AFTER projection, so an aggregate
-        // collapses per label instead of globally. For DECOMPOSABLE
-        // aggregates (count/sum/min/max — the `MATCH (n) DETACH DELETE n
-        // RETURN count(n)` family; reference answers these over its
-        // single nodes table) we re-aggregate the per-label partials
-        // over the union: count→sum, sum→sum, min→min, max→max, grouped
-        // by the non-aggregate output columns. Non-decomposable shapes
-        // (avg/collect/percentiles, DISTINCT, agg-inside-expression,
-        // ORDER BY/SKIP/LIMIT) still reject rather than answer wrong.
-        val mergePlan: Option[Seq[Option[String]]] =
-          part.clauses.collectFirst {
-            case ReturnClause(p) if p.items.exists(it =>
-                CypherParser.containsAgg(it.expr)) => p
-          }.map { p =>
-            def reject(): Nothing = sys.error(
-              "aggregating RETURN over an unlabeled write match supports " +
-                "only top-level count/sum/min/max without DISTINCT/ORDER " +
-                "BY/SKIP/LIMIT — label the matched variable")
-            if (p.distinct || p.orderBy.nonEmpty || p.skip.nonEmpty ||
-              p.limit.nonEmpty) reject()
-            p.items.map { it =>
+        val retIdx = part.clauses.indexWhere {
+          case ReturnClause(p) =>
+            p.items.exists(it => CypherParser.containsAgg(it.expr)) ||
+              p.distinct || p.orderBy.nonEmpty || p.skip.nonEmpty ||
+              p.limit.nonEmpty
+          case _ => false
+        }
+        // (per-label pre-projection, global post-union projection)
+        val split: Option[(Projection, Projection)] =
+          if (retIdx < 0) None
+          else {
+            val p = part.clauses(retIdx).asInstanceOf[ReturnClause].p
+            if (p.items.exists(_.expr == Star)) sys.error(
+              "RETURN * with DISTINCT/aggregates/ORDER BY/SKIP/LIMIT over " +
+                "an unlabeled write match is unsupported — label the " +
+                "matched variable or list the columns")
+            def isConst(e: Expr): Boolean = e match {
+              case Lit(_) | Param(_) => true
+              case Neg(x) => isConst(x)
+              case _ => false
+            }
+            val pre = scala.collection.mutable.Buffer.empty[Item]
+            val globalItems = p.items.zipWithIndex.map { case (it, i) =>
               it.expr match {
-                case Func(n, _, false)
-                    if Set("count", "sum", "min", "max")(n.toLowerCase) =>
-                  Some(n.toLowerCase)
-                case e if !CypherParser.containsAgg(e) => None
-                case _ => reject()
+                case e if !CypherParser.containsAgg(e) =>
+                  val nm = s"__uk_$i"
+                  pre += Item(e, Some(nm), nm)
+                  Item(Var(nm), Some(it.name), it.name)
+                case Func(fn, args, dist) =>
+                  val gargs = args.zipWithIndex.map { case (a, j) =>
+                    a match {
+                      // count(*): count a constant over the union rows
+                      case Star => Lit(1L)
+                      case a if isConst(a) => a
+                      // plain count only needs a null indicator — lifting
+                      // it (not the value) keeps `count(n)` workable when
+                      // the entity structs are heterogeneous across labels
+                      case a if fn.equalsIgnoreCase("count") && !dist =>
+                        val nm = s"__ua_${i}_$j"
+                        pre += Item(CaseExpr(None,
+                          Seq((IsNull(a, negated = true), Lit(1L))), None),
+                          Some(nm), nm)
+                        Var(nm)
+                      case a =>
+                        val nm = s"__ua_${i}_$j"
+                        pre += Item(a, Some(nm), nm)
+                        Var(nm)
+                    }
+                  }
+                  Item(Func(fn, gargs, dist), Some(it.name), it.name)
+                case _ => sys.error(
+                  "aggregates nested inside expressions are unsupported " +
+                    "over an unlabeled write match — label the matched " +
+                    "variable or aggregate in a separate item")
               }
             }
+            // ORDER BY over an expression that is not one of the output
+            // items (legal in Cypher without DISTINCT/aggregates) rides
+            // along as a hidden lifted column
+            val itemKeys = p.items.map(_.name).toSet ++ p.items.map(_.text)
+            val hasAgg = p.items.exists(it => CypherParser.containsAgg(it.expr))
+            val globalSorts = p.orderBy.zipWithIndex.map { case (s, k) =>
+              val covered = s.expr match {
+                case Var(n) => itemKeys(n)
+                case _ => itemKeys(s.text)
+              }
+              if (covered || hasAgg || p.distinct) s
+              else {
+                val nm = s"__os_$k"
+                pre += Item(s.expr, Some(nm), nm)
+                SortItem(Var(nm), s.asc, nm)
+              }
+            }
+            Some((
+              Projection(pre.toSeq, distinct = false, Nil, None, None, p.where),
+              Projection(globalItems, p.distinct, globalSorts, p.skip,
+                p.limit, None)))
           }
         var cur = g0
         val rets = scala.collection.mutable.Buffer.empty[DataFrame]
@@ -95,9 +158,15 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
           val path = m.paths(pi)
           val pinned = path.copy(nodes =
             path.nodes.updated(ni, path.nodes(ni).copy(label = Some(l))))
-          val sub = SingleQuery(part.clauses.updated(ci,
-            m.copy(paths = m.paths.updated(pi, pinned))))
-          val (g2, r) = new CypherWriter(cur, spark, params).runPart(sub)
+          val clauses0 = part.clauses.updated(ci,
+            m.copy(paths = m.paths.updated(pi, pinned)))
+          val clauses = split match {
+            case Some((preP, _)) =>
+              clauses0.updated(retIdx, ReturnClause(preP))
+            case None => clauses0
+          }
+          val (g2, r) = new CypherWriter(cur, spark, params)
+            .runPart(SingleQuery(clauses))
           cur = g2
           r.foreach(rets += _)
         }
@@ -105,22 +174,10 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
           if (rets.isEmpty) None
           else {
             val u = rets.reduce(_.unionByName(_, allowMissingColumns = true))
-            mergePlan match {
-              case Some(fns) =>
-                import org.apache.spark.sql.functions.{col, sum, min, max}
-                val cols = u.columns.toSeq
-                val aggCols = cols.zip(fns).collect { case (c, Some(f)) =>
-                  (f match {
-                    case "count" | "sum" => sum(col(c))
-                    case "min"           => min(col(c))
-                    case "max"           => max(col(c))
-                  }).as(c)
-                }
-                val keys = cols.zip(fns).collect { case (c, None) => c }
-                val merged =
-                  if (keys.isEmpty) u.agg(aggCols.head, aggCols.tail: _*)
-                  else u.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
-                Some(merged.select(cols.map(col): _*))
+            split match {
+              case Some((_, globalP)) =>
+                Some(new CypherCompiler(cur, spark, params)
+                  .applyProjection(Some(Ctx(u, Map.empty)), globalP))
               case None => Some(u)
             }
           }

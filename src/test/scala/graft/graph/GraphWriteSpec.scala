@@ -383,10 +383,56 @@ class GraphWriteSpec extends SparkSpec {
       "MATCH (n) SET n.x = 1 RETURN count(n) AS c, max(id(n)) AS m")
     val r6 = ret6.get.collect()(0)
     assert(r6.getLong(0) == 3L && r6.getLong(1) == 2L)
-    // non-decomposable aggregates still reject rather than answer wrong
+  }
+
+  test("non-decomposable aggregates over unlabeled-match writes aggregate globally") {
+    import spark.implicits._
+    val g = PropertyGraph(
+      Map("Person" -> Seq((1L, "ann", 30L), (2L, "bob", 40L)).toDF("_id", "name", "age"),
+        "City" -> Seq((1L, "oslo")).toDF("_id", "city")),
+      Map(EdgeType("KNOWS", "Person", "Person") ->
+        Seq((1L, 2L, 100L)).toDF("_src", "_dst", "_eid")))
+    // avg over the union of all labels, not per label
+    // (ids: Person 1,2 + City 1 → avg = 4/3)
+    val (g2, ret) = g.cypherWrite(
+      "MATCH (n) DETACH DELETE n RETURN avg(id(n)) AS a, count(n) AS c")
+    val r = ret.get.collect()(0)
+    assert(math.abs(r.getDouble(0) - 4.0 / 3) < 1e-9 && r.getLong(1) == 3L)
+    assert(g2.labels.forall(l => g2.nodeFrame(l).isEmpty))
+    // collect over the union rows
+    val (_, retC) = g.cypherWrite(
+      "MATCH (n) SET n.x = 1 RETURN collect(id(n)) AS xs")
+    assert(retC.get.collect()(0).getSeq[Long](0).sorted == Seq(1L, 1L, 2L))
+    // DISTINCT aggregate: ids {1,1,2} → 2 distinct
+    val (_, retD) = g.cypherWrite(
+      "MATCH (n) SET n.x = 1 RETURN count(DISTINCT id(n)) AS d")
+    assert(retD.get.collect()(0).getLong(0) == 2L)
+    // grouped aggregate with ORDER BY + LIMIT applies post-union
+    val (_, retG) = g.cypherWrite(
+      """MATCH (n) SET n.x = 1
+         RETURN id(n) AS i, count(n) AS c ORDER BY c DESC, i LIMIT 1""")
+    val rg = retG.get.collect()
+    assert(rg.length == 1 && rg(0).getLong(0) == 1L && rg(0).getLong(1) == 2L)
+    // percentile over the union
+    val (_, retP) = g.cypherWrite(
+      "MATCH (n) SET n.x = 1 RETURN percentileCont(id(n), 0.5) AS p")
+    assert(math.abs(retP.get.collect()(0).getDouble(0) - 1.0) < 1e-9)
+    // non-aggregate DISTINCT dedups across labels, and LIMIT is global
+    val (_, retR) = g.cypherWrite(
+      "MATCH (n) SET n.x = 1 RETURN DISTINCT id(n) AS i")
+    assert(retR.get.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    val (_, retL) = g.cypherWrite(
+      "MATCH (n) SET n.x = 1 RETURN id(n) AS i ORDER BY i LIMIT 2")
+    assert(retL.get.collect().map(_.getLong(0)).toSeq == Seq(1L, 1L))
+    // ORDER BY over an unprojected expression lifts a hidden sort column
+    val (_, retO) = g.cypherWrite(
+      "MATCH (n) SET n.x = 1 RETURN id(n) AS i ORDER BY -id(n) LIMIT 1")
+    assert(retO.get.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(retO.get.columns.toSeq == Seq("i"), "hidden sort column must not leak")
+    // aggregates nested inside expressions still reject
     val err = intercept[RuntimeException](
-      g.cypherWrite("MATCH (n) SET n.x = 1 RETURN collect(id(n)) AS xs"))
-    assert(err.getMessage.contains("unlabeled"))
+      g.cypherWrite("MATCH (n) SET n.x = 1 RETURN count(n) + 1 AS c"))
+    assert(err.getMessage.contains("nested inside expressions"))
   }
 
   test("snapshot save/load round-trips a written graph") {
