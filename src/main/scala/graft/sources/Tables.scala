@@ -71,23 +71,65 @@ object Tables {
     * by definition. Counts run as CONCURRENT Spark jobs (scala Futures
     * over the shared scheduler): a serial per-frame loop would leave the
     * cluster idle between frames, turning an 18-frame catalog into 18
-    * latency-bound round trips.
+    * latency-bound round trips. Frames that are row-preserving
+    * projections of one parquet table skip the job entirely and count
+    * from footer metadata ([[metadataRowCount]]) — at scale the catalog
+    * is then metadata-bound, not a full re-scan of every table.
     */
   def catalogReport(g: PropertyGraph, spark: SparkSession): DataFrame = {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
+    def rowsOf(df: DataFrame): Long =
+      metadataRowCount(df).getOrElse(df.count())
     val tasks =
       g.labels.map { l => () =>
         val df = g.nodeFrame(l)
-        ("node", l, df.count(), df.schema.toDDL)
+        ("node", l, rowsOf(df), df.schema.toDDL)
       } ++ g.edgeClasses.map { et => () =>
         val df = g.edgeFrame(et)
-        ("edge", s"${et.relType}(${et.srcLabel}->${et.dstLabel})", df.count(), df.schema.toDDL)
+        ("edge", s"${et.relType}(${et.srcLabel}->${et.dstLabel})", rowsOf(df), df.schema.toDDL)
       }
     val rows = Await.result(Future.sequence(tasks.map(t => Future(t()))), Duration.Inf)
     rows.toDF("kind", "name", "rows", "schema")
       .orderBy("kind", "name")
+  }
+
+  /** Exact row count from parquet footer metadata, when it is provably
+    * equal to `df.count()`: the optimized plan must be only
+    * row-preserving Projects over ONE parquet relation — no Filter /
+    * Join / Aggregate / Generate / cached relation (those fall back to
+    * a real count). Footers are driver-side KB reads (row-group stats),
+    * so the count is O(files) metadata I/O instead of a cluster scan —
+    * parquet guarantees the block row counts are exact, not estimates.
+    * Writes can't stale this: written graphs hold transformed frames
+    * whose plans no longer match the pattern.
+    */
+  def metadataRowCount(df: DataFrame): Option[Long] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    import scala.jdk.CollectionConverters._
+    def walk(p: LogicalPlan): Option[HadoopFsRelation] = p match {
+      case Project(_, child) => walk(child)
+      case SubqueryAlias(_, child) => walk(child)
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation if fs.fileFormat.isInstanceOf[ParquetFileFormat] =>
+          Some(fs)
+        case _ => None
+      }
+      case _ => None
+    }
+    walk(df.queryExecution.optimizedPlan).map { fs =>
+      val conf = df.sparkSession.sessionState.newHadoopConf()
+      fs.location.inputFiles.map { f =>
+        val path = new org.apache.hadoop.fs.Path(f)
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        finally reader.close()
+      }.sum
+    }
   }
 }

@@ -52,6 +52,27 @@ class SourcesSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS bkt_orders")
   }
 
+  test("metadataRowCount: exact on projected parquet scans, None when rows can change") {
+    import org.apache.spark.sql.functions._
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    // plain scan and row-preserving projections hit the footer path
+    assert(Tables.metadataRowCount(cust).contains(cust.count()))
+    val projected = cust.select(col("c_custkey"))
+      .withColumn("k2", col("c_custkey") * 2)
+    assert(Tables.metadataRowCount(projected).contains(cust.count()))
+    // anything that can change cardinality must fall back
+    assert(Tables.metadataRowCount(cust.filter(col("c_acctbal") > 0)).isEmpty)
+    assert(Tables.metadataRowCount(cust.select(countDistinct(col("c_custkey")))).isEmpty)
+    assert(Tables.metadataRowCount(cust.limit(3)).isEmpty)
+    assert(Tables.metadataRowCount(cust.union(cust)).isEmpty)
+    import spark.implicits._
+    assert(Tables.metadataRowCount(Seq(1, 2).toDF("x")).isEmpty)
+    // the catalog report built on it matches real counts frame-for-frame
+    val rep = Tables.catalogReport(graph, spark).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(rep("Customer") == cust.count())
+  }
+
   test("graph snapshot save/load round-trips with escaped names") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-snap").toString
     import spark.implicits._
