@@ -450,10 +450,13 @@ final class PropertyGraph private (
     * the moved ids (the edges themselves survive, reference parity).
     *
     * All work is id-keyed semi/anti joins plus driver-side loops over
-    * the (small) label/edge-class catalog — nothing is collected.
-    * Caveat (documented, SURVEY §6): per-label ids are minted
-    * content-hashed 64-bit, so a moved row colliding with an existing id
-    * in the destination frame is a hash collision, not an expected case.
+    * the catalog-sized target-label set (derived from the DATA — a row
+    * whose first remaining label isn't in the secondary-label registry
+    * still moves there, instead of silently vanishing behind a
+    * registry gap). Per-label ids are minted content-hashed 64-bit, so
+    * a moved id already present in a destination frame would be a hash
+    * collision; the merge GUARDS against it (a silent duplicate-id
+    * frame corrupts every downstream join) and fails loudly instead.
     */
   def demotePrimaryLabel(from: String, ids: DataFrame): PropertyGraph = {
     val idDf = ids.select(col(ids.columns.head).as(ID)).distinct()
@@ -468,7 +471,12 @@ final class PropertyGraph private (
       else lit(UNLABELED)
     val tagged = moved.withColumn("__to", firstLbl)
     val fromSecondaries = secondaryLabels.getOrElse(from, Set.empty)
-    val targets = (fromSecondaries + UNLABELED).toSeq.sorted
+    // registry targets ∪ targets the rows actually take (the registry is
+    // conservative and can lag a SET n:Label on a frame without LABELS
+    // bookkeeping — the data is the truth)
+    val dataTargets =
+      tagged.select("__to").distinct().collect().map(_.getString(0))
+    val targets = (fromSecondaries + UNLABELED ++ dataTargets).toSeq.sorted
     var g = copyWith(n = nodeThunks + (from -> thunk(remainder)))
     targets.foreach { s =>
       var rows = tagged.filter(col("__to") === s).drop("__to")
@@ -476,9 +484,17 @@ final class PropertyGraph private (
         rows = rows.withColumn(LABELS,
           when(size(col(LABELS)) > 0, array_remove(col(LABELS), s))
             .otherwise(col(LABELS)))
-      // the registry is conservative (a superset) — don't mint an empty
-      // frame (a new catalog label) for a target no row actually takes
+      // don't mint an empty frame (a new catalog label) for a registry
+      // target no row actually takes
       if (g.hasLabel(s) || !rows.isEmpty) {
+        if (g.hasLabel(s)) {
+          val clash = g.nodeFrame(s)
+            .join(rows.select(ID), Seq(ID), "left_semi").count()
+          if (clash > 0) sys.error(
+            s"demotePrimaryLabel: $clash id(s) moving from '$from' " +
+              s"already exist in destination frame '$s' — content-hash " +
+              "id collision; refusing to build a duplicate-id frame")
+        }
         g = g.addNodes(s, rows)
         g = g.registerSecondaryLabels(s, fromSecondaries - s)
         g = g.retypeEdgesFor(from, s, rows.select(ID))

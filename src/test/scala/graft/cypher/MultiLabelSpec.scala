@@ -139,6 +139,33 @@ class MultiLabelSpec extends SparkSpec {
     assert(strings(g.cypher("MATCH (b:B)-[:R]->(c:C) RETURN c.id AS id")) == Seq("y"))
   }
 
+  test("demotePrimaryLabel refuses an id collision in the destination frame") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array, lit}
+    // the moved row's content-hashed id already exists under B — merging
+    // would silently build a duplicate-id frame; the guard must throw
+    val a = Seq((1L, "x")).toDF("_id", "p").withColumn("_labels", array(lit("B")))
+    val b = Seq((1L, "resident")).toDF("_id", "p")
+    val g = PropertyGraph(Map("A" -> a, "B" -> b), Map.empty)
+      .registerSecondaryLabels("A", Set("B"))
+    val err = intercept[RuntimeException](
+      g.demotePrimaryLabel("A", a.select("_id")))
+    assert(err.getMessage.contains("collision"))
+  }
+
+  test("demotePrimaryLabel moves rows whose target label is NOT in the registry") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array, lit}
+    // registry gap: the row's first remaining label was never registered
+    // as a secondary of A — the node must still move there, not vanish
+    val a = Seq((1L, "x")).toDF("_id", "p").withColumn("_labels", array(lit("Ghost")))
+    val g = PropertyGraph(Map("A" -> a), Map.empty)
+    val g2 = g.demotePrimaryLabel("A", a.select("_id"))
+    assert(g2.hasLabel("Ghost"), "unregistered target label must be minted")
+    assert(g2.nodeFrame("Ghost").count() == 1)
+    assert(g2.nodeFrame("A").count() == 0)
+  }
+
   test("WHERE n:Label consults secondary labels") {
     var g = run(empty, "CREATE (n:A:B {id: 'ab'})")
     g = run(g, "CREATE (n:A {id: 'a'})")
