@@ -59,7 +59,13 @@ object EventStreams {
       glob: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(s"$eventsDir/$glob")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val batchPath = if (fs.exists(p)) p.toString else eventsDir
+    // resolve the glob (fs.exists is a LITERAL check — a wildcard glob
+    // would fail it and fall back to the whole multi-table dataset dir,
+    // inferring the wrong schema); infer from the first matched file and
+    // only fall back to eventsDir when nothing matches
+    val matched = Option(fs.globStatus(p)).getOrElse(Array.empty)
+    val batchPath =
+      if (matched.nonEmpty) matched.head.getPath.toString else eventsDir
     val tsType = spark.read.parquet(batchPath).schema("ts").dataType
     val raw = rawFileStream(spark, eventsDir, glob, rawEventSchema(tsType))
     raw.withColumn("ts", graft.graph.GraphLoader.normalizeTs(tsType, "ts"))
@@ -69,8 +75,12 @@ object EventStreams {
       glob: String, schema: StructType): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$glob")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matched = Option(fs.globStatus(p)).getOrElse(Array.empty)
     val base = spark.readStream.schema(schema)
-    if (fs.exists(p) && fs.getFileStatus(p).isDirectory) base.parquet(p.toString)
+    // when the glob resolves to DIRECTORIES (Spark-written datasets:
+    // <dir>/events.parquet/part-*), stream the glob as the source path —
+    // pathGlobFilter matches LEAF FILE names and would see zero files
+    if (matched.nonEmpty && matched.forall(_.isDirectory)) base.parquet(p.toString)
     else base.option("pathGlobFilter", glob).parquet(dir)
   }
 

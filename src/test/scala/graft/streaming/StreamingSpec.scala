@@ -76,6 +76,24 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("win_counts").schema.fieldNames.contains("event_type"))
   }
 
+  test("wildcard glob resolves to the matched leaf files, not the dataset dir") {
+    // the documented 10x layout: events as a DIRECTORY of part files,
+    // selected by a wildcard glob; schema inference must resolve the
+    // glob (a literal fs.exists check fails on wildcards and would fall
+    // back to the parent dir, which here holds a second, incompatible
+    // table that must NOT poison inference)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-glob").toString
+    val events = graft.graph.GraphLoader.eventsTable(spark, sfDir).limit(50)
+    events.write.mode("overwrite").parquet(s"$tmp/events_0.parquet")
+    import spark.implicits._
+    Seq((1L, "other")).toDF("k", "v").write.mode("overwrite")
+      .parquet(s"$tmp/unrelated.parquet")
+    val out = windowedCountsStreamed(spark, tmp, glob = "events_*.parquet",
+      queryName = "glob_win")
+    assert(out.count() > 0, "stream must read the glob-matched files")
+    assert(out.schema.fieldNames.contains("event_type"))
+  }
+
   test("sessionizeWindowStreamed equals sessionizeBatch on the full table") {
     val ev = graft.graph.GraphLoader.eventsTable(spark, sfDir)
     val batch = sessionizeBatch(ev, gapMinutes = 30)
