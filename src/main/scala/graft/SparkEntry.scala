@@ -647,6 +647,12 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, dir) =>
       pipeline.Ann.ivfTopK(embs(s, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
 
+    // deterministic corpus k-means (topic/mixture primitive): md5-order
+    // seeds + fixed-round Lloyd replay, every distance/mean rounded —
+    // hash-derivable end-to-end, unlike the ML-lib KMeans inside IVF
+    "q_cluster" -> ((s, dir) =>
+      pipeline.Ann.kmeansCluster(embs(s, dir), k = 8, rounds = 3)),
+
     // numeric recall gate for the LSH path: hash-constructed buckets are
     // fully deterministic, so recall@10 vs the exact answer is a fixed
     // value per dataset — the oracle pins it (regression pin: a bucketing
@@ -1960,6 +1966,67 @@ object SparkEntry {
                FROM s)
          SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank"
          FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
+    // full fixed-round k-means replay: md5-order seeds, 3 assignment
+    // passes / 2 centroid updates, 6-dp rounding on every distance and
+    // mean (so cross-engine double noise can't flip an argmin), ties to
+    // the lowest cell, empty cells keep their centroid
+    "q_cluster" ->
+      """WITH e AS MATERIALIZED (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         pos AS MATERIALIZED (
+           SELECT unnest(range(1, (SELECT len(v) FROM e LIMIT 1) + 1)) AS p),
+         c0 AS MATERIALIZED (
+           SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell, v FROM (
+             SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h FROM e
+             ORDER BY h, vec_id LIMIT 8)),
+         d1 AS MATERIALIZED (
+           SELECT e.vec_id, c.cell,
+             round(list_sum(list_transform(range(1, len(e.v) + 1),
+               i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))), 6) AS d2
+           FROM e CROSS JOIN c0 c),
+         a1 AS MATERIALIZED (
+           SELECT vec_id, cell, d2 FROM (
+             SELECT vec_id, cell, d2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
+             FROM d1) WHERE rk = 1),
+         m1 AS MATERIALIZED (
+           SELECT a.cell, p.p, round(avg(e.v[p.p]), 6) AS m
+           FROM a1 a JOIN e USING (vec_id) CROSS JOIN pos p
+           GROUP BY a.cell, p.p),
+         c1 AS MATERIALIZED (
+           SELECT c.cell, COALESCE(g.v, c.v) AS v FROM c0 c LEFT JOIN (
+             SELECT cell, list(m ORDER BY p) AS v FROM m1 GROUP BY cell) g
+             USING (cell)),
+         d2s AS MATERIALIZED (
+           SELECT e.vec_id, c.cell,
+             round(list_sum(list_transform(range(1, len(e.v) + 1),
+               i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))), 6) AS d2
+           FROM e CROSS JOIN c1 c),
+         a2 AS MATERIALIZED (
+           SELECT vec_id, cell, d2 FROM (
+             SELECT vec_id, cell, d2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
+             FROM d2s) WHERE rk = 1),
+         m2 AS MATERIALIZED (
+           SELECT a.cell, p.p, round(avg(e.v[p.p]), 6) AS m
+           FROM a2 a JOIN e USING (vec_id) CROSS JOIN pos p
+           GROUP BY a.cell, p.p),
+         c2 AS MATERIALIZED (
+           SELECT c.cell, COALESCE(g.v, c.v) AS v FROM c1 c LEFT JOIN (
+             SELECT cell, list(m ORDER BY p) AS v FROM m2 GROUP BY cell) g
+             USING (cell)),
+         d3 AS MATERIALIZED (
+           SELECT e.vec_id, c.cell,
+             round(list_sum(list_transform(range(1, len(e.v) + 1),
+               i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))), 6) AS d2
+           FROM e CROSS JOIN c2 c),
+         a3 AS MATERIALIZED (
+           SELECT vec_id, cell, d2 FROM (
+             SELECT vec_id, cell, d2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
+             FROM d3) WHERE rk = 1)
+         SELECT vec_id, CAST(cell AS BIGINT) AS cluster, d2 AS dist2
+         FROM a3 ORDER BY vec_id""",
     // regression PIN, not a derivation: the LSH construction is pure
     // hashing (no RNG state), so recall@10 vs the exact answer is a fixed
     // value per dataset — measured 49/50 at sf0.01; a bucketing change

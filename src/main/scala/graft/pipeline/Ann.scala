@@ -271,4 +271,59 @@ object Ann {
         cosine(col("qvec"), col(vec)).as("sim"))
     topKPerQuery(scored, k)
   }
+
+  /** Deterministic corpus k-means over the embedding column — the topic /
+    * mixture-balancing primitive (cluster → inspect/re-weight per
+    * cluster). Unlike [[ivfTopK]]'s ML-lib KMeans (recall-gated, engine-
+    * private), this variant is REPLAY-EXACT on any engine, so the gate
+    * can hash-compare it like q_pagerank's fixed-round replay:
+    *  - seeds: the k rows with the smallest md5(id) (cluster j = j-th
+    *    smallest — a deterministic, derivable order);
+    *  - `rounds` Lloyd assignment passes with `rounds-1` centroid
+    *    updates between them; empty clusters keep their centroid;
+    *  - every distance and centroid mean is rounded to 6 decimals, so
+    *    cross-engine double summation-order noise (~1e-15) cannot flip
+    *    an argmin; ties break to the lowest cluster id.
+    *
+    * Scale: each pass is one scan of the corpus against a k×dim literal
+    * centroid table (driver-held, k·dim doubles); the update shuffles
+    * (cluster, pos) partial sums — map-side combined, k·dim groups. The
+    * only driver materialization is the k·dim centroid matrix per round.
+    */
+  def kmeansCluster(emb: DataFrame, k: Int = 8, rounds: Int = 3,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    require(k > 0 && rounds > 0)
+    val e = emb
+      .select(col(id), transform(col(vec), x => x.cast(DoubleType)).as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seeds = e
+      .withColumn("__h", md5(col(id).cast(StringType)))
+      .orderBy(col("__h"), col(id)).limit(k)
+      .select("__v").collect().map(_.getSeq[Double](0).toArray)
+    def dists(c: Array[Array[Double]]): Column = array(c.map { cj =>
+      round(aggregate(zip_with(col("__v"), typedLit(cj.toSeq),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x), 6)
+    }: _*)
+    def assign(c: Array[Array[Double]]): DataFrame = e
+      .withColumn("__d", dists(c))
+      .withColumn("cluster", array_position(col("__d"), array_min(col("__d"))) - 1)
+      .withColumn("dist2", element_at(col("__d"), (col("cluster") + 1).cast(IntegerType)))
+    var cents = seeds
+    (1 until rounds).foreach { _ =>
+      val byCell = assign(cents)
+        .select(col("cluster"), posexplode(col("__v")))
+        .groupBy("cluster", "pos").agg(round(avg("col"), 6).as("m"))
+        .collect()
+        .groupBy(_.getLong(0)).map { case (cell, rows) =>
+          cell.toInt -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+        }
+      cents = cents.indices.map(j => byCell.getOrElse(j, cents(j))).toArray
+    }
+    val out = assign(cents)
+      .select(col(id), col("cluster"), col("dist2"))
+      .orderBy(id)
+      .localCheckpoint()
+    e.unpersist()
+    out
+  }
 }

@@ -141,6 +141,24 @@ class PipelineSpec extends SparkSpec {
     assert(r.getDouble(3) >= 0.9, s"recall@10 ${r.getDouble(3)} below 0.9")
   }
 
+  test("kmeansCluster assignments are deterministic across partitionings") {
+    val base = Ann.kmeansCluster(embs, k = 8, rounds = 3)
+    val rows = base.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every vector assigned exactly once; all k clusters materialize on
+    // this corpus; distances are 6-dp rounded by construction
+    assert(rows.length == embs.count())
+    assert(rows.map(_._2).distinct.sorted.toSeq == (0L until 8L))
+    assert(rows.forall { case (_, _, d) => math.abs(d * 1e6 - math.round(d * 1e6)) < 1e-6 })
+    // bit-identical under a different physical layout — partial-sum
+    // order noise must be absorbed by the per-round rounding
+    val shuffled = Ann.kmeansCluster(embs.repartition(13), k = 8, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(shuffled.toSeq == rows.toSeq)
+    val single = Ann.kmeansCluster(embs.repartition(1), k = 8, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(single.toSeq == rows.toSeq)
+  }
+
   test("packByBudget matches the sequential contiguous-fill reference") {
     val budget = 512L
     val seq = docs.select("doc_id", "text").collect()
