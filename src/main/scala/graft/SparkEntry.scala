@@ -25,6 +25,15 @@ object SparkEntry {
 
   private val dec = DecimalType(18, 2)
 
+  /** Per-process scratch root for the round-trip/streaming gate queries.
+    * A FIXED /tmp path would let two concurrent Verify/Bench runs on one
+    * machine clobber each other's files mid-read; a fresh temp dir per
+    * JVM keeps runs isolated (results never depend on the path).
+    */
+  private lazy val scratchBase: String =
+    java.nio.file.Files.createTempDirectory("graft_gate_").toString
+  private def scratch(name: String): String = s"$scratchBase/$name"
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_region_revenue")(spark, "/root/testdata/sf0.001")
@@ -705,7 +714,7 @@ object SparkEntry {
     // breaks the hash.
     // ================================================================
     "q_csv_roundtrip" -> ((s, dir) => {
-      val tmp = "/tmp/graft_gate_csv"
+      val tmp = scratch("csv")
       sources.Tables.writeCsv(
         GraphLoader.table(lenient(s), dir, "customer")
           .select("c_custkey", "c_mktsegment", "c_acctbal"), tmp)
@@ -717,7 +726,7 @@ object SparkEntry {
     }),
 
     "q_json_roundtrip" -> ((s, dir) => {
-      val tmp = "/tmp/graft_gate_json"
+      val tmp = scratch("json")
       sources.Tables.writeJson(
         GraphLoader.table(lenient(s), dir, "nation")
           .select("n_nationkey", "n_name", "n_regionkey"), tmp)
@@ -728,7 +737,7 @@ object SparkEntry {
     }),
 
     "q_orc_roundtrip" -> ((s, dir) => {
-      val tmp = "/tmp/graft_gate_orc"
+      val tmp = scratch("orc")
       sources.Tables.writeOrc(
         GraphLoader.table(lenient(s), dir, "supplier")
           .select("s_suppkey", "s_nationkey", "s_acctbal"), tmp)
@@ -740,7 +749,7 @@ object SparkEntry {
     }),
 
     "q_snapshot_roundtrip" -> ((s, dir) => {
-      val tmp = "/tmp/graft_gate_snap"
+      val tmp = scratch("snap")
       val gr = g(s, dir)
       graph.PropertyGraph(
         Map("Region" -> gr.nodeFrame("Region"), "Nation" -> gr.nodeFrame("Nation")),
@@ -831,8 +840,8 @@ object SparkEntry {
     // as the source events (exactly-once per epoch)
     "q_stream_graph_update" -> ((s, dir) => {
       streaming.EventStreams.edgeAppendRun(lenient(s), dir,
-          edgeDir = "/tmp/graft_gate_stream_edges",
-          checkpointDir = "/tmp/graft_gate_stream_ckpt")
+          edgeDir = scratch("stream_edges"),
+          checkpointDir = scratch("stream_ckpt"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("cnt"),
           countDistinct(col(graph.PropertyGraph.EID)).as("n_edges"))
@@ -929,10 +938,34 @@ object SparkEntry {
     * memo hands every consumer the same materialized frame.
     */
   private val pairsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def dupPairs(s: SparkSession, dir: String): DataFrame =
-    pairsCache.getOrElseUpdate((s, dir),
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  /** Fingerprint of the documents table's files (name, length, mtime):
+    * part of the memo key, so regenerating testdata in place invalidates
+    * the memoized pair frame instead of returning stale pairs (sessions
+    * that never hit the bench reset hook get correctness, not staleness).
+    */
+  private def docsFingerprint(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val statuses =
+      if (!fs.exists(p)) Seq.empty
+      else if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+      else Seq(fs.getFileStatus(p))
+    statuses.map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("|")
+  }
+
+  private def dupPairs(s: SparkSession, dir: String): DataFrame = {
+    val fp = docsFingerprint(s, dir)
+    // evict superseded generations of this (session, dir) so their
+    // localCheckpoint-backed frames don't accumulate for the process life
+    pairsCache.keys
+      .filter(k => k._1 == s && k._2 == dir && k._3 != fp)
+      .foreach(pairsCache.remove)
+    pairsCache.getOrElseUpdate((s, dir, fp),
       pipeline.Dedup.jaccardPrefix(docs(s, dir)))
+  }
 
   /** Drop this session's memoized pair frames. The bench harness
     * unpersists every RDD between queries — which frees the memoized

@@ -18,12 +18,16 @@ for t in glob.glob(os.path.join(sf_dir, "*.parquet")):
     name = os.path.basename(t).replace(".parquet", "")
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{t}')")
 
+def _driver_sort_crash_probe(df):
+    """Driver parity #1: the driver sorts with pandas sort_values, which
+    CRASHES on unhashable cells (raw array columns). ONLY the exception
+    matters — the sorted result is discarded on purpose (the real
+    ordering happens in canon()'s sorted() below)."""
+    df.sort_values(by=list(df.columns), kind="mergesort")
+
 def canon(df):
     df = df[sorted(df.columns)]
-    # Driver parity #1: the driver sorts with pandas sort_values, which
-    # CRASHES on unhashable cells (raw array columns). Reproduce that
-    # failure mode locally instead of silently tolerating it.
-    df.sort_values(by=list(df.columns), kind="mergesort")
+    _driver_sort_crash_probe(df)
     # Driver parity #2: the driver hashes values exactly, so an int64
     # column vs a float64 column ('11' vs '11.0') is a mismatch. repr()
     # of the exact float keeps the trailing '.0' that %.9g used to hide.
