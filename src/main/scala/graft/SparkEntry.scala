@@ -432,6 +432,11 @@ object SparkEntry {
     "q_commonness" -> ((s, dir) =>
       pipeline.TextOps.commonness(docs(s, dir))),
 
+    // C4/Gopher heuristic filter battery (word/line-shape signals +
+    // published keep thresholds) — the cheap first gate of a pipeline
+    "q_heuristics" -> ((s, dir) =>
+      pipeline.TextOps.heuristicFilters(docs(s, dir))),
+
     // RefinedWeb-style corpus-wide line dedup (boilerplate removal)
     "q_line_dedup" -> ((s, dir) =>
       pipeline.TextOps.lineDedup(docs(s, dir))),
@@ -688,6 +693,23 @@ object SparkEntry {
           pipeline.Ann.ivfTopK(e, qids, k = 10))
         .select(col("n_queries"), col("n_total"),
           (floor(col("recall") * 10) / 10.0).as("recall_floor"))
+    }),
+
+    // per-dimension symmetric int8 quantization: integer codes are
+    // bit-identical cross-engine, max reconstruction error is
+    // order-independent — fully derived by the oracle
+    "q_quantize" -> ((s, dir) =>
+      pipeline.Ann.quantizeInt8(embs(s, dir))),
+
+    // full-value recall pin for brute-force search over the quantized
+    // corpus (codes are integers, dequantize is one fixed expression —
+    // deterministic, unlike IVF's float-sum centroids)
+    "q_ann_int8_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val qids = Seq(0L, 1L, 2L, 3L, 4L)
+      pipeline.Ann.recallAt(
+        pipeline.Ann.cosineTopK(e, qids, k = 10),
+        pipeline.Ann.int8TopK(e, qids, k = 10))
     }),
 
     // exact kNN graph over a FIXED-SIZE deterministic hash sample — the
@@ -1478,6 +1500,35 @@ object SparkEntry {
            CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio,
            (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * (1.0 - CAST(punct AS DOUBLE) / nc) AS quality_score
          FROM t ORDER BY doc_id""",
+    // C4/Gopher battery fully derived: same tokenization as q_quality,
+    // lines split on \n; none of the regex alternations contain a
+    // prefix-overlapping pair, so Java (leftmost-first) and RE2
+    // (leftmost-longest) count identical matches
+    "q_heuristics" ->
+      """WITH t AS (
+           SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS toks,
+             string_split(text, chr(10)) AS ln,
+             text
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(len(ln) AS BIGINT) AS n_lines,
+             CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / len(toks) AS mean_word_len,
+             CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE) / len(toks) AS symbol_word_ratio,
+             CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / len(toks) AS alpha_word_ratio,
+             CAST(len(list_filter(ln, l -> regexp_matches(l, '^\s*[-*•]'))) AS DOUBLE) / len(ln) AS bullet_line_frac,
+             CAST(len(list_filter(ln, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS DOUBLE) / len(ln) AS ellipsis_line_frac,
+             CAST(len(list_filter(ln, l -> regexp_matches(l, '[.!?"]\s*$'))) AS DOUBLE) / len(ln) AS terminal_line_frac,
+             CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS n_sentences
+           FROM t)
+         SELECT *,
+           (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
+            AND ellipsis_line_frac <= 0.3 AND alpha_word_ratio >= 0.8) AS gopher_keep,
+           (n_sentences >= 3 AND terminal_line_frac >= 0.5) AS c4_keep
+         FROM m ORDER BY doc_id""",
     "q_langid" ->
       """WITH t AS (
            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
@@ -2068,6 +2119,36 @@ object SparkEntry {
       """SELECT CAST(5 AS BIGINT) AS n_queries, CAST(49 AS BIGINT) AS n_hits,
          CAST(50 AS BIGINT) AS n_total,
          CAST(49 AS DOUBLE) / CAST(50 AS DOUBLE) AS recall""",
+    // int8 quantization fully derived: per-dim absmax scales, one fixed
+    // IEEE expression shape for codes (bit-identical), max (not sum)
+    // reconstruction error so no summation-order noise
+    "q_quantize" ->
+      """WITH e AS MATERIALIZED (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         pos AS MATERIALIZED (
+           SELECT t.i AS p, max(abs(v[t.i])) AS scale
+           FROM e, unnest(range(1, len(v) + 1)) AS t(i)
+           GROUP BY t.i),
+         sc AS MATERIALIZED (SELECT list(scale ORDER BY p) AS s FROM pos),
+         q AS (
+           SELECT vec_id,
+             list_transform(range(1, len(v) + 1), i ->
+               CASE WHEN s[i] = 0 THEN 0
+                    ELSE GREATEST(-127, LEAST(127, CAST(floor(v[i] / s[i] * 127 + 0.5) AS BIGINT)))
+               END) AS codes,
+             v, s
+           FROM e CROSS JOIN sc)
+         SELECT vec_id,
+           array_to_string(codes, ',') AS codes,
+           list_max(list_transform(range(1, len(v) + 1), i ->
+             abs(v[i] - codes[i] * s[i] / 127.0))) AS max_abs_err
+         FROM q ORDER BY vec_id""",
+    // full-value PIN (like q_ann_lsh_recall): quantized-search recall is
+    // deterministic — integer codes + one fixed dequantize expression
+    "q_ann_int8_recall" ->
+      """SELECT CAST(5 AS BIGINT) AS n_queries, CAST(50 AS BIGINT) AS n_hits,
+         CAST(50 AS BIGINT) AS n_total,
+         CAST(50 AS DOUBLE) / CAST(50 AS DOUBLE) AS recall""",
     // decade-floored pin (k-means centroids aren't bit-stable across
     // partitionings the way LSH hashing is): measured 38/50 = 0.76,
     // floor 0.7 — tolerant to ±1-hit drift, red on material degradation

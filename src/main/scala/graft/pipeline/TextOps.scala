@@ -871,4 +871,69 @@ object TextOps {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
       .orderBy(id)
   }
+
+  // ---- heuristic quality battery (q_heuristics) ----
+
+  /** Document-level heuristic filter battery in the C4 (Raffel et al.
+    * 2020 §2.2) / Gopher (Rae et al. 2021 Table A1) family — the cheap
+    * first gate of a web-scale pipeline, distinct from [[quality]]'s
+    * ratio scoring and [[repetition]]'s duplication signals:
+    *
+    *  - word shape: count, mean length, symbol-to-word ratio ("#" and
+    *    "..."/"…" occurrences per word), fraction of words with ≥1
+    *    alphabetic character;
+    *  - line shape: bullet-start and ellipsis-end line fractions, plus
+    *    C4's terminal-punctuation line fraction;
+    *  - `gopher_keep`: the published Gopher thresholds (50 ≤ words ≤
+    *    100k, 3 ≤ mean word length ≤ 10, symbol ratio ≤ 0.1, bullet
+    *    lines ≤ 90%, ellipsis lines ≤ 30%, alpha words ≥ 80%);
+    *  - `c4_keep`: ≥ 3 sentences (statement-terminator count) and ≥ 50%
+    *    of lines ending in terminal punctuation.
+    *
+    * Every signal is one codegen'd expression over the text column —
+    * zero shuffle beyond the gate's output ordering; at 100 TB this is
+    * scan-bound and the keep flags prune the corpus before any
+    * shuffle-bearing stage runs. Emits the signals, not just the
+    * verdicts, so thresholds can be re-tuned without a re-scan.
+    */
+  def heuristicFilters(docs: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val t = col(text)
+    val toks = tokens(t)
+    val nWords = size(toks).cast(LongType)
+    val lines = split(t, "\n")
+    val nLines = size(lines).cast(LongType)
+    def lineFrac(pattern: String): Column =
+      size(filter(lines, l => l.rlike(pattern))).cast(DoubleType) / nLines
+    val meanWordLen =
+      aggregate(toks, lit(0L), (acc, w) => acc + length(w))
+        .cast(DoubleType) / nWords
+    val symbolRatio =
+      regexp_count(t, lit("#|\\.\\.\\.|…")).cast(DoubleType) / nWords
+    val alphaRatio =
+      size(filter(toks, w => w.rlike("[A-Za-z]"))).cast(DoubleType) / nWords
+    val bulletFrac = lineFrac("^\\s*[-*•]")
+    val ellipsisFrac = lineFrac("(\\.\\.\\.|…)\\s*$")
+    val terminalFrac = lineFrac("[.!?\"]\\s*$")
+    val nSentences = regexp_count(t, lit("[.!?]")).cast(LongType)
+    docs.select(col(id),
+        nWords.as("n_words"), nLines.as("n_lines"),
+        meanWordLen.as("mean_word_len"),
+        symbolRatio.as("symbol_word_ratio"),
+        alphaRatio.as("alpha_word_ratio"),
+        bulletFrac.as("bullet_line_frac"),
+        ellipsisFrac.as("ellipsis_line_frac"),
+        terminalFrac.as("terminal_line_frac"),
+        nSentences.as("n_sentences"))
+      .withColumn("gopher_keep",
+        col("n_words").between(50L, 100000L) &&
+        col("mean_word_len").between(3.0, 10.0) &&
+        col("symbol_word_ratio") <= 0.1 &&
+        col("bullet_line_frac") <= 0.9 &&
+        col("ellipsis_line_frac") <= 0.3 &&
+        col("alpha_word_ratio") >= 0.8)
+      .withColumn("c4_keep",
+        col("n_sentences") >= 3L && col("terminal_line_frac") >= 0.5)
+      .orderBy(id)
+  }
 }

@@ -793,4 +793,65 @@ class PipelineSpec extends SparkSpec {
     // doc 4 survives with empty stats
     assert(out(4L) == ((0L, 0L, "")))
   }
+
+  test("quantizeInt8: codes bounded, error within half a step, partitioning-invariant") {
+    val q = Ann.quantizeInt8(embs).collect()
+    assert(q.length == embs.count())
+    q.foreach { r =>
+      val codes = r.getString(1).split(",").map(_.toLong)
+      assert(codes.forall(c => c >= -127 && c <= 127), s"code out of range: ${r.getString(1)}")
+    }
+    // per-dim error is ≤ scale_i/254 (half a quantization step); bound
+    // globally by the widest dimension's step
+    val maxScale = embs
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+      .agg(max(abs(col("v")))).head().getDouble(0)
+    val maxErr = q.map(_.getDouble(2)).max
+    assert(maxErr <= maxScale / 254.0 * (1 + 1e-9), s"err $maxErr vs step ${maxScale / 254.0}")
+    // integer codes make the whole frame partitioning-invariant
+    val re = Ann.quantizeInt8(embs.repartition(7)).collect()
+    assert(q.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      re.map(r => (r.getLong(0), r.getString(1))).toSeq)
+  }
+
+  test("int8TopK: near-exact recall on the 5k clustered corpus") {
+    import org.apache.spark.sql.Column
+    def u(salt: String, a: Column, b: Column): Column =
+      pmod(xxhash64(lit(salt), a, b), lit(100000L)).cast("double") / 100000.0 - 0.5
+    val e = spark.range(5000).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(31)),
+        d => (u("c", pmod(col("id"), lit(50)), d) + lit(0.08) * u("n", col("id"), d))
+          .cast("float")).as("embedding"))
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val rec = Ann.recallAt(
+      Ann.cosineTopK(e, qids, k = 10),
+      Ann.int8TopK(e, qids, k = 10)).head()
+    assert(rec.getDouble(3) >= 0.95, s"int8 recall@10 at 5k: ${rec.getDouble(3)}")
+  }
+
+  test("heuristicFilters: planted shapes hit the published thresholds") {
+    import spark.implicits._
+    val good = Seq.tabulate(10)(i =>
+      s"The quick brown fox jumps over the lazy dog number $i.").mkString("\n")
+    val bullets = Seq.fill(10)("- item one two three four five six").mkString("\n")
+    val ellipses = Seq.fill(10)("click here to read more...").mkString("\n")
+    val symbols = ("# " * 60).trim
+    val df = Seq((1L, good), (2L, bullets), (3L, ellipses), (4L, symbols))
+      .toDF("doc_id", "text")
+    val m = TextOps.heuristicFilters(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getAs[Boolean]("gopher_keep") && m(1L).getAs[Boolean]("c4_keep"))
+    assert(m(1L).getAs[Double]("terminal_line_frac") == 1.0)
+    assert(m(1L).getAs[Long]("n_words") == 110L)
+    // 100% bullet lines > the 90% Gopher cap
+    assert(!m(2L).getAs[Boolean]("gopher_keep"))
+    assert(m(2L).getAs[Double]("bullet_line_frac") == 1.0)
+    // 100% ellipsis lines > the 30% cap (and under the 50-word floor)
+    assert(!m(3L).getAs[Boolean]("gopher_keep"))
+    assert(m(3L).getAs[Double]("ellipsis_line_frac") == 1.0)
+    // all-symbol doc: ratio 1.0 > 0.1, zero alpha words, words too short
+    assert(!m(4L).getAs[Boolean]("gopher_keep"))
+    assert(m(4L).getAs[Double]("symbol_word_ratio") == 1.0)
+    assert(m(4L).getAs[Double]("alpha_word_ratio") == 0.0)
+  }
 }
