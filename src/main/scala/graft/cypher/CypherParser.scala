@@ -25,6 +25,9 @@ object CypherParser {
   private val aggNames = Set("count", "sum", "avg", "min", "max", "collect",
     "stdev", "stdevp", "percentilecont", "percentiledisc")
 
+  /** Is this function name itself an aggregate? */
+  def isAggFunc(name: String): Boolean = aggNames(name.toLowerCase)
+
   /** Does the expression contain an aggregate call (at any depth)? */
   def containsAgg(e: Expr): Boolean = e match {
     case Func(n, args, _) =>

@@ -95,38 +95,56 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
               case _ => false
             }
             val pre = scala.collection.mutable.Buffer.empty[Item]
+            var liftN = 0
+            // Rewrite an aggregating item for the split: every aggregate
+            // call's arguments lift into per-label pre-columns; the
+            // expression AROUND the aggregates (count(n)+1, avg(x)*2,
+            // sum(a)/sum(b), toFloat(count(n))...) survives verbatim and
+            // evaluates once over the global aggregation — the read
+            // compiler accepts aggregates nested in expressions natively.
+            // A non-constant non-aggregate subtree outside any aggregate
+            // (`n.x + count(*)`) is an implicit-grouping shape the
+            // reference also rejects; it errors downstream when `n`
+            // fails to resolve over the union frame.
+            def liftAgg(e: Expr, i: Int): Expr = e match {
+              case Func(fn, args, dist) if CypherParser.isAggFunc(fn) =>
+                val gargs = args.map {
+                  // count(*): count a constant over the union rows
+                  case Star => Lit(1L)
+                  case a if isConst(a) => a
+                  // plain count only needs a null indicator — lifting
+                  // it (not the value) keeps `count(n)` workable when
+                  // the entity structs are heterogeneous across labels
+                  case a if fn.equalsIgnoreCase("count") && !dist =>
+                    val nm = s"__ua_${i}_$liftN"; liftN += 1
+                    pre += Item(CaseExpr(None,
+                      Seq((IsNull(a, negated = true), Lit(1L))), None),
+                      Some(nm), nm)
+                    Var(nm)
+                  case a =>
+                    val nm = s"__ua_${i}_$liftN"; liftN += 1
+                    pre += Item(a, Some(nm), nm)
+                    Var(nm)
+                }
+                Func(fn, gargs, dist)
+              case Bin(op, l, r) => Bin(op, liftAgg(l, i), liftAgg(r, i))
+              case Not(x) => Not(liftAgg(x, i))
+              case Neg(x) => Neg(liftAgg(x, i))
+              case IsNull(x, neg) => IsNull(liftAgg(x, i), neg)
+              case Func(fn, args, d) => Func(fn, args.map(liftAgg(_, i)), d)
+              case CaseExpr(sel, ws, o) => CaseExpr(sel.map(liftAgg(_, i)),
+                ws.map { case (a, b) => (liftAgg(a, i), liftAgg(b, i)) },
+                o.map(liftAgg(_, i)))
+              case other => other
+            }
             val globalItems = p.items.zipWithIndex.map { case (it, i) =>
               it.expr match {
                 case e if !CypherParser.containsAgg(e) =>
                   val nm = s"__uk_$i"
                   pre += Item(e, Some(nm), nm)
                   Item(Var(nm), Some(it.name), it.name)
-                case Func(fn, args, dist) =>
-                  val gargs = args.zipWithIndex.map { case (a, j) =>
-                    a match {
-                      // count(*): count a constant over the union rows
-                      case Star => Lit(1L)
-                      case a if isConst(a) => a
-                      // plain count only needs a null indicator — lifting
-                      // it (not the value) keeps `count(n)` workable when
-                      // the entity structs are heterogeneous across labels
-                      case a if fn.equalsIgnoreCase("count") && !dist =>
-                        val nm = s"__ua_${i}_$j"
-                        pre += Item(CaseExpr(None,
-                          Seq((IsNull(a, negated = true), Lit(1L))), None),
-                          Some(nm), nm)
-                        Var(nm)
-                      case a =>
-                        val nm = s"__ua_${i}_$j"
-                        pre += Item(a, Some(nm), nm)
-                        Var(nm)
-                    }
-                  }
-                  Item(Func(fn, gargs, dist), Some(it.name), it.name)
-                case _ => sys.error(
-                  "aggregates nested inside expressions are unsupported " +
-                    "over an unlabeled write match — label the matched " +
-                    "variable or aggregate in a separate item")
+                case e =>
+                  Item(liftAgg(e, i), Some(it.name), it.name)
               }
             }
             // ORDER BY over an expression that is not one of the output

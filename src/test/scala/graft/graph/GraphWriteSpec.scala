@@ -429,10 +429,25 @@ class GraphWriteSpec extends SparkSpec {
       "MATCH (n) SET n.x = 1 RETURN id(n) AS i ORDER BY -id(n) LIMIT 1")
     assert(retO.get.collect().map(_.getLong(0)).toSeq == Seq(2L))
     assert(retO.get.columns.toSeq == Seq("i"), "hidden sort column must not leak")
-    // aggregates nested inside expressions still reject
-    val err = intercept[RuntimeException](
-      g.cypherWrite("MATCH (n) SET n.x = 1 RETURN count(n) + 1 AS c"))
-    assert(err.getMessage.contains("nested inside expressions"))
+    // aggregates nested inside expressions evaluate over the global
+    // aggregation (r13: the last rejected shape)
+    val (_, retE) = g.cypherWrite(
+      "MATCH (n) SET n.x = 1 RETURN count(n) + 1 AS c")
+    assert(retE.get.collect()(0).getLong(0) == 4L)
+    val (_, retE2) = g.cypherWrite(
+      "MATCH (n) SET n.x = 1 RETURN avg(id(n)) * 3.0 AS a, sum(id(n)) + count(n) AS s")
+    val re2 = retE2.get.collect()(0)
+    assert(math.abs(re2.getDouble(0) - 4.0) < 1e-9 && re2.getLong(1) == 7L)
+    // scalar function over an aggregate, and agg in CASE
+    val (_, retE3) = g.cypherWrite(
+      "MATCH (n) SET n.x = 1 RETURN toString(count(n)) AS t, " +
+        "CASE WHEN count(n) > 2 THEN 'many' ELSE 'few' END AS sz")
+    val re3 = retE3.get.collect()(0)
+    assert(re3.getString(0) == "3" && re3.getString(1) == "many")
+    // implicit grouping (row expr outside the aggregate) still errors
+    intercept[Exception](
+      g.cypherWrite("MATCH (n) SET n.x = 1 RETURN id(n) + count(n) AS b")
+        ._2.get.collect())
   }
 
   test("snapshot save/load round-trips a written graph") {
