@@ -437,6 +437,10 @@ object SparkEntry {
     "q_heuristics" -> ((s, dir) =>
       pipeline.TextOps.heuristicFilters(docs(s, dir))),
 
+    // per-language dataset-card summary (one partial-combining agg)
+    "q_corpus_stats" -> ((s, dir) =>
+      pipeline.TextOps.corpusStats(docs(s, dir))),
+
     // RefinedWeb-style corpus-wide line dedup (boilerplate removal)
     "q_line_dedup" -> ((s, dir) =>
       pipeline.TextOps.lineDedup(docs(s, dir))),
@@ -584,6 +588,24 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("t_us"),
           col("asof_time").as("err_t_us"), col("asof_value").as("err_value"),
           (col("t_us") - col("asof_time")).as("gap_us"))
+        .orderBy("event_id")
+    }),
+
+    // forward as-of join (same one-shuffle merge shape, window looks
+    // FORWARD): every event gets the user's next error at-or-after it
+    "q_asof_fwd" -> ((s, dir) => {
+      val ev = GraphLoader.eventsTable(lenient(s), dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("t_us"), col("event_type"), col("value"))
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("t_us"), col("value"))
+      operators.Temporal.asofJoinForward(
+          ev.select("event_id", "user_id", "t_us"), errs,
+          keys = Seq("user_id"), leftTime = "t_us", rightTime = "t_us",
+          rightCols = Seq("value"))
+        .select(col("event_id"), col("user_id"), col("t_us"),
+          col("asof_time").as("err_t_us"), col("asof_value").as("err_value"),
+          (col("asof_time") - col("t_us")).as("gap_us"))
         .orderBy("event_id")
     }),
 
@@ -770,6 +792,21 @@ object SparkEntry {
         .orderBy("nk")
     }),
 
+    // hive-partitioned write + pruned read-back: only the lang='en'
+    // directory's files are opened (PartitionFilters, pinned by
+    // SourcesSpec) — the per-language-read layout lever at corpus scale
+    "q_partition_prune" -> ((s, dir) => {
+      val tmp = scratch("part_docs")
+      sources.Tables.writePartitioned(
+        GraphLoader.table(lenient(s), dir, "documents")
+          .select("doc_id", "source", "n_chars", "lang"), tmp, "lang")
+      sources.Tables.readPartitioned(s, tmp)
+        .filter(col("lang") === "en")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+        .orderBy("source")
+    }),
+
     "q_snapshot_roundtrip" -> ((s, dir) => {
       val tmp = scratch("snap")
       val gr = g(s, dir)
@@ -850,6 +887,24 @@ object SparkEntry {
     // to the same user's errors from the trailing 30 minutes
     "q_stream_join" -> ((s, dir) =>
       streaming.EventStreams.intervalJoinStreamed(lenient(s), dir)),
+
+    // stream-static enrichment: streamed events broadcast-joined to the
+    // customer→nation dimension inside each micro-batch (no state, no
+    // watermark); stateless, so the batch-join oracle gates it directly
+    "q_stream_enrich" -> ((s, dir) => {
+      val ss = lenient(s)
+      val cust = GraphLoader.table(ss, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+      val nat = GraphLoader.table(ss, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      val dim = cust.join(nat, col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+          col("n_name").as("nation"))
+      streaming.EventStreams.enrichStreamed(ss, dir, dim, "c_custkey")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("segment"), col("nation"))
+        .orderBy("event_id")
+    }),
 
     // train/val/test assignment through Structured Streaming ingest —
     // stateless per-row hash, so any micro-batch order lands every doc
@@ -1500,6 +1555,26 @@ object SparkEntry {
            CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio,
            (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * (1.0 - CAST(punct AS DOUBLE) / nc) AS quality_score
          FROM t ORDER BY doc_id""",
+    // dataset-card summary: every column re-derived from the raw table;
+    // the share window runs over the tiny per-lang agg frame
+    "q_corpus_stats" ->
+      """WITH s AS (
+           SELECT lang, count(*) AS n_docs,
+             sum(CAST(length(text) AS BIGINT)) AS total_chars,
+             min(CAST(length(text) AS BIGINT)) AS min_chars,
+             max(CAST(length(text) AS BIGINT)) AS max_chars,
+             sum(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)) AS total_tokens,
+             count(DISTINCT source) AS n_sources
+           FROM documents GROUP BY lang)
+         SELECT lang, n_docs,
+           CAST(total_chars AS BIGINT) AS total_chars,
+           CAST(total_chars AS DOUBLE) / n_docs AS mean_chars,
+           min_chars, max_chars,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           CAST(total_tokens AS DOUBLE) / n_docs AS mean_tokens,
+           n_sources,
+           CAST(n_docs AS DOUBLE) / sum(n_docs) OVER () AS doc_share
+         FROM s ORDER BY lang""",
     // C4/Gopher battery fully derived: same tokenization as q_quality,
     // lines split on \n; none of the regex alternations contain a
     // prefix-overlapping pair, so Java (leftmost-first) and RE2
@@ -1736,6 +1811,24 @@ object SparkEntry {
            FROM l)
          SELECT m.event_id, m.user_id, m.t_us, m.err_t_us,
            r.err_value, m.t_us - m.err_t_us AS gap_us
+         FROM m LEFT JOIN r
+           ON r.user_id = m.user_id AND r.rt = m.err_t_us
+         ORDER BY m.event_id""",
+    // forward as-of semantics replayed relationally: correlated MIN over
+    // right rows at-or-after each left timestamp
+    "q_asof_fwd" ->
+      """WITH r AS (
+           SELECT user_id, epoch_us(ts) AS rt, max(value) AS err_value
+           FROM events WHERE event_type = 'error'
+           GROUP BY user_id, epoch_us(ts)),
+         l AS (SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events),
+         m AS (
+           SELECT l.event_id, l.user_id, l.t_us,
+             (SELECT min(r.rt) FROM r
+              WHERE r.user_id = l.user_id AND r.rt >= l.t_us) AS err_t_us
+           FROM l)
+         SELECT m.event_id, m.user_id, m.t_us, m.err_t_us,
+           r.err_value, m.err_t_us - m.t_us AS gap_us
          FROM m LEFT JOIN r
            ON r.user_id = m.user_id AND r.rt = m.err_t_us
          ORDER BY m.event_id""",
@@ -2167,6 +2260,13 @@ object SparkEntry {
       """SELECT s_nationkey AS nk, count(*) AS cnt,
          CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
          FROM supplier GROUP BY 1 ORDER BY nk""",
+    // the pruned partitioned read-back equals a filtered scan of the
+    // source table
+    "q_partition_prune" ->
+      """SELECT source, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM documents WHERE lang = 'en'
+         GROUP BY source ORDER BY source""",
     "q_snapshot_roundtrip" ->
       """SELECT r_name, count(*) AS n_nations
          FROM nation JOIN region ON n_regionkey = r_regionkey
@@ -2222,6 +2322,15 @@ object SparkEntry {
           AND e.event_type <> 'error'
           AND x.ts <= e.ts AND x.ts >= e.ts - INTERVAL 30 MINUTE
          ORDER BY e.event_id, err_us""",
+    // stateless enrichment: the streamed broadcast join equals the
+    // batch join row-for-row on bounded input
+    "q_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, e.event_type, e.value,
+           c.c_mktsegment AS segment, n.n_name AS nation
+         FROM events e
+         JOIN customer c ON c.c_custkey = e.user_id
+         JOIN nation n ON n.n_nationkey = c.c_nationkey
+         ORDER BY e.event_id""",
     // same sessionization oracle gates the batch twin and the
     // session_window Structured Streaming run (see q_stream_window_agg)
     "q_stream_sessionize" ->

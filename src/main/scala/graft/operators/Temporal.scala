@@ -67,6 +67,52 @@ object Temporal {
             matched.getField("_rv").getField(c).as(s"asof_$c"))): _*)
   }
 
+  /** Forward (earliest-at-or-after) as-of join — the mirror of
+    * [[asofJoin]]: for every `left` row, attaches the `right` row with
+    * the SMALLEST `rightTime >= leftTime` within the same `keys` group
+    * (the "next scheduled maintenance / next price tick" shape). Same
+    * distributed form — union tagged, ONE keyed exchange, one sort, a
+    * `first(_, ignoreNulls)` window over FOLLOWING rows — and the same
+    * deterministic tie-break (greatest `rightCols` tuple at equal
+    * (keys, time)). `tolerance` nulls matches later than
+    * `leftTime + tolerance`.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, rightCols: Seq[String],
+      tolerance: Option[Long] = None): DataFrame = {
+    require(rightCols.nonEmpty, "rightCols must name at least one column")
+    val k = keys.map(col)
+    val r = right
+      .groupBy((k :+ col(rightTime).as("_t")): _*)
+      .agg(max(struct(rightCols.map(col): _*)).as("_rv"))
+      .select(k ++ Seq(col("_t"), lit(1).as("_tag"),
+        struct(col("_t").as("_rt"), col("_rv")).as("_m")): _*)
+    val lCols = left.columns.toSeq
+    val l = left.select(
+      (k ++ Seq(col(leftTime).as("_t"), lit(0).as("_tag"),
+        lit(null).cast(r.schema("_m").dataType).as("_m"),
+        struct(lCols.map(col): _*).as("_lrow"))): _*)
+    val rAligned = r.withColumn("_lrow", lit(null).cast(l.schema("_lrow").dataType))
+      .select(l.columns.map(col): _*)
+    // left rows (tag 0) sort BEFORE right rows at equal time, and the
+    // window looks FORWARD → equal-time right rows are visible: inclusive
+    val w = Window.partitionBy(k: _*).orderBy(col("_t"), col("_tag"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = l.unionByName(rAligned)
+      .withColumn("_c", first(col("_m"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 0)
+    val inTol = tolerance match {
+      case Some(t) => col("_c").isNotNull && (col("_c._rt") - col("_t") <= t)
+      case None => col("_c").isNotNull
+    }
+    val matched = when(inTol, col("_c"))
+    carried.select(
+      lCols.map(c => col(s"_lrow.$c").as(c)) ++
+        (matched.getField("_rt").as("asof_time") +:
+          rightCols.map(c =>
+            matched.getField("_rv").getField(c).as(s"asof_$c"))): _*)
+  }
+
   /** Point-in-interval range join, bucketized to an equi-join.
     *
     * Stock Spark plans `p BETWEEN start AND end` as BroadcastNestedLoop

@@ -299,6 +299,49 @@ object TextOps {
       .orderBy(id)
   }
 
+  // ---- corpus summary statistics (q_corpus_stats) ----
+
+  /** Per-stratum dataset-card report: document counts, char/token totals
+    * and means, source diversity, and each stratum's share of the corpus
+    * — the summary table a training-data release ships alongside the
+    * shards.
+    *
+    * Scale shape: ONE partial-combining hash aggregate over scan-side
+    * expressions (token counts computed per row, never exploded); the
+    * wire carries one agg-state row per (stratum, partition). The
+    * corpus-share window runs over the AGGREGATED frame — its row count
+    * is the stratum cardinality (bounded, e.g. #languages), so the
+    * no-partition window is a constant-size reduction, not a corpus
+    * funnel.
+    */
+  def corpusStats(docs: DataFrame, stratCol: String = "lang",
+      id: String = "doc_id", text: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = col(text)
+    val perStrat = docs
+      .select(col(stratCol), length(t).cast(LongType).as("nc"),
+        size(tokens(t)).cast(LongType).as("nt"), col(sourceCol))
+      .groupBy(col(stratCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("nc").as("total_chars"),
+        min("nc").as("min_chars"),
+        max("nc").as("max_chars"),
+        sum("nt").as("total_tokens"),
+        countDistinct(col(sourceCol)).as("n_sources"))
+    perStrat
+      .select(col(stratCol), col("n_docs"), col("total_chars"),
+        (col("total_chars").cast(DoubleType) / col("n_docs")).as("mean_chars"),
+        col("min_chars"), col("max_chars"), col("total_tokens"),
+        (col("total_tokens").cast(DoubleType) / col("n_docs")).as("mean_tokens"),
+        col("n_sources"),
+        (col("n_docs").cast(DoubleType) /
+          sum("n_docs").over(Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+          .as("doc_share"))
+      .orderBy(stratCol)
+  }
+
   /** md5-prefix 60-bit hash — the engine-portable leaf hash shared by
     * the *Portable twins: 15 hex chars keep the value positive in a
     * signed BIGINT on any engine, so a DuckDB oracle can DERIVE twin

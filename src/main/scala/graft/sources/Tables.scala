@@ -64,6 +64,22 @@ object Tables {
       key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
 
+  // ---- hive-partitioned layout (partition pruning) ----
+
+  /** Write a frame hive-partitioned by `partCols` (one directory per
+    * distinct value combination). Reading back with a filter on a
+    * partition column prunes whole directories at PLANNING time — the
+    * scan's `PartitionFilters` never opens a data file in a pruned
+    * partition, turning a corpus-wide read into a per-language (or
+    * per-date, per-source) read. This is the directory-layout lever for
+    * 100 TB corpora; SourcesSpec pins the pruned-scan plan.
+    */
+  def writePartitioned(df: DataFrame, path: String, partCols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
+
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   // ---- catalog report (cli `info` analog) ----
 
   /** One row per node label and edge class: kind, name, row count, and

@@ -338,6 +338,31 @@ object EventStreams {
     spark.table(queryName).orderBy("doc_id")
   }
 
+  /** STREAM-STATIC enrichment join: file-stream ingest of events
+    * (availableNow) → broadcast inner join to a static dimension frame →
+    * append-mode memory sink. The canonical ingest-enrichment shape: the
+    * dimension is bounded (customers × nations), so Spark re-plans it as
+    * a broadcast hash join inside every micro-batch — NO streaming
+    * state, no watermark, no shuffle of the stream side; each batch is
+    * embarrassingly parallel at any stream volume. Stateless per-row
+    * semantics make the drained output equal to the batch join, so the
+    * batch oracle gates it directly.
+    */
+  def enrichStreamed(spark: SparkSession, eventsDir: String, dim: DataFrame,
+      dimKey: String, glob: String = "events.parquet",
+      queryName: String = "q_stream_enrich"): DataFrame = {
+    val ev = eventsRawStream(spark, eventsDir, glob)
+    val joined = ev.join(broadcast(dim), col("user_id") === col(dimKey))
+      .drop(dimKey)
+    val query = joined
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(queryName).orderBy("event_id")
+  }
+
   /** Watermarked STREAM-STREAM interval join — the remaining core
     * Structured Streaming primitive: every non-error event inner-joins
     * the same user's error events from the preceding `windowMinutes`.

@@ -854,4 +854,27 @@ class PipelineSpec extends SparkSpec {
     assert(m(4L).getAs[Double]("symbol_word_ratio") == 1.0)
     assert(m(4L).getAs[Double]("alpha_word_ratio") == 0.0)
   }
+
+  test("corpusStats: per-stratum totals, means, source diversity, shares") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "one two three", "en", "a.com"),
+      (2L, "four five", "en", "b.com"),
+      (3L, "sechs", "de", "a.com")).toDF("doc_id", "text", "lang", "source")
+    val m = TextOps.corpusStats(df).collect().map(r => r.getString(0) -> r).toMap
+    assert(m.keySet == Set("en", "de"))
+    val en = m("en")
+    assert(en.getAs[Long]("n_docs") == 2L)
+    assert(en.getAs[Long]("total_chars") == 13L + 9L)
+    assert(en.getAs[Long]("min_chars") == 9L)
+    assert(en.getAs[Long]("max_chars") == 13L)
+    assert(en.getAs[Long]("total_tokens") == 5L)
+    assert(en.getAs[Double]("mean_tokens") == 2.5)
+    assert(en.getAs[Long]("n_sources") == 2L)
+    assert(en.getAs[Double]("doc_share") == 2.0 / 3.0)
+    val de = m("de")
+    assert(de.getAs[Long]("n_docs") == 1L)
+    assert(de.getAs[Long]("n_sources") == 1L)
+    assert(de.getAs[Double]("doc_share") == 1.0 / 3.0)
+  }
 }

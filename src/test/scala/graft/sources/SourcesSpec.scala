@@ -52,6 +52,35 @@ class SourcesSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS bkt_orders")
   }
 
+  test("partitioned write prunes directories on partition-column filters") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val docs = graft.graph.GraphLoader.table(spark, sfDir, "documents")
+      .select("doc_id", "source", "n_chars", "lang")
+    Tables.writePartitioned(docs, s"$tmp/docs", "lang")
+    val back = Tables.readPartitioned(spark, s"$tmp/docs")
+    val filtered = back.filter(col("lang") === "en")
+    // correctness: pruned read equals the filtered source
+    assert(filtered.count() == docs.filter(col("lang") === "en").count())
+    // the point: the filter lands in PartitionFilters (planning-time
+    // directory pruning), and the scan reads ONLY the en partition
+    val scans = filtered.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "no FileSourceScanExec in the pruned plan")
+    val scan = scans.head
+    assert(scan.metadata("PartitionFilters").contains("lang"),
+      s"partition filter not pushed: ${scan.metadata}")
+    val langs = docs.select("lang").distinct().count()
+    assert(langs > 1, "fixture needs multiple partitions to prove pruning")
+    assert(scan.inputRDDs().nonEmpty)
+    val readFiles = scan.relation.location.listFiles(
+      scan.partitionFilters, scan.dataFilters).map(_.files.size).sum
+    val allFiles = scan.relation.location.listFiles(Nil, Nil).map(_.files.size).sum
+    assert(readFiles < allFiles,
+      s"pruning read all $allFiles files (expected fewer, got $readFiles)")
+  }
+
   test("metadataRowCount: exact on projected parquet scans, None when rows can change") {
     import org.apache.spark.sql.functions._
     val cust = spark.read.parquet(s"$sfDir/customer.parquet")

@@ -145,6 +145,22 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.values.toSet == Set("train", "val", "test"))
   }
 
+  test("enrichStreamed equals the batch broadcast join") {
+    import org.apache.spark.sql.functions._
+    val cust = graft.graph.GraphLoader.table(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+    val streamed = EventStreams.enrichStreamed(spark, sfDir, cust, "c_custkey",
+        queryName = "spec_stream_enrich")
+      .select("event_id", "user_id", "segment")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val batch = graft.graph.GraphLoader.eventsTable(spark, sfDir)
+      .join(cust, col("user_id") === col("c_custkey"))
+      .select("event_id", "user_id", "segment")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streamingEdgeAppend writes TRIGGERED edges a graph can load") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-edges").toString
     val events = graft.graph.GraphLoader.eventsTable(spark, sfDir).limit(50)
