@@ -971,6 +971,35 @@ object SparkEntry {
         .select(col("id").as("p_partkey"), col("component"))
         .orderBy("p_partkey")),
 
+    // strongly connected components over a DIRECTED derived graph:
+    // per-order part cycles (1-in-50 orders) + path-only chains (the
+    // next 1-in-50) — trim + coloring + backward gather; component ids
+    // are canonical (min member), so the transitive-closure oracle
+    // replays the answer with no knowledge of the algorithm
+    "q_scc" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = GraphLoader.table(lenient(s), dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      def chainOf(part: DataFrame): DataFrame = {
+        val w = Window.partitionBy("ok").orderBy("pk")
+        part.withColumn("np", lead("pk", 1).over(w))
+          .filter(col("np").isNotNull)
+          .select(col("pk").as("u"), col("np").as("v"))
+      }
+      val cyc = li.filter(col("ok") % 50 === 0).distinct()
+      val pth = li.filter(col("ok") % 50 === 1).distinct()
+      val closing = cyc.groupBy("ok")
+        .agg(max("pk").as("u"), min("pk").as("v"))
+        .filter(col("u") =!= col("v")).select("u", "v")
+      val edges = chainOf(cyc).unionByName(closing).unionByName(chainOf(pth))
+      val comp = algos.Algos.stronglyConnectedComponents(edges, src = "u", dst = "v")
+      val sizes = comp.groupBy("component").agg(count(lit(1)).as("scc_size"))
+      comp.join(sizes, "component")
+        .select(col("id").as("p_partkey"), col("component").as("scc"),
+          col("scc_size"))
+        .orderBy("p_partkey")
+    }),
+
     // DuckDB 10-iteration chained-CTE oracle; ranks rounded to 6 dp so
     // summation-order float noise (Spark partial aggs vs DuckDB) vanishes
     "q_pagerank" -> ((s, dir) =>
@@ -2440,6 +2469,37 @@ object SparkEntry {
            UNION
            SELECT s.v, comp.c FROM comp JOIN sym s ON s.u = comp.k WHERE comp.c < s.v)
          SELECT k AS p_partkey, CAST(min(c) AS BIGINT) AS component
-         FROM comp GROUP BY k ORDER BY p_partkey"""
+         FROM comp GROUP BY k ORDER BY p_partkey""",
+    // SCC ground truth with no knowledge of the algorithm: transitive
+    // closure over the same derived directed edges, then component =
+    // min over the mutually-reachable set (self included)
+    "q_scc" ->
+      """WITH RECURSIVE
+         cyc AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 50 = 0),
+         pth AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                 FROM lineitem WHERE l_orderkey % 50 = 1),
+         chain1 AS (SELECT pk AS u, lead(pk) OVER (PARTITION BY ok ORDER BY pk) AS v FROM cyc),
+         closing AS (SELECT max(pk) AS u, min(pk) AS v FROM cyc
+                     GROUP BY ok HAVING max(pk) <> min(pk)),
+         chain2 AS (SELECT pk AS u, lead(pk) OVER (PARTITION BY ok ORDER BY pk) AS v FROM pth),
+         edges AS (SELECT u, v FROM chain1 WHERE v IS NOT NULL
+                   UNION SELECT u, v FROM closing
+                   UNION SELECT u, v FROM chain2 WHERE v IS NOT NULL),
+         reach(a, b) AS (
+           SELECT u, v FROM edges
+           UNION
+           SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b),
+         nodes AS (SELECT u AS id FROM edges UNION SELECT v FROM edges),
+         mutual AS (
+           SELECT r1.a AS id, r1.b AS other
+           FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a),
+         comp AS (
+           SELECT n.id, least(n.id, coalesce(min(m.other), n.id)) AS scc
+           FROM nodes n LEFT JOIN mutual m ON m.id = n.id GROUP BY n.id),
+         sizes AS (SELECT scc, count(*) AS scc_size FROM comp GROUP BY scc)
+         SELECT comp.id AS p_partkey, CAST(comp.scc AS BIGINT) AS scc,
+           sizes.scc_size
+         FROM comp JOIN sizes USING (scc) ORDER BY p_partkey"""
   )
 }

@@ -198,6 +198,152 @@ object Algos {
       .distinct()
   }
 
+  /** Strongly connected components over a DIRECTED edge frame, via
+    * trim + forward max-color propagation + backward gather (the
+    * coloring / FW-BW family — Orzan '04, McLendon FW-BW, Slota et al.
+    * '14 — the standard distributed SCC algorithms; Tarjan's stack is
+    * inherently sequential). Returns (id, component) where component =
+    * the MINIMUM node id in the SCC — canonical, so any engine's SCC
+    * replay compares equal.
+    *
+    * Per outer round: (1) TRIM — nodes with zero in- or out-degree in
+    * the remaining subgraph are singleton SCCs, peeled iteratively
+    * (kills DAG tails/chains that would otherwise cost a coloring round
+    * each); (2) FORWARD color — fwd(u) = max id reaching u, via
+    * [[maxColoring]]'s pointer-jumped propagation (O(log diameter)
+    * steps); (3) BACKWARD color on the reversed subgraph restricted to
+    * same-colored endpoints — bwd(u) = c exactly when u reaches its
+    * class root (class ids are all <= c and class-internal paths stay
+    * in-class), so SCC(c) = { u : fwd(u) = bwd(u) = c } falls out for
+    * every class simultaneously. All detected SCCs leave the graph;
+    * every round removes at least each class's root SCC, and real
+    * graphs finish in a handful of rounds. Colors stay DataFrames
+    * end-to-end (ids-only shuffles, O(1) lineage via materialize);
+    * convergence tests are one-row scalar aggregates, never collects.
+    */
+  def stronglyConnectedComponents(edges: DataFrame,
+      src: String = "_src", dst: String = "_dst",
+      maxOuter: Int = 50, maxInner: Int = 500): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var e = materialize(edges.select(col(src).as("u"), col(dst).as("v"))
+      .filter(col(src) =!= col(dst)).distinct())
+    var remaining = materialize(e.select(col("u").as("id"))
+      .unionByName(e.select(col("v").as("id"))).distinct())
+    // finished (id, root) pieces are each small and already materialized;
+    // buffering them beats re-checkpointing a growing union every round
+    val doneParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var outer = 0
+    while (!remaining.isEmpty && outer < maxOuter) {
+      outer += 1
+      // ---- trim: in-degree-0 or out-degree-0 nodes are singleton SCCs
+      var trimming = true
+      var trimRounds = 0
+      while (trimming) {
+        trimRounds += 1
+        val keepIds = e.select(col("u").as("id")).distinct()
+          .join(e.select(col("v").as("id")).distinct(), Seq("id"))
+        val dropped = materialize(remaining.join(keepIds, Seq("id"), "left_anti")
+          .select(col("id"), col("id").as("root")))
+        if (dropped.isEmpty) { trimming = false; dropped.unpersist() }
+        else {
+          doneParts += dropped
+          val prevR = remaining
+          val prevE = e
+          remaining = cache(remaining.join(keepIds, Seq("id")))
+          val nextE = e.join(remaining.select(col("id").as("u")), Seq("u"))
+            .join(remaining.select(col("id").as("v")), Seq("v"))
+            .select("u", "v")
+          e = if (trimRounds % 3 == 0) materialize(nextE) else cache(nextE)
+          prevR.unpersist(); prevE.unpersist()
+        }
+      }
+      if (trimRounds > 1) { // cut lineage once after the peel
+        remaining = materialize(remaining); e = materialize(e)
+      }
+      if (!remaining.isEmpty) {
+        // ---- forward pass: fwd(u) = max id that reaches u. One edge
+        // relaxation + one POINTER-JUMPING shortcut per step (fwd(u) :=
+        // max(fwd(u), fwd(fwd(u))) — valid because whatever reaches my
+        // best ancestor reaches me), so chains collapse in O(log d)
+        // steps, not O(d).
+        val fwd = maxColoring(e, remaining, maxInner)
+        // ---- backward pass on the REVERSED, same-color-restricted
+        // subgraph: every node's color class has ids <= its color c (a
+        // node's color is at least itself), and a path u→c inside the
+        // class stays inside the class — so bwd(u) = max id u reaches
+        // within its class equals c exactly when u reaches the root.
+        // SCC(c) = { u : fwd(u) = bwd(u) = c }, for EVERY class at once.
+        val eSame = materialize(e
+          .join(fwd.select(col("id").as("u"), col("color").as("cu")), Seq("u"))
+          .join(fwd.select(col("id").as("v"), col("color").as("cv")), Seq("v"))
+          .filter(col("cu") === col("cv"))
+          .select(col("v").as("u"), col("u").as("v")))
+        val bwd = maxColoring(eSame, remaining, maxInner)
+        val members = materialize(
+          fwd.join(bwd.withColumnRenamed("color", "bcolor"), "id")
+            .filter(col("color") === col("bcolor"))
+            .select(col("id"), col("color").as("root")))
+        doneParts += members
+        remaining = materialize(
+          remaining.join(members.select("id"), Seq("id"), "left_anti"))
+        e = materialize(
+          e.join(members.select(col("id").as("u")), Seq("u"), "left_anti")
+            .join(members.select(col("id").as("v")), Seq("v"), "left_anti"))
+        fwd.unpersist(); bwd.unpersist(); eSame.unpersist()
+      }
+    }
+    if (!remaining.isEmpty) throw new IllegalStateException(
+      s"SCC did not finish in $maxOuter outer rounds")
+    val done = doneParts.reduceOption(_ unionByName _)
+      .getOrElse(remaining.select(col("id"), col("id").as("root")))
+    // canonical component id = min node id per SCC
+    val canon = done.groupBy("root").agg(min("id").as("component"))
+    done.join(canon, "root").select(col("id"), col("component"))
+  }
+
+  /** Max-label propagation to a fixpoint with pointer jumping:
+    * color(v) = max(own id, colors of in-neighbors, color OF the current
+    * color node). The shortcut doubles the collapsed path length each
+    * step (the pointer-jumping argument), so convergence is O(log
+    * diameter) joins instead of O(diameter). Colors only grow —
+    * fixpoint = unchanged overflow-safe decimal sum, one scalar action
+    * per step.
+    */
+  private def maxColoring(e: DataFrame, nodes: DataFrame,
+      maxInner: Int): DataFrame = {
+    var colors = materialize(nodes.select(col("id"), col("id").as("color")))
+    def colorSum(c: DataFrame): java.math.BigDecimal =
+      c.agg(sum(col("color").cast("decimal(38,0)"))).first().getDecimal(0)
+    var prevSum = colorSum(colors)
+    var steps = 0
+    var fixed = false
+    while (!fixed && steps < maxInner) {
+      steps += 1
+      val inMax = colors.join(e, col("id") === col("u"))
+        .groupBy(col("v").as("id")).agg(max("color").as("m1"))
+      val jump = colors.select(col("id").as("_jid"), col("color").as("m2"))
+      val prev = colors
+      val next = colors
+        .join(inMax, Seq("id"), "left_outer")
+        .join(jump, col("color") === col("_jid"), "left_outer")
+        .select(col("id"), greatest(col("color"),
+          coalesce(col("m1"), col("color")),
+          coalesce(col("m2"), col("color"))).as("color"))
+      // checkpoint cadence: the colorSum action materializes the cached
+      // frame every step; cut lineage only every 3rd step (localCheckpoint
+      // write-out is the loop's dominant fixed cost, like labelPropagation)
+      colors = if (steps % 3 == 0) materialize(next) else cache(next)
+      val s = colorSum(colors)
+      fixed = s == prevSum
+      prevSum = s
+      prev.unpersist()
+    }
+    if (!fixed) throw new IllegalStateException(
+      s"SCC coloring did not converge in $maxInner steps")
+    colors
+  }
+
   /** PageRank with uniform teleport, `iterations` fixed rounds.
     * Dangling mass is redistributed uniformly each round (standard
     * formulation) so ranks sum to 1. Returns (id, rank).

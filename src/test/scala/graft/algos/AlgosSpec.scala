@@ -50,6 +50,27 @@ class AlgosSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("stronglyConnectedComponents: cycles, bridge, tails, determinism") {
+    // 0→1, cycle {1,2,3}, bridge 3→5, cycle {5,6}, tail 6→7:
+    // SCCs {0} {1,2,3} {5,6} {7} — direction matters (CC would merge all)
+    val e = edgesOf(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 1L,
+      3L -> 5L, 5L -> 6L, 6L -> 5L, 6L -> 7L)
+    val got = Algos.stronglyConnectedComponents(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+    // partitioning-independent: same result on a repartitioned frame
+    val re = Algos.stronglyConnectedComponents(e.repartition(7))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re == got)
+    // adversarial descending path (worst case for pure coloring): the
+    // trim phase must peel it without one outer round per node
+    val path = edgesOf(9L -> 8L, 8L -> 7L, 7L -> 6L, 6L -> 5L)
+    val p = Algos.stronglyConnectedComponents(path, maxOuter = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p == Map(9L -> 9L, 8L -> 8L, 7L -> 7L, 6L -> 6L, 5L -> 5L))
+  }
+
   test("pageRank sums to 1 and favors the sink of a star") {
     // star: 1..4 all point at 5
     val e = edgesOf(1L -> 5L, 2L -> 5L, 3L -> 5L, 4L -> 5L)
