@@ -35,6 +35,14 @@ object Algos {
   private def cache(df: DataFrame): DataFrame =
     df.persist(StorageLevel.MEMORY_AND_DISK)
 
+  // temporary phase timing for SCC tuning; enabled by GRAFT_SCC_DEBUG
+  private val sccDebug = sys.env.contains("GRAFT_SCC_DEBUG")
+  private def sccTick(label: String, t0: Long): Long = {
+    val t1 = System.nanoTime
+    if (sccDebug) Console.err.println(f"[scc] $label ${(t1 - t0) / 1e9}%.2fs")
+    t1
+  }
+
   /** Single-source BFS shortest hop-distances over a directed edge frame.
     * Returns (id, dist) for every node reachable within maxDepth
     * (including the source at dist 0). Each level is one equi-join of the
@@ -219,38 +227,102 @@ object Algos {
     * every round removes at least each class's root SCC, and real
     * graphs finish in a handful of rounds. Colors stay DataFrames
     * end-to-end (ids-only shuffles, O(1) lineage via materialize);
-    * convergence tests are one-row scalar aggregates, never collects.
+    * convergence tests are one-row scalar aggregates.
+    *
+    * HYBRID TAIL (the published design — Hong et al. '13, Slota et al.
+    * '14): once the residual subgraph is under `maxLocalEdges` edges
+    * (default 2^20 ≈ 16 MB), it is collected and finished with
+    * sequential [[localTarjan]] — the distributed rounds exist to shrink
+    * a cluster-sized graph to that bound, not to grind out the last
+    * thousand nodes in serial micro-jobs. Descending chains of SCCs peel
+    * one condensation level per outer round (max-coloring merges them
+    * into one color class), so graphs with > maxOuter such levels that
+    * ALSO stay above maxLocalEdges throw; raise maxOuter (or
+    * maxLocalEdges) at such call sites.
     */
   def stronglyConnectedComponents(edges: DataFrame,
       src: String = "_src", dst: String = "_dst",
-      maxOuter: Int = 50, maxInner: Int = 500): DataFrame = {
+      maxOuter: Int = 50, maxInner: Int = 500,
+      maxLocalEdges: Long = 1L << 20): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    var e = materialize(edges.select(col(src).as("u"), col(dst).as("v"))
-      .filter(col(src) =!= col(dst)).distinct())
+    val raw = edges.select(col(src).as("u"), col(dst).as("v")).distinct()
+    var e = materialize(raw.filter(col("u") =!= col("v")))
+    // a node whose only edges are self-loops is still a valid singleton
+    // SCC — take the node universe BEFORE the self-loop filter and peel
+    // the difference upfront (r13 advice: such nodes vanished entirely)
+    val selfOnly = materialize(
+      raw.select(col("u").as("id")).unionByName(raw.select(col("v").as("id")))
+        .distinct()
+        .join(e.select(col("u").as("id"))
+          .unionByName(e.select(col("v").as("id"))).distinct(),
+          Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("root")))
     var remaining = materialize(e.select(col("u").as("id"))
       .unionByName(e.select(col("v").as("id"))).distinct())
+    var remCount = remaining.count()
+    // Size the loop shuffles to the DATA, not the session default: 32
+    // tasks over KB-sized partitions × ~50 serial micro-jobs was the r13
+    // 47.9s bench-killer — pure task-launch overhead. Every action in the
+    // loop happens inside this scope (restored in the finally); only the
+    // final single-shuffle canonicalization escapes it, deliberately, so
+    // it still runs at the session's parallelism.
+    val confKey = "spark.sql.shuffle.partitions"
+    val origParts = spark.conf.get(confKey)
+    val loopParts = math.max(4L, math.min(origParts.toLong,
+      e.count() / 250000L + 1L)).toInt
     // finished (id, root) pieces are each small and already materialized;
     // buffering them beats re-checkpointing a growing union every round
     val doneParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    doneParts += selfOnly
     var outer = 0
-    while (!remaining.isEmpty && outer < maxOuter) {
+    var sccT = sccTick(s"setup rem=$remCount parts=$loopParts", System.nanoTime)
+    try {
+      spark.conf.set(confKey, loopParts.toString)
+      while (remCount > 0 && outer < maxOuter) {
       outer += 1
-      // ---- trim: in-degree-0 or out-degree-0 nodes are singleton SCCs
+      // ---- local finish: once the residual subgraph fits comfortably on
+      // the driver, collect it and run sequential Tarjan — the published
+      // hybrid (Hong et al. '13 "On fast parallel detection of strongly
+      // connected components"; Slota et al. '14 run trim+FW-BW until the
+      // remainder is small, then switch to serial). The collect is
+      // BOUNDED by maxLocalEdges (default 2^20 edges ≈ 16 MB); the
+      // distributed trim+coloring rounds above it are what shrink a
+      // 100 TB graph down to that bound. maxLocalEdges=0 disables the
+      // shortcut entirely (used by the distributed-path specs).
+      val eCnt = if (maxLocalEdges > 0L) e.count() else Long.MaxValue
+      if (eCnt <= maxLocalEdges) {
+        doneParts += localTarjan(spark, remaining, e)
+        remCount = 0L
+      } else {
+      // ---- trim: in-degree-0 or out-degree-0 nodes are singleton SCCs.
+      // keep = ids seen as BOTH a source and a destination — one
+      // marker-union + one groupBy (single shuffle), not two distincts
+      // plus a join (three). The dropped count is the same job that
+      // materializes the frame's checkpoint, so the old extra isEmpty
+      // action folds away. Peels are CAPPED per outer round (the outer
+      // loop re-trims next round anyway): an uncapped peel spends a
+      // serial micro-job pair per round to drop a handful of tail nodes.
       var trimming = true
       var trimRounds = 0
-      while (trimming) {
+      while (trimming && trimRounds < 4) {
         trimRounds += 1
-        val keepIds = e.select(col("u").as("id")).distinct()
-          .join(e.select(col("v").as("id")).distinct(), Seq("id"))
+        val keepIds = e.select(col("u").as("id"), lit(1).as("m"))
+          .unionByName(e.select(col("v").as("id"), lit(2).as("m")))
+          .groupBy("id").agg(min("m").as("lo"), max("m").as("hi"))
+          .filter(col("lo") === 1 && col("hi") === 2).select("id")
         val dropped = materialize(remaining.join(keepIds, Seq("id"), "left_anti")
           .select(col("id"), col("id").as("root")))
-        if (dropped.isEmpty) { trimming = false; dropped.unpersist() }
+        val nDropped = dropped.count() // cheap: checkpointed, loopParts tasks
+        sccT = sccTick(s"trim#$outer.$trimRounds dropped=$nDropped", sccT)
+        if (nDropped == 0L) { trimming = false; dropped.unpersist() }
         else {
           doneParts += dropped
+          remCount -= nDropped
           val prevR = remaining
           val prevE = e
-          remaining = cache(remaining.join(keepIds, Seq("id")))
+          remaining = cache(
+            remaining.join(dropped.select("id"), Seq("id"), "left_anti"))
           val nextE = e.join(remaining.select(col("id").as("u")), Seq("u"))
             .join(remaining.select(col("id").as("v")), Seq("v"))
             .select("u", "v")
@@ -261,13 +333,14 @@ object Algos {
       if (trimRounds > 1) { // cut lineage once after the peel
         remaining = materialize(remaining); e = materialize(e)
       }
-      if (!remaining.isEmpty) {
+      if (remCount > 0) {
         // ---- forward pass: fwd(u) = max id that reaches u. One edge
         // relaxation + one POINTER-JUMPING shortcut per step (fwd(u) :=
         // max(fwd(u), fwd(fwd(u))) — valid because whatever reaches my
         // best ancestor reaches me), so chains collapse in O(log d)
         // steps, not O(d).
         val fwd = maxColoring(e, remaining, maxInner)
+        sccT = sccTick(s"fwd#$outer", sccT)
         // ---- backward pass on the REVERSED, same-color-restricted
         // subgraph: every node's color class has ids <= its color c (a
         // node's color is at least itself), and a path u→c inside the
@@ -280,20 +353,28 @@ object Algos {
           .filter(col("cu") === col("cv"))
           .select(col("v").as("u"), col("u").as("v")))
         val bwd = maxColoring(eSame, remaining, maxInner)
+        sccT = sccTick(s"bwd#$outer", sccT)
         val members = materialize(
           fwd.join(bwd.withColumnRenamed("color", "bcolor"), "id")
             .filter(col("color") === col("bcolor"))
             .select(col("id"), col("color").as("root")))
         doneParts += members
+        val prevR = remaining
+        val prevE = e
         remaining = materialize(
           remaining.join(members.select("id"), Seq("id"), "left_anti"))
+        remCount = remaining.count()
         e = materialize(
           e.join(members.select(col("id").as("u")), Seq("u"), "left_anti")
             .join(members.select(col("id").as("v")), Seq("v"), "left_anti"))
+        prevR.unpersist(); prevE.unpersist()
         fwd.unpersist(); bwd.unpersist(); eSame.unpersist()
+        sccT = sccTick(s"peel#$outer rem=$remCount", sccT)
       }
-    }
-    if (!remaining.isEmpty) throw new IllegalStateException(
+      }
+      }
+    } finally spark.conf.set(confKey, origParts)
+    if (remCount > 0) throw new IllegalStateException(
       s"SCC did not finish in $maxOuter outer rounds")
     val done = doneParts.reduceOption(_ unionByName _)
       .getOrElse(remaining.select(col("id"), col("id").as("root")))
@@ -302,46 +383,149 @@ object Algos {
     done.join(canon, "root").select(col("id"), col("component"))
   }
 
-  /** Max-label propagation to a fixpoint with pointer jumping:
-    * color(v) = max(own id, colors of in-neighbors, color OF the current
-    * color node). The shortcut doubles the collapsed path length each
-    * step (the pointer-jumping argument), so convergence is O(log
-    * diameter) joins instead of O(diameter). Colors only grow —
-    * fixpoint = unchanged overflow-safe decimal sum, one scalar action
-    * per step.
+  /** Sequential Tarjan over a driver-collected residual subgraph — the
+    * bounded tail of the hybrid SCC (callers guarantee the edge frame is
+    * under `maxLocalEdges` BEFORE collecting). Iterative (explicit DFS
+    * stack) so recursion depth can't overflow on long cycles. Returns a
+    * materialized (id, root) frame; roots are per-SCC representatives —
+    * global canonicalization to min-id happens downstream.
+    */
+  private def localTarjan(spark: SparkSession, remaining: DataFrame,
+      e: DataFrame): DataFrame = {
+    import spark.implicits._
+    val nodes = remaining.select(col("id")).as[Long].collect()
+    val edgePairs = e.select(col("u"), col("v")).as[(Long, Long)].collect()
+    val n = nodes.length
+    val idx = new java.util.HashMap[Long, Integer](n * 2)
+    var i = 0
+    while (i < n) { idx.put(nodes(i), i); i += 1 }
+    // CSR adjacency
+    val off = new Array[Int](n + 1)
+    i = 0
+    while (i < edgePairs.length) { off(idx.get(edgePairs(i)._1) + 1) += 1; i += 1 }
+    i = 0
+    while (i < n) { off(i + 1) += off(i); i += 1 }
+    val adj = new Array[Int](edgePairs.length)
+    val fill = java.util.Arrays.copyOf(off, n)
+    i = 0
+    while (i < edgePairs.length) {
+      val ui = idx.get(edgePairs(i)._1)
+      adj(fill(ui)) = idx.get(edgePairs(i)._2); fill(ui) += 1
+      i += 1
+    }
+    val index = Array.fill(n)(-1)
+    val low = new Array[Int](n)
+    val onStack = new Array[Boolean](n)
+    val comp = new Array[Int](n)
+    val tstack = new Array[Int](n); var tsp = 0
+    val dfs = new Array[Int](n)
+    val itPos = new Array[Int](n)
+    var counter = 0
+    var s = 0
+    while (s < n) {
+      if (index(s) == -1) {
+        var top = 0
+        dfs(0) = s; itPos(s) = off(s)
+        index(s) = counter; low(s) = counter; counter += 1
+        tstack(tsp) = s; tsp += 1; onStack(s) = true
+        while (top >= 0) {
+          val v = dfs(top)
+          if (itPos(v) < off(v + 1)) {
+            val w = adj(itPos(v)); itPos(v) += 1
+            if (index(w) == -1) {
+              index(w) = counter; low(w) = counter; counter += 1
+              tstack(tsp) = w; tsp += 1; onStack(w) = true
+              top += 1; dfs(top) = w; itPos(w) = off(w)
+            } else if (onStack(w) && index(w) < low(v)) low(v) = index(w)
+          } else {
+            if (low(v) == index(v)) {
+              var w = -1
+              while (w != v) {
+                tsp -= 1; w = tstack(tsp); onStack(w) = false; comp(w) = v
+              }
+            }
+            top -= 1
+            if (top >= 0 && low(v) < low(dfs(top))) low(dfs(top)) = low(v)
+          }
+        }
+      }
+      s += 1
+    }
+    val out = new Array[(Long, Long)](n)
+    i = 0
+    while (i < n) { out(i) = (nodes(i), nodes(comp(i))); i += 1 }
+    materialize(spark.sparkContext.parallelize(out.toIndexedSeq, 4)
+      .toDF("id", "root"))
+  }
+
+  /** Max-label propagation to a fixpoint, accelerated with an explicit
+    * ancestor-pointer chain. Per-node state (color, anc):
+    *   - color(u) = max id among the ancestors of u discovered so far
+    *     (starts at u itself);
+    *   - anc(u)   = SOME ancestor of u (starts at u's max in-neighbor),
+    *     advanced by pointer doubling: anc(u) := anc(anc(u)).
+    * Each step does one edge RELAXATION (color(u) takes max over
+    * in-neighbors' colors — guarantees the true fixpoint) plus one JUMP
+    * (color(u) takes anc(u)'s color, then anc doubles — collapses long
+    * chains/cycles in O(log length) instead of one hop per step).
+    *
+    * The jump must be a separate pointer, NOT "color of my color": when
+    * ids ascend along a path, color(u) = u is a self-pointer and that
+    * shortcut degenerates to O(diameter) — measured on a 1000-cycle in
+    * the r14 spec. Soundness: anc-chains only ever traverse ancestors,
+    * so color only accumulates ids that genuinely reach u; at a
+    * relaxation fixpoint color(u) >= color(v) for every in-neighbor v,
+    * which by induction is the true max — the jump is pure acceleration.
+    * Colors only grow — fixpoint = unchanged overflow-safe decimal sum,
+    * sampled every second step (monotone, so the sampled test is sound).
+    *
+    * r14 measured lesson: every step references the previous frame
+    * several times, so an UN-checkpointed logical plan grows ~4^k
+    * between lineage cuts — at cadence 6 the analyzer+cache-lookup alone
+    * cost ~5s/cut at KB-sized data. Checkpoint EVERY step: the eager
+    * localCheckpoint is the step's one evaluation job, keeping the plan
+    * O(1) and the job count at ~1.5/step.
     */
   private def maxColoring(e: DataFrame, nodes: DataFrame,
       maxInner: Int): DataFrame = {
-    var colors = materialize(nodes.select(col("id"), col("id").as("color")))
+    val inNbrMax = e.groupBy(col("v").as("id")).agg(max("u").as("nb"))
+    var colors = materialize(nodes
+      .join(inNbrMax, Seq("id"), "left_outer")
+      .select(col("id"), col("id").as("color"),
+        coalesce(col("nb"), col("id")).as("anc")))
     def colorSum(c: DataFrame): java.math.BigDecimal =
       c.agg(sum(col("color").cast("decimal(38,0)"))).first().getDecimal(0)
     var prevSum = colorSum(colors)
     var steps = 0
     var fixed = false
-    while (!fixed && steps < maxInner) {
-      steps += 1
-      val inMax = colors.join(e, col("id") === col("u"))
+    def step(c: DataFrame): DataFrame = {
+      val inMax = c.join(e, col("id") === col("u"))
         .groupBy(col("v").as("id")).agg(max("color").as("m1"))
-      val jump = colors.select(col("id").as("_jid"), col("color").as("m2"))
-      val prev = colors
-      val next = colors
-        .join(inMax, Seq("id"), "left_outer")
-        .join(jump, col("color") === col("_jid"), "left_outer")
+      val up = c.select(col("id").as("_aid"), col("color").as("m2"),
+        col("anc").as("anc2"))
+      c.join(inMax, Seq("id"), "left_outer")
+        .join(up, col("anc") === col("_aid"), "left_outer")
         .select(col("id"), greatest(col("color"),
           coalesce(col("m1"), col("color")),
-          coalesce(col("m2"), col("color"))).as("color"))
-      // checkpoint cadence: the colorSum action materializes the cached
-      // frame every step; cut lineage only every 3rd step (localCheckpoint
-      // write-out is the loop's dominant fixed cost, like labelPropagation)
-      colors = if (steps % 3 == 0) materialize(next) else cache(next)
-      val s = colorSum(colors)
-      fixed = s == prevSum
-      prevSum = s
+          coalesce(col("m2"), col("color"))).as("color"),
+          coalesce(col("anc2"), col("anc")).as("anc"))
+    }
+    while (!fixed && steps < maxInner) {
+      val t0 = System.nanoTime
+      steps += 1
+      val prev = colors
+      colors = materialize(step(prev)) // the step's ONE evaluation job
       prev.unpersist()
+      if (steps % 2 == 0 || steps >= maxInner) {
+        val s = colorSum(colors) // cheap: runs on the checkpointed frame
+        fixed = s == prevSum
+        prevSum = s
+      }
+      if (sccDebug) sccTick(s"  color step=$steps", t0)
     }
     if (!fixed) throw new IllegalStateException(
       s"SCC coloring did not converge in $maxInner steps")
-    colors
+    colors.select(col("id"), col("color"))
   }
 
   /** PageRank with uniform teleport, `iterations` fixed rounds.

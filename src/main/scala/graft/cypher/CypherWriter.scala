@@ -67,8 +67,15 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
     * still partial-aggregates the union map-side, so count/sum/min/max
     * keep the same scale shape the old per-label-partials path had,
     * while avg/collect/stdev/percentiles/DISTINCT aggregates are now
-    * answered exactly. Only aggregates nested inside expressions
-    * (`RETURN count(n)+1`) still reject.
+    * answered exactly. Aggregates nested inside expressions
+    * (`RETURN count(n)+1`, r13) and implicit grouping — non-aggregate
+    * items as grouping keys, including a key expression reused inside
+    * an aggregating item (`RETURN n.y, n.y + count(*)`, r14) — are both
+    * answered; no write-RETURN shape rejects by design anymore. The one
+    * deliberate error left: a NON-key row expression mixed with an
+    * aggregate (`RETURN id(n) + count(n)` with no id(n) item), which
+    * openCypher itself rejects and the reference's SQLite translation
+    * answers with an arbitrary row's value.
     */
   private def runPart(part: SingleQuery): (PropertyGraph, Option[DataFrame]) =
     unlabeledWriteTarget(part) match {
@@ -102,11 +109,24 @@ final class CypherWriter(g0: PropertyGraph, spark: SparkSession,
             // sum(a)/sum(b), toFloat(count(n))...) survives verbatim and
             // evaluates once over the global aggregation — the read
             // compiler accepts aggregates nested in expressions natively.
-            // A non-constant non-aggregate subtree outside any aggregate
-            // (`n.x + count(*)`) is an implicit-grouping shape the
-            // reference also rejects; it errors downstream when `n`
-            // fails to resolve over the union frame.
+            // Cypher implicit grouping: the non-aggregate ITEMS are the
+            // grouping keys, and a copy of a key expression appearing
+            // INSIDE an aggregating item (`RETURN n.y, n.y + count(*)`)
+            // must resolve to the same lifted key column over the union
+            // — maximal key-equal subtrees map to their __uk columns. A
+            // non-key row subtree mixed with an aggregate (`RETURN
+            // id(n) + count(n)` with no id(n) item) stays an error
+            // (openCypher rejects it; the reference's SQLite translation
+            // returns an arbitrary row's value for it): it errors
+            // downstream when the variable fails to resolve over the
+            // union frame.
+            val keyCol: Map[Expr, String] = p.items.zipWithIndex.collect {
+              case (it, i) if !CypherParser.containsAgg(it.expr) &&
+                  !isConst(it.expr) =>
+                it.expr -> s"__uk_$i"
+            }.toMap
             def liftAgg(e: Expr, i: Int): Expr = e match {
+              case k if keyCol.contains(k) => Var(keyCol(k))
               case Func(fn, args, dist) if CypherParser.isAggFunc(fn) =>
                 val gargs = args.map {
                   // count(*): count a constant over the union rows

@@ -2,6 +2,7 @@ package graft.algos
 
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, countDistinct, min}
 
 class AlgosSpec extends SparkSpec {
 
@@ -69,6 +70,56 @@ class AlgosSpec extends SparkSpec {
     val p = Algos.stronglyConnectedComponents(path, maxOuter = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(p == Map(9L -> 9L, 8L -> 8L, 7L -> 7L, 6L -> 6L, 5L -> 5L))
+  }
+
+  test("SCC distributed path matches local Tarjan and handles self-loops") {
+    // same graph, plus a self-loop-only node 42 (must surface as a
+    // singleton — r13 advice: it used to vanish) and a self-loop on a
+    // cycle member (must not change its SCC)
+    val e = edgesOf(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 1L, 2L -> 2L,
+      3L -> 5L, 5L -> 6L, 6L -> 5L, 6L -> 7L, 42L -> 42L)
+    val expect = Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 42L -> 42L)
+    val local = Algos.stronglyConnectedComponents(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == expect)
+    val dist = Algos.stronglyConnectedComponents(e, maxLocalEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == expect)
+  }
+
+  test("SCC distributed path: 1000-node cycle converges in O(log n) steps") {
+    import spark.implicits._
+    // one giant cycle — pointer-jumped coloring must collapse it without
+    // O(n) propagation rounds (maxInner 40 ≈ 2·log2(1000) headroom)
+    val n = 1000L
+    val e = spark.range(n).select(col("id").as("_src"),
+      ((col("id") + 1) % n).as("_dst"))
+    val got = Algos.stronglyConnectedComponents(
+      e, maxLocalEdges = 0L, maxInner = 40)
+    assert(got.select(countDistinct(col("component"))).first().getLong(0) == 1L)
+    assert(got.count() == n)
+    assert(got.select(min(col("component"))).first().getLong(0) == 0L)
+  }
+
+  test("SCC distributed path: descending chain of 2-cycles peels per round") {
+    import spark.implicits._
+    // 2-cycles {2k, 2k+1} with c_k -> c_{k-1} (descending ids): max-
+    // coloring merges the whole chain into one color class, so exactly
+    // one condensation level peels per outer round — 12 levels need
+    // maxOuter >= 12 (the documented bound; maxOuter default 50 holds)
+    val levels = 12
+    val cyc = (0 until levels).flatMap { k =>
+      Seq((2L * k, 2L * k + 1), (2L * k + 1, 2L * k))
+    }
+    val down = (1 until levels).map { k => (2L * k, 2L * (k - 1)) }
+    val e = (cyc ++ down).toDF("_src", "_dst")
+    val got = Algos.stronglyConnectedComponents(e, maxLocalEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = (0 until levels).flatMap { k =>
+      Seq(2L * k -> 2L * k, (2L * k + 1) -> 2L * k)
+    }.toMap
+    assert(got == expect)
   }
 
   test("pageRank sums to 1 and favors the sink of a star") {

@@ -444,7 +444,24 @@ class GraphWriteSpec extends SparkSpec {
         "CASE WHEN count(n) > 2 THEN 'many' ELSE 'few' END AS sz")
     val re3 = retE3.get.collect()(0)
     assert(re3.getString(0) == "3" && re3.getString(1) == "many")
-    // implicit grouping (row expr outside the aggregate) still errors
+    // implicit grouping: non-aggregate items are the grouping keys over
+    // the union (r14: the last rejecting family). Property key that only
+    // one label carries groups the other labels under NULL.
+    val (_, retG1) = g.cypherWrite(
+      "MATCH (n) SET n.x = 1 RETURN n.name AS k, count(n) AS c")
+    val g1rows = retG1.get.collect()
+      .map(r => Option(r.getString(0)).getOrElse("-") -> r.getLong(1)).toMap
+    assert(g1rows == Map("ann" -> 1L, "bob" -> 1L, "-" -> 1L))
+    // a key expression reused INSIDE an aggregating item resolves to the
+    // same lifted grouping column
+    val (_, retG2) = g.cypherWrite(
+      "MATCH (n) SET n.x = 1 RETURN id(n) AS i, id(n) + count(n) AS b")
+    val g2rows = retG2.get.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g2rows == Map(1L -> 3L, 2L -> 3L)) // id 1 twice: 1+2, id 2 once: 2+1
+    // a NON-key row expression mixed with an aggregate stays an error
+    // (openCypher rejects it; the reference's SQLite translation would
+    // return an arbitrary row's value)
     intercept[Exception](
       g.cypherWrite("MATCH (n) SET n.x = 1 RETURN id(n) + count(n) AS b")
         ._2.get.collect())
