@@ -35,6 +35,29 @@ object Algos {
   private def cache(df: DataFrame): DataFrame =
     df.persist(StorageLevel.MEMORY_AND_DISK)
 
+  /** Runs `body` with spark.sql.shuffle.partitions sized to an
+    * iterative loop's data instead of the session default, restoring the
+    * session value afterwards. r14 lesson (measured on SCC): 32 tasks
+    * over KB-sized loop frames is pure task-launch overhead, and that
+    * per-round fixed cost multiplies by the round count — locally as
+    * scheduler latency, on a cluster as per-job dispatch + straggler
+    * waits. The clamp never RAISES partitions above the session
+    * default, so cluster deployments keep their parallelism for
+    * genuinely large loops; every action of the loop must happen inside
+    * `body` (the algos here materialize per round, so they do).
+    */
+  private def withLoopParts[T](spark: SparkSession, rowCount: Long)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val orig = spark.conf.get(key)
+    // ~128k id-pair rows per task: small enough that per-round real work
+    // still spreads across cores (measured at sf0.1: 1.2M-edge pagerank
+    // regressed at 5 partitions), large enough that KB-frame rounds
+    // don't pay 32 task launches
+    val parts = math.max(4L, math.min(orig.toLong, rowCount / 131072L + 1L))
+    try { spark.conf.set(key, parts.toString); body }
+    finally spark.conf.set(key, orig)
+  }
+
   // temporary phase timing for SCC tuning; enabled by GRAFT_SCC_DEBUG
   private val sccDebug = sys.env.contains("GRAFT_SCC_DEBUG")
   private def sccTick(label: String, t0: Long): Long = {
@@ -57,6 +80,7 @@ object Algos {
     var visited = materialize(Seq((source, 0)).toDF("id", "dist"))
     var frontier = visited
     var depth = 0
+    withLoopParts(spark, e.count()) {
     while (depth < maxDepth && !frontier.isEmpty) {
       depth += 1
       val next = frontier.join(e, col("id") === col("es"))
@@ -65,6 +89,7 @@ object Algos {
         .join(visited.select("id"), Seq("id"), "left_anti")
       frontier = materialize(next)
       visited = materialize(visited.unionByName(frontier))
+    }
     }
     visited
   }
@@ -88,6 +113,7 @@ object Algos {
       seeds.map(s => (s, s, 0)).toDF("seed", "id", "dist"))
     var frontier = visited
     var depth = 0
+    withLoopParts(spark, e.count()) {
     while (depth < maxDepth && !frontier.isEmpty) {
       depth += 1
       val next = frontier.join(e, col("id") === col("es"))
@@ -96,6 +122,7 @@ object Algos {
         .join(visited.select("seed", "id"), Seq("seed", "id"), "left_anti")
       frontier = materialize(next)
       visited = materialize(visited.unionByName(frontier))
+    }
     }
     visited.groupBy("seed", "dist")
       .agg(count(lit(1)).as("n_nodes"))
@@ -170,6 +197,7 @@ object Algos {
     var iter = 0
     val maxIter = 50 // star contraction: log2(n) rounds; 50 covers n≈2^50
     var converged = false
+    withLoopParts(edges.sparkSession, prev._1) {
     while (!converged && iter < maxIter) {
       iter += 1
       // large-star over the symmetrized neighborhood
@@ -195,6 +223,7 @@ object Algos {
       prev = cur
       e.unpersist(); lsm.unpersist()
       e = next
+    }
     }
     if (!converged)
       throw new IllegalStateException(
@@ -261,24 +290,16 @@ object Algos {
     var remaining = materialize(e.select(col("u").as("id"))
       .unionByName(e.select(col("v").as("id"))).distinct())
     var remCount = remaining.count()
-    // Size the loop shuffles to the DATA, not the session default: 32
-    // tasks over KB-sized partitions × ~50 serial micro-jobs was the r13
-    // 47.9s bench-killer — pure task-launch overhead. Every action in the
-    // loop happens inside this scope (restored in the finally); only the
-    // final single-shuffle canonicalization escapes it, deliberately, so
-    // it still runs at the session's parallelism.
-    val confKey = "spark.sql.shuffle.partitions"
-    val origParts = spark.conf.get(confKey)
-    val loopParts = math.max(4L, math.min(origParts.toLong,
-      e.count() / 250000L + 1L)).toInt
+    val edgeCount = e.count()
     // finished (id, root) pieces are each small and already materialized;
     // buffering them beats re-checkpointing a growing union every round
     val doneParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     doneParts += selfOnly
     var outer = 0
-    var sccT = sccTick(s"setup rem=$remCount parts=$loopParts", System.nanoTime)
-    try {
-      spark.conf.set(confKey, loopParts.toString)
+    var sccT = sccTick(s"setup rem=$remCount edges=$edgeCount", System.nanoTime)
+    // Only the final single-shuffle canonicalization escapes the sized
+    // scope, deliberately — it runs at the session's parallelism.
+    withLoopParts(spark, edgeCount) {
       while (remCount > 0 && outer < maxOuter) {
       outer += 1
       // ---- local finish: once the residual subgraph fits comfortably on
@@ -373,7 +394,7 @@ object Algos {
       }
       }
       }
-    } finally spark.conf.set(confKey, origParts)
+    }
     if (remCount > 0) throw new IllegalStateException(
       s"SCC did not finish in $maxOuter outer rounds")
     val done = doneParts.reduceOption(_ unionByName _)
@@ -534,7 +555,11 @@ object Algos {
     */
   def pageRank(edges: DataFrame, iterations: Int = 10, damping: Double = 0.85,
       src: String = "_src", dst: String = "_dst"): DataFrame = {
-    val e = edges.select(col(src).as("u"), col(dst).as("v")).distinct()
+    val spark = edges.sparkSession
+    // materialized ONCE: the old lazy frame re-ran the distinct shuffle
+    // every iteration (r14 audit)
+    val e = materialize(edges.select(col(src).as("u"), col(dst).as("v")).distinct())
+    val eCount = e.count()
     val nodes = materialize(
       e.select(col("u").as("id")).unionByName(e.select(col("v").as("id"))).distinct())
     val n = nodes.count().toDouble
@@ -542,6 +567,7 @@ object Algos {
     val graph = materialize(nodes.join(outDeg, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg")))
     var ranks = materialize(graph.select(col("id"), lit(1.0 / n).as("rank")))
+    withLoopParts(spark, eCount) {
     for (_ <- 1 to iterations) {
       // cached (lazily) once per iteration: the contribution join and the
       // dangling-mass aggregate both read it within the SAME job below
@@ -564,6 +590,8 @@ object Algos {
             lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank")))
       prev.unpersist(); withDeg.unpersist()
     }
+    }
+    e.unpersist()
     ranks
   }
 
@@ -583,8 +611,10 @@ object Algos {
       iterations: Int = 10, damping: Double = 0.85,
       src: String = "_src", dst: String = "_dst"): DataFrame = {
     require(seeds.nonEmpty, "seed set must be non-empty")
+    val spark = edges.sparkSession
     val sN = seeds.size.toDouble
-    val e = edges.select(col(src).as("u"), col(dst).as("v")).distinct()
+    val e = materialize(edges.select(col(src).as("u"), col(dst).as("v")).distinct())
+    val eCount = e.count()
     val nodes = materialize(
       e.select(col("u").as("id")).unionByName(e.select(col("v").as("id"))).distinct())
     val outDeg = e.groupBy(col("u").as("id")).agg(count(lit(1)).as("outdeg"))
@@ -593,6 +623,7 @@ object Algos {
         col("id").isin(seeds: _*).as("is_seed")))
     var ranks = materialize(graph.select(col("id"),
       when(col("is_seed"), lit(1.0 / sN)).otherwise(lit(0.0)).as("rank")))
+    withLoopParts(spark, eCount) {
     for (_ <- 1 to iterations) {
       val withDeg = cache(ranks.join(graph, "id"))
       val contribs = withDeg.filter(col("outdeg") > 0)
@@ -612,6 +643,8 @@ object Algos {
             lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank")))
       prev.unpersist(); withDeg.unpersist()
     }
+    }
+    e.unpersist()
     ranks
   }
 
@@ -627,6 +660,7 @@ object Algos {
       fwd.unionByName(fwd.select(col("v").as("u"), col("u").as("v"))).distinct())
     var labels = materialize(
       sym.select(col("u").as("id")).distinct().withColumn("label", col("id")))
+    withLoopParts(edges.sparkSession, sym.count()) {
     for (i <- 1 to iterations) {
       val neighborLabels = labels.join(sym, col("id") === col("u"))
         .groupBy(col("v").as("id"), col("label"))
@@ -643,6 +677,7 @@ object Algos {
       // checkpoint every 2nd round: lineage depth stays <= 2 join levels
       // while halving the eager write-out jobs (the per-round fixed cost)
       labels = if (i % 2 == 0 || i == iterations) materialize(next) else cache(next)
+    }
     }
     labels
   }
@@ -666,6 +701,7 @@ object Algos {
     var edgeCount = e.count()
     var i = 1
     var converged = false
+    withLoopParts(edges.sparkSession, edgeCount) {
     while (i <= rounds && !converged) {
       val keep = e.groupBy("u").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select("u")
@@ -684,6 +720,7 @@ object Algos {
       converged = n == edgeCount
       edgeCount = n
       i += 1
+    }
     }
     e.groupBy(col("u").as("id")).agg(count(lit(1)).as("core_degree"))
   }

@@ -2,9 +2,10 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Ad-hoc probe: LSH and IVF recall@10 on an arbitrary corpus dir
-  * (notably the 10x rehearsal corpus — 50k vectors), so the recall
-  * contract is measured at a non-toy scale. Prints one JSON line.
+/** Ad-hoc probe: LSH, IVF, and int8 quantized-rerank recall@10 on an
+  * arbitrary corpus dir (notably the 10x rehearsal corpus), so the
+  * recall contract is measured at a non-toy scale. Prints one JSON
+  * line.
   */
 object RecallProbe {
   def main(args: Array[String]): Unit = {
@@ -26,9 +27,12 @@ object RecallProbe {
       graft.pipeline.Ann.lshTopK(e, qids, k = 10)).head()
     val ivf = graft.pipeline.Ann.recallAt(exact,
       graft.pipeline.Ann.ivfTopK(e, qids, k = 10)).head()
+    val int8 = graft.pipeline.Ann.recallAt(exact,
+      graft.pipeline.Ann.int8TopK(e, qids, k = 10)).head()
     println(s"""{"dir":"$dir","n":${e.count()},""" +
       s""""lsh_recall":${lsh.getDouble(3)},"lsh_hits":${lsh.getLong(1)},""" +
-      s""""ivf_recall":${ivf.getDouble(3)},"ivf_hits":${ivf.getLong(1)}}""")
+      s""""ivf_recall":${ivf.getDouble(3)},"ivf_hits":${ivf.getLong(1)},""" +
+      s""""int8_recall":${int8.getDouble(3)},"int8_hits":${int8.getLong(1)}}""")
     spark.stop()
   }
 }
