@@ -475,10 +475,16 @@ object SparkEntry {
       // materialize the filtered corpus once: packByBudget's range
       // repartition SAMPLES its input in a separate job, which would
       // re-execute the whole dedup+filter chain a second time (real
-      // pipelines persist between stages at scale for the same reason)
-      val survivors = d.join(reps, "doc_id").join(keep, "doc_id")
+      // pipelines persist between stages at scale for the same reason).
+      // Checkpoint ONLY (id, n_tokens) — the packing plan never needs
+      // the text column, and checkpointing it re-wrote the surviving
+      // corpus bytes every run (r14: ~half of q_pipeline_e2e's cost)
+      val survivors = d
+        .select(col("doc_id"), size(pipeline.TextOps.tokens(col("text")))
+          .cast("long").as("n_tokens"))
+        .join(reps, "doc_id").join(keep, "doc_id")
         .localCheckpoint()
-      pipeline.TextOps.packByBudget(survivors, budgetTokens = 2048)
+      pipeline.TextOps.packByBudgetFromCounts(survivors, budgetTokens = 2048)
     }),
 
     // rows-only oracle (xxhash64 winnowing not expressible in DuckDB)

@@ -504,6 +504,116 @@ object VectorExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Per-document Gopher repetition aggregates in ONE row-local pass.
+    * The whole repetition computation groups by the document id at every
+    * stage, so nothing about it needs a shuffle — the former
+    * explode → groupBy(id,n,h) → groupBy(id) pipeline moved ~9×|tokens|
+    * rows through two exchanges just to count within-row duplicates
+    * (r14 audit: ~8s of q_pipeline_e2e's 11s at sf0.1; at corpus scale
+    * it was the operator's only exchange, now zero).
+    *
+    * Children: (tokens array<string>, lines array<string>,
+    * topNs array<int>, dupNs array<int>). Returns struct(n_lines,
+    * d_lines, line_chars, dup_line_chars, tops array<long> aligned with
+    * topNs, dups array<long> aligned with dupNs) — the same values the
+    * shuffle formulation aggregated, same xxhash64(seed 42) gram
+    * identity and first-occurrence glen, so results are bit-identical.
+    * Per-row memory is O(distinct grams of ONE document) — the same
+    * order the final per-doc reducer held before.
+    */
+  case class RepStats(children: Seq[Expression]) extends Expression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    import org.apache.spark.unsafe.types.UTF8String
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_lines", LongType, nullable = false),
+      StructField("d_lines", LongType, nullable = false),
+      StructField("line_chars", LongType, nullable = false),
+      StructField("dup_line_chars", LongType, nullable = false),
+      StructField("tops", ArrayType(LongType, containsNull = false), nullable = false),
+      StructField("dups", ArrayType(LongType, containsNull = false), nullable = false)))
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_rep_stats"
+    private val space = UTF8String.fromString(" ")
+    private def hashUtf8(s: UTF8String): Long =
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(s, StringType, 42L)
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val tv = children(0).eval(input)
+      val lv = children(1).eval(input)
+      if (tv == null || lv == null) return null
+      val toksArr = tv.asInstanceOf[ArrayData]
+      val linesArr = lv.asInstanceOf[ArrayData]
+      val topNs = children(2).eval(input).asInstanceOf[ArrayData].toIntArray()
+      val dupNs = children(3).eval(input).asInstanceOf[ArrayData].toIntArray()
+      // ---- lines (the n = 0 tier of the old bag)
+      val nLinesTot = linesArr.numElements().toLong
+      val lineMap = scala.collection.mutable.LongMap.empty[Array[Long]]
+      var i = 0
+      while (i < linesArr.numElements()) {
+        val l = linesArr.getUTF8String(i)
+        val e = lineMap.getOrNull(hashUtf8(l))
+        if (e == null) lineMap.update(hashUtf8(l), Array(1L, l.numChars().toLong))
+        else e(0) += 1L
+        i += 1
+      }
+      var dLines = 0L; var lineChars = 0L; var dupLineChars = 0L
+      lineMap.foreachValue { e =>
+        dLines += 1L
+        val cg = e(0) * e(1)
+        lineChars += cg
+        if (e(0) > 1L) dupLineChars += cg
+      }
+      // ---- word n-grams, one (max c*glen, sum dup c*glen) pair per n
+      val n = toksArr.numElements()
+      val toks = new Array[UTF8String](n)
+      val lens = new Array[Int](n)
+      i = 0
+      while (i < n) {
+        toks(i) = toksArr.getUTF8String(i); lens(i) = toks(i).numChars(); i += 1
+      }
+      def gramAgg(k: Int): (Long, Long) = {
+        val cnt = n - k + 1
+        if (k <= 0 || cnt <= 0) return (0L, 0L)
+        val m = scala.collection.mutable.LongMap.empty[Array[Long]]
+        var wlen = k - 1 // running char length of the window, O(1)/slide
+        var j = 0
+        while (j < k) { wlen += lens(j); j += 1 }
+        val parts = new Array[UTF8String](k)
+        var x = 0
+        while (x < cnt) {
+          var p = 0
+          while (p < k) { parts(p) = toks(x + p); p += 1 }
+          val h = hashUtf8(UTF8String.concatWs(space, parts: _*))
+          val e = m.getOrNull(h)
+          if (e == null) m.update(h, Array(1L, wlen.toLong)) else e(0) += 1L
+          if (x + k < n) wlen += lens(x + k) - lens(x)
+          x += 1
+        }
+        var mx = 0L; var dup = 0L
+        m.foreachValue { e =>
+          val cg = e(0) * e(1)
+          if (cg > mx) mx = cg
+          if (e(0) > 1L) dup += cg
+        }
+        (mx, dup)
+      }
+      val tops = new Array[Long](topNs.length)
+      i = 0
+      while (i < topNs.length) { tops(i) = gramAgg(topNs(i))._1; i += 1 }
+      val dups = new Array[Long](dupNs.length)
+      i = 0
+      while (i < dupNs.length) { dups(i) = gramAgg(dupNs(i))._2; i += 1 }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](nLinesTot, dLines, lineChars, dupLineChars,
+          ArrayData.toArrayData(tops), ArrayData.toArrayData(dups)))
+    }
+
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): RepStats =
+      copy(children = newChildren)
+  }
+
   /** Register as session functions; `dot`/`l2norm` Columns below use
     * call_function so callers never touch catalyst internals.
     */
@@ -519,6 +629,8 @@ object VectorExprs {
       exprs => ShingleHashes(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_gram_stats",
       exprs => GramStats(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_rep_stats",
+      exprs => RepStats(exprs), "built-in")
     reg.createOrReplaceTempFunction("graft_shingle_md5",
       exprs => ShingleMd5(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_count_in",
@@ -550,6 +662,9 @@ object VectorExprs {
     call_function("graft_shingle_hashes", tokens, k)
   def gramStats(tokens: Column, ns: Column): Column =
     call_function("graft_gram_stats", tokens, ns)
+  def repStats(tokens: Column, lines: Column, topNs: Column,
+      dupNs: Column): Column =
+    call_function("graft_rep_stats", tokens, lines, topNs, dupNs)
   def shingleMd5(tokens: Column, k: Column): Column =
     call_function("graft_shingle_md5", tokens, k)
   def countIn(arr: Column, words: Seq[String]): Column =

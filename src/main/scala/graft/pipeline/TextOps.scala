@@ -191,13 +191,17 @@ object TextOps {
     *  - `keep`: the published Gopher thresholds (dup_line <= 0.30,
     *    top2/3/4 <= 0.20/0.18/0.16, dup5..10 <= 0.15..0.10).
     *
-    * Shape: ONE explode emits (n=0, line) rows plus (n, gram) rows for
-    * every n — but the shuffle never carries gram STRINGS: each gram
-    * travels as (xxhash64 key, char length), 16 bytes, under the same
-    * collision-free-64-bit argument as the jaccard family (the DuckDB
-    * oracle groups by the strings themselves and must agree). Two
-    * hash aggregations, both with map-side partial combine; everything
-    * codegen'd, no UDFs. Linear in corpus size.
+    * Shape: ZERO shuffles — every signal is a within-document
+    * aggregate, so the whole computation runs in one row-local native
+    * kernel pass ([[graft.functions.VectorExprs.RepStats]]: per-doc
+    * gram hash maps, xxhash64 gram identity). The r4–r13 formulation
+    * exploded ~9×|tokens| (hash, len) rows through two hash
+    * aggregations keyed on the doc id — a corpus-sized exchange that
+    * moved data BETWEEN executors to count duplicates WITHIN rows
+    * (r14 audit: ~8s of q_pipeline_e2e's 11s at sf0.1). The DuckDB
+    * oracle still groups by the gram strings themselves and must agree
+    * under the collision-free-64-bit argument shared with the jaccard
+    * family. Everything integer until the final per-doc divisions.
     */
   def repetition(docs: DataFrame, id: String = "doc_id",
       text: String = "text"): DataFrame = {
@@ -205,33 +209,23 @@ object TextOps {
     val topNs = Seq(2, 3, 4)
     val dupNs = Seq(5, 6, 7, 8, 9, 10)
     val t = col(text)
-    // lines ride the same (n, h, glen) struct shape under n = 0 — one
-    // struct per line, built by a lambda that only packs (lines are
-    // few); every word n-gram comes from ONE native kernel eval per row
-    val lineGrams = transform(split(t, "\n"),
-      l => struct(lit(0).as("n"), xxhash64(l).as("h"),
-        length(l).as("glen")))
-    val wordGrams = graft.functions.VectorExprs.gramStats(tokens(t),
-      typedLit((topNs ++ dupNs).toArray))
-    val exploded = docs
+    val rs = graft.functions.VectorExprs.repStats(tokens(t), split(t, "\n"),
+      typedLit(topNs.toArray), typedLit(dupNs.toArray))
+    val topCols = topNs.zipWithIndex.map { case (n, i) =>
+      col("rs.tops").getItem(i).as(s"_top$n") }
+    val dupCols = dupNs.zipWithIndex.map { case (n, i) =>
+      col("rs.dups").getItem(i).as(s"_dup$n") }
+    val aggd = docs
       .select(col(id), length(trim(t)).cast(LongType).as("char_len"),
-        explode(concat(lineGrams, wordGrams)).as("x"))
-      .select(col(id), col("char_len"), col("x.n").as("n"),
-        col("x.h").as("h"), col("x.glen").cast(LongType).as("glen"))
-    val counts = exploded
-      .groupBy(col(id), col("n"), col("h"))
-      .agg(count(lit(1)).as("c"), first(col("glen")).as("glen"),
-        first(col("char_len")).as("char_len"))
-    def chars(pred: Column): Column = col("c") * col("glen") * when(pred, 1L)
-    val aggExprs = Seq(
-      sum(when(col("n") === 0, col("c"))).as("n_lines"),
-      count(when(col("n") === 0, 1)).as("d_lines"),
-      sum(chars(col("n") === 0)).as("line_chars"),
-      sum(chars(col("n") === 0 && col("c") > 1)).as("dup_line_chars")) ++
-      topNs.map(n => max(chars(col("n") === n)).as(s"_top$n")) ++
-      dupNs.map(n => sum(chars(col("n") === n && col("c") > 1)).as(s"_dup$n"))
-    val aggd = counts.groupBy(col(id))
-      .agg(first(col("char_len")).as("char_len"), aggExprs: _*)
+        rs.as("rs"))
+      // null text produced no exploded rows in the old shape — keep
+      // dropping those documents
+      .filter(col("rs").isNotNull)
+      .select(Seq(col(id), col("char_len"), col("rs.n_lines").as("n_lines"),
+        col("rs.d_lines").as("d_lines"),
+        col("rs.line_chars").as("line_chars"),
+        col("rs.dup_line_chars").as("dup_line_chars")) ++
+        topCols ++ dupCols: _*)
     // capped at 1.0: occurrence-weighted coverage can exceed the char
     // count when occurrences overlap (the interval-union variant that
     // cannot is not SQL-replayable — divergence documented above)
@@ -390,10 +384,22 @@ object TextOps {
     * recomputes).
     */
   def packByBudget(docs: DataFrame, budgetTokens: Long,
-      id: String = "doc_id", text: String = "text"): DataFrame = {
+      id: String = "doc_id", text: String = "text"): DataFrame =
+    packByBudgetFromCounts(
+      docs.select(col(id), size(tokens(col(text))).cast(LongType).as("n_tokens")),
+      budgetTokens, id)
+
+  /** [[packByBudget]] over PRE-COMPUTED token counts (`id`, n_tokens) —
+    * for compositions that filter a corpus first: the packing plan only
+    * ever needs ids and counts, so callers can checkpoint a KB-sized
+    * count frame between stages instead of re-materializing the text
+    * column (r14: q_pipeline_e2e checkpointed the full text corpus just
+    * to count tokens afterwards).
+    */
+  def packByBudgetFromCounts(withTok: DataFrame, budgetTokens: Long,
+      id: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val parts = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val withTok = docs.select(col(id), size(tokens(col(text))).cast(LongType).as("n_tokens"))
+    val parts = withTok.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val local = withTok
       .repartitionByRange(parts, desc("n_tokens"), col(id))
       .withColumn("pid", spark_partition_id())
