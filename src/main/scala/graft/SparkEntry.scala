@@ -543,6 +543,11 @@ object SparkEntry {
     "q_mix" -> ((s, dir) =>
       pipeline.TextOps.balanceMixture(docs(s, dir), "source")),
 
+    // temperature-flattened mixture (tau=0.5: targets sqrt(cnt*min) per
+    // source — between q_mix's equal floor and the raw distribution)
+    "q_mix_temp" -> ((s, dir) =>
+      pipeline.TextOps.balanceMixtureTemperature(docs(s, dir), "source")),
+
     // fixed-size deterministic sample (TakeOrderedAndProject, no global
     // sort) with prefix-stable pick ranks
     "q_sample_n" -> ((s, dir) =>
@@ -1741,6 +1746,17 @@ object SparkEntry {
       """WITH c AS (SELECT source, count(*) AS strat_cnt FROM documents GROUP BY source),
          r AS (SELECT source,
                  (1000 * min(strat_cnt) OVER ()) // strat_cnt AS keep_permille
+               FROM c)
+         SELECT d.doc_id, d.source, r.keep_permille
+         FROM documents d JOIN r USING (source)
+         WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 1000 < r.keep_permille
+         ORDER BY d.doc_id""",
+    "q_mix_temp" ->
+      """WITH c AS (SELECT source, count(*) AS strat_cnt FROM documents GROUP BY source),
+         r AS (SELECT source,
+                 least(1000, (1000 * CAST(round(sqrt(strat_cnt * (min(strat_cnt) OVER ()))) AS BIGINT))
+                   // strat_cnt) AS keep_permille
                FROM c)
          SELECT d.doc_id, d.source, r.keep_permille
          FROM documents d JOIN r USING (source)

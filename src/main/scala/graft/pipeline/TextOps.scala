@@ -598,6 +598,43 @@ object TextOps {
       .orderBy(id)
   }
 
+  /** Temperature-flattened mixture (the multilingual-sampling standard —
+    * Conneau & Lample '19, XLM-R: sample source s with probability ∝
+    * p_s^tau, flattening dominant sources without collapsing to equal
+    * sizes): each source keeps a deterministic md5-hash rate targeting
+    * count_s^tau · min_count^(1-tau) documents — tau=1 keeps everything,
+    * tau=0 is [[balanceMixture]]'s equal-size floor, between them a
+    * geometric interpolation. Same scan-side rate mechanism as
+    * balanceMixture: a broadcast #sources-row rate table, no per-source
+    * ranking window, skew-free at any corpus size.
+    *
+    * The gate runs tau=0.5, where the target is round(sqrt(count_s ·
+    * min_count)): sqrt is IEEE correctly-rounded on every engine, so
+    * the DuckDB oracle replays the rate table bit-exactly (pow is not
+    * correctly-rounded and could flip a round() at the .5 boundary).
+    */
+  def balanceMixtureTemperature(docs: DataFrame, stratCol: String,
+      tau: Double = 0.5, salt: String = "", id: String = "doc_id"): DataFrame = {
+    require(tau >= 0.0 && tau <= 1.0, s"tau must be in [0,1], got $tau")
+    val counts = docs.groupBy(stratCol).agg(count(lit(1)).as("strat_cnt"))
+    val target =
+      if (tau == 0.5) round(sqrt(col("strat_cnt") * col("min_cnt")))
+      else round(pow(col("strat_cnt"), lit(tau)) * pow(col("min_cnt"), lit(1.0 - tau)))
+    val rates = counts
+      .withColumn("min_cnt", min("strat_cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("target", target.cast(LongType))
+      .select(col(stratCol),
+        least(lit(1000L), expr("(1000 * target) div strat_cnt"))
+          .as("keep_permille"))
+    val h = conv(substring(md5(concat(lit(salt), col(id).cast(StringType))), 1, 8),
+      16, 10).cast(LongType)
+    docs.join(broadcast(rates), stratCol)
+      .filter(h % 1000L < col("keep_permille"))
+      .select(col(id), col(stratCol), col("keep_permille"))
+      .orderBy(id)
+  }
+
   // ---- deterministic global shuffle (q_shuffle) ----
 
   /** Seeded, reproducible global corpus shuffle with MATERIALIZED

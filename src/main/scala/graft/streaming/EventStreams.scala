@@ -190,6 +190,31 @@ object EventStreams {
       StructField("value", DoubleType),
       StructField("props", StringType)))
 
+  /** Runs `body` with spark.sql.shuffle.partitions sized to the bounded
+    * stream's input bytes (~64 MB per partition, clamped to [4, session
+    * default]), restoring the session value afterwards. Stateful
+    * streaming operators instantiate one state store per shuffle
+    * partition per micro-batch (a stream-stream join keeps TWO per
+    * partition); draining a bounded fixture at a cluster-sized default
+    * pays that fixed cost on near-empty stores — the r14 iterative-loop
+    * lesson applied to streams. Callers create fresh checkpoints per
+    * invocation, so the partition count recorded in the checkpoint
+    * never conflicts with a prior run's.
+    */
+  private def withStreamParts[T](spark: SparkSession, dir: String,
+      glob: String)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val orig = spark.conf.get(key)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$glob")
+    val bytes =
+      try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+      catch { case _: java.io.IOException => Long.MaxValue }
+    val parts = math.max(4L, math.min(orig.toLong, bytes / (64L << 20) + 1L))
+    try { spark.conf.set(key, parts.toString); body }
+    finally spark.conf.set(key, orig)
+  }
+
   /** The windowed-count pipeline executed THROUGH Structured Streaming:
     * file-stream ingest of the events parquet (availableNow trigger) →
     * watermark + tumbling windowedCounts → complete-mode memory sink.
@@ -199,7 +224,8 @@ object EventStreams {
     */
   def windowedCountsStreamed(spark: SparkSession, eventsDir: String,
       glob: String = "events.parquet",
-      queryName: String = "q_stream_window"): DataFrame = {
+      queryName: String = "q_stream_window"): DataFrame =
+    withStreamParts(spark, eventsDir, glob) {
     val raw = eventsRawStream(spark, eventsDir, glob)
     val ev = raw  // ts already normalized by eventsRawStream
     val query = windowedCounts(ev, window = "1 hour")
@@ -209,7 +235,7 @@ object EventStreams {
       .start()
     query.awaitTermination()
     spark.table(queryName)
-  }
+    }
 
   /** Streaming stateful exact-dedup: file-stream ingest (availableNow)
     * → `dropDuplicates` on the key columns → append-mode memory sink,
@@ -230,7 +256,8 @@ object EventStreams {
   def streamingDedup(spark: SparkSession, eventsDir: String,
       glob: String = "events.parquet",
       keys: Seq[String] = Seq("user_id", "event_type"),
-      queryName: String = "q_stream_dedup"): DataFrame = {
+      queryName: String = "q_stream_dedup"): DataFrame =
+    withStreamParts(spark, eventsDir, glob) {
     val raw = eventsRawStream(spark, eventsDir, glob)
     val query = raw
       .dropDuplicates(keys)
@@ -241,7 +268,7 @@ object EventStreams {
       .start()
     query.awaitTermination()
     spark.table(queryName).orderBy(keys.map(col): _*)
-  }
+    }
 
   /** Sessionization executed THROUGH Structured Streaming, built-in
     * `session_window` flavor: file-stream ingest (availableNow) →
@@ -260,7 +287,8 @@ object EventStreams {
     */
   def sessionizeWindowStreamed(spark: SparkSession, eventsDir: String,
       glob: String = "events.parquet", gapMinutes: Int = 30,
-      queryName: String = "q_stream_sessionize"): DataFrame = {
+      queryName: String = "q_stream_sessionize"): DataFrame =
+    withStreamParts(spark, eventsDir, glob) {
     val raw = eventsRawStream(spark, eventsDir, glob)
     val ev = raw  // ts already normalized by eventsRawStream
       .withColumn("tss", date_trunc("second", col("ts")))
@@ -280,7 +308,7 @@ object EventStreams {
       unix_micros(col("max_ts")).as("session_end"),
       col("n_events"),
       col("total_value"))
-  }
+    }
 
   /** End-to-end streaming-graph-update cycle for the correctness gate:
     * file-stream ingest of the events parquet (availableNow) →
@@ -376,7 +404,8 @@ object EventStreams {
     */
   def intervalJoinStreamed(spark: SparkSession, eventsDir: String,
       glob: String = "events.parquet", windowMinutes: Int = 30,
-      queryName: String = "q_stream_join"): DataFrame = {
+      queryName: String = "q_stream_join"): DataFrame =
+    withStreamParts(spark, eventsDir, glob) {
     val wm = s"$windowMinutes minutes"
     val left = eventsRawStream(spark, eventsDir, glob)
       .filter(col("event_type") =!= "error")
@@ -399,7 +428,7 @@ object EventStreams {
       .start()
     query.awaitTermination()
     spark.table(queryName).orderBy("event_id", "err_us")
-  }
+    }
 
   def streamingEdgeAppend(events: DataFrame, edgeDir: String,
       checkpointDir: String): StreamingQuery =

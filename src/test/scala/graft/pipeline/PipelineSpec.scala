@@ -578,6 +578,30 @@ class PipelineSpec extends SparkSpec {
     assert(again == kept.map(_.getLong(0)).toSet)
   }
 
+  test("balanceMixtureTemperature: interpolates between raw and equal") {
+    val counts = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minCnt = counts.values.min
+    // tau = 0.5 (the gated default): rate targets round(sqrt(cnt*min))
+    val half = TextOps.balanceMixtureTemperature(docs, "source").collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    for ((s, cnt) <- counts) {
+      val target = math.round(math.sqrt((cnt * minCnt).toDouble))
+      assert(half(s) == math.min(1000L, 1000L * target / cnt), s"rate for $s")
+    }
+    // tau = 1 keeps everything; tau = 0 equals balanceMixture's rates
+    val full = TextOps.balanceMixtureTemperature(docs, "source", tau = 1.0)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(full.values.forall(_ == 1000L))
+    val flat = TextOps.balanceMixtureTemperature(docs, "source", tau = 0.0)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val equal = TextOps.balanceMixture(docs, "source").collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(flat == equal)
+    // monotone in tau: flatter temperature never keeps MORE of a source
+    for (s <- counts.keys) assert(flat(s) <= half(s) && half(s) <= full(s))
+  }
+
   test("globalShuffle: a deterministic permutation, reshuffled by seed") {
     val n = docs.count()
     val p1 = TextOps.globalShuffle(docs, seed = "s1:").collect()
