@@ -68,24 +68,25 @@ class PlanAuditSpec extends SparkSpec {
       "as-of window must be keyed - a global window funnels the corpus through one partition")
   }
 
-  test("q_repetition: join-free, bounded exchanges, gram strings never shuffle") {
+  test("q_repetition: row-local kernel — the ONLY exchange is the output sort") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val df = SparkEntry.queries("q_repetition")(spark, sfDir)
     assert(joinKinds(df).isEmpty,
-      "repetition must be pure aggregation — no joins")
+      "repetition must be join-free")
+    // r14: every signal is a within-document aggregate, computed by the
+    // RepStats kernel in the scan — no aggregation exchange may remain;
+    // the final orderBy contributes the single range exchange
     val exchanges = df.queryExecution.sparkPlan.collect {
       case e: ShuffleExchangeExec => e
     }
-    // one exchange per hash aggregation (gram counts, per-doc rollup);
-    // the final orderBy adds a range exchange
-    assert(exchanges.length <= 3, s"unexpected exchanges: ${exchanges.length}")
-    // the gram STRING column must be hashed away before any exchange —
-    // only (hash, length) travel
-    exchanges.foreach { e =>
-      val names = e.child.output.map(_.name)
-      assert(!names.contains("g") && !names.contains("x"),
-        s"gram strings on the wire: exchange carries $names")
+    assert(exchanges.length <= 1, s"unexpected exchanges: ${exchanges.length}")
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    val aggs = df.queryExecution.sparkPlan.collect {
+      case a: HashAggregateExec => a
+      case a: ObjectHashAggregateExec => a
+      case a: SortAggregateExec => a
     }
+    assert(aggs.isEmpty, s"repetition should not aggregate at all, found ${aggs.length}")
   }
 
   test("q_span_coverage: interval union is one keyed window, no self-join on positions") {

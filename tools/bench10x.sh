@@ -25,11 +25,14 @@ if [ ! -f "$OUT/lineitem.parquet/_SUCCESS" ] && [ ! -d "$OUT/lineitem.parquet" ]
 else
   echo "[bench10x] reusing existing $OUT"
 fi
-# Bench writes BENCH_OUT.json — preserve the sf0.1 artifact around the
-# 10x run.
+# Bench writes BOTH bench_out.json and BENCH_OUT.json — preserve the
+# sf0.1 artifacts around the 10x run (r14: only the uppercase one was
+# restored, silently leaving 10x numbers in the committed lowercase file).
 cp BENCH_OUT.json /tmp/BENCH_OUT.sf01.bak 2>/dev/null || true
+cp bench_out.json /tmp/bench_out.sf01.bak 2>/dev/null || true
 SPARK_GRAFT_SF_DIR=$OUT SPARK_GRAFT_BENCH_RUNS=${SPARK_GRAFT_BENCH_RUNS:-3} \
   SPARK_DRIVER_MEM=$MEM sbt -batch "runMain graft.Bench"
 cp BENCH_OUT.json BENCH_10x.json
 cp /tmp/BENCH_OUT.sf01.bak BENCH_OUT.json 2>/dev/null || true
+cp /tmp/bench_out.sf01.bak bench_out.json 2>/dev/null || true
 echo "wrote BENCH_10x.json"
