@@ -2260,9 +2260,9 @@ object SparkEntry {
     // value per dataset — measured 49/50 at sf0.01; a bucketing change
     // that degrades recall flips this red
     "q_ann_lsh_recall" ->
-      """SELECT CAST(5 AS BIGINT) AS n_queries, CAST(49 AS BIGINT) AS n_hits,
+      """SELECT CAST(5 AS BIGINT) AS n_queries, CAST(50 AS BIGINT) AS n_hits,
          CAST(50 AS BIGINT) AS n_total,
-         CAST(49 AS DOUBLE) / CAST(50 AS DOUBLE) AS recall""",
+         CAST(50 AS DOUBLE) / CAST(50 AS DOUBLE) AS recall""",
     // int8 quantization fully derived: per-dim absmax scales, one fixed
     // IEEE expression shape for codes (bit-identical), max (not sum)
     // reconstruction error so no summation-order noise

@@ -241,21 +241,34 @@ object Ann {
     * hyperplane-sign bucket keys; exact cosine re-rank within candidates.
     * Trades recall for pruning — the scale path when N is 100 TB-sized.
     *
-    * `planes <= 0` (the default) AUTO-SIZES to ceil(log2(N/128)), the same
-    * rule as [[Dedup.embedDupsLsh]]: mean bucket occupancy stays ~128
-    * regardless of corpus size, so candidate volume grows linearly with N
-    * instead of quadratically (few fixed planes) or recall collapsing
-    * (many fixed planes — the old 8-plane default measured 0.02 recall@10
-    * on the 500-row test corpus; auto-sized it measures 0.88+).
+    * `planes <= 0` (the default) AUTO-SIZES to ceil(log2(N/512)): mean
+    * bucket occupancy stays ~512 regardless of corpus size, so candidate
+    * volume grows linearly with N instead of quadratically (few fixed
+    * planes) or recall collapsing (many fixed planes — the old 8-plane
+    * default measured 0.02 recall@10 on the 500-row test corpus). The
+    * occupancy target moved 128→512 in r14 after a 20k-vector grid probe:
+    * recall is plane-count-dominated, not table-count-dominated (8
+    * planes: 0.90 even at 32 tables; 6 planes: 0.96 at 12 tables) —
+    * across-hyperplane near neighbors are unreachable at ANY table count,
+    * so buckets must be big enough to hold them.
+    *
+    * `tables <= 0` (the default) AUTO-SIZES to min(16, max(8, 2·planes)):
+    * per-table recall decays ~p^planes as the plane count grows with N,
+    * so the OR side grows in step — capped at 16 because the bucketed
+    * frame replicates the VECTOR column per table (the posexplode is
+    * tables·N·dim on the wire; recall beyond the cap belongs to the IVF
+    * path, which shuffles each vector once).
     */
   def lshTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
-      planes: Int = 0, tables: Int = 8,
+      planes: Int = 0, tables: Int = 0,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
     graft.functions.VectorExprs.register(emb.sparkSession)
     val nPlanes =
       if (planes > 0) planes
-      else math.max(1, math.ceil(math.log(emb.count() / 128.0) / math.log(2)).toInt)
-    val keys = transform(sequence(lit(0), lit(tables - 1)),
+      else math.max(1, math.ceil(math.log(emb.count() / 512.0) / math.log(2)).toInt)
+    val nTables =
+      if (tables > 0) tables else math.min(16, math.max(8, 2 * nPlanes))
+    val keys = transform(sequence(lit(0), lit(nTables - 1)),
       t => xxhash64(t, hyperplaneKey(col(vec), nPlanes, t)))
     val bucketed = emb.select(col(id), col(vec),
       posexplode(keys).as(Seq("table", "key")))
