@@ -504,6 +504,10 @@ object SparkEntry {
     "q_ngram_freq" -> ((s, dir) =>
       pipeline.TextOps.ngramFrequencies(docs(s, dir), n = 2, topN = 100)),
 
+    // context-length chunking: 64-token windows, 16-token overlap
+    "q_chunk" -> ((s, dir) =>
+      pipeline.TextOps.chunk(docs(s, dir), chunkTokens = 64, overlapTokens = 16)),
+
     // token-budget packing via distributed prefix sum
     "q_pack" -> ((s, dir) =>
       pipeline.TextOps.packByBudget(docs(s, dir), budgetTokens = 2048)),
@@ -1675,6 +1679,21 @@ object SparkEntry {
            FROM t WHERE len(toks) >= 2)
          SELECT gram, count(*) AS cnt FROM g
          GROUP BY gram ORDER BY cnt DESC, gram LIMIT 100""",
+    // chunking fully derived: same \s+ token boundaries, 64-token
+    // windows at stride 48, list-slice + concat_ws chunk strings
+    "q_chunk" ->
+      """WITH t AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+         c AS (
+           SELECT doc_id, toks, len(toks) AS n,
+             greatest(1, CAST(ceil(CAST(greatest(len(toks) - 16, 1) AS DOUBLE) / 48) AS INT)) AS nc
+           FROM t),
+         x AS (SELECT doc_id, toks, n, unnest(generate_series(0, nc - 1)) AS ci FROM c)
+         SELECT doc_id, CAST(ci AS BIGINT) AS chunk_id,
+                CAST(ci * 48 AS BIGINT) AS start_tok,
+                CAST(least(64, n - ci * 48) AS BIGINT) AS n_tok,
+                array_to_string(toks[ci*48 + 1 : ci*48 + least(64, n - ci*48)], ' ') AS chunk_text
+         FROM x ORDER BY doc_id, chunk_id""",
     "q_pack" ->
       """WITH t AS (
            SELECT doc_id,

@@ -39,6 +39,45 @@ object TextOps {
       .orderBy(id)
   }
 
+  // ---- context-length chunking (q_chunk) ----
+
+  /** Split long documents into fixed-token-window chunks with overlap —
+    * the context-length preprocessing step for training/embedding
+    * pipelines (each chunk ≤ `chunkTokens` whitespace tokens; successive
+    * chunks share `overlapTokens`, so chunk c starts at token
+    * c·(chunkTokens−overlapTokens)). The final chunk may be short; a
+    * document shorter than one window is its own single chunk; chunking
+    * is per-document (row-local: one posexplode over computed offsets,
+    * NO shuffle — the output orderBy is the only exchange).
+    *
+    * Deterministic and engine-replayable: token boundaries are the same
+    * `\s+` split as [[tokens]]; the oracle re-derives every chunk string
+    * with generate_series + list slicing.
+    */
+  def chunk(docs: DataFrame, chunkTokens: Int = 256, overlapTokens: Int = 64,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    require(chunkTokens > overlapTokens && overlapTokens >= 0,
+      s"need chunkTokens > overlapTokens >= 0, got $chunkTokens/$overlapTokens")
+    val stride = chunkTokens - overlapTokens
+    val toks = tokens(col(text))
+    // number of chunks: ceil(max(1, n - overlap) / stride)
+    val n = size(toks)
+    val nChunks = greatest(lit(1),
+      ceil((greatest(n - lit(overlapTokens), lit(1))).cast(DoubleType) / stride)
+        .cast(IntegerType))
+    docs
+      .select(col(id), toks.as("_toks"), n.as("_n"),
+        posexplode(sequence(lit(0), nChunks - 1)).as(Seq("_ci", "_c")))
+      .select(col(id), col("_c").cast(LongType).as("chunk_id"),
+        (col("_c") * stride).cast(LongType).as("start_tok"),
+        least(lit(chunkTokens), col("_n") - col("_c") * stride)
+          .cast(LongType).as("n_tok"),
+        array_join(slice(col("_toks"), col("_c") * stride + 1,
+          least(lit(chunkTokens), col("_n") - col("_c") * stride)), " ")
+          .as("chunk_text"))
+      .orderBy(id, "chunk_id")
+  }
+
   // ---- vocabulary / n-gram statistics (q_ngram_freq) ----
 
   /** Corpus-wide top-N n-gram frequencies (n=1 → vocabulary counts).

@@ -578,6 +578,28 @@ class PipelineSpec extends SparkSpec {
     assert(again == kept.map(_.getLong(0)).toSet)
   }
 
+  test("chunk: fixed token windows with overlap cover every token") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c d e f g h i j"), (2L, "x y")).toDF("doc_id", "text")
+    val got = TextOps.chunk(d, chunkTokens = 4, overlapTokens = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 0L, 4L, "a b c d"),
+      (1L, 1L, 3L, 4L, "d e f g"),
+      (1L, 2L, 6L, 4L, "g h i j"),
+      (2L, 0L, 0L, 2L, "x y")))
+    // exact-cover invariant on a longer doc: stride offsets, tail chunk
+    // short but never shorter than the overlap
+    val long = Seq((9L, (0 until 103).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ch = TextOps.chunk(long, chunkTokens = 32, overlapTokens = 8).collect()
+    val n = 103
+    assert(ch.map(_.getLong(2)).toSeq == ch.indices.map(_ * 24L))
+    assert(ch.last.getLong(2) + ch.last.getLong(3) == n)
+    assert(ch.last.getLong(3) > 8)
+    assert(ch.init.forall(_.getLong(3) == 32))
+  }
+
   test("balanceMixtureTemperature: interpolates between raw and equal") {
     val counts = docs.groupBy("source").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

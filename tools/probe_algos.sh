@@ -14,6 +14,10 @@ ALGOS=${SPARK_GRAFT_PROBE_ALGOS:-q_kcore,q_labelprop,q_pagerank,q_ppr,q_concomp,
 echo "{}" > "$OUT"
 for q in ${ALGOS//,/ }; do
   echo "[probe] $q"
+  # r14: probes launched back-to-back inherit the previous JVM's load
+  # (load_start 11-18 in the first merged artifact; triangles max 205s)
+  # — cool down so each probe starts near-idle
+  sleep "${SPARK_GRAFT_PROBE_COOLDOWN:-60}"
   cp BENCH_OUT.json /tmp/BENCH_OUT.preprobe.bak 2>/dev/null || true
   SPARK_GRAFT_SF_DIR=$DATA SPARK_GRAFT_BENCH_ONLY=$q \
     SPARK_GRAFT_BENCH_RUNS=${SPARK_GRAFT_BENCH_RUNS:-5} \
