@@ -58,7 +58,9 @@ object Algos {
     finally spark.conf.set(key, orig)
   }
 
-  // temporary phase timing for SCC tuning; enabled by GRAFT_SCC_DEBUG
+  // opt-in SCC phase timing (set GRAFT_SCC_DEBUG=1): stderr lines per
+  // trim round / coloring step / peel — the diagnostic that located the
+  // r14 plan-blowup and task-launch costs; zero overhead when unset
   private val sccDebug = sys.env.contains("GRAFT_SCC_DEBUG")
   private def sccTick(label: String, t0: Long): Long = {
     val t1 = System.nanoTime
