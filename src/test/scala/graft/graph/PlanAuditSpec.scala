@@ -89,6 +89,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(aggs.isEmpty, s"repetition should not aggregate at all, found ${aggs.length}")
   }
 
+  test("q_chunk: row-local chunking — no joins, no aggregates, sort-only exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = SparkEntry.queries("q_chunk")(spark, sfDir)
+    assert(joinKinds(df).isEmpty, "chunking must be join-free")
+    val exchanges = df.queryExecution.sparkPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(exchanges.length <= 1, s"unexpected exchanges: ${exchanges.length}")
+  }
+
   test("q_span_coverage: interval union is one keyed window, no self-join on positions") {
     val df = SparkEntry.queries("q_span_coverage")(spark, sfDir)
     assert(!joinKinds(df).exists(Set("bnlj", "cartesian")),
