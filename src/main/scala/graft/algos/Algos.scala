@@ -45,18 +45,20 @@ object Algos {
     * default, so cluster deployments keep their parallelism for
     * genuinely large loops; every action of the loop must happen inside
     * `body` (the algos here materialize per round, so they do).
+    *
+    * Restoration is depth-tracked per session ([[graft.util.ConfScope]])
+    * so overlapping loops can't leave a clamp behind; the conf is still
+    * session-global WHILE a loop runs, so interleave unrelated queries
+    * on their own `spark.newSession()` if the clamp matters to them.
     */
-  private def withLoopParts[T](spark: SparkSession, rowCount: Long)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val orig = spark.conf.get(key)
-    // ~128k id-pair rows per task: small enough that per-round real work
-    // still spreads across cores (measured at sf0.1: 1.2M-edge pagerank
-    // regressed at 5 partitions), large enough that KB-frame rounds
-    // don't pay 32 task launches
-    val parts = math.max(4L, math.min(orig.toLong, rowCount / 131072L + 1L))
-    try { spark.conf.set(key, parts.toString); body }
-    finally spark.conf.set(key, orig)
-  }
+  private def withLoopParts[T](spark: SparkSession, rowCount: Long)(body: => T): T =
+    graft.util.ConfScope.scoped(spark, "spark.sql.shuffle.partitions") { orig =>
+      // ~128k id-pair rows per task: small enough that per-round real work
+      // still spreads across cores (measured at sf0.1: 1.2M-edge pagerank
+      // regressed at 5 partitions), large enough that KB-frame rounds
+      // don't pay 32 task launches
+      math.max(4L, math.min(orig.toLong, rowCount / 131072L + 1L)).toString
+    }(body)
 
   // opt-in SCC phase timing (set GRAFT_SCC_DEBUG=1): stderr lines per
   // trim round / coloring step / peel — the diagnostic that located the
@@ -78,7 +80,11 @@ object Algos {
       src: String = "_src", dst: String = "_dst"): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.select(col(src).as("es"), col(dst).as("ed"))
+    // materialized ONCE: the sizing count and every level join read the
+    // same cached projection — the un-cached form paid one extra full
+    // edge scan for the count plus a parquet re-scan per level (r14
+    // advice)
+    val e = materialize(edges.select(col(src).as("es"), col(dst).as("ed")))
     var visited = materialize(Seq((source, 0)).toDF("id", "dist"))
     var frontier = visited
     var depth = 0
@@ -93,6 +99,7 @@ object Algos {
       visited = materialize(visited.unionByName(frontier))
     }
     }
+    e.unpersist()
     visited
   }
 
@@ -110,7 +117,9 @@ object Algos {
       src: String = "_src", dst: String = "_dst"): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.select(col(src).as("es"), col(dst).as("ed"))
+    // materialized once for the sizing count + per-level joins, as in
+    // [[shortestPaths]]
+    val e = materialize(edges.select(col(src).as("es"), col(dst).as("ed")))
     var visited = materialize(
       seeds.map(s => (s, s, 0)).toDF("seed", "id", "dist"))
     var frontier = visited
@@ -126,6 +135,7 @@ object Algos {
       visited = materialize(visited.unionByName(frontier))
     }
     }
+    e.unpersist()
     visited.groupBy("seed", "dist")
       .agg(count(lit(1)).as("n_nodes"))
       .select(col("seed"), col("dist").cast("long").as("dist"), col("n_nodes"))
@@ -548,7 +558,13 @@ object Algos {
     }
     if (!fixed) throw new IllegalStateException(
       s"SCC coloring did not converge in $maxInner steps")
-    colors.select(col("id"), col("color"))
+    // materialize the (id, color) projection and release the parent: the
+    // callers unpersist what we RETURN, and uncacheQuery only matches the
+    // exact cached plan — returning a lazy projection over the cached
+    // frame leaked one coloring frame per pass (r14 advice)
+    val out = materialize(colors.select(col("id"), col("color")))
+    colors.unpersist()
+    out
   }
 
   /** PageRank with uniform teleport, `iterations` fixed rounds.

@@ -521,8 +521,7 @@ object VectorExprs {
     * Per-row memory is O(distinct grams of ONE document) — the same
     * order the final per-doc reducer held before.
     */
-  case class RepStats(children: Seq[Expression]) extends Expression
-      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  case class RepStats(children: Seq[Expression]) extends Expression {
     import org.apache.spark.unsafe.types.UTF8String
     override def dataType: DataType = StructType(Seq(
       StructField("n_lines", LongType, nullable = false),
@@ -538,22 +537,67 @@ object VectorExprs {
       org.apache.spark.sql.catalyst.expressions.XxHash64Function
         .hash(s, StringType, 42L)
 
+    // the gram-size lists configure the kernel, they aren't data — require
+    // them constant so both execution paths evaluate them exactly once
+    // (the old per-row re-eval of the literal arrays was avoidable work in
+    // a once-per-document kernel; r14 advice)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (children.size != 4)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "graft_rep_stats expects (tokens, lines, topNs, dupNs)")
+      else if (!children(2).foldable || !children(3).foldable)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "graft_rep_stats topNs/dupNs must be constant arrays")
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+    @transient private lazy val topNs: Array[Int] =
+      children(2).eval(null).asInstanceOf[ArrayData].toIntArray()
+    @transient private lazy val dupNs: Array[Int] =
+      children(3).eval(null).asInstanceOf[ArrayData].toIntArray()
+
     override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
       val tv = children(0).eval(input)
       val lv = children(1).eval(input)
-      if (tv == null || lv == null) return null
-      val toksArr = tv.asInstanceOf[ArrayData]
-      val linesArr = lv.asInstanceOf[ArrayData]
-      val topNs = children(2).eval(input).asInstanceOf[ArrayData].toIntArray()
-      val dupNs = children(3).eval(input).asInstanceOf[ArrayData].toIntArray()
+      if (tv == null || lv == null) null
+      else compute(tv.asInstanceOf[ArrayData], lv.asInstanceOf[ArrayData])
+    }
+
+    /** Whole-stage codegen evaluates the two array children inline and
+      * calls into this kernel via a reference object — the same shape as
+      * Spark's own regexp/json expressions, whose heavy per-row state
+      * (here: the per-document gram hash maps) lives behind one virtual
+      * call rather than the interpreted-fallback path that re-evaluated
+      * the whole child tree reflectively (r14 verdict item 6).
+      */
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val t = children(0).genCode(ctx)
+      val l = children(1).genCode(ctx)
+      val ref = ctx.addReferenceObj("graftRepStats", this, classOf[RepStats].getName)
+      val rowCls = classOf[org.apache.spark.sql.catalyst.InternalRow].getName
+      ev.copy(code =
+        code"""
+          ${t.code}
+          ${l.code}
+          boolean ${ev.isNull} = ${t.isNull} || ${l.isNull};
+          $rowCls ${ev.value} = null;
+          if (!${ev.isNull}) {
+            ${ev.value} = $ref.compute(${t.value}, ${l.value});
+          }""")
+    }
+
+    /** The row-local kernel (shared by eval and the generated code). */
+    def compute(toksArr: ArrayData,
+        linesArr: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
       // ---- lines (the n = 0 tier of the old bag)
       val nLinesTot = linesArr.numElements().toLong
       val lineMap = scala.collection.mutable.LongMap.empty[Array[Long]]
       var i = 0
       while (i < linesArr.numElements()) {
         val l = linesArr.getUTF8String(i)
-        val e = lineMap.getOrNull(hashUtf8(l))
-        if (e == null) lineMap.update(hashUtf8(l), Array(1L, l.numChars().toLong))
+        val h = hashUtf8(l)
+        val e = lineMap.getOrNull(h)
+        if (e == null) lineMap.update(h, Array(1L, l.numChars().toLong))
         else e(0) += 1L
         i += 1
       }

@@ -200,20 +200,22 @@ object EventStreams {
     * lesson applied to streams. Callers create fresh checkpoints per
     * invocation, so the partition count recorded in the checkpoint
     * never conflicts with a prior run's.
+    *
+    * Restoration is depth-tracked per session ([[graft.util.ConfScope]])
+    * so overlapping drains can't leave a clamp behind; the conf is still
+    * session-global WHILE a drain runs, so interleave unrelated queries
+    * on their own `spark.newSession()` if the clamp matters to them.
     */
   private def withStreamParts[T](spark: SparkSession, dir: String,
-      glob: String)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val orig = spark.conf.get(key)
-    val p = new org.apache.hadoop.fs.Path(s"$dir/$glob")
-    val bytes =
-      try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .getContentSummary(p).getLength
-      catch { case _: java.io.IOException => Long.MaxValue }
-    val parts = math.max(4L, math.min(orig.toLong, bytes / (64L << 20) + 1L))
-    try { spark.conf.set(key, parts.toString); body }
-    finally spark.conf.set(key, orig)
-  }
+      glob: String)(body: => T): T =
+    graft.util.ConfScope.scoped(spark, "spark.sql.shuffle.partitions") { orig =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$glob")
+      val bytes =
+        try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+        catch { case _: java.io.IOException => Long.MaxValue }
+      math.max(4L, math.min(orig.toLong, bytes / (64L << 20) + 1L)).toString
+    }(body)
 
   /** The windowed-count pipeline executed THROUGH Structured Streaming:
     * file-stream ingest of the events parquet (availableNow trigger) →

@@ -89,6 +89,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(aggs.isEmpty, s"repetition should not aggregate at all, found ${aggs.length}")
   }
 
+  test("q_repetition: RepStats survives forced codegen (no interpreted fallback)") {
+    // r14 verdict item 6: RepStats was a CodegenFallback; it now has a
+    // real doGenCode. CODEGEN_ONLY + fallback=false make any codegen
+    // failure THROW instead of silently reverting to interpreted eval.
+    val keys = Seq("spark.sql.codegen.fallback" -> "false",
+      "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      val out = SparkEntry.queries("q_repetition")(spark, sfDir).limit(5).collect()
+      assert(out.nonEmpty)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q_chunk: row-local chunking — no joins, no aggregates, sort-only exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val df = SparkEntry.queries("q_chunk")(spark, sfDir)
