@@ -755,16 +755,19 @@ object SparkEntry {
     "q_knn_graph" -> ((s, dir) =>
       pipeline.Ann.knnGraph(embs(s, dir), k = 5, maxNodes = 200)),
 
-    // rows-only oracle (stub codec features not expressible in DuckDB)
+    // r15: REAL codec — plant genuine PNG/JPEG bytes, hand-rolled
+    // header parse + ImageIO pixel decode; full-value oracle (the plant
+    // formulas are SQL, px_near=1 gates that decode recovered them)
     "q_multimodal" -> ((s, dir) =>
       pipeline.Multimodal.summary(docs(s, dir))),
 
-    // the metadata/plumbing half of the multimodal pipeline IS
-    // SQL-replayable (format tags, payload byte length, sampled frame
-    // counts) — hash-verified, leaving only the stub features rows-only
+    // the metadata tier alone: container-header parse, no pixel decode
     "q_multimodal_meta" -> ((s, dir) =>
-      pipeline.Multimodal.summary(docs(s, dir))
-        .select("media_id", "format", "payload_len", "n_frames")),
+      pipeline.Multimodal.metaSummary(docs(s, dir))),
+
+    // the lossless-decode tier: PNG per-channel means, pinned exactly
+    "q_multimodal_pixels" -> ((s, dir) =>
+      pipeline.Multimodal.pixelSummary(docs(s, dir))),
 
     // ================================================================
     // Sources tier under the gate: CSV / JSON / graph-snapshot
@@ -2441,14 +2444,27 @@ object SparkEntry {
                 count(*) AS n_events, round(sum(value), 3) AS total_value
          FROM g GROUP BY user_id, session_seq
          ORDER BY user_id, session_start""",
+    "q_multimodal" ->
+      """SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+         CAST(16 + (doc_id % 4) * 8 AS INTEGER) AS width,
+         CAST(16 + (doc_id % 3) * 8 AS INTEGER) AS height,
+         CAST(3 AS INTEGER) AS channels,
+         CAST(1 AS INTEGER) AS px_near
+         FROM documents ORDER BY media_id""",
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id,
-         CASE WHEN doc_id % 3 = 0 THEN 'png'
-              WHEN doc_id % 3 = 1 THEN 'jpeg'
-              ELSE 'webp' END AS format,
-         CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
-         CAST(ceil(ceil(octet_length(encode(text)) / 64.0) / 2.0) AS BIGINT) AS n_frames
+         CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+         CAST(16 + (doc_id % 4) * 8 AS INTEGER) AS width,
+         CAST(16 + (doc_id % 3) * 8 AS INTEGER) AS height,
+         CAST(3 AS INTEGER) AS channels
          FROM documents ORDER BY media_id""",
+    "q_multimodal_pixels" ->
+      """SELECT doc_id AS media_id,
+         round(((doc_id * 37) % 256 + (doc_id * 101) % 256) / 2.0, 4) AS mean_r,
+         round(((doc_id * 59) % 256 + (doc_id * 127) % 256) / 2.0, 4) AS mean_g,
+         round(((doc_id * 83) % 256 + (doc_id * 151) % 256) / 2.0, 4) AS mean_b
+         FROM documents WHERE doc_id % 2 = 0 ORDER BY media_id""",
     "q_degree" ->
       """SELECT c_custkey AS id, CAST(1 + coalesce(o.cnt, 0) AS BIGINT) AS outDegree,
          CAST(0 AS BIGINT) AS inDegree, CAST(1 + coalesce(o.cnt, 0) AS BIGINT) AS degree

@@ -1,90 +1,124 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
-/** Multimodal columns: opaque binary payloads + typed metadata, with the
-  * Spark-side plumbing (schema, partitioning, batched per-partition
-  * transforms) real and tested.
+/** Multimodal columns: opaque binary payloads treated as first-class
+  * corpus data, with REAL codecs (r15 — replaces the r1–r14 stub).
   *
-  * The actual codecs (image decode, audio resample, video frame extract)
-  * are NOT available in this environment — the decode step is a
-  * clearly-marked DETERMINISTIC STUB (`stubDecode`) with the same
-  * signature/batch shape a real codec (e.g. via JNI or `mapInPandas` on
-  * the PySpark side) would have. Swap `stubDecode` for a real codec and
-  * nothing else changes.
+  * Pipeline staging mirrors what survives at 100 TB:
+  *
+  *  - [[plantedMediaTable]] builds the media corpus: one genuine
+  *    PNG/JPEG byte stream per document, rendered and encoded with the
+  *    JDK's own `javax.imageio` codecs from formulas over `doc_id` —
+  *    so every downstream value is derivable in the DuckDB oracle while
+  *    the decode path runs against real codec output.
+  *  - [[decodeMeta]] is the METADATA pass: hand-rolled header parsing
+  *    ([[ImageCodec.parseHeader]]), no pixel decode — at corpus scale
+  *    this touches only the first bytes of each blob.
+  *  - [[pixelStats]] / [[extractFeatures]] are the DECODE pass: full
+  *    `ImageIO` pixel decode, per-channel means and a luminance
+  *    histogram feature vector — batched per partition (one iterator
+  *    in/out, the `mapInPandas` shape), no shuffle anywhere: every
+  *    stage is row-local until the final gate sort.
+  *  - [[sampleFrames]] keeps the video-style explode shape: fixed-size
+  *    payload chunks standing in for codec frame extraction (video
+  *    codecs genuinely aren't in the JDK; images are the real tier).
+  *
+  * Correctness: PNG is lossless, so decoded pixels are gated EXACTLY
+  * against the planted colors; JPEG is lossy, so its decode is gated by
+  * a +-24/channel bound on pixel (0,0) (measured worst case on this
+  * corpus: 13).
   */
 object Multimodal {
 
-  /** Typed metadata carried next to every binary payload. */
-  final case class MediaMeta(format: String, width: Int, height: Int,
-      durationMs: Long)
-
-  final case class MediaRow(media_id: Long, meta: MediaMeta, payload: Array[Byte])
-
+  final case class MediaRaw(media_id: Long, payload: Array[Byte])
+  final case class MediaDecoded(media_id: Long, format: String, width: Int,
+      height: Int, channels: Int, payload_len: Long)
+  final case class MediaPixels(media_id: Long, format: String, width: Int,
+      height: Int, channels: Int, mean_r: Double, mean_g: Double,
+      mean_b: Double, px0: Int)
   final case class MediaFeatures(media_id: Long, format: String,
-      payload_len: Long, feature: Array[Float])
-
+      feature: Array[Float])
   final case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
 
-  val mediaSchema: StructType = Encoders.product[MediaRow].schema
+  // ---- planted-corpus formulas (the DuckDB oracle replays these over
+  // doc_id; the Spark side must NOT shortcut through them for anything
+  // the decode path can produce — format/dims/colors below are only
+  // used to RENDER the corpus and to state expectations)
+  def plantFormat(id: Long): String = if (id % 2 == 0) "png" else "jpeg"
+  def plantWidth(id: Long): Int = 16 + (id % 4).toInt * 8
+  def plantHeight(id: Long): Int = 16 + (id % 3).toInt * 8
+  def plantTop(id: Long): Int =
+    (((id * 37) % 256).toInt << 16) | (((id * 59) % 256).toInt << 8) |
+      ((id * 83) % 256).toInt
+  def plantBottom(id: Long): Int =
+    (((id * 101) % 256).toInt << 16) | (((id * 127) % 256).toInt << 8) |
+      ((id * 151) % 256).toInt
 
-  /** Build a synthetic media table from the documents frame: payload =
-    * utf-8 text bytes standing in for an encoded image; metadata derived
-    * deterministically. Real pipelines read (path, bytes) from parquet
-    * with exactly this shape.
+  /** One real encoded image per document: two-tone (top/bottom half)
+    * PNG for even ids, JPEG for odd, dimensions and colors from the
+    * formulas above. Encoding runs batched per partition; real
+    * pipelines read (id, bytes) from parquet with exactly this shape.
     */
-  def syntheticMediaTable(docs: DataFrame): Dataset[MediaRow] = {
+  def plantedMediaTable(docs: DataFrame): Dataset[MediaRaw] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(
-      col("doc_id").as("media_id"),
-      struct(
-        when(col("doc_id") % 3 === 0, "png")
-          .when(col("doc_id") % 3 === 1, "jpeg")
-          .otherwise("webp").as("format"),
-        (pmod(col("doc_id"), lit(4)) * 64 + 64).cast(IntegerType).as("width"),
-        (pmod(col("doc_id"), lit(3)) * 64 + 64).cast(IntegerType).as("height"),
-        (length(col("text")) * 10).cast(LongType).as("durationMs")).as("meta"),
-      encode(col("text"), "UTF-8").as("payload"))
-      .as[MediaRow]
-  }
-
-  /** DETERMINISTIC STUB for the decode + feature-extract step.
-    *
-    * A real implementation decodes `payload` with an image/audio codec
-    * and runs a feature extractor; none ship in this container, so this
-    * derives `dim` pseudo-features from a rolling byte hash — stable
-    * across runs/executors, same output schema and batch shape as the
-    * real thing.
-    */
-  def stubDecode(payload: Array[Byte], dim: Int): Array[Float] = {
-    val out = new Array[Float](dim)
-    var h = 1125899906842597L // deterministic seed
-    var i = 0
-    while (i < payload.length) {
-      h = 31 * h + payload(i)
-      i += 1
-      if (i % 16 == 0 || i == payload.length) {
-        val slot = (i / 16) % dim
-        out(slot) = ((h % 1000003L).toFloat / 1000003f)
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        MediaRaw(id, ImageCodec.encodeTwoTone(plantFormat(id), plantWidth(id),
+          plantHeight(id), plantTop(id), plantBottom(id)))
       }
     }
-    out
   }
 
-  /** Batched per-partition feature extraction — the Scala analog of a
-    * pandas-UDF `mapInPandas` stage: one iterator in, one iterator out,
-    * no per-row task overhead, partitioning preserved.
+  /** Metadata pass: container-header parse only (format, dimensions,
+    * channel count) — no pixel decode. Unparseable payloads are
+    * dropped, the corpus-filter semantics.
     */
-  def extractFeatures(media: Dataset[MediaRow], dim: Int = 8): Dataset[MediaFeatures] = {
+  def decodeMeta(media: Dataset[MediaRaw]): Dataset[MediaDecoded] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
-      rows.map { r =>
-        MediaFeatures(r.media_id, r.meta.format, r.payload.length.toLong,
-          stubDecode(r.payload, dim))
+      rows.flatMap { r =>
+        ImageCodec.parseHeader(r.payload).map(m => MediaDecoded(r.media_id,
+          m.format, m.width, m.height, m.channels, r.payload.length.toLong))
+      }
+    }
+  }
+
+  /** Decode pass: full pixel decode, per-channel means + pixel (0,0).
+    * Header fields come from [[ImageCodec.parseHeader]] on the same
+    * bytes, so one gate row exercises both tiers.
+    */
+  def pixelStats(media: Dataset[MediaRaw]): Dataset[MediaPixels] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        for {
+          m <- ImageCodec.parseHeader(r.payload)
+          img <- ImageCodec.decode(r.payload)
+        } yield {
+          val (mr, mg, mb) = ImageCodec.meanRgb(img)
+          MediaPixels(r.media_id, m.format, m.width, m.height, m.channels,
+            mr, mg, mb, ImageCodec.pixel0(img))
+        }
+      }
+    }
+  }
+
+  /** Feature extraction: decode + `bins`-bucket luminance histogram. */
+  def extractFeatures(media: Dataset[MediaRaw], bins: Int = 8): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        for {
+          m <- ImageCodec.parseHeader(r.payload)
+          img <- ImageCodec.decode(r.payload)
+        } yield MediaFeatures(r.media_id, m.format,
+          ImageCodec.lumaHistogram(img, bins))
       }
     }
   }
@@ -93,7 +127,7 @@ object Multimodal {
     * and emit every `stride`-th one. Real video pipelines replace the
     * chunking with codec frame extraction; the explode shape is the same.
     */
-  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int = 64,
+  def sampleFrames(media: Dataset[MediaRaw], frameBytes: Int = 64,
       stride: Int = 2): Dataset[MediaFrame] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -104,19 +138,45 @@ object Multimodal {
     }
   }
 
-  /** Summary frame for the correctness gate: one row per media item with
-    * deterministic stats over the stub pipeline.
+  private def chan(c: Column, shift: Int): Column =
+    shiftright(c, shift).bitwiseAND(lit(0xff))
+
+  /** Full-pipeline gate (q_multimodal): plant -> header-parse -> decode,
+    * one row per document with the parsed metadata and a decode-accuracy
+    * flag. `px_near` = 1 iff every channel of decoded pixel (0,0) is
+    * within tolerance of the planted top color — exact for PNG
+    * (lossless), +-24 for JPEG. The oracle replays the plant formulas
+    * and expects px_near = 1 everywhere, which gates that the REAL
+    * decode recovered the planted image.
     */
   def summary(docs: DataFrame): DataFrame = {
-    val media = syntheticMediaTable(docs)
-    val feats = extractFeatures(media, dim = 8)
-    val frames = sampleFrames(media)
-    val frameCounts = frames.groupBy("media_id")
-      .agg(count(lit(1)).as("n_frames"))
-    feats.join(frameCounts, Seq("media_id"), "left_outer")
-      .select(col("media_id"), col("format"), col("payload_len"),
-        coalesce(col("n_frames"), lit(0L)).as("n_frames"),
-        round(element_at(col("feature"), 1).cast(DoubleType), 6).as("f0"))
+    val px = pixelStats(plantedMediaTable(docs)).toDF()
+    val expTop = Seq(37L, 59L, 83L).zip(Seq(16, 8, 0))
+    val tol = when(col("format") === "png", lit(0)).otherwise(lit(24))
+    val near = expTop.map { case (mult, shift) =>
+      abs(chan(col("px0"), shift) - pmod(col("media_id") * mult, lit(256L))) <= tol
+    }.reduce(_ && _)
+    px.select(col("media_id"), col("format"), col("width"), col("height"),
+        col("channels"), when(near, lit(1)).otherwise(lit(0)).as("px_near"))
       .orderBy("media_id")
   }
+
+  /** Metadata-pass gate (q_multimodal_meta): header-parse tier only —
+    * the fields a 100 TB metadata sweep produces without decoding.
+    */
+  def metaSummary(docs: DataFrame): DataFrame =
+    decodeMeta(plantedMediaTable(docs)).toDF()
+      .select("media_id", "format", "width", "height", "channels")
+      .orderBy("media_id")
+
+  /** Lossless-decode gate (q_multimodal_pixels): PNG rows only, decoded
+    * per-channel means — exactly (top+bottom)/2 by construction, so the
+    * oracle pins the full pixel decode to 4 decimal places.
+    */
+  def pixelSummary(docs: DataFrame): DataFrame =
+    pixelStats(plantedMediaTable(docs)).toDF()
+      .filter(col("format") === "png")
+      .select(col("media_id"), round(col("mean_r"), 4).as("mean_r"),
+        round(col("mean_g"), 4).as("mean_g"), round(col("mean_b"), 4).as("mean_b"))
+      .orderBy("media_id")
 }
