@@ -504,6 +504,12 @@ object SparkEntry {
     "q_ngram_freq" -> ((s, dir) =>
       pipeline.TextOps.ngramFrequencies(docs(s, dir), n = 2, topN = 100)),
 
+    // r15: heavy-hitters variant — per-partition candidate pruning, the
+    // count-1 tail never shuffles; same oracle as the exact form (exact
+    // counts, candidate recall pinned by spec + the Zipf head)
+    "q_ngram_approx" -> ((s, dir) =>
+      pipeline.TextOps.ngramFrequenciesApprox(docs(s, dir), n = 2, topN = 100)),
+
     // context-length chunking: 64-token windows, 16-token overlap
     "q_chunk" -> ((s, dir) =>
       pipeline.TextOps.chunk(docs(s, dir), chunkTokens = 64, overlapTokens = 16)),
@@ -1674,6 +1680,17 @@ object SparkEntry {
       """SELECT user_id, string_agg(event_type, ',' ORDER BY event_type) AS events_sorted
          FROM events GROUP BY user_id ORDER BY user_id""",
     "q_ngram_freq" ->
+      """WITH t AS (
+           SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+         g AS (
+           SELECT unnest(list_transform(range(1, greatest(len(toks) - 0, 1)),
+             i -> concat_ws(' ', toks[i], toks[i+1]))) AS gram
+           FROM t WHERE len(toks) >= 2)
+         SELECT gram, count(*) AS cnt FROM g
+         GROUP BY gram ORDER BY cnt DESC, gram LIMIT 100""",
+    // the approx heavy-hitters path must reproduce the exact answer on
+    // the gate corpus — same oracle as q_ngram_freq by design
+    "q_ngram_approx" ->
       """WITH t AS (
            SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
          g AS (

@@ -87,19 +87,80 @@ object TextOps {
     * are pre-collapsed map-side, no manual salting needed for a count.
     * Deterministic top-N: ties broken by the gram itself.
     */
+  /** The per-document n-gram array shared by the exact and approximate
+    * vocabulary passes.
+    */
+  private def gramsCol(n: Int, text: String): Column = {
+    val toks = tokens(lower(col(text)))
+    if (n == 1) toks
+    else {
+      val cnt = size(toks) - (n - 1)
+      when(cnt <= 0, array().cast(ArrayType(StringType)))
+        .otherwise(transform(sequence(lit(0), greatest(cnt - 1, lit(0))),
+          i => array_join(slice(toks, i + 1, lit(n)), " ")))
+    }
+  }
+
   def ngramFrequencies(docs: DataFrame, n: Int = 1, topN: Int = 100,
       text: String = "text"): DataFrame = {
     require(n >= 1, "n-gram size must be >= 1")
-    val toks = tokens(lower(col(text)))
-    val grams =
-      if (n == 1) toks
-      else {
-        val cnt = size(toks) - (n - 1)
-        when(cnt <= 0, array().cast(ArrayType(StringType)))
-          .otherwise(transform(sequence(lit(0), greatest(cnt - 1, lit(0))),
-            i => array_join(slice(toks, i + 1, lit(n)), " ")))
+    docs.select(explode(gramsCol(n, text)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("gram"))
+      .limit(topN)
+  }
+
+  /** Approximate heavy-hitters top-N n-grams — the 100 TB default next
+    * to the exact, oracle-gated [[ngramFrequencies]].
+    *
+    * The exact form is shuffle-shaped right (map-side combine absorbs
+    * the Zipf head) but its exchange still carries one row per distinct
+    * gram per partition, and on a web corpus the count-1 TAIL is most
+    * of the distinct grams — the r14 10x audit measured 15.3x on
+    * exactly that (BENCH_10x q_ngram_freq). Global exact top-100 pays a
+    * corpus-distinct-sized shuffle for an output of 100 rows.
+    *
+    * Two passes, classic candidate-set heavy hitters:
+    *  - pass 1, NO shuffle: per-partition exact counts in a local hash
+    *    map (the explode and the count run inside one stage), keeping
+    *    only each partition's top-(topN x overselect) grams in a
+    *    bounded heap. The tail never leaves the partition.
+    *  - pass 2, tiny shuffles: dedup the candidate union (at most
+    *    partitions x topN x overselect rows), broadcast it back as a
+    *    semi-join filter, and recount ONLY candidate grams exactly.
+    *
+    * Returned counts are therefore EXACT; the approximation is solely
+    * in candidate recall — a true top-N gram is missed only if it
+    * ranks below topN x overselect in EVERY partition, which a Zipfian
+    * gram distribution makes vanishingly unlikely (spec pins
+    * approx == exact on the gate corpus; q_ngram_approx carries the
+    * SAME DuckDB oracle as q_ngram_freq).
+    *
+    * Per-partition memory is O(distinct grams of one partition) — the
+    * same order the exact form's partial hash aggregate already holds;
+    * size partitions for the aggregate and this holds too.
+    */
+  def ngramFrequenciesApprox(docs: DataFrame, n: Int = 1, topN: Int = 100,
+      text: String = "text", overselect: Int = 8): DataFrame = {
+    require(n >= 1 && topN >= 1 && overselect >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def gramRows = docs.select(explode(gramsCol(n, text)).as("gram"))
+    val m = topN * overselect
+    val candidates = gramRows.as[String].mapPartitions { it =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach(g => counts.update(g, counts.getOrElse(g, 0L) + 1L))
+      // bounded heap of the best m by (count desc, gram asc); the queue
+      // dequeues the WORST under this ordering, so it evicts correctly
+      val ord = Ordering.by[(Long, String), (Long, String)] { case (c, g) => (-c, g) }
+      val heap = scala.collection.mutable.PriorityQueue.empty[(Long, String)](ord)
+      counts.foreach { case (g, c) =>
+        heap.enqueue((c, g))
+        if (heap.size > m) heap.dequeue()
       }
-    docs.select(explode(grams).as("gram"))
+      heap.iterator.map(_._2)
+    }.toDF("gram").distinct()
+    gramRows.join(broadcast(candidates), Seq("gram")) // scan-side filter
       .groupBy("gram").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("gram"))
       .limit(topN)

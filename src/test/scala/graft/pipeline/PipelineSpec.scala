@@ -737,6 +737,26 @@ class PipelineSpec extends SparkSpec {
     assert(capped == Set("cherry", "date"))
   }
 
+  test("ngramFrequenciesApprox reproduces the exact top-N on the gate corpus") {
+    val exact = TextOps.ngramFrequencies(docs, n = 2, topN = 100).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // many partitions = the adversarial direction for candidate recall
+    val spread = docs.repartition(16)
+    val approx = TextOps.ngramFrequenciesApprox(spread, n = 2, topN = 100).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(approx.toSeq == exact.toSeq,
+      "approx heavy hitters must reproduce the exact top-N (counts are exact by construction)")
+    // under a deliberately starved candidate budget (overselect=1 over
+    // 16 partitions) recall may drop, but every RETURNED count must
+    // still be the exact global count — the two-pass recount guarantee
+    val truth = TextOps.ngramFrequencies(docs, n = 2, topN = 100000).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val tight = TextOps.ngramFrequenciesApprox(spread, n = 2, topN = 20,
+      overselect = 1).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(tight.forall { case (g, c) => truth(g) == c },
+      "approx counts must be exact for every returned gram")
+  }
+
   test("multimodal: real codec — header parse + pixel decode of known PNG/JPEG") {
     // hand-check the codec on directly-encoded fixtures first
     val png = ImageCodec.encodeTwoTone("png", 24, 16, 0x123456, 0x654321)
