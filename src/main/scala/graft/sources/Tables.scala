@@ -113,14 +113,21 @@ object Tables {
   }
 
   /** Exact row count from parquet footer metadata, when it is provably
-    * equal to `df.count()`: the optimized plan must be only
-    * row-preserving Projects over ONE parquet relation — no Filter /
-    * Join / Aggregate / Generate / cached relation (those fall back to
-    * a real count). Footers are driver-side KB reads (row-group stats),
-    * so the count is O(files) metadata I/O instead of a cluster scan —
-    * parquet guarantees the block row counts are exact, not estimates.
-    * Writes can't stale this: written graphs hold transformed frames
-    * whose plans no longer match the pattern.
+    * equal to `df.count()`: the plan must be only row-preserving
+    * Projects over ONE parquet relation — no Filter / Join / Aggregate
+    * / Generate (those fall back to a real count). Footers are
+    * driver-side KB reads (row-group stats), so the count is O(files)
+    * metadata I/O instead of a cluster scan — parquet guarantees the
+    * block row counts are exact, not estimates. Writes can't stale
+    * this: written graphs hold transformed frames whose plans no
+    * longer match the pattern.
+    *
+    * Walks the ANALYZED plan (r15): it sees through `.persist()` —
+    * cache substitution happens later in query planning, so a cached
+    * parquet frame (the snapshotted RELATED_TO derivation) still
+    * footer-counts. That is sound because the relation's file listing
+    * is fixed at read time and parquet files are immutable; caching
+    * changes where EXECUTION reads from, not how many rows exist.
     */
   def metadataRowCount(df: DataFrame): Option[Long] = {
     import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
@@ -128,7 +135,7 @@ object Tables {
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
     import scala.jdk.CollectionConverters._
     def walk(p: LogicalPlan): Option[HadoopFsRelation] = p match {
-      case Project(_, child) => walk(child)
+      case Project(exprs, child) if exprs.forall(_.deterministic) => walk(child)
       case SubqueryAlias(_, child) => walk(child)
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation if fs.fileFormat.isInstanceOf[ParquetFileFormat] =>
@@ -137,7 +144,7 @@ object Tables {
       }
       case _ => None
     }
-    walk(df.queryExecution.optimizedPlan).map { fs =>
+    walk(df.queryExecution.analyzed).map { fs =>
       val conf = df.sparkSession.sessionState.newHadoopConf()
       fs.location.inputFiles.map { f =>
         val path = new org.apache.hadoop.fs.Path(f)
