@@ -312,20 +312,36 @@ object TextOps {
     val rs = graft.functions.VectorExprs.repStats(tokens(t), split(t, "\n"),
       typedLit(topNs.toArray), typedLit(dupNs.toArray))
     val topCols = topNs.zipWithIndex.map { case (n, i) =>
-      col("rs.tops").getItem(i).as(s"_top$n") }
+      rs.getField("tops").getItem(i).as(s"_top$n") }
     val dupCols = dupNs.zipWithIndex.map { case (n, i) =>
-      col("rs.dups").getItem(i).as(s"_dup$n") }
-    val aggd = docs
-      .select(col(id), length(trim(t)).cast(LongType).as("char_len"),
-        rs.as("rs"))
+      rs.getField("dups").getItem(i).as(s"_dup$n") }
+    // The kernel evaluates exactly ONCE per row: all field extractions
+    // happen in ONE projection (whole-stage-codegen ProjectExec
+    // subexpression-eliminates the identical kernel subtrees), and the
+    // flat result is sealed behind an optimizer fence. Without the
+    // fence, predicate pushdown's alias substitution (which has no
+    // expression-cost guard) rewrites a caller's `.filter(col("keep"))`
+    // into a conjunction whose EVERY threshold term embeds its own copy
+    // of the kernel call — and WSCG FilterExec generates conjuncts
+    // independently (no cross-conjunct subexpression elimination), so
+    // the kernel ran ~11x per row (measured r15: q_pipeline_e2e 2.5s ->
+    // 9.9s the moment RepStats became codegen-able and the filter moved
+    // into WSCG; the old CodegenFallback path kept the filter outside
+    // WSCG where Predicate.create DOES subexpression-eliminate). The
+    // fenced row is 12 longs — the text column is long gone — so the
+    // fence's per-row cost is noise. The null-drop sits ABOVE the fence
+    // (GetStructField of a null kernel result is null), so it tests an
+    // attribute instead of substituting a second kernel call.
+    val aggd = graft.util.Fence(docs
+      .select(Seq(col(id), length(trim(t)).cast(LongType).as("char_len"),
+        rs.getField("n_lines").as("n_lines"),
+        rs.getField("d_lines").as("d_lines"),
+        rs.getField("line_chars").as("line_chars"),
+        rs.getField("dup_line_chars").as("dup_line_chars")) ++
+        topCols ++ dupCols: _*))
       // null text produced no exploded rows in the old shape — keep
       // dropping those documents
-      .filter(col("rs").isNotNull)
-      .select(Seq(col(id), col("char_len"), col("rs.n_lines").as("n_lines"),
-        col("rs.d_lines").as("d_lines"),
-        col("rs.line_chars").as("line_chars"),
-        col("rs.dup_line_chars").as("dup_line_chars")) ++
-        topCols ++ dupCols: _*)
+      .filter(col("n_lines").isNotNull)
     // capped at 1.0: occurrence-weighted coverage can exceed the char
     // count when occurrences overlap (the interval-union variant that
     // cannot is not SQL-replayable — divergence documented above)
