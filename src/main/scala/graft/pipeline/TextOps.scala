@@ -87,24 +87,20 @@ object TextOps {
     * are pre-collapsed map-side, no manual salting needed for a count.
     * Deterministic top-N: ties broken by the gram itself.
     */
-  /** The per-document n-gram array shared by the exact and approximate
-    * vocabulary passes.
+  /** The per-document n-gram array of the exact vocabulary pass — the
+    * native [[graft.functions.VectorExprs.NGramJoin]] kernel (r15: the
+    * composed transform/slice/array_join form allocated per gram and
+    * was ~90% of the scan cost; byte-identical output).
     */
-  private def gramsCol(n: Int, text: String): Column = {
-    val toks = tokens(lower(col(text)))
-    if (n == 1) toks
-    else {
-      val cnt = size(toks) - (n - 1)
-      when(cnt <= 0, array().cast(ArrayType(StringType)))
-        .otherwise(transform(sequence(lit(0), greatest(cnt - 1, lit(0))),
-          i => array_join(slice(toks, i + 1, lit(n)), " ")))
-    }
+  private def gramsCol(docs: DataFrame, n: Int, text: String): Column = {
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    graft.functions.VectorExprs.ngramJoin(tokens(lower(col(text))), lit(n))
   }
 
   def ngramFrequencies(docs: DataFrame, n: Int = 1, topN: Int = 100,
       text: String = "text"): DataFrame = {
     require(n >= 1, "n-gram size must be >= 1")
-    docs.select(explode(gramsCol(n, text)).as("gram"))
+    docs.select(explode(gramsCol(docs, n, text)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("gram"))
       .limit(topN)
