@@ -188,22 +188,24 @@ object VectorExprs {
     * The HOF formulation (`transform(sequence(...), i →
     * xxhash64(array_join(slice(toks, i+1, k), " ")))`) pays interpreter
     * dispatch per shingle per row; this is one JIT-compiled loop per row
-    * (CodegenFallback — the loop itself dominates, not the call
-    * boundary). Hash values are IDENTICAL to the HOF form: same
-    * space-joined string through Spark's own XxHash64 (seed 42).
+    * behind a reference-object call (children stay codegen'd — the
+    * shape of Spark's own regexp/json expressions). Hash values are
+    * IDENTICAL to the HOF form: same space-joined string through
+    * Spark's own XxHash64 (seed 42).
     */
   case class ShingleHashes(left: Expression, right: Expression)
-      extends BinaryExpression
-      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+      extends BinaryExpression {
     import org.apache.spark.unsafe.types.UTF8String
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "graft_shingle_hashes"
 
     private val space = UTF8String.fromString(" ")
 
-    override protected def nullSafeEval(t: Any, kv: Any): Any = {
-      val arr = t.asInstanceOf[ArrayData]
-      val k = kv.asInstanceOf[Int]
+    override protected def nullSafeEval(t: Any, kv: Any): Any =
+      compute(t.asInstanceOf[ArrayData], kv.asInstanceOf[Int])
+
+    /** Shared by eval and the generated code. */
+    def compute(arr: ArrayData, k: Int): ArrayData = {
       val n = arr.numElements()
       val cnt = n - k + 1
       if (k <= 0 || cnt <= 0) return ArrayData.toArrayData(Array.empty[Long])
@@ -219,6 +221,12 @@ object VectorExprs {
         i += 1
       }
       ArrayData.toArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("graftShingleHashes", this,
+        classOf[ShingleHashes].getName)
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
     }
 
     override protected def withNewChildrenInternal(
@@ -283,8 +291,7 @@ object VectorExprs {
     * Null array → null; null elements count as misses.
     */
   case class ArrayCountIn(left: Expression, right: Expression)
-      extends BinaryExpression
-      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+      extends BinaryExpression {
     import org.apache.spark.unsafe.types.UTF8String
     override def dataType: DataType = LongType
     override def prettyName: String = "graft_count_in"
@@ -300,8 +307,14 @@ object VectorExprs {
       s
     }
 
-    override protected def nullSafeEval(a: Any, b: Any): Any = {
-      val arr = a.asInstanceOf[ArrayData]
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      compute(a.asInstanceOf[ArrayData])
+
+    /** Shared by eval and the generated code (the word set is instance
+      * state built from the foldable right child, so generated code
+      * only passes the array).
+      */
+    def compute(arr: ArrayData): Long = {
       var cnt = 0L
       var i = 0
       while (i < arr.numElements()) {
@@ -309,6 +322,12 @@ object VectorExprs {
         i += 1
       }
       cnt
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("graftCountIn", this,
+        classOf[ArrayCountIn].getName)
+      nullSafeCodeGen(ctx, ev, (a, _) => s"${ev.value} = $ref.compute($a);")
     }
 
     override protected def withNewChildrenInternal(
@@ -323,17 +342,17 @@ object VectorExprs {
     * instead of planes × dims interpreted lambda calls.
     */
   case class HyperplaneKey(first: Expression, second: Expression, third: Expression)
-      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
-      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
     override def dataType: DataType = LongType
     override def prettyName: String = "graft_hyperplane_key"
 
     import org.apache.spark.sql.catalyst.expressions.XxHash64Function
 
-    override protected def nullSafeEval(v: Any, pv: Any, sv: Any): Any = {
-      val vec = v.asInstanceOf[ArrayData]
-      val planes = pv.asInstanceOf[Int]
-      val salt = sv.asInstanceOf[Int]
+    override protected def nullSafeEval(v: Any, pv: Any, sv: Any): Any =
+      compute(v.asInstanceOf[ArrayData], pv.asInstanceOf[Int], sv.asInstanceOf[Int])
+
+    /** Shared by eval and the generated code. */
+    def compute(vec: ArrayData, planes: Int, salt: Int): Long = {
       val n = vec.numElements()
       val isFloat = first.dataType match {
         case ArrayType(FloatType, _) => true
@@ -360,6 +379,13 @@ object VectorExprs {
         p += 1
       }
       key
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("graftHyperplaneKey", this,
+        classOf[HyperplaneKey].getName)
+      nullSafeCodeGen(ctx, ev,
+        (v, p, s) => s"${ev.value} = $ref.compute($v, $p, $s);")
     }
 
     override protected def withNewChildrenInternal(
@@ -436,77 +462,6 @@ object VectorExprs {
       copy(child = newChild)
   }
 
-  /** All word-n-gram (n, xxhash64, char length) stats for EVERY n in
-    * `ns`, one expression eval per row — the repetition-filter kernel.
-    * Hash values equal [[ShingleHashes]] (xxhash64 of the space-joined
-    * gram, seed 42), so grouping by (n, hash) counts exactly what a
-    * string-side oracle counts; glen is the gram's CHARACTER length
-    * (sum of token char lengths + n-1 separators), matching SQL
-    * `len(g)`. Replaces a transform(slice+array_join) HOF pipeline
-    * that built every gram string interpreted per element — the r11
-    * bench showed that shape costing 26 s at sf0.1; this is one tight
-    * loop sharing per-token lengths across all n.
-    */
-  case class GramStats(left: Expression, right: Expression)
-      extends BinaryExpression
-      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
-    import org.apache.spark.unsafe.types.UTF8String
-    private val structType = StructType(Seq(
-      StructField("n", IntegerType, nullable = false),
-      StructField("h", LongType, nullable = false),
-      StructField("glen", IntegerType, nullable = false)))
-    override def dataType: DataType = ArrayType(structType, containsNull = false)
-    override def prettyName: String = "graft_gram_stats"
-
-    private val space = UTF8String.fromString(" ")
-
-    override protected def nullSafeEval(t: Any, nsv: Any): Any = {
-      val arr = t.asInstanceOf[ArrayData]
-      val ns = nsv.asInstanceOf[ArrayData].toIntArray()
-      val n = arr.numElements()
-      val toks = new Array[UTF8String](n)
-      val lens = new Array[Int](n)
-      var i = 0
-      while (i < n) {
-        toks(i) = arr.getUTF8String(i)
-        lens(i) = toks(i).numChars()
-        i += 1
-      }
-      var total = 0
-      ns.foreach(k => if (k > 0 && n - k + 1 > 0) total += n - k + 1)
-      val rows = new Array[Any](total)
-      var o = 0
-      ns.foreach { k =>
-        val cnt = n - k + 1
-        if (k > 0 && cnt > 0) {
-          // running char length of the window, updated O(1) per slide
-          var wlen = k - 1
-          var j = 0
-          while (j < k) { wlen += lens(j); j += 1 }
-          val parts = new Array[UTF8String](k)
-          i = 0
-          while (i < cnt) {
-            var p = 0
-            while (p < k) { parts(p) = toks(i + p); p += 1 }
-            val joined = UTF8String.concatWs(space, parts: _*)
-            val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-              .hash(joined, StringType, 42L)
-            rows(o) = new org.apache.spark.sql.catalyst.expressions
-              .GenericInternalRow(Array[Any](k, h, wlen))
-            o += 1
-            if (i + k < n) wlen += lens(i + k) - lens(i)
-            i += 1
-          }
-        }
-      }
-      ArrayData.toArrayData(rows)
-    }
-
-    override protected def withNewChildrenInternal(
-        newLeft: Expression, newRight: Expression): GramStats =
-      copy(left = newLeft, right = newRight)
-  }
-
   /** md5-prefix-60-bit hashes of every k-token shingle (space-joined,
     * ordered, non-distinct) — the native twin of
     * `conv(substring(md5(g), 1, 15), 16, 10)`: the first 15 hex chars
@@ -516,21 +471,28 @@ object VectorExprs {
     * query at sf0.1.
     */
   case class ShingleMd5(left: Expression, right: Expression)
-      extends BinaryExpression
-      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+      extends BinaryExpression {
     import org.apache.spark.unsafe.types.UTF8String
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "graft_shingle_md5"
 
     private val space = UTF8String.fromString(" ")
+    // one digest per task thread, not one getInstance per ROW — the
+    // expression object is shared across a partition's rows (and, under
+    // codegen, referenced from the generated class)
+    @transient private lazy val mdLocal =
+      ThreadLocal.withInitial[java.security.MessageDigest](() =>
+        java.security.MessageDigest.getInstance("MD5"))
 
-    override protected def nullSafeEval(t: Any, kv: Any): Any = {
-      val arr = t.asInstanceOf[ArrayData]
-      val k = kv.asInstanceOf[Int]
+    override protected def nullSafeEval(t: Any, kv: Any): Any =
+      compute(t.asInstanceOf[ArrayData], kv.asInstanceOf[Int])
+
+    /** Shared by eval and the generated code. */
+    def compute(arr: ArrayData, k: Int): ArrayData = {
       val n = arr.numElements()
       val cnt = n - k + 1
       if (k <= 0 || cnt <= 0) return ArrayData.toArrayData(Array.empty[Long])
-      val md = java.security.MessageDigest.getInstance("MD5")
+      val md = mdLocal.get()
       val out = new Array[Long](cnt)
       val parts = new Array[UTF8String](k)
       var i = 0
@@ -546,6 +508,12 @@ object VectorExprs {
         i += 1
       }
       ArrayData.toArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("graftShingleMd5", this,
+        classOf[ShingleMd5].getName)
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
     }
 
     override protected def withNewChildrenInternal(
@@ -720,8 +688,6 @@ object VectorExprs {
       exprs => SlidingMin(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_shingle_hashes",
       exprs => ShingleHashes(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_gram_stats",
-      exprs => GramStats(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_rep_stats",
       exprs => RepStats(exprs), "built-in")
     reg.createOrReplaceTempFunction("graft_shingle_md5",
@@ -755,8 +721,6 @@ object VectorExprs {
     call_function("graft_sliding_min", a, w)
   def shingleHashes(tokens: Column, k: Column): Column =
     call_function("graft_shingle_hashes", tokens, k)
-  def gramStats(tokens: Column, ns: Column): Column =
-    call_function("graft_gram_stats", tokens, ns)
   def repStats(tokens: Column, lines: Column, topNs: Column,
       dupNs: Column): Column =
     call_function("graft_rep_stats", tokens, lines, topNs, dupNs)

@@ -89,17 +89,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(aggs.isEmpty, s"repetition should not aggregate at all, found ${aggs.length}")
   }
 
-  test("q_repetition: RepStats survives forced codegen (no interpreted fallback)") {
-    // r14 verdict item 6: RepStats was a CodegenFallback; it now has a
-    // real doGenCode. CODEGEN_ONLY + fallback=false make any codegen
-    // failure THROW instead of silently reverting to interpreted eval.
+  test("native kernels survive forced codegen (no interpreted fallback)") {
+    // r14 verdict item 6, widened in r15: every native kernel now has a
+    // real doGenCode (RepStats, ShingleHashes, ShingleMd5, ArrayCountIn,
+    // HyperplaneKey, NGramJoin). CODEGEN_ONLY + fallback=false make any
+    // codegen failure THROW instead of silently reverting to
+    // interpreted eval; one gate query pins each kernel.
     val keys = Seq("spark.sql.codegen.fallback" -> "false",
       "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY")
     val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
     try {
       keys.foreach { case (k, v) => spark.conf.set(k, v) }
-      val out = SparkEntry.queries("q_repetition")(spark, sfDir).limit(5).collect()
-      assert(out.nonEmpty)
+      for (q <- Seq(
+          "q_repetition",        // RepStats
+          "q_dedup_minhash",     // ShingleHashes
+          "q_fingerprint_md5",   // ShingleMd5 + SlidingMin
+          "q_quality",           // ArrayCountIn
+          "q_langid",            // ArrayCountIn (profile argmax)
+          "q_dedup_embed_lsh",   // HyperplaneKey + DotProduct/L2Norm
+          "q_ngram_freq"))       // NGramJoin
+        withClue(q) {
+          val out = SparkEntry.queries(q)(spark, sfDir).limit(5).collect()
+          assert(out.nonEmpty)
+        }
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
