@@ -453,6 +453,11 @@ object SparkEntry {
     "q_span_coverage" -> ((s, dir) =>
       pipeline.TextOps.duplicateSpanCoverage(docs(s, dir))),
 
+    // exact-substring duplicate REMOVAL (Lee et al. 2022 cut): merged
+    // duplicate spans >= 16 tokens dropped, cleaned text emitted
+    "q_dedup_substr" -> ((s, dir) =>
+      pipeline.TextOps.removeDuplicateSpans(docs(s, dir))),
+
     // contamination depth: span coverage against the doc 0-49 "eval set"
     // (same split as q_decontaminate's binary flag)
     "q_decontaminate_spans" -> ((s, dir) => {
@@ -1997,6 +2002,48 @@ object SparkEntry {
              ELSE 0.0 END AS coverage_frac
          FROM base b LEFT JOIN cv USING (doc_id)
          ORDER BY doc_id""",
+    // exact-substring removal: same gram/island derivation with string
+    // grams, then the cut + position-ordered reconstruction
+    "q_dedup_substr" ->
+      """WITH t AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+             unnest(range(0, greatest(len(toks) - 7, 0))) AS pos,
+             unnest(list_transform(range(1, greatest(len(toks) - 7, 0) + 1),
+               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+                 toks[i+4], toks[i+5], toks[i+6], toks[i+7]))) AS gram
+           FROM t WHERE len(toks) >= 8),
+         c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+         s AS (SELECT g.doc_id, g.pos FROM g JOIN c USING (gram)),
+         sw AS (
+           SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(max(pos + 8) OVER (PARTITION BY doc_id
+               ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+               THEN 1 ELSE 0 END AS brk
+           FROM s),
+         i2 AS (SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM sw),
+         sp AS (SELECT doc_id, isl, min(pos) AS sp_s, max(pos) + 8 AS sp_e
+                FROM i2 GROUP BY doc_id, isl
+                HAVING max(pos) + 8 - min(pos) >= 16),
+         tp AS (SELECT doc_id, unnest(range(0, len(toks))) AS p,
+                  unnest(toks) AS tok FROM t),
+         kp AS (SELECT tp.doc_id, tp.p, tp.tok FROM tp
+                WHERE NOT EXISTS (SELECT 1 FROM sp WHERE sp.doc_id = tp.doc_id
+                  AND tp.p >= sp.sp_s AND tp.p < sp.sp_e)),
+         k AS (SELECT doc_id, count(*) AS kept,
+                 string_agg(tok, ' ' ORDER BY p) AS kept_text
+               FROM kp GROUP BY doc_id),
+         ns AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY doc_id)
+         SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(len(t.toks) - coalesce(k.kept, 0) AS BIGINT) AS removed_tokens,
+           CAST(coalesce(ns.n_spans, 0) AS BIGINT) AS n_spans,
+           coalesce(k.kept_text, '') AS kept_text
+         FROM t LEFT JOIN k USING (doc_id) LEFT JOIN ns USING (doc_id)
+         ORDER BY doc_id""",
+
     // contamination depth: identical sweep, but spans count only when
     // the gram appears in the doc<50 benchmark split
     "q_decontaminate_spans" ->

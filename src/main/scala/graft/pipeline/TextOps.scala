@@ -946,6 +946,59 @@ object TextOps {
     spanSweep(docs, shared, n, id, text)
   }
 
+  /** Exact-substring duplicate REMOVAL — the cut member of the Lee et
+    * al. 2022 family ("Deduplicating Training Data Makes Language
+    * Models Better"): merge the corpus-duplicated n-gram intervals of
+    * [[duplicateSpanCoverage]] into maximal spans per document, drop
+    * every span of at least `minSpan` tokens, and emit the cleaned
+    * text (remaining tokens in order, single-space joined) plus
+    * removal stats. Spans below the threshold stay — short repeats
+    * (idioms, boilerplate fragments) are normal language; long ones
+    * are copied material.
+    *
+    * Scale: grams travel as 8-byte xxhash64 keys through ONE
+    * partial-combining occurrence count; span building is one keyed
+    * window per document over the (small) duplicated-position rows;
+    * the cut itself is row-local — span lists ride a doc-keyed join
+    * back onto the corpus frame and the token filter runs inside the
+    * scan projection, so document text never shuffles.
+    */
+  def removeDuplicateSpans(docs: DataFrame, n: Int = 8, minSpan: Int = 16,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    val sh = gramPositions(docs, n, id, text)
+    val cnt = sh.groupBy("h").agg(count(lit(1)).as("cnt"))
+    val shared = sh.join(cnt, "h").filter(col("cnt") >= 2).select(col(id), col("pos"))
+    val prev = Window.partitionBy(id).orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val run = Window.partitionBy(id).orderBy("pos")
+    val spans = shared
+      .withColumn("brk", when(col("pos") >
+        coalesce(max(col("pos") + n).over(prev), lit(-1L)), 1L).otherwise(0L))
+      .withColumn("isl", sum("brk").over(run))
+      .groupBy(col(id), col("isl"))
+      .agg(min("pos").cast(LongType).as("s"),
+        (max("pos") + n).cast(LongType).as("e"))
+      .filter(col("e") - col("s") >= minSpan)
+    val perDoc = spans.groupBy(col(id))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("spans"))
+    docs
+      .join(perDoc, Seq(id), "left_outer")
+      .withColumn("__toks", tokens(col(text)))
+      .withColumn("__spans", coalesce(col("spans"),
+        array().cast("array<struct<s:long,e:long>>")))
+      .withColumn("__kept", filter(col("__toks"), (_, i) =>
+        !exists(col("__spans"), sp => i >= sp("s") && i < sp("e"))))
+      .select(col(id),
+        size(col("__toks")).cast(LongType).as("n_tokens"),
+        (size(col("__toks")) - size(col("__kept"))).cast(LongType)
+          .as("removed_tokens"),
+        size(col("__spans")).cast(LongType).as("n_spans"),
+        array_join(col("__kept"), " ").as("kept_text"))
+      .orderBy(id)
+  }
+
   /** Contamination DEPTH against a benchmark set: the span-coverage
     * sweep of [[duplicateSpanCoverage]], but a span counts only when its
     * n-gram appears in `benchmark` — so the score reads as "this

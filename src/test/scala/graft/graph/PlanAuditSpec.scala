@@ -128,6 +128,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges.length <= 1, s"unexpected exchanges: ${exchanges.length}")
   }
 
+  test("q_dedup_substr: span cut is keyed joins only, text never theta-joins") {
+    val df = SparkEntry.queries("q_dedup_substr")(spark, sfDir)
+    assert(!joinKinds(df).exists(Set("bnlj", "cartesian")),
+      "substring removal degraded to a non-equi join")
+  }
+
   test("q_span_coverage: interval union is one keyed window, no self-join on positions") {
     val df = SparkEntry.queries("q_span_coverage")(spark, sfDir)
     assert(!joinKinds(df).exists(Set("bnlj", "cartesian")),

@@ -812,6 +812,31 @@ class PipelineSpec extends SparkSpec {
     assert(out(3L) == ((9L, 0L)))
   }
 
+  test("removeDuplicateSpans cuts only merged spans >= minSpan and rebuilds text") {
+    import spark.implicits._
+    val big = (1 to 20).map(i => s"b$i").mkString(" ")   // 20-token duplicated block
+    val small = (1 to 9).map(i => s"s$i").mkString(" ")  // 9-token duplicated block
+    val d = Seq(
+      (1L, s"$big alpha beta gamma"),          // 20-token span cut, tail kept
+      (2L, s"head tail $big"),                 // same block elsewhere → cut
+      (3L, s"$small one two three four five"), // 9 < minSpan=16 → kept whole
+      (4L, s"lead in words $small"),
+      (5L, "no duplicated material here at all nine ten eleven twelve")
+    ).toDF("doc_id", "text")
+    val out = TextOps.removeDuplicateSpans(d, n = 8, minSpan = 16).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))).toMap
+    assert(out(1L) == ((23L, 20L, 1L, "alpha beta gamma")))
+    assert(out(2L) == ((22L, 20L, 1L, "head tail")))
+    // short duplicated block survives: spans below threshold are language,
+    // not copied material
+    assert(out(3L)._2 == 0L && out(3L)._3 == 0L)
+    assert(out(3L)._4 == s"$small one two three four five")
+    assert(out(4L)._2 == 0L)
+    assert(out(5L) == ((10L, 0L, 0L,
+      "no duplicated material here at all nine ten eleven twelve")))
+  }
+
   test("sourceCap keeps at most maxDocs per source, deterministically") {
     import spark.implicits._
     val d = (1L to 30L).map(i => (i, s"doc $i", if (i <= 24) "big.com" else "small.org"))
