@@ -912,6 +912,11 @@ object SparkEntry {
     "q_stream_dedup" -> ((s, dir) =>
       streaming.EventStreams.streamingDedup(lenient(s), dir)),
 
+    // streaming MinHash near-dup: row-local band keys on the stream, one
+    // bucket aggregation, exact-Jaccard verify against earlier docs
+    "q_stream_neardup" -> ((s, dir) =>
+      streaming.EventStreams.streamingNearDup(lenient(s), dir)),
+
     // watermarked stream-stream interval join: non-error events joined
     // to the same user's errors from the trailing 30 minutes
     "q_stream_join" -> ((s, dir) =>
@@ -2448,6 +2453,34 @@ object SparkEntry {
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",
+    // streaming near-dup equals the order-independent batch answer:
+    // exact Jaccard >= 0.8 pairs (banding recall is 1.0 on the gate
+    // corpus, pinned by the hash-green q_dedup_minhash twin), each doc
+    // flagged against its lowest-id match
+    "q_stream_neardup" ->
+      """WITH t AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+           FROM t WHERE len(toks) >= 3),
+         e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         p AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id),
+         v AS (
+           SELECT p.id_a, p.id_b
+           FROM p JOIN s sa ON sa.doc_id = p.id_a
+                JOIN s sb ON sb.doc_id = p.id_b
+           WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+             len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.8),
+         f AS (SELECT id_b AS doc_id, min(id_a) AS fm FROM v GROUP BY id_b)
+         SELECT d.doc_id, f.fm IS NOT NULL AS is_dup,
+           CAST(coalesce(f.fm, -1) AS BIGINT) AS first_match
+         FROM documents d LEFT JOIN f USING (doc_id)
+         ORDER BY d.doc_id""",
     // the batch interval join replays the streamed inner join exactly
     // (bounded input, no late data): same user, error in the trailing
     // 30 minutes inclusive on both ends

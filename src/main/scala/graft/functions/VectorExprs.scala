@@ -462,6 +462,63 @@ object VectorExprs {
       copy(child = newChild)
   }
 
+  /** Row-local MinHash signature over a shingle-hash array: sig_i =
+    * min over h of the seed-42 xxhash64 chain over (h: long, i: int) —
+    * VALUE-IDENTICAL to the SQL formulation `min(xxhash64(h, i))` used
+    * by [[graft.pipeline.Dedup.minhashSignatures]]'s explode+groupBy
+    * shape, but computed in one JIT loop per row with no aggregation.
+    * This is what a STREAMING minhash needs: the batch side can afford
+    * an explode+groupBy per doc; a stream cannot shuffle per-doc state,
+    * and the HOF formulation (`transform(sequence(...), i ->
+    * array_min(transform(sh, h -> xxhash64(h, i))))`) measured 43s at
+    * sf0.1 — numHashes × shingles interpreted lambda calls per row.
+    */
+  case class MinHashSig(left: Expression, right: Expression)
+      extends BinaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_minhash_sig"
+
+    override protected def nullSafeEval(a: Any, nv: Any): Any =
+      compute(a.asInstanceOf[ArrayData], nv.asInstanceOf[Int])
+
+    /** Shared by eval and the generated code. */
+    def compute(sh: ArrayData, numHashes: Int): ArrayData = {
+      val n = sh.numElements()
+      // first chain step depends only on the shingle — hoist it out of
+      // the per-index loop (numHashes × n would recompute it)
+      val h1 = new Array[Long](n)
+      var j = 0
+      while (j < n) {
+        h1(j) = XxHash64Function.hash(sh.getLong(j), LongType, 42L); j += 1
+      }
+      val out = new Array[Long](numHashes)
+      var i = 0
+      while (i < numHashes) {
+        var best = Long.MaxValue
+        j = 0
+        while (j < n) {
+          val v = XxHash64Function.hash(i, IntegerType, h1(j))
+          if (v < best) best = v
+          j += 1
+        }
+        out(i) = best
+        i += 1
+      }
+      ArrayData.toArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("graftMinHashSig", this,
+        classOf[MinHashSig].getName)
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): MinHashSig =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** md5-prefix-60-bit hashes of every k-token shingle (space-joined,
     * ordered, non-distinct) — the native twin of
     * `conv(substring(md5(g), 1, 15), 16, 10)`: the first 15 hex chars
@@ -690,6 +747,8 @@ object VectorExprs {
       exprs => ShingleHashes(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_rep_stats",
       exprs => RepStats(exprs), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash_sig",
+      exprs => MinHashSig(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_shingle_md5",
       exprs => ShingleMd5(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_ngram_join",
@@ -724,6 +783,8 @@ object VectorExprs {
   def repStats(tokens: Column, lines: Column, topNs: Column,
       dupNs: Column): Column =
     call_function("graft_rep_stats", tokens, lines, topNs, dupNs)
+  def minhashSig(sh: Column, numHashes: Column): Column =
+    call_function("graft_minhash_sig", sh, numHashes)
   def shingleMd5(tokens: Column, k: Column): Column =
     call_function("graft_shingle_md5", tokens, k)
   def ngramJoin(tokens: Column, k: Column): Column =

@@ -132,7 +132,7 @@ object Dedup {
   }
 
   /** Exact Jaccard over pre-hashed shingle sets for candidate pairs. */
-  private[pipeline] def verifyJaccardHashes(pairs: DataFrame, withSh: DataFrame,
+  private[graft] def verifyJaccardHashes(pairs: DataFrame, withSh: DataFrame,
       threshold: Double, id: String): DataFrame = {
     val a = withSh.select(col(id).as("id_a"), col("sh").as("sh_a"))
     val b = withSh.select(col(id).as("id_b"), col("sh").as("sh_b"))

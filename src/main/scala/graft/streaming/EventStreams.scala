@@ -272,6 +272,86 @@ object EventStreams {
     spark.table(queryName).orderBy(keys.map(col): _*)
     }
 
+  /** Streaming MinHash NEAR-duplicate detection over a document stream —
+    * the incremental-corpus-ingest twin of
+    * [[graft.pipeline.Dedup.minhashLsh]]: every arriving document's
+    * MinHash band keys are computed ROW-LOCALLY on the stream (sig_i =
+    * min over shingle hashes of xxhash64(h, i) — the same values the
+    * batch groupBy-min produces, but stateless), and ONE streaming
+    * aggregation accumulates the docs seen per (band, bucket). After the
+    * drain, colliding buckets become candidate pairs, verified by EXACT
+    * Jaccard over the shingle-hash sets, and each document is flagged
+    * against its lowest-id match — an order-independent "is this a
+    * near-duplicate of an earlier document" verdict, so the result
+    * equals the batch answer and one DuckDB oracle gates both.
+    *
+    * State contract, 100 TB framing: the gate variant holds the doc-id
+    * set per occupied bucket (Complete mode over a bounded fixture). A
+    * production continuous ingest instead keys flatMapGroupsWithState
+    * by bucket with state = the bucket's canonical (lowest/first) doc
+    * only, emitting (arriving doc, owner) candidate pairs per batch —
+    * state is one row per OCCUPIED bucket regardless of stream length,
+    * and the exact verify joins only the candidate pairs' shingle sets.
+    * The row-local signature is what makes either variant possible: no
+    * per-doc aggregation ever shuffles the stream.
+    */
+  def streamingNearDup(spark: SparkSession, docsDir: String,
+      glob: String = "documents.parquet", k: Int = 3, bands: Int = 16,
+      rowsPerBand: Int = 8, threshold: Double = 0.8,
+      queryName: String = "q_stream_neardup"): DataFrame =
+    withStreamParts(spark, docsDir, glob) {
+    graft.functions.VectorExprs.register(spark)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val numHashes = bands * rowsPerBand
+    val docs = rawFileStream(spark, docsDir, glob, schema)
+    // Row-local native signature kernel (one JIT loop; the HOF
+    // formulation measured 43s at sf0.1 — numHashes × shingles
+    // interpreted lambda calls per row). The Fence between the sig
+    // projection and the band lambdas stops CollapseProject from
+    // inlining the kernel into every per-band slice (16 re-evals/row —
+    // the same pushdown hazard the repetition kernel hit).
+    val withSig = graft.util.Fence(docs
+      // >= k tokens ⟺ at least one shingle (checked WITHOUT building
+      // shingles, so the kernel below stays the only shingle pass)
+      .filter(size(graft.pipeline.TextOps.tokens(col("text"))) >= k)
+      .select(col("doc_id"), graft.functions.VectorExprs.minhashSig(
+        graft.pipeline.Dedup.shingleHashes(col("text"), k),
+        lit(numHashes)).as("sig")))
+    val query = withSig
+      .select(col("doc_id"),
+        posexplode(graft.pipeline.Dedup.bandKeys(col("sig"), bands, rowsPerBand))
+          .as(Seq("band", "bucket")))
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_set(col("doc_id")).as("docs"))
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    val candidates = spark.table(queryName)
+      .filter(size(col("docs")) >= 2)
+      .select(explode(col("docs")).as("id_a"), col("docs"))
+      .select(col("id_a"), explode(col("docs")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val batch = spark.read.parquet(s"$docsDir/$glob")
+    val batchSh = batch
+      .select(col("doc_id"),
+        graft.pipeline.Dedup.shingleHashes(col("text"), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val verified = graft.pipeline.Dedup
+      .verifyJaccardHashes(candidates, batchSh, threshold, "doc_id")
+    val flags = verified.groupBy(col("id_b").as("doc_id"))
+      .agg(min("id_a").as("fm"))
+    batch.select("doc_id").join(flags, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("fm").isNotNull.as("is_dup"),
+        coalesce(col("fm"), lit(-1L)).as("first_match"))
+      .orderBy("doc_id")
+    }
+
   /** Sessionization executed THROUGH Structured Streaming, built-in
     * `session_window` flavor: file-stream ingest (availableNow) →
     * session-window aggregation → complete-mode memory sink, drained

@@ -83,6 +83,24 @@ class VectorExprsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
+  test("minhash signature kernel matches the explode+groupBy-min formulation") {
+    import spark.implicits._
+    VectorExprs.register(spark)
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs and more words here"))
+      .toDF("doc_id", "text")
+    val numHashes = 16
+    val withSh = docs.select(col("doc_id"),
+      graft.pipeline.Dedup.shingleHashes(col("text"), 3).as("sh"))
+    val batch = graft.pipeline.Dedup
+      .minhashSignatures(withSh, numHashes, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val native = withSh.select(col("doc_id"),
+      VectorExprs.minhashSig(col("sh"), lit(numHashes)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native == batch)
+  }
+
   test("shingle md5-60 matches the HOF md5Hash60 formulation exactly") {
     import spark.implicits._
     VectorExprs.register(spark)

@@ -121,6 +121,32 @@ class StreamingSpec extends SparkSpec {
       s"streamed dedup $a/$b != batch distinct $want")
   }
 
+  test("streamingNearDup flags planted near-duplicates against the earlier doc") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"tok$i").mkString(" ") + " changed tail"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-neardup").toString
+    Seq(
+      (10L, base, "en", "s", base.length.toLong),
+      (20L, nearDup, "en", "s", nearDup.length.toLong),   // ~0.9 Jaccard vs 10
+      (30L, base, "en", "s", base.length.toLong),         // exact dup of 10
+      (40L, "completely different words entirely here now", "en", "s", 44L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = EventStreams.streamingNearDup(spark, tmp,
+      queryName = "stream_neardup_spec").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    assert(out(10L) == ((false, -1L)), "earliest doc is never the duplicate")
+    assert(out(20L) == ((true, 10L)))
+    assert(out(30L) == ((true, 10L)))
+    assert(out(40L) == ((false, -1L)))
+    // rerun-stable in one session (Bench reruns every query)
+    val again = EventStreams.streamingNearDup(spark, tmp,
+      queryName = "stream_neardup_spec").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    assert(again == out)
+  }
+
   test("edgeAppendRun replays the full input on every invocation") {
     // append mode + a surviving checkpoint would skip the input on rerun;
     // the wrapper wipes both dirs so each call yields the complete frame
