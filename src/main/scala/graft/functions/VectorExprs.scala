@@ -519,6 +519,56 @@ object VectorExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Row-local 64-bit SimHash (Charikar '02) bit array: bit b is 1 when
+    * more than half the shingle hashes have bit b set — VALUE-IDENTICAL
+    * to the explode+groupBy bit-counter formulation
+    * ([[graft.pipeline.Dedup.simhashBitsFrameAgg]], kept as the spec
+    * cross-check), computed in one JIT loop per row so the signature
+    * never shuffles (the agg shape moved 65 longs per doc through an
+    * exchange).
+    */
+  case class SimHashBits(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "graft_simhash_bits"
+
+    override protected def nullSafeEval(a: Any, nv: Any): Any =
+      compute(a.asInstanceOf[ArrayData], nv.asInstanceOf[Int])
+
+    /** Shared by eval and the generated code. */
+    def compute(sh: ArrayData, nbits: Int): ArrayData = {
+      val n = sh.numElements()
+      val cnt = new Array[Int](nbits)
+      var j = 0
+      while (j < n) {
+        val h = sh.getLong(j)
+        var b = 0
+        while (b < nbits) {
+          cnt(b) += ((h >>> b) & 1L).toInt
+          b += 1
+        }
+        j += 1
+      }
+      val out = new Array[Int](nbits)
+      var b = 0
+      while (b < nbits) {
+        out(b) = if (cnt(b) * 2 > n) 1 else 0
+        b += 1
+      }
+      ArrayData.toArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("graftSimHashBits", this,
+        classOf[SimHashBits].getName)
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): SimHashBits =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** md5-prefix-60-bit hashes of every k-token shingle (space-joined,
     * ordered, non-distinct) — the native twin of
     * `conv(substring(md5(g), 1, 15), 16, 10)`: the first 15 hex chars
@@ -749,6 +799,8 @@ object VectorExprs {
       exprs => RepStats(exprs), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash_sig",
       exprs => MinHashSig(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash_bits",
+      exprs => SimHashBits(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_shingle_md5",
       exprs => ShingleMd5(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_ngram_join",
@@ -785,6 +837,8 @@ object VectorExprs {
     call_function("graft_rep_stats", tokens, lines, topNs, dupNs)
   def minhashSig(sh: Column, numHashes: Column): Column =
     call_function("graft_minhash_sig", sh, numHashes)
+  def simhashBits(sh: Column, nbits: Column): Column =
+    call_function("graft_simhash_bits", sh, nbits)
   def shingleMd5(tokens: Column, k: Column): Column =
     call_function("graft_shingle_md5", tokens, k)
   def ngramJoin(tokens: Column, k: Column): Column =

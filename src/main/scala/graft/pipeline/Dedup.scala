@@ -117,7 +117,14 @@ object Dedup {
     */
   private[pipeline] def minhashPairsFrom(withSh: DataFrame, bands: Int,
       rowsPerBand: Int, threshold: Double, id: String): DataFrame = {
-    val sigs = minhashSignatures(withSh, bands * rowsPerBand, id)
+    // r15: row-local native signature (value-identical to
+    // minhashSignatures' explode+groupBy shape, spec-pinned) — the
+    // signature no longer shuffles AT ALL; the first exchange of the
+    // whole operator is the band-bucket candidate join. Fence stops
+    // CollapseProject inlining the kernel into the 16 band lambdas.
+    val sigs = graft.util.Fence(withSh.select(col(id),
+      graft.functions.VectorExprs.minhashSig(col("sh"),
+        lit(bands * rowsPerBand)).as("sig")))
     val withBands = sigs
       .select(col(id), posexplode(bandKeys(col("sig"), bands, rowsPerBand))
         .as(Seq("band", "bucket")))
@@ -285,11 +292,21 @@ object Dedup {
 
   /** 64-bit SimHash (Charikar '02, public construction) as an array of 64
     * bits: bit b is 1 when more than half the shingle hashes have bit b
-    * set. Computed explode-style (codegen'd partial sums of 64 bit
-    * counters; the shuffle carries 65 longs per doc) — see
-    * [[minhashSignatures]] for why not nested lambdas.
+    * set. r15: computed by the row-local [[graft.functions.VectorExprs
+    * .SimHashBits]] kernel — the signature never shuffles (the previous
+    * explode+groupBy shape moved 65 longs per doc through an exchange);
+    * the Fence keeps the kernel out of the downstream block-key lambdas.
     */
   def simhashBitsFrame(withSh: DataFrame, id: String,
+      nbits: Int = 64): DataFrame =
+    graft.util.Fence(withSh.select(col(id),
+      graft.functions.VectorExprs.simhashBits(col("sh"), lit(nbits)).as("bits")))
+
+  /** The explode+groupBy bit-counter formulation — retained as the
+    * value-parity cross-check for the kernel (DedupSpec pins equality);
+    * not on any query path.
+    */
+  private[graft] def simhashBitsFrameAgg(withSh: DataFrame, id: String,
       nbits: Int = 64): DataFrame = {
     val exploded = withSh.select(col(id), explode(col("sh")).as("h"))
     val bitCols = (0 until nbits).map(b =>

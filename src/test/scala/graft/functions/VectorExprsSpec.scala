@@ -101,6 +101,22 @@ class VectorExprsSpec extends SparkSpec {
     assert(native == batch)
   }
 
+  test("simhash bits kernel matches the explode+groupBy bit-counter formulation") {
+    import spark.implicits._
+    VectorExprs.register(spark)
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "sphinx of black quartz judge my vow and several more words"))
+      .toDF("doc_id", "text")
+    val withSh = docs.select(col("doc_id"),
+      graft.pipeline.Dedup.shingleHashes(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val agg = graft.pipeline.Dedup.simhashBitsFrameAgg(withSh, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val native = graft.pipeline.Dedup.simhashBitsFrame(withSh, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(native == agg)
+  }
+
   test("shingle md5-60 matches the HOF md5Hash60 formulation exactly") {
     import spark.implicits._
     VectorExprs.register(spark)
