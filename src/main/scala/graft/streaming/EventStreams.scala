@@ -285,15 +285,17 @@ object EventStreams {
     * near-duplicate of an earlier document" verdict, so the result
     * equals the batch answer and one DuckDB oracle gates both.
     *
-    * State contract, 100 TB framing: the gate variant holds the doc-id
-    * set per occupied bucket (Complete mode over a bounded fixture). A
-    * production continuous ingest instead keys flatMapGroupsWithState
-    * by bucket with state = the bucket's canonical (lowest/first) doc
-    * only, emitting (arriving doc, owner) candidate pairs per batch —
-    * state is one row per OCCUPIED bucket regardless of stream length,
-    * and the exact verify joins only the candidate pairs' shingle sets.
-    * The row-local signature is what makes either variant possible: no
-    * per-doc aggregation ever shuffles the stream.
+    * State contract, 100 TB framing: the gate variant drains the
+    * bucket aggregation in Complete mode over a bounded fixture. The
+    * production continuous-ingest shape is [[nearDupCandidateStream]]:
+    * flatMapGroupsWithState keyed by (band, bucket), state = the
+    * bucket's doc-id set, emitting only the NEW candidate pairs each
+    * micro-batch (append mode) — same total state as batch banding
+    * (one entry per doc per band, the irreducible LSH index), but
+    * incremental emission so downstream exact-verify work is
+    * per-batch-sized. The row-local signature kernel is what makes
+    * either variant possible: no per-doc aggregation ever shuffles the
+    * stream.
     */
   def streamingNearDup(spark: SparkSession, docsDir: String,
       glob: String = "documents.parquet", k: Int = 3, bands: Int = 16,
@@ -351,6 +353,47 @@ object EventStreams {
         coalesce(col("fm"), lit(-1L)).as("first_match"))
       .orderBy("doc_id")
     }
+
+  final case class BandRow(doc_id: Long, band: Int, bucket: Long)
+  final case class CandPair(id_a: Long, id_b: Long)
+
+  /** Production continuous-ingest candidate generator for streaming
+    * near-dup ([[streamingNearDup]]'s state contract): keyed by
+    * (band, bucket), state = the doc ids seen in the bucket, each
+    * micro-batch emits exactly the candidate pairs with at least one
+    * NEW endpoint (append mode, no timeout — an LSH index does not
+    * expire; bound it with a watermark-keyed variant when the dedup
+    * horizon is bounded). Candidates over any prefix of the stream
+    * equal batch banding over the same docs, so the downstream
+    * exact-Jaccard verify gives the same verdicts — but the verify is
+    * fed per-batch-sized increments instead of a full-corpus join.
+    */
+  def nearDupCandidateStream(rows: Dataset[BandRow]): Dataset[CandPair] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    def update(key: (Int, Long), it: Iterator[BandRow],
+        state: GroupState[Seq[Long]]): Iterator[CandPair] = {
+      val seen = state.getOption.getOrElse(Seq.empty)
+      val seenSet = seen.toSet
+      val fresh = it.map(_.doc_id).toSeq.distinct.filterNot(seenSet).sorted
+      if (fresh.isEmpty) return Iterator.empty
+      state.update(seen ++ fresh)
+      val out = Seq.newBuilder[CandPair]
+      // new × old
+      for (n <- fresh; o <- seen)
+        out += (if (n < o) CandPair(n, o) else CandPair(o, n))
+      // new × new (fresh is sorted ascending)
+      var i = 0
+      while (i < fresh.length) {
+        var j = i + 1
+        while (j < fresh.length) { out += CandPair(fresh(i), fresh(j)); j += 1 }
+        i += 1
+      }
+      out.result().iterator
+    }
+    rows.groupByKey(r => (r.band, r.bucket))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
 
   /** Sessionization executed THROUGH Structured Streaming, built-in
     * `session_window` flavor: file-stream ingest (availableNow) →

@@ -121,6 +121,34 @@ class StreamingSpec extends SparkSpec {
       s"streamed dedup $a/$b != batch distinct $want")
   }
 
+  test("nearDupCandidateStream emits each candidate pair exactly once, incrementally") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.BandRow]
+    val query = EventStreams.nearDupCandidateStream(input.toDS())
+      .writeStream.format("memory").queryName("neardup_cands")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: docs 3 and 1 collide in bucket (0, 77)
+      input.addData(EventStreams.BandRow(3L, 0, 77L),
+        EventStreams.BandRow(1L, 0, 77L), EventStreams.BandRow(9L, 1, 5L))
+      query.processAllAvailable()
+      val b1 = spark.table("neardup_cands").as[EventStreams.CandPair]
+        .collect().toSet
+      assert(b1 == Set(EventStreams.CandPair(1L, 3L)))
+      // batch 2: doc 2 joins the bucket → only the NEW pairs appear;
+      // a re-arrival of doc 1 emits nothing
+      input.addData(EventStreams.BandRow(2L, 0, 77L),
+        EventStreams.BandRow(1L, 0, 77L))
+      query.processAllAvailable()
+      val all = spark.table("neardup_cands").as[EventStreams.CandPair]
+        .collect()
+      assert(all.length == 3, s"expected 3 total pairs, got ${all.toSeq}")
+      assert(all.toSet == Set(EventStreams.CandPair(1L, 3L),
+        EventStreams.CandPair(1L, 2L), EventStreams.CandPair(2L, 3L)))
+    } finally query.stop()
+  }
+
   test("streamingNearDup flags planted near-duplicates against the earlier doc") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
