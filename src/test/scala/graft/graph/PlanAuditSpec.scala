@@ -102,7 +102,8 @@ class PlanAuditSpec extends SparkSpec {
       keys.foreach { case (k, v) => spark.conf.set(k, v) }
       for (q <- Seq(
           "q_repetition",        // RepStats
-          "q_dedup_minhash",     // ShingleHashes
+          "q_dedup_minhash",     // ShingleHashes + MinHashSig
+          "q_dedup_simhash",     // SimHashBits
           "q_fingerprint_md5",   // ShingleMd5 + SlidingMin
           "q_quality",           // ArrayCountIn
           "q_langid",            // ArrayCountIn (profile argmax)
