@@ -715,6 +715,11 @@ object SparkEntry {
     "q_cluster" -> ((s, dir) =>
       pipeline.Ann.kmeansCluster(embs(s, dir), k = 8, rounds = 3)),
 
+    // SemDeDup: within-cluster exact cosine dups, components, keep the
+    // farthest-from-centroid member per group
+    "q_semdedup" -> ((s, dir) =>
+      pipeline.Dedup.semDedup(embs(s, dir))),
+
     // numeric recall gate for the LSH path: hash-constructed buckets are
     // fully deterministic, so recall@10 vs the exact answer is a fixed
     // value per dataset — the oracle pins it (regression pin: a bucketing
@@ -1387,6 +1392,66 @@ object SparkEntry {
   }
 
   /** DuckDB-equivalent SQL per query (driver correctness gate). */
+  /** Shared k-means replay CTE chain (seed pick, 3 assignment rounds,
+    * 6-decimal rounding at every step) — ends at `a3(vec_id, cell, d2)`.
+    * Used by the q_cluster oracle and extended by q_semdedup.
+    */
+  private val kmeansAssignCtes: String =
+    """e AS MATERIALIZED (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         pos AS MATERIALIZED (
+           SELECT unnest(range(1, (SELECT len(v) FROM e LIMIT 1) + 1)) AS p),
+         c0 AS MATERIALIZED (
+           SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell, v FROM (
+             SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h FROM e
+             ORDER BY h, vec_id LIMIT 8)),
+         d1 AS MATERIALIZED (
+           SELECT e.vec_id, c.cell,
+             round(list_sum(list_transform(range(1, len(e.v) + 1),
+               i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))), 6) AS d2
+           FROM e CROSS JOIN c0 c),
+         a1 AS MATERIALIZED (
+           SELECT vec_id, cell, d2 FROM (
+             SELECT vec_id, cell, d2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
+             FROM d1) WHERE rk = 1),
+         m1 AS MATERIALIZED (
+           SELECT a.cell, p.p, round(avg(e.v[p.p]), 6) AS m
+           FROM a1 a JOIN e USING (vec_id) CROSS JOIN pos p
+           GROUP BY a.cell, p.p),
+         c1 AS MATERIALIZED (
+           SELECT c.cell, COALESCE(g.v, c.v) AS v FROM c0 c LEFT JOIN (
+             SELECT cell, list(m ORDER BY p) AS v FROM m1 GROUP BY cell) g
+             USING (cell)),
+         d2s AS MATERIALIZED (
+           SELECT e.vec_id, c.cell,
+             round(list_sum(list_transform(range(1, len(e.v) + 1),
+               i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))), 6) AS d2
+           FROM e CROSS JOIN c1 c),
+         a2 AS MATERIALIZED (
+           SELECT vec_id, cell, d2 FROM (
+             SELECT vec_id, cell, d2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
+             FROM d2s) WHERE rk = 1),
+         m2 AS MATERIALIZED (
+           SELECT a.cell, p.p, round(avg(e.v[p.p]), 6) AS m
+           FROM a2 a JOIN e USING (vec_id) CROSS JOIN pos p
+           GROUP BY a.cell, p.p),
+         c2 AS MATERIALIZED (
+           SELECT c.cell, COALESCE(g.v, c.v) AS v FROM c1 c LEFT JOIN (
+             SELECT cell, list(m ORDER BY p) AS v FROM m2 GROUP BY cell) g
+             USING (cell)),
+         d3 AS MATERIALIZED (
+           SELECT e.vec_id, c.cell,
+             round(list_sum(list_transform(range(1, len(e.v) + 1),
+               i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))), 6) AS d2
+           FROM e CROSS JOIN c2 c),
+         a3 AS MATERIALIZED (
+           SELECT vec_id, cell, d2 FROM (
+             SELECT vec_id, cell, d2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
+             FROM d3) WHERE rk = 1)"""
+
   def oracleSql: Map[String, String] = Map(
     "q_pagerank" -> pageRankOracle(10),
     "q_ppr" -> pprOracle(10, Seq(1L, 2L, 3L)),
@@ -2290,62 +2355,37 @@ object SparkEntry {
     // mean (so cross-engine double noise can't flip an argmin), ties to
     // the lowest cell, empty cells keep their centroid
     "q_cluster" ->
-      """WITH e AS MATERIALIZED (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         pos AS MATERIALIZED (
-           SELECT unnest(range(1, (SELECT len(v) FROM e LIMIT 1) + 1)) AS p),
-         c0 AS MATERIALIZED (
-           SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell, v FROM (
-             SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h FROM e
-             ORDER BY h, vec_id LIMIT 8)),
-         d1 AS MATERIALIZED (
-           SELECT e.vec_id, c.cell,
-             round(list_sum(list_transform(range(1, len(e.v) + 1),
-               i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))), 6) AS d2
-           FROM e CROSS JOIN c0 c),
-         a1 AS MATERIALIZED (
-           SELECT vec_id, cell, d2 FROM (
-             SELECT vec_id, cell, d2,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
-             FROM d1) WHERE rk = 1),
-         m1 AS MATERIALIZED (
-           SELECT a.cell, p.p, round(avg(e.v[p.p]), 6) AS m
-           FROM a1 a JOIN e USING (vec_id) CROSS JOIN pos p
-           GROUP BY a.cell, p.p),
-         c1 AS MATERIALIZED (
-           SELECT c.cell, COALESCE(g.v, c.v) AS v FROM c0 c LEFT JOIN (
-             SELECT cell, list(m ORDER BY p) AS v FROM m1 GROUP BY cell) g
-             USING (cell)),
-         d2s AS MATERIALIZED (
-           SELECT e.vec_id, c.cell,
-             round(list_sum(list_transform(range(1, len(e.v) + 1),
-               i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))), 6) AS d2
-           FROM e CROSS JOIN c1 c),
-         a2 AS MATERIALIZED (
-           SELECT vec_id, cell, d2 FROM (
-             SELECT vec_id, cell, d2,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
-             FROM d2s) WHERE rk = 1),
-         m2 AS MATERIALIZED (
-           SELECT a.cell, p.p, round(avg(e.v[p.p]), 6) AS m
-           FROM a2 a JOIN e USING (vec_id) CROSS JOIN pos p
-           GROUP BY a.cell, p.p),
-         c2 AS MATERIALIZED (
-           SELECT c.cell, COALESCE(g.v, c.v) AS v FROM c1 c LEFT JOIN (
-             SELECT cell, list(m ORDER BY p) AS v FROM m2 GROUP BY cell) g
-             USING (cell)),
-         d3 AS MATERIALIZED (
-           SELECT e.vec_id, c.cell,
-             round(list_sum(list_transform(range(1, len(e.v) + 1),
-               i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))), 6) AS d2
-           FROM e CROSS JOIN c2 c),
-         a3 AS MATERIALIZED (
-           SELECT vec_id, cell, d2 FROM (
-             SELECT vec_id, cell, d2,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
-             FROM d3) WHERE rk = 1)
+      s"""WITH $kmeansAssignCtes
          SELECT vec_id, CAST(cell AS BIGINT) AS cluster, d2 AS dist2
          FROM a3 ORDER BY vec_id""",
+
+    // SemDeDup: the SAME k-means replay (shared CTE chain) + exact
+    // within-cluster cosine pairs + recursive-CTE components + the
+    // farthest-from-centroid keep rule (max d2, ties to lower id)
+    "q_semdedup" ->
+      s"""WITH RECURSIVE $kmeansAssignCtes,
+         pr AS (
+           SELECT x.vec_id AS id_a, y.vec_id AS id_b
+           FROM a3 x JOIN a3 y ON x.cell = y.cell AND x.vec_id < y.vec_id
+           JOIN e ea ON ea.vec_id = x.vec_id
+           JOIN e eb ON eb.vec_id = y.vec_id
+           WHERE list_cosine_similarity(ea.v, eb.v) >= CAST(0.45 AS DOUBLE)),
+         sym AS (SELECT id_a AS u, id_b AS v FROM pr
+                 UNION SELECT id_b, id_a FROM pr),
+         comp(kk, c) AS (
+           SELECT u AS kk, u AS c FROM (SELECT DISTINCT u FROM sym)
+           UNION
+           SELECT s2.v, comp.c FROM comp JOIN sym s2 ON s2.u = comp.kk
+           WHERE comp.c < s2.v),
+         mm AS (SELECT kk, min(c) AS c FROM comp GROUP BY kk),
+         rr AS (
+           SELECT a3.vec_id, a3.cell, a3.d2,
+             coalesce(mm.c, a3.vec_id) AS rep_id
+           FROM a3 LEFT JOIN mm ON mm.kk = a3.vec_id)
+         SELECT vec_id, CAST(cell AS BIGINT) AS cluster, rep_id,
+           row_number() OVER (PARTITION BY rep_id
+             ORDER BY d2 DESC, vec_id) = 1 AS keep
+         FROM rr ORDER BY vec_id""",
     // regression PIN, not a derivation: the LSH construction is pure
     // hashing (no RNG state), so recall@10 vs the exact answer is a fixed
     // value per dataset — measured 49/50 at sf0.01; a bucketing change

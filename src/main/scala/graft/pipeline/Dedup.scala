@@ -490,4 +490,52 @@ object Dedup {
     base.unpersist()
     out
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public method):
+    * semantic deduplication WITHIN k-means clusters. The paper's trick
+    * for corpus scale is exactly this restriction: exact cosine pairs
+    * are computed only inside each cluster (O(Σ|cluster|²), tunable via
+    * k, instead of O(N²)), duplicate groups are the connected
+    * components of the ≥-threshold pair graph, and each group keeps the
+    * member with the LOWEST similarity to its cluster centroid (here:
+    * max squared-L2 `dist2` from the shared deterministic k-means —
+    * the same ordering — ties to the lower id).
+    *
+    * Returns one row per vector: (id, cluster, rep_id, keep).
+    *
+    * Scale: clustering is [[Ann.kmeansCluster]] (bounded driver state:
+    * k×dim centroids); the pair join is an equi-join on the cluster id;
+    * components run on the pair frame only (dup-pair-sized, tiny);
+    * the keep rule is one window per duplicate group. Vectors travel
+    * the cluster join once — nothing all-pairs ever materializes.
+    */
+  def semDedup(emb: DataFrame, k: Int = 8, rounds: Int = 3,
+      threshold: Double = 0.45, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorExprs.register(emb.sparkSession)
+    val assigned = Ann.kmeansCluster(emb, k, rounds, id, vec)
+    val base = embedBase(emb, id, vec)
+    val withC = base.join(
+      assigned.select(col(id).as("id"), col("cluster"), col("dist2")), "id")
+    val l = withC.select(col("cluster"), col("id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val r = withC.select(col("cluster").as("cb"), col("id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val pairs = l.join(r, col("cluster") === col("cb") && col("id_a") < col("id_b"))
+      .withColumn("c", graft.functions.VectorExprs.dot(col("va"), col("vb")) /
+        (col("na") * col("nb")))
+      .filter(col("c") >= threshold)
+      .select("id_a", "id_b")
+    val cc = graft.algos.Algos.connectedComponents(
+      pairs.select(col("id_a").as("_src"), col("id_b").as("_dst")))
+    val w = Window.partitionBy("rep_id").orderBy(col("dist2").desc, col(id))
+    assigned
+      .join(cc.withColumnRenamed("id", id), Seq(id), "left_outer")
+      .withColumn("rep_id", coalesce(col("component"), col(id)))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col(id), col("cluster").cast(LongType).as("cluster"),
+        col("rep_id"), col("keep"))
+      .orderBy(id)
+  }
 }

@@ -837,6 +837,26 @@ class PipelineSpec extends SparkSpec {
       "no duplicated material here at all nine ten eleven twelve")))
   }
 
+  test("semDedup groups within-cluster cosine dups, keeps farthest-from-centroid") {
+    import spark.implicits._
+    // 1/2/3 nearly collinear (cos ≈ 1); 9 orthogonal
+    val d = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.999f, 0.01f, 0.0f)),
+      (3L, Array(0.998f, 0.02f, 0.0f)),
+      (9L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(d, k = 2, rounds = 2, threshold = 0.95)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // the collinear trio forms one duplicate group with one keeper
+    val trio = Seq(1L, 2L, 3L).map(out)
+    assert(trio.map(_._2).distinct.size == 1, s"one rep expected: $out")
+    assert(trio.count(_._3) == 1, s"exactly one keeper: $out")
+    // the orthogonal vector is its own group and keeps itself
+    assert(out(9L)._2 == 9L && out(9L)._3)
+  }
+
   test("sourceCap keeps at most maxDocs per source, deterministically") {
     import spark.implicits._
     val d = (1L to 30L).map(i => (i, s"doc $i", if (i <= 24) "big.com" else "small.org"))
