@@ -424,6 +424,12 @@ object SparkEntry {
     "q_langid" -> ((s, dir) =>
       pipeline.TextOps.langId(docs(s, dir))),
 
+    // CCNet perplexity filter (Wenzek '20): per-language stupid-backoff
+    // bigram LM trained on the TRAIN hash-split, every doc scored by
+    // mean log-prob, languages cut into head/middle/tail tertiles
+    "q_perplexity" -> ((s, dir) =>
+      pipeline.TextOps.perplexity(docs(s, dir))),
+
     // Gopher repetition filters (Rae et al. 2021 Table A1)
     "q_repetition" -> ((s, dir) =>
       pipeline.TextOps.repetition(docs(s, dir))),
@@ -763,6 +769,18 @@ object SparkEntry {
       pipeline.Ann.recallAt(
         pipeline.Ann.cosineTopK(e, qids, k = 10),
         pipeline.Ann.int8TopK(e, qids, k = 10))
+    }),
+
+    // product quantization (Jégou '11): 64-bit PQ codes (m=16 × 4-bit)
+    // + ADC scan + exact re-rank. Replay-exact Lloyd codebooks (round-6
+    // means, md5 seeds) make the recall a FULL-VALUE pin like int8 —
+    // measured 44/50 = 0.88 at sf0.01, stable across partitionings
+    "q_ann_pq_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val qids = Seq(0L, 1L, 2L, 3L, 4L)
+      pipeline.Ann.recallAt(
+        pipeline.Ann.cosineTopK(e, qids, k = 10),
+        pipeline.Ann.pqTopK(e, qids, k = 10))
     }),
 
     // exact kNN graph over a FIXED-SIZE deterministic hash sample — the
@@ -2034,6 +2052,54 @@ object SparkEntry {
     // shingle (a necessary condition for J > 0).
     "q_dedup_jaccard" -> jaccardPairsOracle,
     "q_repetition" -> repetitionOracle,
+    // CCNet perplexity: the oracle re-trains the same stupid-backoff
+    // bigram LM on the train hash-split and replays the scoring. Every
+    // per-token log-prob is log of an exact integer ratio rounded to 7
+    // decimals (ln agrees to ~1 ulp cross-engine; the round absorbs it),
+    // the mean rounds to 6, exp(-mean) to 3, tertile ties break by doc_id
+    "q_perplexity" ->
+      """WITH toks AS (
+           SELECT doc_id, lang,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS ws,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 1000 AS hv
+           FROM documents),
+         bi AS (
+           SELECT doc_id, lang, hv,
+             unnest(ws[1:len(ws)-1]) AS w1,
+             unnest(ws[2:len(ws)]) AS w2
+           FROM toks WHERE len(ws) >= 2),
+         uc AS (
+           SELECT lang, w, count(*) AS c_uni FROM (
+             SELECT lang, unnest(ws) AS w FROM toks WHERE hv >= 200)
+           GROUP BY 1, 2),
+         tot AS (SELECT lang, CAST(sum(c_uni) AS DOUBLE) AS t FROM uc GROUP BY 1),
+         bc AS (
+           SELECT lang, w1, w2, count(*) AS c_big
+           FROM bi WHERE hv >= 200 GROUP BY 1, 2, 3),
+         sc AS (
+           SELECT bi.doc_id, bi.lang,
+             round(CASE WHEN bc.c_big IS NOT NULL
+               THEN ln(CAST(bc.c_big AS DOUBLE) / CAST(u1.c_uni AS DOUBLE))
+               ELSE ln(0.4 * coalesce(CAST(u2.c_uni AS DOUBLE), 0.5) / tot.t)
+             END, 7) AS logp
+           FROM bi
+           LEFT JOIN bc ON bi.lang = bc.lang AND bi.w1 = bc.w1 AND bi.w2 = bc.w2
+           LEFT JOIN uc u1 ON bi.lang = u1.lang AND bi.w1 = u1.w
+           LEFT JOIN uc u2 ON bi.lang = u2.lang AND bi.w2 = u2.w
+           JOIN tot ON bi.lang = tot.lang),
+         agg AS (
+           SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(avg(logp), 6) AS avg_logp
+           FROM sc GROUP BY 1, 2),
+         fin AS (
+           SELECT doc_id, lang, n_bigrams, avg_logp,
+             round(exp(-avg_logp), 3) AS ppl
+           FROM agg)
+         SELECT doc_id, lang, n_bigrams, avg_logp, ppl,
+           CASE ntile(3) OVER (PARTITION BY lang ORDER BY ppl, doc_id)
+             WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+         FROM fin ORDER BY doc_id""",
     // span coverage: the oracle re-derives grams as strings (Spark
     // groups xxhash64 keys) and replays the same interval-union window
     "q_span_coverage" ->
@@ -2424,6 +2490,12 @@ object SparkEntry {
       """SELECT CAST(5 AS BIGINT) AS n_queries, CAST(50 AS BIGINT) AS n_hits,
          CAST(50 AS BIGINT) AS n_total,
          CAST(50 AS DOUBLE) / CAST(50 AS DOUBLE) AS recall""",
+    // full-value pin: PQ codebooks are replay-exact (round-6 Lloyd,
+    // md5 seeds), codes/ADC/re-rank deterministic — measured 44/50
+    "q_ann_pq_recall" ->
+      """SELECT CAST(5 AS BIGINT) AS n_queries, CAST(44 AS BIGINT) AS n_hits,
+         CAST(50 AS BIGINT) AS n_total,
+         CAST(44 AS DOUBLE) / CAST(50 AS DOUBLE) AS recall""",
     // decade-floored pin (k-means centroids aren't bit-stable across
     // partitionings the way LSH hashing is): measured 38/50 = 0.76,
     // floor 0.7 — tolerant to ±1-hit drift, red on material degradation

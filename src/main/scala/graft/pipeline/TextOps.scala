@@ -1220,4 +1220,91 @@ object TextOps {
         col("n_sentences") >= 3L && col("terminal_line_frac") >= 0.5)
       .orderBy(id)
   }
+
+  /** CCNet-style perplexity scoring + head/middle/tail bucketing (Wenzek
+    * et al. 2020, LREC — the quality filter the LLaMA/CCNet data pipeline
+    * runs after dedup). A per-language stupid-backoff bigram LM (Brants
+    * et al. 2007, EMNLP) is trained on the corpus's own deterministic
+    * TRAIN hash-split (so held-out docs genuinely hit the backoff path),
+    * every document is scored by mean token log-probability, and each
+    * language is cut into perplexity tertiles — CCNet's head/middle/tail.
+    *
+    * Model (all counts from train-split docs, keyed by language):
+    *  - p(w2|w1) = c(w1 w2)/c(w1) when the bigram was seen in training;
+    *  - else alpha · c(w2)/T  (stupid backoff to the unigram), with an
+    *    unseen-word pseudo-count of 0.5 so OOV tokens stay finite.
+    *
+    * Determinism across engines: every per-token log-prob is a log of an
+    * exact integer ratio (IEEE-identical on both sides; log agrees to
+    * ~1 ulp) rounded to 7 decimals before the mean, the mean rounds to 6,
+    * the perplexity exp(-mean) to 3, and tertile ties break by doc_id —
+    * so the gate hash-compares full values.
+    *
+    * Scale: token and bigram explosion is scan-side (row-local array
+    * construction — no joins to build n-grams); the LM is three hash
+    * aggregations with map-side combine (lang·vocab, lang·bigram-vocab,
+    * lang totals — Zipf-bounded, far smaller than the corpus); scoring is
+    * three shuffle joins on (lang, word) keys. At 100 TB the LM tables
+    * get a frequency floor (count ≥ 2 prunes the Zipf tail that stupid
+    * backoff barely weights anyway) — the scoring joins are unchanged.
+    */
+  def perplexity(docs: DataFrame, alpha: Double = 0.4,
+      id: String = "doc_id", text: String = "text",
+      lang: String = "lang"): DataFrame = {
+    val toks = docs.select(col(id), col(lang).as("__lang"),
+      split(lower(trim(col(text))), "\\s+").as("__ws"))
+    val train = hashSplit(toks, 100, 100, id = id)
+      .filter(col("split") === "train").drop("split")
+
+    // LM counts — train split only, keyed by language
+    val uni = train
+      .select(col("__lang"), explode(col("__ws")).as("w"))
+      .groupBy("__lang", "w").agg(count(lit(1)).as("c_uni"))
+    val tot = uni.groupBy("__lang")
+      .agg(sum("c_uni").cast(DoubleType).as("t_tokens"))
+    // row-local bigram construction; callers MUST pre-filter size >= 2
+    // (sequence(1, 0) would step DOWNWARD and index element_at(ws, 0))
+    val bigrams: Column = transform(
+      sequence(lit(1), size(col("__ws")) - 1),
+      i => struct(element_at(col("__ws"), i).as("w1"),
+        element_at(col("__ws"), i + 1).as("w2")))
+    val big = train
+      .filter(size(col("__ws")) >= 2)
+      .select(col("__lang"), explode(bigrams).as("b"))
+      .select(col("__lang"), col("b.w1"), col("b.w2"))
+      .groupBy("__lang", "w1", "w2").agg(count(lit(1)).as("c_big"))
+
+    // score EVERY doc (train and held-out) against the train LM
+    val inst = toks
+      .filter(size(col("__ws")) >= 2)
+      .select(col(id), col("__lang"), explode(bigrams).as("b"))
+      .select(col(id), col("__lang"), col("b.w1"), col("b.w2"))
+    val logp = round(
+      when(col("c_big").isNotNull,
+        log(col("c_big").cast(DoubleType) / col("c_uni").cast(DoubleType)))
+      .otherwise(
+        log(lit(alpha) * coalesce(col("c_w2"), lit(0.5)) / col("t_tokens"))),
+      7)
+    val scored = inst
+      .join(big, Seq("__lang", "w1", "w2"), "left_outer")
+      .join(uni.withColumnRenamed("w", "w1"), Seq("__lang", "w1"), "left_outer")
+      .join(uni.select(col("__lang"), col("w").as("w2"),
+        col("c_uni").cast(DoubleType).as("c_w2")), Seq("__lang", "w2"), "left_outer")
+      .join(broadcast(tot), Seq("__lang"))
+      .groupBy(col(id), col("__lang"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(logp), 6).as("avg_logp"))
+      .withColumn("ppl", round(exp(-col("avg_logp")), 3))
+
+    // CCNet head/middle/tail: perplexity tertiles per language
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__lang").orderBy(col("ppl").asc, col(id).asc)
+    scored
+      .withColumn("__t", ntile(3).over(w))
+      .select(col(id), col("__lang").as(lang), col("n_bigrams"),
+        col("avg_logp"), col("ppl"),
+        when(col("__t") === 1, "head").when(col("__t") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(id)
+  }
 }
