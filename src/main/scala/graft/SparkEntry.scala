@@ -2056,7 +2056,9 @@ object SparkEntry {
     // bigram LM on the train hash-split and replays the scoring. Every
     // per-token log-prob is log of an exact integer ratio rounded to 7
     // decimals (ln agrees to ~1 ulp cross-engine; the round absorbs it),
-    // the mean rounds to 6, exp(-mean) to 3, tertile ties break by doc_id
+    // summed as exact DECIMAL(18,7) so aggregation order can't move it
+    // (a float avg flipped the 6dp boundary in r15), one double division
+    // for the mean (round 6), exp(-mean) to 3, tertile ties by doc_id
     "q_perplexity" ->
       """WITH toks AS (
            SELECT doc_id, lang,
@@ -2090,7 +2092,8 @@ object SparkEntry {
            JOIN tot ON bi.lang = tot.lang),
          agg AS (
            SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
-             round(avg(logp), 6) AS avg_logp
+             round(CAST(sum(CAST(logp AS DECIMAL(18,7))) AS DOUBLE)
+               / count(*), 6) AS avg_logp
            FROM sc GROUP BY 1, 2),
          fin AS (
            SELECT doc_id, lang, n_bigrams, avg_logp,

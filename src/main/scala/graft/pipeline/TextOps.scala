@@ -1236,9 +1236,13 @@ object TextOps {
     *
     * Determinism across engines: every per-token log-prob is a log of an
     * exact integer ratio (IEEE-identical on both sides; log agrees to
-    * ~1 ulp) rounded to 7 decimals before the mean, the mean rounds to 6,
-    * the perplexity exp(-mean) to 3, and tertile ties break by doc_id —
-    * so the gate hash-compares full values.
+    * ~1 ulp) rounded to 7 decimals, then summed as DECIMAL(18,7) — exact
+    * and associative, so Spark's partial-aggregation order cannot move
+    * the sum (a plain double avg flipped the round(…,6) boundary at
+    * sf0.01: -3.355158 vs DuckDB's sequential -3.355157). The mean is one
+    * double division of that exact sum, rounded to 6; the perplexity
+    * exp(-mean) rounds to 3; tertile ties break by doc_id — so the gate
+    * hash-compares full values.
     *
     * Scale: token and bigram explosion is scan-side (row-local array
     * construction — no joins to build n-grams); the LM is three hash
@@ -1293,7 +1297,11 @@ object TextOps {
       .join(broadcast(tot), Seq("__lang"))
       .groupBy(col(id), col("__lang"))
       .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(logp), 6).as("avg_logp"))
+        sum(logp.cast(org.apache.spark.sql.types.DecimalType(18, 7)))
+          .as("__logp_sum"))
+      .withColumn("avg_logp",
+        round(col("__logp_sum").cast(DoubleType) / col("n_bigrams"), 6))
+      .drop("__logp_sum")
       .withColumn("ppl", round(exp(-col("avg_logp")), 3))
 
     // CCNet head/middle/tail: perplexity tertiles per language
