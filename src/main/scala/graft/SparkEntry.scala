@@ -1412,17 +1412,23 @@ object SparkEntry {
   /** DuckDB-equivalent SQL per query (driver correctness gate). */
   /** Shared k-means replay CTE chain (seed pick, 3 assignment rounds,
     * 6-decimal rounding at every step) — ends at `a3(vec_id, cell, d2)`.
-    * Used by the q_cluster oracle and extended by q_semdedup.
+    * Used by the q_cluster oracle (fixed k via `SELECT 8 AS k`) and by
+    * q_semdedup (auto-sized k: the SQL mirror of Dedup.semDedupK).
+    * `kSelect` is a one-row SELECT producing column `k`.
     */
-  private val kmeansAssignCtes: String =
-    """e AS MATERIALIZED (
+  private def kmeansAssignCtes(kSelect: String): String =
+    s"""e AS MATERIALIZED (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          pos AS MATERIALIZED (
            SELECT unnest(range(1, (SELECT len(v) FROM e LIMIT 1) + 1)) AS p),
+         kk AS MATERIALIZED ($kSelect),
          c0 AS MATERIALIZED (
-           SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell, v FROM (
-             SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h FROM e
-             ORDER BY h, vec_id LIMIT 8)),
+           SELECT rn - 1 AS cell, v FROM (
+             SELECT vec_id, v,
+               row_number() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+             FROM e)
+           WHERE rn <= (SELECT k FROM kk)),
          d1 AS MATERIALIZED (
            SELECT e.vec_id, c.cell,
              round(list_sum(list_transform(range(1, len(e.v) + 1),
@@ -2424,21 +2430,26 @@ object SparkEntry {
     // mean (so cross-engine double noise can't flip an argmin), ties to
     // the lowest cell, empty cells keep their centroid
     "q_cluster" ->
-      s"""WITH $kmeansAssignCtes
+      s"""WITH ${kmeansAssignCtes("SELECT 8 AS k")}
          SELECT vec_id, CAST(cell AS BIGINT) AS cluster, d2 AS dist2
          FROM a3 ORDER BY vec_id""",
 
-    // SemDeDup: the SAME k-means replay (shared CTE chain) + exact
-    // within-cluster cosine pairs + recursive-CTE components + the
-    // farthest-from-centroid keep rule (max d2, ties to lower id)
+    // SemDeDup: the SAME k-means replay (shared CTE chain, k auto-sized
+    // from corpus size — the SQL mirror of Dedup.semDedupK) + exact
+    // within-cluster cosine pairs (6dp-rounded before the threshold so
+    // an ulp of cross-engine dot noise can't flip pair membership) +
+    // recursive-CTE components + the farthest-from-centroid keep rule
+    // (max d2, ties to lower id)
     "q_semdedup" ->
-      s"""WITH RECURSIVE $kmeansAssignCtes,
+      s"""WITH RECURSIVE ${kmeansAssignCtes(
+        "SELECT greatest(8, CAST(ceil(count(*) / 512.0) AS BIGINT)) AS k FROM e")},
          pr AS (
            SELECT x.vec_id AS id_a, y.vec_id AS id_b
            FROM a3 x JOIN a3 y ON x.cell = y.cell AND x.vec_id < y.vec_id
            JOIN e ea ON ea.vec_id = x.vec_id
            JOIN e eb ON eb.vec_id = y.vec_id
-           WHERE list_cosine_similarity(ea.v, eb.v) >= CAST(0.45 AS DOUBLE)),
+           WHERE round(list_cosine_similarity(ea.v, eb.v), 6)
+             >= CAST(0.45 AS DOUBLE)),
          sym AS (SELECT id_a AS u, id_b AS v FROM pr
                  UNION SELECT id_b, id_a FROM pr),
          comp(kk, c) AS (

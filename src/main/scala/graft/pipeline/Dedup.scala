@@ -491,6 +491,15 @@ object Dedup {
     out
   }
 
+  /** Auto-sized SemDeDup cluster count: k ≈ N / targetClusterSize
+    * (floor 8), targeting constant mean cluster occupancy so the
+    * within-cluster pair join stays linear in N (Σ|c|² ≈ N·target).
+    * Mirrored verbatim in the q_semdedup oracle SQL
+    * (`greatest(8, ceil(count(*)/512.0))`) so the gate pins the same k.
+    */
+  def semDedupK(n: Long, targetClusterSize: Int = 512): Int =
+    math.max(8L, math.ceil(n / targetClusterSize.toDouble).toLong).toInt
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public method):
     * semantic deduplication WITHIN k-means clusters. The paper's trick
     * for corpus scale is exactly this restriction: exact cosine pairs
@@ -503,18 +512,28 @@ object Dedup {
     *
     * Returns one row per vector: (id, cluster, rep_id, keep).
     *
-    * Scale: clustering is [[Ann.kmeansCluster]] (bounded driver state:
-    * k×dim centroids); the pair join is an equi-join on the cluster id;
-    * components run on the pair frame only (dup-pair-sized, tiny);
-    * the keep rule is one window per duplicate group. Vectors travel
-    * the cluster join once — nothing all-pairs ever materializes.
+    * Scale: k is NOT fixed — by default it derives from the corpus via
+    * [[semDedupK]] (k ≈ N/512, floor 8), the paper's own scale trick:
+    * constant mean cluster occupancy keeps the within-cluster pair join
+    * at Σ|c|² ≈ N·512 rows — linear in N, not quadratic (a fixed k
+    * makes clusters grow ∝N and the pair join Θ(N²) — r15's bug).
+    * Clustering is [[Ann.kmeansCluster]] (bounded driver state: k×dim
+    * centroids; beyond k ≈ a few thousand swap in MLlib KMeans as
+    * ivfTopK does — the literal-centroid assignment scan is gate-sized);
+    * the pair join is an equi-join on the cluster id; components run on
+    * the pair frame only (dup-pair-sized, tiny); the keep rule is one
+    * window per duplicate group. Vectors travel the cluster join once —
+    * nothing all-pairs ever materializes. Cosines round to 6 decimals
+    * before the threshold compare on BOTH engines, so a pair sitting
+    * within an ulp of the threshold cannot flip the gate.
     */
-  def semDedup(emb: DataFrame, k: Int = 8, rounds: Int = 3,
+  def semDedup(emb: DataFrame, k: Int = 0, rounds: Int = 3,
       threshold: Double = 0.45, id: String = "vec_id",
       vec: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.VectorExprs.register(emb.sparkSession)
-    val assigned = Ann.kmeansCluster(emb, k, rounds, id, vec)
+    val kk = if (k > 0) k else semDedupK(emb.count())
+    val assigned = Ann.kmeansCluster(emb, kk, rounds, id, vec)
     val base = embedBase(emb, id, vec)
     val withC = base.join(
       assigned.select(col(id).as("id"), col("cluster"), col("dist2")), "id")
@@ -523,8 +542,8 @@ object Dedup {
     val r = withC.select(col("cluster").as("cb"), col("id").as("id_b"),
       col("v").as("vb"), col("nrm").as("nb"))
     val pairs = l.join(r, col("cluster") === col("cb") && col("id_a") < col("id_b"))
-      .withColumn("c", graft.functions.VectorExprs.dot(col("va"), col("vb")) /
-        (col("na") * col("nb")))
+      .withColumn("c", round(graft.functions.VectorExprs.dot(col("va"), col("vb")) /
+        (col("na") * col("nb")), 6))
       .filter(col("c") >= threshold)
       .select("id_a", "id_b")
     val cc = graft.algos.Algos.connectedComponents(

@@ -857,6 +857,23 @@ class PipelineSpec extends SparkSpec {
     assert(out(9L)._2 == 9L && out(9L)._3)
   }
 
+  test("semDedupK derives cluster count from corpus size (constant occupancy)") {
+    // floor for gate-sized corpora: sf0.01 (500) and sf0.1 (2000) pin k=8,
+    // so the oracle hash is unchanged by auto-sizing
+    assert(Dedup.semDedupK(500) == 8)
+    assert(Dedup.semDedupK(2000) == 8)
+    // growth: the 10x rehearsal corpus (20k) and beyond scale k ~ N/512,
+    // keeping mean cluster occupancy — and the within-cluster pair join —
+    // linear in N (Sigma|c|^2 ~ N*512), never quadratic
+    assert(Dedup.semDedupK(20000) == 40)
+    assert(Dedup.semDedupK(1000000) == 1954)
+    // 10x the corpus -> ~10x the clusters (constant occupancy), so
+    // pair-join work grows ~10x, not ~100x
+    val k1 = Dedup.semDedupK(100000)
+    val k10 = Dedup.semDedupK(1000000)
+    assert(k10 >= 9 * k1 && k10 <= 11 * k1, s"k1=$k1 k10=$k10")
+  }
+
   test("sourceCap keeps at most maxDocs per source, deterministically") {
     import spark.implicits._
     val d = (1L to 30L).map(i => (i, s"doc $i", if (i <= 24) "big.com" else "small.org"))
