@@ -121,16 +121,24 @@ object TextOps {
     *    map (the explode and the count run inside one stage), keeping
     *    only each partition's top-(topN x overselect) grams in a
     *    bounded heap. The tail never leaves the partition.
-    *  - pass 2, tiny shuffles: dedup the candidate union (at most
-    *    partitions x topN x overselect rows), broadcast it back as a
-    *    semi-join filter, and recount ONLY candidate grams exactly.
+    *  - pass 2, tiny shuffles: merge the per-partition heaps with a
+    *    depth-2 treeAggregate that SUMS candidate counts and re-trims
+    *    to topN x overselect at every merge — the driver receives
+    *    O(sqrt(partitions)) size-m partials, not partitions x m, and
+    *    the final candidate set is bounded by m REGARDLESS of partition
+    *    count (a 100k-partition corpus ships the same ~m strings) —
+    *    then broadcast it back as a semi-join filter and recount ONLY
+    *    candidate grams exactly. The broadcast is destroyed once the
+    *    (topN-row) result is materialized.
     *
     * Returned counts are therefore EXACT; the approximation is solely
     * in candidate recall — a true top-N gram is missed only if it
-    * ranks below topN x overselect in EVERY partition, which a Zipfian
-    * gram distribution makes vanishingly unlikely (spec pins
-    * approx == exact on the gate corpus; q_ngram_approx carries the
-    * SAME DuckDB oracle as q_ngram_freq).
+    * falls below topN x overselect by PARTIAL-SUMMED count at some
+    * merge step (summed counts rank strictly better than the single-
+    * partition counts they replace), which a Zipfian gram distribution
+    * makes vanishingly unlikely (spec pins approx == exact on the gate
+    * corpus; q_ngram_approx carries the SAME DuckDB oracle as
+    * q_ngram_freq).
     *
     * Per-partition memory is O(distinct grams of one partition) — the
     * same order the exact form's partial hash aggregate already holds;
@@ -163,27 +171,43 @@ object TextOps {
         }
       }
     val tokRows = docs.select(tokens(lower(col(text))).as("toks")).as[Seq[String]]
-    // pass 1, no shuffle: per-partition exact counts, bounded heap of
-    // the best m by (count desc, gram asc) — the queue dequeues the
-    // WORST under this ordering, so it evicts correctly. The union is
-    // driver-bounded by construction: <= partitions x m strings.
-    val candidates = tokRows.mapPartitions { it =>
-      val counts = scala.collection.mutable.HashMap.empty[String, Long]
-      it.foreach(gs => gramIter(gs).foreach(g =>
-        counts.update(g, counts.getOrElse(g, 0L) + 1L)))
+    // bounded heap trim: keep the best m by (count desc, gram asc) —
+    // the queue dequeues the WORST under this ordering, so it evicts
+    // correctly
+    def trim(counts: scala.collection.mutable.HashMap[String, Long])
+        : Array[(String, Long)] = {
       val ord = Ordering.by[(Long, String), (Long, String)] { case (c, g) => (-c, g) }
       val heap = scala.collection.mutable.PriorityQueue.empty[(Long, String)](ord)
       counts.foreach { case (g, c) =>
         heap.enqueue((c, g))
         if (heap.size > m) heap.dequeue()
       }
-      heap.iterator.map(_._2)
-    }.distinct().collect()
+      heap.iterator.map { case (c, g) => (g, c) }.toArray
+    }
+    def mergeTrim(a: Array[(String, Long)], b: Array[(String, Long)])
+        : Array[(String, Long)] = {
+      val mp = scala.collection.mutable.HashMap.empty[String, Long]
+      a.foreach { case (g, c) => mp.update(g, mp.getOrElse(g, 0L) + c) }
+      b.foreach { case (g, c) => mp.update(g, mp.getOrElse(g, 0L) + c) }
+      trim(mp)
+    }
+    // pass 1, no shuffle: per-partition exact counts trimmed to m, then
+    // a depth-2 treeAggregate merges heaps count-summing and re-trims —
+    // executor-side combines cap the driver hop at O(sqrt(P)) size-m
+    // partials and the final candidate set at m total
+    val candidates: Array[String] = tokRows.rdd.mapPartitions { it =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach(gs => gramIter(gs).foreach(g =>
+        counts.update(g, counts.getOrElse(g, 0L) + 1L)))
+      Iterator.single(trim(counts))
+    }.treeAggregate(Array.empty[(String, Long)])(mergeTrim, mergeTrim, depth = 2)
+      .map(_._1)
     val candSet = spark.sparkContext.broadcast(candidates.toSet)
     // pass 2: exact recount restricted to candidates — the exchange
     // carries at most |candidates| rows per partition; the tail never
-    // leaves its partition in either pass
-    tokRows.mapPartitions { it =>
+    // leaves its partition in either pass. Materialize the (<= topN
+    // rows) result so the candidate broadcast can be destroyed.
+    val out = tokRows.mapPartitions { it =>
       val cs = candSet.value
       val counts = scala.collection.mutable.HashMap.empty[String, Long]
       it.foreach(gs => gramIter(gs).foreach(g =>
@@ -193,6 +217,9 @@ object TextOps {
       .groupBy("gram").agg(sum("cnt_p").as("cnt"))
       .orderBy(desc("cnt"), asc("gram"))
       .limit(topN)
+      .localCheckpoint()
+    candSet.destroy()
+    out
   }
 
   // ---- quality scoring (q_quality) ----
