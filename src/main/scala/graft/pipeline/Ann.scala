@@ -507,6 +507,30 @@ object Ann {
     books
   }
 
+  /** Memoized [[pqTrain]]: codebooks are keyed by (session, canonical
+    * logical plan of the corpus frame, columns, m, ks, rounds) — the
+    * GraphLoader table-cache idiom — so repeated [[pqTopK]] calls over
+    * the same corpus reuse the trained books instead of re-running the
+    * Lloyd rounds (3 scans + ks-seed/means collects per call). The key
+    * is the ANALYZED plan: same source + same projection = same books;
+    * rewriting the files under an identical path between calls is the
+    * same (documented) staleness trade GraphLoader makes. Driver memory
+    * per entry is m·ks·(d/m) = ks·d doubles — trivial.
+    */
+  private val pqBookCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, Int, Int, Int),
+      Array[Array[Array[Double]]]]
+  private[graft] def pqBooks(emb: DataFrame, m: Int, ks: Int, rounds: Int = 3,
+      id: String = "vec_id", vec: String = "embedding")
+      : Array[Array[Array[Double]]] = {
+    graft.functions.VectorExprs.register(emb.sparkSession)
+    val planKey =
+      emb.queryExecution.analyzed.canonicalized.toString + s"|$id|$vec"
+    pqBookCache.getOrElseUpdate(
+      (emb.sparkSession, planKey, m, ks, rounds),
+      pqTrain(emb, m, ks, rounds, id, vec))
+  }
+
   /** PQ codes for every vector: m small ints per row (4 bits each at
     * ks=16; one byte at ks=256) — for a d=64 float32 embedding, m=8/ks=16
     * stores 4 bytes of code per vector against 256 bytes of floats: the
@@ -533,9 +557,10 @@ object Ann {
     * Deterministic end-to-end — replay-exact codebooks ([[pqTrain]]),
     * per-row argmin codes, fixed-order driver-side tables, ties by id —
     * so recall pins FULL-VALUE in the gate, like [[int8TopK]]. Defaults
-    * (m=16, ks=16, rerank=8) measured 0.96 recall@10 on the sf0.01
-    * corpus at 64-bit codes — a 32× scan-side compression of d=64
-    * float32 embeddings.
+    * (m=16, ks=16, rerank=8) measure 44/50 = 0.88 recall@10 on the
+    * sf0.01 corpus (the q_ann_pq_recall pin) at 64-bit codes — a 32×
+    * scan-side compression of d=64 float32 embeddings. Codebooks come
+    * from [[pqBooks]], so repeated calls over the same corpus train once.
     */
   def pqTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
       m: Int = 16, ks: Int = 16, rerank: Int = 8,
@@ -543,7 +568,7 @@ object Ann {
     graft.functions.VectorExprs.register(emb.sparkSession)
     val spark = emb.sparkSession
     import spark.implicits._
-    val books = pqTrain(emb, m, ks, id = id, vec = vec)
+    val books = pqBooks(emb, m, ks, id = id, vec = vec)
     val dsub = books(0)(0).length
     val coded = pqEncode(emb, books, id, vec)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -166,6 +166,16 @@ class PipelineSpec extends SparkSpec {
     assert(ivf.getDouble(3) >= 0.95, s"IVF recall@10 at 5k: ${ivf.getDouble(3)}")
   }
 
+  test("pqBooks memoizes codebooks per (corpus plan, m, ks) — second call trains nothing") {
+    val b1 = Ann.pqBooks(embs, m = 8, ks = 4)
+    val b2 = Ann.pqBooks(embs, m = 8, ks = 4)
+    // same ARRAY INSTANCE back = cache hit, no Lloyd jobs on call 2
+    assert(b1 eq b2)
+    // different hyperparameters miss the cache (and differ in shape)
+    val b3 = Ann.pqBooks(embs, m = 4, ks = 4)
+    assert(!(b3 eq b1) && b3.length == 4 && b1.length == 8)
+  }
+
   test("kmeansCluster assignments are deterministic across partitionings") {
     val base = Ann.kmeansCluster(embs, k = 8, rounds = 3)
     val rows = base.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
