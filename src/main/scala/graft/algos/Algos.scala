@@ -36,8 +36,8 @@ object Algos {
     df.persist(StorageLevel.MEMORY_AND_DISK)
 
   /** Runs `body` with spark.sql.shuffle.partitions sized to an
-    * iterative loop's data instead of the session default, restoring the
-    * session value afterwards. r14 lesson (measured on SCC): 32 tasks
+    * iterative loop's data instead of the session default, on an
+    * isolated session clone. r14 lesson (measured on SCC): 32 tasks
     * over KB-sized loop frames is pure task-launch overhead, and that
     * per-round fixed cost multiplies by the round count — locally as
     * scheduler latency, on a cluster as per-job dispatch + straggler
@@ -46,19 +46,35 @@ object Algos {
     * genuinely large loops; every action of the loop must happen inside
     * `body` (the algos here materialize per round, so they do).
     *
-    * Restoration is depth-tracked per session ([[graft.util.ConfScope]])
-    * so overlapping loops can't leave a clamp behind; the conf is still
-    * session-global WHILE a loop runs, so interleave unrelated queries
-    * on their own `spark.newSession()` if the clamp matters to them.
+    * The clamp lives on a CLONED session (isolated SQLConf; shared
+    * SparkContext, cache and registered functions), never on the
+    * caller's: `sc.in(df)` rebinds a loop input's plan to the clone so
+    * every loop shuffle runs clamped, `sc.out(df)` hands the result
+    * back under the caller's conf. A concurrent unrelated query on the
+    * caller's session therefore NEVER sees the clamp (the r15 ConfScope
+    * caveat, now solved rather than documented — ConfScope's depth
+    * tracking is obsolete because nothing mutates shared state).
     */
-  private def withLoopParts[T](spark: SparkSession, rowCount: Long)(body: => T): T =
-    graft.util.ConfScope.scoped(spark, "spark.sql.shuffle.partitions") { orig =>
-      // ~128k id-pair rows per task: small enough that per-round real work
-      // still spreads across cores (measured at sf0.1: 1.2M-edge pagerank
-      // regressed at 5 partitions), large enough that KB-frame rounds
-      // don't pay 32 task launches
-      math.max(4L, math.min(orig.toLong, rowCount / 131072L + 1L)).toString
-    }(body)
+  private[algos] final class LoopScope(parent: SparkSession, loop: SparkSession) {
+    /** Rebind a loop input to the clamped clone session (plan-only, free). */
+    def in(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graftshim.GraftShims.retarget(df, loop)
+    /** Hand a loop result back to the caller's session and conf. */
+    def out(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graftshim.GraftShims.retarget(df, parent)
+  }
+  private[algos] def withLoopParts[T](spark: SparkSession, rowCount: Long)(
+      body: LoopScope => T): T = {
+    val loop = org.apache.spark.sql.graftshim.GraftShims.cloneSession(spark)
+    val orig = spark.conf.get("spark.sql.shuffle.partitions")
+    // ~128k id-pair rows per task: small enough that per-round real work
+    // still spreads across cores (measured at sf0.1: 1.2M-edge pagerank
+    // regressed at 5 partitions), large enough that KB-frame rounds
+    // don't pay 32 task launches; never RAISES above the session default
+    loop.conf.set("spark.sql.shuffle.partitions",
+      math.max(4L, math.min(orig.toLong, rowCount / 131072L + 1L)).toString)
+    body(new LoopScope(spark, loop))
+  }
 
   // opt-in SCC phase timing (set GRAFT_SCC_DEBUG=1): stderr lines per
   // trim round / coloring step / peel — the diagnostic that located the
@@ -84,23 +100,25 @@ object Algos {
     // same cached projection — the un-cached form paid one extra full
     // edge scan for the count plus a parquet re-scan per level (r14
     // advice)
-    val e = materialize(edges.select(col(src).as("es"), col(dst).as("ed")))
-    var visited = materialize(Seq((source, 0)).toDF("id", "dist"))
-    var frontier = visited
-    var depth = 0
-    withLoopParts(spark, e.count()) {
-    while (depth < maxDepth && !frontier.isEmpty) {
-      depth += 1
-      val next = frontier.join(e, col("id") === col("es"))
-        .select(col("ed").as("id"), lit(depth).as("dist"))
-        .distinct()
-        .join(visited.select("id"), Seq("id"), "left_anti")
-      frontier = materialize(next)
-      visited = materialize(visited.unionByName(frontier))
+    val e0 = materialize(edges.select(col(src).as("es"), col(dst).as("ed")))
+    val out = withLoopParts(spark, e0.count()) { sc =>
+      val e = sc.in(e0)
+      var visited = sc.in(materialize(Seq((source, 0)).toDF("id", "dist")))
+      var frontier = visited
+      var depth = 0
+      while (depth < maxDepth && !frontier.isEmpty) {
+        depth += 1
+        val next = frontier.join(e, col("id") === col("es"))
+          .select(col("ed").as("id"), lit(depth).as("dist"))
+          .distinct()
+          .join(visited.select("id"), Seq("id"), "left_anti")
+        frontier = materialize(next)
+        visited = materialize(visited.unionByName(frontier))
+      }
+      sc.out(visited)
     }
-    }
-    e.unpersist()
-    visited
+    e0.unpersist()
+    out
   }
 
   /** Multi-source BFS hop histogram: per seed, how many nodes are first
@@ -119,24 +137,26 @@ object Algos {
     import spark.implicits._
     // materialized once for the sizing count + per-level joins, as in
     // [[shortestPaths]]
-    val e = materialize(edges.select(col(src).as("es"), col(dst).as("ed")))
-    var visited = materialize(
-      seeds.map(s => (s, s, 0)).toDF("seed", "id", "dist"))
-    var frontier = visited
-    var depth = 0
-    withLoopParts(spark, e.count()) {
-    while (depth < maxDepth && !frontier.isEmpty) {
-      depth += 1
-      val next = frontier.join(e, col("id") === col("es"))
-        .select(col("seed"), col("ed").as("id"), lit(depth).as("dist"))
-        .distinct()
-        .join(visited.select("seed", "id"), Seq("seed", "id"), "left_anti")
-      frontier = materialize(next)
-      visited = materialize(visited.unionByName(frontier))
+    val e0 = materialize(edges.select(col(src).as("es"), col(dst).as("ed")))
+    val visitedOut = withLoopParts(spark, e0.count()) { sc =>
+      val e = sc.in(e0)
+      var visited = sc.in(materialize(
+        seeds.map(s => (s, s, 0)).toDF("seed", "id", "dist")))
+      var frontier = visited
+      var depth = 0
+      while (depth < maxDepth && !frontier.isEmpty) {
+        depth += 1
+        val next = frontier.join(e, col("id") === col("es"))
+          .select(col("seed"), col("ed").as("id"), lit(depth).as("dist"))
+          .distinct()
+          .join(visited.select("seed", "id"), Seq("seed", "id"), "left_anti")
+        frontier = materialize(next)
+        visited = materialize(visited.unionByName(frontier))
+      }
+      sc.out(visited)
     }
-    }
-    e.unpersist()
-    visited.groupBy("seed", "dist")
+    e0.unpersist()
+    visitedOut.groupBy("seed", "dist")
       .agg(count(lit(1)).as("n_nodes"))
       .select(col("seed"), col("dist").cast("long").as("dist"), col("n_nodes"))
       .orderBy("seed", "dist")
@@ -196,7 +216,7 @@ object Algos {
     val fwd = edges.select(col(src).as("u"), col(dst).as("v"))
       .filter(col(src) =!= col(dst))
     // canonical small-end-first pairs; `e` is treated as undirected
-    var e = materialize(
+    val e00 = materialize(
       fwd.select(least(col("u"), col("v")).as("u"),
                  greatest(col("u"), col("v")).as("v")).distinct())
     def checksum(d: DataFrame): (Long, Long, Long, Long) = {
@@ -205,11 +225,12 @@ object Algos {
         coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L))).first()
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     }
-    var prev = checksum(e)
+    var prev = checksum(e00)
+    val eFinal = withLoopParts(edges.sparkSession, prev._1) { sc =>
+    var e = sc.in(e00)
     var iter = 0
     val maxIter = 50 // star contraction: log2(n) rounds; 50 covers n≈2^50
     var converged = false
-    withLoopParts(edges.sparkSession, prev._1) {
     while (!converged && iter < maxIter) {
       iter += 1
       // large-star over the symmetrized neighborhood
@@ -236,14 +257,15 @@ object Algos {
       e.unpersist(); lsm.unpersist()
       e = next
     }
-    }
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter star rounds — " +
         "raise maxIter (log2(|V|) rounds expected)")
+    sc.out(e)
+    }
     // final star graph: u = component min for every attached v
-    e.select(col("v").as("id"), col("u").as("component"))
-      .unionByName(e.select(col("u").as("id"), col("u").as("component")).distinct())
+    eFinal.select(col("v").as("id"), col("u").as("component"))
+      .unionByName(eFinal.select(col("u").as("id"), col("u").as("component")).distinct())
       .distinct()
   }
 
@@ -311,7 +333,9 @@ object Algos {
     var sccT = sccTick(s"setup rem=$remCount edges=$edgeCount", System.nanoTime)
     // Only the final single-shuffle canonicalization escapes the sized
     // scope, deliberately — it runs at the session's parallelism.
-    withLoopParts(spark, edgeCount) {
+    withLoopParts(spark, edgeCount) { sc =>
+      e = sc.in(e)
+      remaining = sc.in(remaining)
       while (remCount > 0 && outer < maxOuter) {
       outer += 1
       // ---- local finish: once the residual subgraph fits comfortably on
@@ -576,16 +600,18 @@ object Algos {
     val spark = edges.sparkSession
     // materialized ONCE: the old lazy frame re-ran the distinct shuffle
     // every iteration (r14 audit)
-    val e = materialize(edges.select(col(src).as("u"), col(dst).as("v")).distinct())
-    val eCount = e.count()
+    val e0 = materialize(edges.select(col(src).as("u"), col(dst).as("v")).distinct())
+    val eCount = e0.count()
     val nodes = materialize(
-      e.select(col("u").as("id")).unionByName(e.select(col("v").as("id"))).distinct())
+      e0.select(col("u").as("id")).unionByName(e0.select(col("v").as("id"))).distinct())
     val n = nodes.count().toDouble
-    val outDeg = e.groupBy(col("u").as("id")).agg(count(lit(1)).as("outdeg"))
-    val graph = materialize(nodes.join(outDeg, Seq("id"), "left_outer")
+    val outDeg = e0.groupBy(col("u").as("id")).agg(count(lit(1)).as("outdeg"))
+    val graph0 = materialize(nodes.join(outDeg, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg")))
+    val ranksOut = withLoopParts(spark, eCount) { sc =>
+    val e = sc.in(e0)
+    val graph = sc.in(graph0)
     var ranks = materialize(graph.select(col("id"), lit(1.0 / n).as("rank")))
-    withLoopParts(spark, eCount) {
     for (_ <- 1 to iterations) {
       // cached (lazily) once per iteration: the contribution join and the
       // dangling-mass aggregate both read it within the SAME job below
@@ -608,9 +634,10 @@ object Algos {
             lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank")))
       prev.unpersist(); withDeg.unpersist()
     }
+    sc.out(ranks)
     }
-    e.unpersist()
-    ranks
+    e0.unpersist()
+    ranksOut
   }
 
   /** Personalized PageRank: random-walk-with-restart where the restart
@@ -631,17 +658,19 @@ object Algos {
     require(seeds.nonEmpty, "seed set must be non-empty")
     val spark = edges.sparkSession
     val sN = seeds.size.toDouble
-    val e = materialize(edges.select(col(src).as("u"), col(dst).as("v")).distinct())
-    val eCount = e.count()
+    val e0 = materialize(edges.select(col(src).as("u"), col(dst).as("v")).distinct())
+    val eCount = e0.count()
     val nodes = materialize(
-      e.select(col("u").as("id")).unionByName(e.select(col("v").as("id"))).distinct())
-    val outDeg = e.groupBy(col("u").as("id")).agg(count(lit(1)).as("outdeg"))
-    val graph = materialize(nodes.join(outDeg, Seq("id"), "left_outer")
+      e0.select(col("u").as("id")).unionByName(e0.select(col("v").as("id"))).distinct())
+    val outDeg = e0.groupBy(col("u").as("id")).agg(count(lit(1)).as("outdeg"))
+    val graph0 = materialize(nodes.join(outDeg, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
         col("id").isin(seeds: _*).as("is_seed")))
+    val ranksOut = withLoopParts(spark, eCount) { sc =>
+    val e = sc.in(e0)
+    val graph = sc.in(graph0)
     var ranks = materialize(graph.select(col("id"),
       when(col("is_seed"), lit(1.0 / sN)).otherwise(lit(0.0)).as("rank")))
-    withLoopParts(spark, eCount) {
     for (_ <- 1 to iterations) {
       val withDeg = cache(ranks.join(graph, "id"))
       val contribs = withDeg.filter(col("outdeg") > 0)
@@ -661,9 +690,10 @@ object Algos {
             lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank")))
       prev.unpersist(); withDeg.unpersist()
     }
+    sc.out(ranks)
     }
-    e.unpersist()
-    ranks
+    e0.unpersist()
+    ranksOut
   }
 
   /** Synchronous label propagation (community detection): each round a
@@ -674,11 +704,12 @@ object Algos {
   def labelPropagation(edges: DataFrame, iterations: Int = 5,
       src: String = "_src", dst: String = "_dst"): DataFrame = {
     val fwd = edges.select(col(src).as("u"), col(dst).as("v"))
-    val sym = materialize(
+    val sym0 = materialize(
       fwd.unionByName(fwd.select(col("v").as("u"), col("u").as("v"))).distinct())
+    withLoopParts(edges.sparkSession, sym0.count()) { sc =>
+    val sym = sc.in(sym0)
     var labels = materialize(
       sym.select(col("u").as("id")).distinct().withColumn("label", col("id")))
-    withLoopParts(edges.sparkSession, sym.count()) {
     for (i <- 1 to iterations) {
       val neighborLabels = labels.join(sym, col("id") === col("u"))
         .groupBy(col("v").as("id"), col("label"))
@@ -696,8 +727,8 @@ object Algos {
       // while halving the eager write-out jobs (the per-round fixed cost)
       labels = if (i % 2 == 0 || i == iterations) materialize(next) else cache(next)
     }
+    sc.out(labels)
     }
-    labels
   }
 
   /** k-core: iteratively drop nodes whose (undirected) degree falls
@@ -714,12 +745,13 @@ object Algos {
       src: String = "_src", dst: String = "_dst"): DataFrame = {
     val fwd = edges.select(col(src).as("u"), col(dst).as("v"))
       .filter(col(src) =!= col(dst))
-    var e = materialize(
+    val e00 = materialize(
       fwd.unionByName(fwd.select(col("v").as("u"), col("u").as("v"))).distinct())
-    var edgeCount = e.count()
+    var edgeCount = e00.count()
+    val eFinal = withLoopParts(edges.sparkSession, edgeCount) { sc =>
+    var e = sc.in(e00)
     var i = 1
     var converged = false
-    withLoopParts(edges.sparkSession, edgeCount) {
     while (i <= rounds && !converged) {
       val keep = e.groupBy("u").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select("u")
@@ -739,7 +771,8 @@ object Algos {
       edgeCount = n
       i += 1
     }
+    sc.out(e)
     }
-    e.groupBy(col("u").as("id")).agg(count(lit(1)).as("core_degree"))
+    eFinal.groupBy(col("u").as("id")).agg(count(lit(1)).as("core_degree"))
   }
 }

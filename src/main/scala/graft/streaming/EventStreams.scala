@@ -201,21 +201,30 @@ object EventStreams {
     * invocation, so the partition count recorded in the checkpoint
     * never conflicts with a prior run's.
     *
-    * Restoration is depth-tracked per session ([[graft.util.ConfScope]])
-    * so overlapping drains can't leave a clamp behind; the conf is still
-    * session-global WHILE a drain runs, so interleave unrelated queries
-    * on their own `spark.newSession()` if the clamp matters to them.
+    * The clamp lives on a CLONED session (isolated SQLConf; shared
+    * SparkContext, cache and registered functions), never on the
+    * caller's: the body receives the clone as its argument — call sites
+    * bind it to the name `spark`, shadowing the caller's session, so
+    * every reference inside the drain (readStream, memory-sink table,
+    * verify joins) targets the clone — and the drained result is
+    * rebound to the caller's session on the way out. A concurrent
+    * unrelated query on the caller's session never sees the clamp (the
+    * r15 ConfScope caveat, solved the same way as
+    * [[graft.algos.Algos]]'s loop scopes).
     */
-  private def withStreamParts[T](spark: SparkSession, dir: String,
-      glob: String)(body: => T): T =
-    graft.util.ConfScope.scoped(spark, "spark.sql.shuffle.partitions") { orig =>
-      val p = new org.apache.hadoop.fs.Path(s"$dir/$glob")
-      val bytes =
-        try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .getContentSummary(p).getLength
-        catch { case _: java.io.IOException => Long.MaxValue }
-      math.max(4L, math.min(orig.toLong, bytes / (64L << 20) + 1L)).toString
-    }(body)
+  private[streaming] def withStreamParts(spark: SparkSession, dir: String,
+      glob: String)(body: SparkSession => DataFrame): DataFrame = {
+    val drain = org.apache.spark.sql.graftshim.GraftShims.cloneSession(spark)
+    val orig = spark.conf.get("spark.sql.shuffle.partitions")
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$glob")
+    val bytes =
+      try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+      catch { case _: java.io.IOException => Long.MaxValue }
+    drain.conf.set("spark.sql.shuffle.partitions",
+      math.max(4L, math.min(orig.toLong, bytes / (64L << 20) + 1L)).toString)
+    org.apache.spark.sql.graftshim.GraftShims.retarget(body(drain), spark)
+  }
 
   /** The windowed-count pipeline executed THROUGH Structured Streaming:
     * file-stream ingest of the events parquet (availableNow trigger) →
@@ -227,7 +236,7 @@ object EventStreams {
   def windowedCountsStreamed(spark: SparkSession, eventsDir: String,
       glob: String = "events.parquet",
       queryName: String = "q_stream_window"): DataFrame =
-    withStreamParts(spark, eventsDir, glob) {
+    withStreamParts(spark, eventsDir, glob) { spark =>
     val raw = eventsRawStream(spark, eventsDir, glob)
     val ev = raw  // ts already normalized by eventsRawStream
     val query = windowedCounts(ev, window = "1 hour")
@@ -259,7 +268,7 @@ object EventStreams {
       glob: String = "events.parquet",
       keys: Seq[String] = Seq("user_id", "event_type"),
       queryName: String = "q_stream_dedup"): DataFrame =
-    withStreamParts(spark, eventsDir, glob) {
+    withStreamParts(spark, eventsDir, glob) { spark =>
     val raw = eventsRawStream(spark, eventsDir, glob)
     val query = raw
       .dropDuplicates(keys)
@@ -301,7 +310,7 @@ object EventStreams {
       glob: String = "documents.parquet", k: Int = 3, bands: Int = 16,
       rowsPerBand: Int = 8, threshold: Double = 0.8,
       queryName: String = "q_stream_neardup"): DataFrame =
-    withStreamParts(spark, docsDir, glob) {
+    withStreamParts(spark, docsDir, glob) { spark =>
     graft.functions.VectorExprs.register(spark)
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
@@ -413,7 +422,7 @@ object EventStreams {
   def sessionizeWindowStreamed(spark: SparkSession, eventsDir: String,
       glob: String = "events.parquet", gapMinutes: Int = 30,
       queryName: String = "q_stream_sessionize"): DataFrame =
-    withStreamParts(spark, eventsDir, glob) {
+    withStreamParts(spark, eventsDir, glob) { spark =>
     val raw = eventsRawStream(spark, eventsDir, glob)
     val ev = raw  // ts already normalized by eventsRawStream
       .withColumn("tss", date_trunc("second", col("ts")))
@@ -530,7 +539,7 @@ object EventStreams {
   def intervalJoinStreamed(spark: SparkSession, eventsDir: String,
       glob: String = "events.parquet", windowMinutes: Int = 30,
       queryName: String = "q_stream_join"): DataFrame =
-    withStreamParts(spark, eventsDir, glob) {
+    withStreamParts(spark, eventsDir, glob) { spark =>
     val wm = s"$windowMinutes minutes"
     val left = eventsRawStream(spark, eventsDir, glob)
       .filter(col("event_type") =!= "error")

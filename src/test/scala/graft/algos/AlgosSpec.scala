@@ -173,4 +173,21 @@ class AlgosSpec extends SparkSpec {
     // k above the clique degree empties the graph
     assert(Algos.kCore(edgesOf(clique: _*), k = 4, rounds = 5).count() == 0)
   }
+
+  test("withLoopParts clamps an ISOLATED clone — the caller's session conf is untouched mid-loop") {
+    val default = spark.conf.get("spark.sql.shuffle.partitions")
+    val clampSeen = Algos.withLoopParts(spark, 10L) { sc =>
+      val in = sc.in(spark.range(10).toDF("x"))
+      // mid-loop, a concurrent query planned on the CALLER's session
+      // sees the default partition count — the r15 ConfScope caveat
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == default)
+      // the loop-bound frame plans on the clone, at the clamp
+      assert(in.sparkSession ne spark)
+      // handing a result back rebinds to the caller's session
+      assert(sc.out(in).sparkSession eq spark)
+      in.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    }
+    assert(clampSeen == "4", s"expected floor clamp 4, got $clampSeen")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == default)
+  }
 }
