@@ -65,14 +65,18 @@ object Algos {
   }
   private[algos] def withLoopParts[T](spark: SparkSession, rowCount: Long)(
       body: LoopScope => T): T = {
-    val loop = org.apache.spark.sql.graftshim.GraftShims.cloneSession(spark)
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     // ~128k id-pair rows per task: small enough that per-round real work
     // still spreads across cores (measured at sf0.1: 1.2M-edge pagerank
     // regressed at 5 partitions), large enough that KB-frame rounds
-    // don't pay 32 task launches; never RAISES above the session default
-    loop.conf.set("spark.sql.shuffle.partitions",
-      math.max(4L, math.min(orig.toLong, rowCount / 131072L + 1L)).toString)
+    // don't pay 32 task launches; never RAISES above the session default.
+    // The clamped session comes from the per-(parent, value) POOL — a
+    // fresh clone per call measured 2x on BFS loops (per-session
+    // warm-up); pooled clones are conf-immutable, so sharing is safe.
+    val clamp =
+      math.max(4L, math.min(orig.toLong, rowCount / 131072L + 1L)).toString
+    val loop = org.apache.spark.sql.graftshim.GraftShims
+      .clampedSession(spark, "spark.sql.shuffle.partitions", clamp)
     body(new LoopScope(spark, loop))
   }
 

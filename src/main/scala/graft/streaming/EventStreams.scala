@@ -214,14 +214,16 @@ object EventStreams {
     */
   private[streaming] def withStreamParts(spark: SparkSession, dir: String,
       glob: String)(body: SparkSession => DataFrame): DataFrame = {
-    val drain = org.apache.spark.sql.graftshim.GraftShims.cloneSession(spark)
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     val p = new org.apache.hadoop.fs.Path(s"$dir/$glob")
     val bytes =
       try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .getContentSummary(p).getLength
       catch { case _: java.io.IOException => Long.MaxValue }
-    drain.conf.set("spark.sql.shuffle.partitions",
+    // pooled conf-immutable clamped clone (see GraftShims.clampedSession:
+    // a fresh clone per drain pays per-session warm-up on every call)
+    val drain = org.apache.spark.sql.graftshim.GraftShims.clampedSession(
+      spark, "spark.sql.shuffle.partitions",
       math.max(4L, math.min(orig.toLong, bytes / (64L << 20) + 1L)).toString)
     org.apache.spark.sql.graftshim.GraftShims.retarget(body(drain), spark)
   }

@@ -29,10 +29,13 @@ object RecallProbe {
       graft.pipeline.Ann.ivfTopK(e, qids, k = 10)).head()
     val int8 = graft.pipeline.Ann.recallAt(exact,
       graft.pipeline.Ann.int8TopK(e, qids, k = 10)).head()
+    val pq = graft.pipeline.Ann.recallAt(exact,
+      graft.pipeline.Ann.pqTopK(e, qids, k = 10)).head()
     println(s"""{"dir":"$dir","n":${e.count()},""" +
       s""""lsh_recall":${lsh.getDouble(3)},"lsh_hits":${lsh.getLong(1)},""" +
       s""""ivf_recall":${ivf.getDouble(3)},"ivf_hits":${ivf.getLong(1)},""" +
-      s""""int8_recall":${int8.getDouble(3)},"int8_hits":${int8.getLong(1)}}""")
+      s""""int8_recall":${int8.getDouble(3)},"int8_hits":${int8.getLong(1)},""" +
+      s""""pq_recall":${pq.getDouble(3)},"pq_hits":${pq.getLong(1)}}""")
     spark.stop()
   }
 }

@@ -23,6 +23,33 @@ object GraftShims {
   def cloneSession(spark: SparkSession): SparkSession =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
 
+  /** Pooled clamped clones, one per (parent session, conf key, value).
+    *
+    * A FRESH clone pays a measurable per-session warm-up on every early
+    * action (lazy SessionState build + per-session planning caches:
+    * ~0.2 s on its first action and elevated per-action cost through its
+    * first query loop — a 4-level BFS measured 2× end-to-end on a fresh
+    * clone vs a reused one, and a bench that clones per query call paid
+    * it on every invocation). A REUSED clone matches the mutate-the-
+    * caller baseline. So clamped sessions are pooled: created once per
+    * distinct clamp value, conf set ONCE at creation and never mutated
+    * after — concurrent loops with the same clamp share a session whose
+    * conf they only read, so the isolation contract holds. The pool is
+    * bounded by the number of distinct clamp values (partition clamps:
+    * ≤ the session default, a few dozen). The clone snapshots the
+    * parent's OTHER confs at first use per clamp value; later parent
+    * conf changes don't propagate (documented trade, same as the
+    * GraphLoader table cache).
+    */
+  private val pool = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), SparkSession]
+  def clampedSession(parent: SparkSession, key: String, value: String): SparkSession =
+    pool.getOrElseUpdate((parent, key, value), {
+      val s = cloneSession(parent)
+      s.conf.set(key, value)
+      s
+    })
+
   def retarget(df: DataFrame, to: SparkSession): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       to.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
