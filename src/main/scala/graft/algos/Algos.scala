@@ -23,9 +23,34 @@ object Algos {
   /** Cut lineage + materialize an iteration result. localCheckpoint is
     * the single-cluster analog of checkpoint-to-HDFS; swap for
     * `checkpoint()` with a checkpoint dir on a real cluster.
+    *
+    * NO Dataset-level persist in front: the checkpoint blocks ARE the
+    * stored copy. The old `persist().localCheckpoint(true)` shape stored
+    * every iteration TWICE (a columnar cache entry nothing ever read
+    * again, plus the checkpoint's raw-row blocks) and the cache entry
+    * was unreleasable (its plan reference is lost inside this helper) —
+    * measured as the storage accumulation behind a 10×-under-load
+    * localCheckpoint INTERNAL_ERROR in r16. The cache DID however reset
+    * the checkpoint's copied statistics to the real materialized size
+    * each step; without that reset per-step size estimates chain-multiply
+    * exponentially (a measured driver-CPU hang) — so the checkpoint goes
+    * through [[GraftShims.localCheckpointRealStats]], which stamps the
+    * actual stored block size onto the result's plan instead.
     */
   private def materialize(df: DataFrame): DataFrame =
-    df.persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint(true)
+    org.apache.spark.sql.graftshim.GraftShims.localCheckpointRealStats(df)
+
+  /** Free an iteration frame's storage NOW — both shapes: a `cache()`d
+    * frame's CacheManager entry, and a [[materialize]]d frame's
+    * checkpoint RDD blocks (which `Dataset.unpersist` silently does NOT
+    * touch — the loop-hygiene no-op found in r16). Only call on frames
+    * whose every live consumer has already been forced into storage:
+    * checkpointed RDDs cannot be recomputed.
+    */
+  private def release(dfs: DataFrame*): Unit = dfs.foreach { df =>
+    df.unpersist()
+    org.apache.spark.sql.graftshim.GraftShims.releaseCheckpoint(df)
+  }
 
   /** Cache WITHOUT cutting lineage — for frames one derivation away from
     * an already-checkpointed parent, where an eager localCheckpoint would
@@ -112,16 +137,20 @@ object Algos {
       var depth = 0
       while (depth < maxDepth && !frontier.isEmpty) {
         depth += 1
+        val (pv, pf) = (visited, frontier)
         val next = frontier.join(e, col("id") === col("es"))
           .select(col("ed").as("id"), lit(depth).as("dist"))
           .distinct()
           .join(visited.select("id"), Seq("id"), "left_anti")
         frontier = materialize(next)
-        visited = materialize(visited.unionByName(frontier))
+        visited = materialize(pv.unionByName(frontier))
+        // both new frames are checkpointed — the previous level is dead
+        if (!(pf eq pv)) release(pf)
+        release(pv)
       }
       sc.out(visited)
     }
-    e0.unpersist()
+    release(e0)
     out
   }
 
@@ -150,16 +179,19 @@ object Algos {
       var depth = 0
       while (depth < maxDepth && !frontier.isEmpty) {
         depth += 1
+        val (pv, pf) = (visited, frontier)
         val next = frontier.join(e, col("id") === col("es"))
           .select(col("seed"), col("ed").as("id"), lit(depth).as("dist"))
           .distinct()
           .join(visited.select("seed", "id"), Seq("seed", "id"), "left_anti")
         frontier = materialize(next)
-        visited = materialize(visited.unionByName(frontier))
+        visited = materialize(pv.unionByName(frontier))
+        if (!(pf eq pv)) release(pf)
+        release(pv)
       }
       sc.out(visited)
     }
-    e0.unpersist()
+    release(e0)
     visitedOut.groupBy("seed", "dist")
       .agg(count(lit(1)).as("n_nodes"))
       .select(col("seed"), col("dist").cast("long").as("dist"), col("n_nodes"))
@@ -258,7 +290,8 @@ object Algos {
       val cur = checksum(next)
       converged = cur == prev
       prev = cur
-      e.unpersist(); lsm.unpersist()
+      // next is checkpointed — the previous round's star graph is dead
+      release(e, lsm)
       e = next
     }
     if (!converged)
@@ -376,7 +409,7 @@ object Algos {
           .select(col("id"), col("id").as("root")))
         val nDropped = dropped.count() // cheap: checkpointed, loopParts tasks
         sccT = sccTick(s"trim#$outer.$trimRounds dropped=$nDropped", sccT)
-        if (nDropped == 0L) { trimming = false; dropped.unpersist() }
+        if (nDropped == 0L) { trimming = false; release(dropped) }
         else {
           doneParts += dropped
           remCount -= nDropped
@@ -388,6 +421,10 @@ object Algos {
             .join(remaining.select(col("id").as("v")), Seq("v"))
             .select("u", "v")
           e = if (trimRounds % 3 == 0) materialize(nextE) else cache(nextE)
+          // plain unpersist only (cache entries): the NEW remaining/e are
+          // lazy here, so the old frames' checkpoint blocks must survive
+          // until the next action forces the chain — release() would
+          // break recompute (checkpointed RDDs have no lineage)
           prevR.unpersist(); prevE.unpersist()
         }
       }
@@ -428,8 +465,9 @@ object Algos {
         e = materialize(
           e.join(members.select(col("id").as("u")), Seq("u"), "left_anti")
             .join(members.select(col("id").as("v")), Seq("v"), "left_anti"))
-        prevR.unpersist(); prevE.unpersist()
-        fwd.unpersist(); bwd.unpersist(); eSame.unpersist()
+        // members/remaining/e are all checkpointed above — every frame of
+        // this pass is dead and release is safe
+        release(prevR, prevE, fwd, bwd, eSame)
         sccT = sccTick(s"peel#$outer rem=$remCount", sccT)
       }
       }
@@ -576,7 +614,7 @@ object Algos {
       steps += 1
       val prev = colors
       colors = materialize(step(prev)) // the step's ONE evaluation job
-      prev.unpersist()
+      release(prev)
       if (steps % 2 == 0 || steps >= maxInner) {
         val s = colorSum(colors) // cheap: runs on the checkpointed frame
         fixed = s == prevSum
@@ -587,11 +625,10 @@ object Algos {
     if (!fixed) throw new IllegalStateException(
       s"SCC coloring did not converge in $maxInner steps")
     // materialize the (id, color) projection and release the parent: the
-    // callers unpersist what we RETURN, and uncacheQuery only matches the
-    // exact cached plan — returning a lazy projection over the cached
-    // frame leaked one coloring frame per pass (r14 advice)
+    // callers release what we RETURN, so the handed-out frame must own
+    // its storage (r14 advice, upgraded to real block release in r16)
     val out = materialize(colors.select(col("id"), col("color")))
-    colors.unpersist()
+    release(colors)
     out
   }
 
@@ -636,11 +673,12 @@ object Algos {
         .select(col("id"),
           (lit((1.0 - damping) / n) + lit(damping) * col("dmass") / n +
             lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank")))
-      prev.unpersist(); withDeg.unpersist()
+      // new ranks is checkpointed — the previous iteration is dead
+      release(prev); withDeg.unpersist()
     }
     sc.out(ranks)
     }
-    e0.unpersist()
+    release(e0, graph0, nodes)
     ranksOut
   }
 
@@ -692,11 +730,11 @@ object Algos {
             lit((1.0 - damping) / sN) + lit(damping) * col("dmass") / sN)
             .otherwise(lit(0.0)) +
             lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank")))
-      prev.unpersist(); withDeg.unpersist()
+      release(prev); withDeg.unpersist()
     }
     sc.out(ranks)
     }
-    e0.unpersist()
+    release(e0, graph0, nodes)
     ranksOut
   }
 
@@ -710,10 +748,16 @@ object Algos {
     val fwd = edges.select(col(src).as("u"), col(dst).as("v"))
     val sym0 = materialize(
       fwd.unionByName(fwd.select(col("v").as("u"), col("u").as("v"))).distinct())
-    withLoopParts(edges.sparkSession, sym0.count()) { sc =>
+    val out = withLoopParts(edges.sparkSession, sym0.count()) { sc =>
     val sym = sc.in(sym0)
     var labels = materialize(
       sym.select(col("u").as("id")).distinct().withColumn("label", col("id")))
+    // release hygiene: lastMat = the newest CHECKPOINTED labels frame
+    // (releasable once a newer checkpoint exists); pendingCache = the
+    // lazy odd-round frame between two checkpoints (uncache only — its
+    // recompute path runs through lastMat)
+    var lastMat = labels
+    var pendingCache: DataFrame = null
     for (i <- 1 to iterations) {
       val neighborLabels = labels.join(sym, col("id") === col("u"))
         .groupBy(col("v").as("id"), col("label"))
@@ -729,10 +773,20 @@ object Algos {
       val next = best
       // checkpoint every 2nd round: lineage depth stays <= 2 join levels
       // while halving the eager write-out jobs (the per-round fixed cost)
-      labels = if (i % 2 == 0 || i == iterations) materialize(next) else cache(next)
+      if (i % 2 == 0 || i == iterations) {
+        labels = materialize(next) // forces the chain incl. any pending cache
+        if (pendingCache ne null) { pendingCache.unpersist(); pendingCache = null }
+        release(lastMat)
+        lastMat = labels
+      } else {
+        labels = cache(next)
+        pendingCache = labels
+      }
     }
     sc.out(labels)
     }
+    release(sym0) // the returned labels frame is checkpointed
+    out
   }
 
   /** k-core: iteratively drop nodes whose (undirected) degree falls
@@ -754,20 +808,31 @@ object Algos {
     var edgeCount = e00.count()
     val eFinal = withLoopParts(edges.sparkSession, edgeCount) { sc =>
     var e = sc.in(e00)
+    // same release hygiene as labelPropagation: checkpointed frames are
+    // released only once a NEWER checkpoint exists; the lazy odd-round
+    // cache in between is only uncached
+    var lastMat = e
+    var pendingCache: DataFrame = null
     var i = 1
     var converged = false
     while (i <= rounds && !converged) {
       val keep = e.groupBy("u").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select("u")
-      val prev = e
       val next = e.join(keep, Seq("u"))
         .join(keep.withColumnRenamed("u", "v"), Seq("v"))
         .select("u", "v")
       // checkpoint cadence like labelPropagation: cut lineage every 2nd
       // round, cache otherwise — halves the eager write-out jobs
-      e = if (i % 2 == 0 || i == rounds) materialize(next) else cache(next)
+      if (i % 2 == 0 || i == rounds) {
+        e = materialize(next)
+        if (pendingCache ne null) { pendingCache.unpersist(); pendingCache = null }
+        release(lastMat)
+        lastMat = e
+      } else {
+        e = cache(next)
+        pendingCache = e
+      }
       val n = e.count()
-      prev.unpersist()
       // FIXED-POINT early exit — oracle-safe: a round that removes no
       // edge leaves every remaining round a no-op, so the result equals
       // the full `rounds` replay (one scalar count per round, no collect)

@@ -59,4 +59,73 @@ object GraftShims {
       // raw logical plan would re-resolve them on the target session's
       // catalog and miss
       df.queryExecution.analyzed)
+
+  /** Eager localCheckpoint whose resulting plan carries the REAL stored
+    * size as its statistics.
+    *
+    * Why this exists: `Dataset.localCheckpoint` copies the ORIGIN plan's
+    * estimated statistics onto the resulting `LogicalRDD`. In an
+    * iterative loop that checkpoints every step, each step's estimate is
+    * a PRODUCT over the previous checkpoint's stats (join size estimation
+    * multiplies children), so the recorded `sizeInBytes` grows as
+    * ~prev^3 per step — after ~15 steps the BigInt has millions of bits
+    * and every stats visit burns minutes of driver CPU in Toom-Cook
+    * multiplication (measured: SCC's coloring loop went from seconds to
+    * a half-hour hang). The historical accident that masked this was a
+    * Dataset-level `persist()` in front of the checkpoint: the cached
+    * InMemoryRelation's REAL materialized size became the origin stats,
+    * resetting the growth each step — at the cost of storing every
+    * iteration twice. This helper gives the same reset from the
+    * checkpoint's own storage: after the eager checkpoint it reads the
+    * RDD's actual block sizes from the block manager and rebuilds the
+    * `LogicalRDD` with `Statistics(realSize)` — accurate input to
+    * downstream broadcast decisions, no duplicate storage.
+    */
+  def localCheckpointRealStats(df: DataFrame): DataFrame = {
+    val out = df.localCheckpoint(true)
+    out.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        val sess = out.sparkSession
+          .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        val size = sess.sparkContext.getRDDStorageInfo
+          .find(_.id == lr.rdd.id)
+          .map(i => BigInt(i.memSize + i.diskSize))
+          .filter(_ > 0)
+          .getOrElse(BigInt(8))
+        val stats = org.apache.spark.sql.catalyst.plans.logical
+          .Statistics(sizeInBytes = size)
+        org.apache.spark.sql.classic.Dataset.ofRows(
+          sess,
+          new org.apache.spark.sql.execution.LogicalRDD(
+            lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
+            lr.isStreaming, lr.stream)(sess, Some(stats), None))
+      case _ => out
+    }
+  }
+
+  /** Free the storage blocks of a `localCheckpoint`-ed frame NOW.
+    *
+    * `Dataset.unpersist()` on a checkpointed frame is a silent no-op:
+    * the frame's plan is a `LogicalRDD`, which the CacheManager has no
+    * entry for, and the checkpoint RDD's blocks are only reclaimed when
+    * the ContextCleaner garbage-collects the RDD reference — so an
+    * iterative loop that "unpersists" its previous iteration actually
+    * accumulates every iteration's blocks for the life of the query
+    * (measured: the blocks also hold RAW InternalRow copies, ~40× the
+    * columnar-cache footprint of the same data). This unpersists the
+    * backing RDD directly.
+    *
+    * Matches the plan ROOT only, deliberately: a deep traversal could
+    * release a checkpointed leaf that a live sibling plan still reads.
+    * CALLER CONTRACT: only release a frame whose every live descendant
+    * has already been forced into storage — a checkpointed RDD cannot
+    * be recomputed, so a lazy plan still referencing it will fail after
+    * release.
+    */
+  def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }
