@@ -418,6 +418,18 @@ object SparkEntry {
     "q_tokens" -> ((s, dir) =>
       pipeline.TextOps.tokenStats(docs(s, dir))),
 
+    // Okapi BM25 top-k retrieval for a static query-term set — fully
+    // row-local tf/dl, one single-row corpus-stats broadcast, top-k as
+    // TakeOrderedAndProject
+    "q_bm25" -> ((s, dir) =>
+      pipeline.TextOps.bm25(docs(s, dir), bm25Terms)),
+
+    // DSIR importance weighting + top-20% selection (Xie '23): hashed-
+    // unigram LMs over a deterministic target/raw hash-split, row-local
+    // decimal scoring through a one-row broadcast map
+    "q_dsir" -> ((s, dir) =>
+      pipeline.TextOps.dsirSelect(docs(s, dir))),
+
     "q_quality" -> ((s, dir) =>
       pipeline.TextOps.quality(docs(s, dir))),
 
@@ -1092,6 +1104,58 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String): DataFrame =
     GraphLoader.table(lenient(s), dir, "documents")
 
+  /** Static BM25 query-term set (q_bm25) — shared by the Spark query and
+    * the generated oracle so both sides always score the same terms. */
+  private val bm25Terms = Seq("spark", "query", "filter", "join", "stream")
+
+  /** DuckDB replay of [[pipeline.TextOps.bm25]] at its defaults (k1=1.2,
+    * b=0.75, topK=20), generated from [[bm25Terms]]. The SQL mirrors the
+    * Spark dag operation-for-operation — INCLUDING constant construction
+    * (`k1+1` as `1.2 + 1.0`, `1-b` as `1.0 - 0.75`) so every IEEE double
+    * intermediate is bit-identical; idf's ln rounds at 7dp and the
+    * per-term contributions sum as exact DECIMAL (the q_perplexity rule).
+    */
+  private def bm25Oracle: String = {
+    val tfCols = bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(ws, w -> w = '$t')) AS tf$i"
+    }.mkString(",\n             ")
+    val dfCols = bm25Terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
+      .mkString(",\n             ")
+    def contrib(i: Int) =
+      s"""CASE WHEN tf$i > 0 THEN CAST(round(
+             round(ln(1.0 + (CAST(n_docs - df$i AS DOUBLE) + 0.5)
+                 / (CAST(df$i AS DOUBLE) + 0.5)), 7)
+             * ((CAST(tf$i AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+               / (CAST(tf$i AS DOUBLE) + CAST(1.2 AS DOUBLE)
+                  * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+                    + CAST(0.75 AS DOUBLE)
+                      * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))))
+             , 7) AS DECIMAL(18,7)) ELSE CAST(0 AS DECIMAL(18,7)) END"""
+    val nTerms = bm25Terms.indices
+      .map(i => s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+           FROM documents),
+         base AS (
+           SELECT doc_id, len(ws) AS dl,
+             $tfCols
+           FROM toks),
+         stats AS (
+           SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+             $dfCols
+           FROM base),
+         scored AS (
+           SELECT doc_id,
+             CAST($nTerms AS BIGINT) AS n_terms,
+             round(CAST(${bm25Terms.indices.map(contrib).mkString("\n               + ")} AS DOUBLE), 6) AS score
+           FROM base, stats)
+         SELECT doc_id, n_terms, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS "rank"
+         FROM scored WHERE n_terms > 0
+         QUALIFY "rank" <= 20 ORDER BY "rank""""
+  }
+
   /** Verified near-dup pairs (complete prefix-filtered Jaccard join),
     * computed ONCE per (session, dir) and shared by q_dedup_jaccard,
     * q_dedup_groups, and the q_pipeline_e2e composition — candidate
@@ -1692,6 +1756,47 @@ object SparkEntry {
          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens_lex,
          CAST(length(text) AS BIGINT) AS n_chars
          FROM documents ORDER BY doc_id""",
+    "q_bm25" -> bm25Oracle,
+    // DSIR replay: same md5 hash-split and bucket hash, same smoothed
+    // log-ratio dag (ln of exact integer counts, 7dp round, DECIMAL sum),
+    // same exact integer ceil-division for the selection size
+    "q_dsir" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS ws,
+             CAST(('0x' || substring(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 1000 < 200 AS is_target
+           FROM documents),
+         tok AS (
+           SELECT is_target,
+             CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) % 512 AS b
+           FROM (SELECT is_target, unnest(ws) AS w FROM toks)),
+         counts AS (
+           SELECT b,
+             sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS tc,
+             sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS rc
+           FROM tok GROUP BY b),
+         wtab AS (
+           SELECT b, CAST(round(ln(
+               ((CAST(tc AS DOUBLE) + 1.0) / (CAST(tt AS DOUBLE) + 512.0)) /
+               ((CAST(rc AS DOUBLE) + 1.0) / (CAST(tr AS DOUBLE) + 512.0))), 7)
+             AS DECIMAL(18,7)) AS w7
+           FROM counts, (SELECT sum(tc) AS tt, sum(rc) AS tr FROM counts)),
+         scored AS (
+           SELECT r.doc_id, CAST(len(r.ws) AS BIGINT) AS n_toks, sum(w.w7) AS wsum
+           FROM (SELECT doc_id, ws, unnest(ws) AS w FROM toks WHERE NOT is_target) r
+           JOIN wtab w
+             ON CAST(('0x' || substring(md5(r.w), 1, 8)) AS BIGINT) % 512 = w.b
+           GROUP BY r.doc_id, len(r.ws)),
+         fin AS (
+           SELECT doc_id, n_toks,
+             round(CAST(wsum AS DOUBLE) / n_toks, 6) AS avg_w
+           FROM scored)
+         SELECT doc_id, n_toks, avg_w,
+           CAST(row_number() OVER (ORDER BY avg_w DESC, doc_id) AS BIGINT) AS "rank"
+         FROM fin, (SELECT count(*) AS n_raw FROM fin) s
+         QUALIFY "rank" <= (s.n_raw * 20 + 99) // 100
+         ORDER BY "rank"""",
     "q_quality" ->
       """WITH t AS (
            SELECT doc_id,

@@ -1342,4 +1342,168 @@ object TextOps {
           .otherwise("tail").as("bucket"))
       .orderBy(id)
   }
+
+  /** Okapi BM25 scored retrieval: top-k documents for a small static
+    * query-term set (Robertson & Zaragoza 2009, the classic ranking
+    * function behind Lucene/Elasticsearch defaults) — the retrieval
+    * primitive a training pipeline uses for targeted corpus slicing and
+    * eval-set mining.
+    *
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+    *
+    * Scale: the query-term set is tiny and static, so EVERYTHING is
+    * row-local — per-term tf via `filter(ws, _ === t)` on the token array
+    * (no explode, no token shuffle), doc length via `size(ws)`. Corpus
+    * statistics (N, Σdl, per-term df) are ONE single-row aggregate,
+    * broadcast back with a one-row crossJoin; the final top-k plans as
+    * TakeOrderedAndProject (per-partition heaps, no global sort). One
+    * corpus scan + one scalar agg + one top-k — nothing grows with N but
+    * the scan.
+    *
+    * Determinism across engines: per-term contributions are a fixed dag
+    * of IEEE double ops from exact integers (the oracle replays constant
+    * construction too, e.g. `k1+1` as `1.2 + 1.0`), idf's `ln` is rounded
+    * to 7 decimals (cross-engine ulp absorbed, the q_perplexity rule),
+    * the per-term product rounds to 7 and sums as exact DECIMAL (order-
+    * free), ranking ties break by doc id.
+    */
+  def bm25(docs: DataFrame, queryTerms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75, topK: Int = 20,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.size <= 64,
+      "bm25: query-term set must be small and static (row-local tf)")
+    val ws = split(lower(trim(col(text))), "\\s+")
+    val base = docs.select(
+      (col(id) +: size(ws).cast(LongType).as("dl") +:
+        queryTerms.zipWithIndex.map { case (t, i) =>
+          size(filter(ws, w => w === lit(t))).cast(LongType).as(s"__tf_$i")
+        }): _*)
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).as("sum_dl") +:
+        queryTerms.indices.map(i =>
+          sum(when(col(s"__tf_$i") > 0L, 1L).otherwise(0L)).as(s"__df_$i"))): _*)
+
+    val avgdl = col("sum_dl").cast(DoubleType) / col("n_docs")
+    def idf7(i: Int): Column = round(log(lit(1.0) +
+      ((col("n_docs") - col(s"__df_$i")).cast(DoubleType) + lit(0.5)) /
+        (col(s"__df_$i").cast(DoubleType) + lit(0.5))), 7)
+    def tfPart(i: Int): Column = {
+      val tfd = col(s"__tf_$i").cast(DoubleType)
+      (tfd * (lit(k1) + lit(1.0))) /
+        (tfd + lit(k1) * ((lit(1.0) - lit(b)) +
+          lit(b) * (col("dl").cast(DoubleType) / avgdl)))
+    }
+    val zero = lit(BigDecimal(0)).cast(DecimalType(18, 7))
+    val contribs = queryTerms.indices.map { i =>
+      when(col(s"__tf_$i") > 0L,
+        round(idf7(i) * tfPart(i), 7).cast(DecimalType(18, 7)))
+        .otherwise(zero)
+    }
+    val nTerms = queryTerms.indices
+      .map(i => when(col(s"__tf_$i") > 0L, 1L).otherwise(0L))
+      .reduce(_ + _)
+
+    val scored = base.crossJoin(broadcast(stats))
+      .select(col(id), nTerms.as("n_terms"),
+        round(contribs.reduce(_ + _).cast(DoubleType), 6).as("score"))
+      .filter(col("n_terms") > 0L)
+    val topped = scored
+      .orderBy(col("score").desc, col(id).asc).limit(topK)
+    // rank assignment runs AFTER the top-k cut — the global window sees
+    // ≤ topK rows, never the corpus
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col(id).asc)
+    topped.withColumn("rank", row_number().over(w).cast(LongType))
+      .orderBy("rank")
+  }
+
+  /** DSIR importance weighting + top-share selection (Xie et al. 2023,
+    * NeurIPS — Data Selection via Importance Resampling): score every
+    * raw-pool document by how target-like its hashed-unigram distribution
+    * is, w(d) = Σ_tokens ln(p_target(bucket)/p_raw(bucket)) with
+    * add-one-smoothed bucket LMs, then keep the top `selectPct`% (the
+    * paper's deterministic top-k selection variant). The target pool is
+    * a deterministic md5 hash-split of the corpus, so held-out raw docs
+    * are scored against a genuinely disjoint target distribution.
+    *
+    * Scale: both LMs live in ONE B-row table (B = `buckets`, constant):
+    * a bucket-keyed count with map-side combine (shuffle ≤ partitions×B
+    * rows), folded into a single one-row broadcast map. Scoring is then
+    * row-local — each doc folds its own token array through the
+    * broadcast map with a decimal `aggregate` HOF, so token-level data
+    * NEVER shuffles and no doc-keyed exchange exists at all. Selection
+    * count m = ceil(selectPct% · N_raw) derives from the data (corpus
+    * auto-sizing rule) via one scalar count, and the top-m plans as
+    * TakeOrderedAndProject.
+    *
+    * Determinism: each per-token log-ratio is ln of a fixed IEEE dag
+    * over exact integer counts, rounded to 7 decimals and summed as
+    * exact DECIMAL (order-free, the q_perplexity rule); the mean is one
+    * double division rounded to 6; m uses exact integer ceil-division;
+    * ranking ties break by doc id.
+    */
+  def dsirSelect(docs: DataFrame, buckets: Int = 512,
+      targetPermille: Int = 200, selectPct: Int = 20,
+      id: String = "doc_id", text: String = "text",
+      salt: String = "dsir:"): DataFrame = {
+    val hv = conv(substring(md5(concat(lit(salt), col(id).cast(StringType))),
+      1, 8), 16, 10).cast(LongType) % 1000
+    def bucketOf(w: Column): Column =
+      conv(substring(md5(w), 1, 8), 16, 10).cast(LongType) % buckets
+    val base = docs.select(col(id),
+      split(lower(trim(col(text))), "\\s+").as("__ws"),
+      (hv < targetPermille).as("__is_target"))
+
+    // one B-row LM table: target + raw bucket counts from a single pass
+    val counts = base
+      .select(col("__is_target"), explode(col("__ws")).as("w"))
+      .select(col("__is_target"), bucketOf(col("w")).as("b"))
+      .groupBy("b").agg(
+        sum(when(col("__is_target"), 1L).otherwise(0L)).as("tc"),
+        sum(when(col("__is_target"), 0L).otherwise(1L)).as("rc"))
+    // corpus totals via a whole-frame window over the B-row counts (one
+    // bounded single-partition pass) — a separate counts.agg would
+    // re-evaluate the token-count aggregation a second time
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val wtab = counts
+      .withColumn("tt", sum("tc").over(wAll))
+      .withColumn("tr", sum("rc").over(wAll))
+      .select(col("b"),
+        round(log(
+          ((col("tc").cast(DoubleType) + lit(1.0)) /
+            (col("tt").cast(DoubleType) + lit(buckets.toDouble))) /
+          ((col("rc").cast(DoubleType) + lit(1.0)) /
+            (col("tr").cast(DoubleType) + lit(buckets.toDouble)))), 7)
+          .cast(DecimalType(18, 7)).as("w7"))
+    // fold the B-row table into a one-row broadcast map — every bucket a
+    // scoring-time token hashes to was seen at counting time (same corpus)
+    val lm = wtab.agg(
+      map_from_arrays(collect_list("b"), collect_list("w7")).as("__lm"))
+
+    val zero = lit(BigDecimal(0)).cast(DecimalType(28, 7))
+    val raw = base.filter(!col("__is_target"))
+    val scored = raw.crossJoin(broadcast(lm))
+      .select(col(id), size(col("__ws")).cast(LongType).as("n_toks"),
+        aggregate(col("__ws"), zero, (acc, w) =>
+          (acc + element_at(col("__lm"), bucketOf(w)))
+            .cast(DecimalType(28, 7))).as("__wsum"))
+      .withColumn("avg_w",
+        round(col("__wsum").cast(DoubleType) / col("n_toks"), 6))
+
+    // m from the data: exact integer ceil-division (no float 0.2·N)
+    val nRaw = raw.select(col(id)).count()
+    val m = ((nRaw * selectPct + 99L) / 100L).toInt
+    val topped = scored
+      .orderBy(col("avg_w").desc, col(id).asc).limit(m)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("avg_w").desc, col(id).asc)
+    topped.select(col(id), col("n_toks"), col("avg_w"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .orderBy("rank")
+  }
 }
