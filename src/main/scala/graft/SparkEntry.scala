@@ -418,6 +418,15 @@ object SparkEntry {
     "q_tokens" -> ((s, dir) =>
       pipeline.TextOps.tokenStats(docs(s, dir))),
 
+    // Unicode/text normalization (ftfy/Dolma cleanup pass). The driver
+    // corpus is clean ASCII, so the gate PLANTS every noise class the
+    // normalizer handles (decomposed combining marks, NBSP, zero-width,
+    // BOM, control char, typographic punctuation) — identically here and
+    // in the oracle, the multimodal planted-corpus pattern — then hashes
+    // the cleaned text itself.
+    "q_normalize" -> ((s, dir) =>
+      pipeline.TextOps.normalizeText(plantNoisyText(docs(s, dir)))),
+
     // Okapi BM25 top-k retrieval for a static query-term set — fully
     // row-local tf/dl, one single-row corpus-stats broadcast, top-k as
     // TakeOrderedAndProject
@@ -1108,6 +1117,23 @@ object SparkEntry {
     * the generated oracle so both sides always score the same terms. */
   private val bm25Terms = Seq("spark", "query", "filter", "join", "stream")
 
+  /** Deterministic noise injection for q_normalize: a BOM prefix, every
+    * 'e' gains a combining acute (U+0301 — NFC composes it), '. ' gains
+    * an NBSP, every 'a' gains a zero-width space, and a suffix carries a
+    * control char, em-dash, curly quotes and an ellipsis. The oracle
+    * replays the identical replace chain with chr() so both engines
+    * clean the SAME noisy corpus. */
+  private def plantNoisyText(docsDf: DataFrame): DataFrame =
+    docsDf.withColumn("text",
+      concat(
+        lit("\uFEFF"),
+        call_function("replace",
+          call_function("replace",
+            call_function("replace", col("text"), lit("e"), lit("e\u0301")),
+            lit(". "), lit(".\u00A0 ")),
+          lit("a"), lit("a\u200B")),
+        lit(" \u0007\u2014 \u2018fin\u2019\u2026")))
+
   /** DuckDB replay of [[pipeline.TextOps.bm25]] at its defaults (k1=1.2,
     * b=0.75, topK=20), generated from [[bm25Terms]]. The SQL mirrors the
     * Spark dag operation-for-operation — INCLUDING constant construction
@@ -1756,6 +1782,41 @@ object SparkEntry {
          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens_lex,
          CAST(length(text) AS BIGINT) AS n_chars
          FROM documents ORDER BY doc_id""",
+    // Normalization replay: same plant chain (chr() for every injected
+    // codepoint), nfc_normalize = java.text.Normalizer NFC (both UAX #15),
+    // same RE2/Java-compatible character classes, same translate/replace
+    // fold, 'g' flags because DuckDB replaces first-match by default
+    "q_normalize" ->
+      """WITH planted AS (
+           SELECT doc_id,
+             chr(65279) || replace(replace(replace(text,
+                 'e', 'e' || chr(769)),
+                 '. ', '.' || chr(160) || ' '),
+                 'a', 'a' || chr(8203))
+               || ' ' || chr(7) || chr(8212) || ' ' || chr(8216) || 'fin'
+               || chr(8217) || chr(8230) AS t
+           FROM documents),
+         cleaned AS (
+           SELECT doc_id, t,
+             trim(regexp_replace(
+               replace(
+                 translate(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(nfc_normalize(t),
+                         '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g'),
+                       '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+                     '[\x{00A0}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]', ' ', 'g'),
+                   chr(8216) || chr(8217) || chr(8220) || chr(8221) || chr(8211) || chr(8212),
+                   '''''""--'),
+                 chr(8230), '...'),
+               '[ \t]{2,}', ' ', 'g')) AS text_norm
+           FROM planted)
+         SELECT doc_id, text_norm,
+           CAST(length(t) AS BIGINT) AS chars_raw,
+           CAST(length(text_norm) AS BIGINT) AS chars_norm,
+           CAST(CASE WHEN t <> text_norm THEN 1 ELSE 0 END AS BIGINT) AS changed
+         FROM cleaned ORDER BY doc_id""",
     "q_bm25" -> bm25Oracle,
     // DSIR replay: same md5 hash-split and bucket hash, same smoothed
     // log-ratio dag (ln of exact integer counts, 7dp round, DECIMAL sum),

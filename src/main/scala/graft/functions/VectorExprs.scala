@@ -628,6 +628,42 @@ object VectorExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Unicode NFC composition (UAX #15) — the canonical-form step of text
+    * normalization (q_normalize). Spark has no normalization builtin;
+    * a codegen'd expression over `java.text.Normalizer` keeps the whole
+    * cleanup pipeline inside one WholeStageCodegen projection. The
+    * quick-check fast path returns the input UTF8String untouched
+    * (zero-copy) for already-composed text — at corpus scale the vast
+    * majority of documents — so the operator is scan-speed except on the
+    * rows that actually need composing. DuckDB's `nfc_normalize`
+    * implements the same UAX #15 algorithm, so the oracle replays this
+    * exactly.
+    */
+  case class NfcNormalize(child: Expression) extends UnaryExpression {
+    import org.apache.spark.unsafe.types.UTF8String
+    override def dataType: DataType = StringType
+    override def prettyName: String = "graft_nfc"
+
+    override protected def nullSafeEval(s: Any): Any =
+      compute(s.asInstanceOf[UTF8String])
+
+    /** Shared by eval and the generated code. */
+    def compute(u: UTF8String): UTF8String = {
+      val s = u.toString
+      if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
+      else UTF8String.fromString(
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("graftNfc", this, classOf[NfcNormalize].getName)
+      nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.compute($s);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+      copy(child = newChild)
+  }
+
   /** Per-document Gopher repetition aggregates in ONE row-local pass.
     * The whole repetition computation groups by the document id at every
     * stage, so nothing about it needs a shuffle — the former
@@ -803,6 +839,8 @@ object VectorExprs {
       exprs => SimHashBits(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_shingle_md5",
       exprs => ShingleMd5(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_nfc",
+      exprs => NfcNormalize(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_ngram_join",
       exprs => NGramJoin(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_count_in",
@@ -841,6 +879,7 @@ object VectorExprs {
     call_function("graft_simhash_bits", sh, nbits)
   def shingleMd5(tokens: Column, k: Column): Column =
     call_function("graft_shingle_md5", tokens, k)
+  def nfc(s: Column): Column = call_function("graft_nfc", s)
   def ngramJoin(tokens: Column, k: Column): Column =
     call_function("graft_ngram_join", tokens, k)
   def countIn(arr: Column, words: Seq[String]): Column =

@@ -39,6 +39,54 @@ object TextOps {
       .orderBy(id)
   }
 
+  // ---- unicode/text normalization (q_normalize) ----
+
+  /** Canonical text cleanup — the ftfy/Dolma-style normalization pass
+    * every web-scraped training corpus runs before anything else:
+    *
+    *  1. Unicode NFC composition (native [[graft.functions.VectorExprs.NfcNormalize]]
+    *     kernel — zero-copy quick-check fast path for already-clean text);
+    *  2. strip zero-width characters (ZWSP/ZWNJ/ZWJ/BOM);
+    *  3. strip C0/C1-adjacent control characters, keeping `\n` and `\t`;
+    *  4. map exotic spaces (NBSP, figure/narrow space, en-quads…) to ASCII
+    *     space;
+    *  5. fold typographic punctuation to ASCII (curly quotes, en/em dash,
+    *     ellipsis);
+    *  6. collapse space/tab runs and trim.
+    *
+    * Entirely row-local Column expressions inside one codegen'd
+    * projection — scales with the parquet scan, zero shuffles. Every step
+    * is replayed verbatim by the DuckDB oracle (`nfc_normalize` +
+    * RE2 character classes + the same translate/replace chain), so the
+    * cleaned text itself is on the hashed surface.
+    */
+  def normalizeText(docs: DataFrame, id: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    val raw = col(text)
+    val cleaned = normalizeTextCol(raw)
+    docs.select(
+      col(id),
+      cleaned.as("text_norm"),
+      length(raw).cast(LongType).as("chars_raw"),
+      length(cleaned).cast(LongType).as("chars_norm"),
+      (raw =!= cleaned).cast(LongType).as("changed"))
+      .orderBy(id)
+  }
+
+  /** The normalization chain of [[normalizeText]] as a reusable Column. */
+  def normalizeTextCol(raw: Column): Column = {
+    val composed = graft.functions.VectorExprs.nfc(raw)
+    val noZw = regexp_replace(composed, "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]", "")
+    val noCtl = regexp_replace(noZw, "[\\x00-\\x08\\x0B-\\x1F\\x7F]", "")
+    val asciiSp = regexp_replace(noCtl, "[\\x{00A0}\\x{2000}-\\x{200A}\\x{202F}\\x{205F}\\x{3000}]", " ")
+    // ‘ ’ “ ” – — -> ' ' " " - - ; … -> ...
+    val asciiPunct = regexp_replace(
+      translate(asciiSp, "\u2018\u2019\u201C\u201D\u2013\u2014", "''\"\"--"),
+      "\u2026", "...")
+    trim(regexp_replace(asciiPunct, "[ \\t]{2,}", " "))
+  }
+
   // ---- context-length chunking (q_chunk) ----
 
   /** Split long documents into fixed-token-window chunks with overlap —
