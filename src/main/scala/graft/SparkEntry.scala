@@ -427,6 +427,15 @@ object SparkEntry {
     "q_normalize" -> ((s, dir) =>
       pipeline.TextOps.normalizeText(plantNoisyText(docs(s, dir)))),
 
+    // Engine-portable mergeable HyperLogLog: per-returnflag order-key
+    // sketches + a '__all__' row merged FROM the per-group register
+    // tables; registers, exact integer Z, and the one-division estimate
+    // all on the hashed surface
+    "q_hll" -> ((s, dir) =>
+      pipeline.Sketches.hllSummary(
+        GraphLoader.table(lenient(s), dir, "lineitem"),
+        "l_orderkey", "l_returnflag")),
+
     // Okapi BM25 top-k retrieval for a static query-term set — fully
     // row-local tf/dl, one single-row corpus-stats broadcast, top-k as
     // TakeOrderedAndProject
@@ -1817,6 +1826,48 @@ object SparkEntry {
            CAST(length(text_norm) AS BIGINT) AS chars_norm,
            CAST(CASE WHEN t <> text_norm THEN 1 ELSE 0 END AS BIGINT) AS changed
          FROM cleaned ORDER BY doc_id""",
+    // HLL replay: same md5-prefix-60 hash, same trailing-zero rank
+    // (bit_count((v & -v) - 1) + 1), same integer Z numerator; the one
+    // double division writes every literal CAST AS DOUBLE (DuckDB parses
+    // bare decimals as DECIMAL) and the *2^k factors are exact scalings
+    "q_hll" ->
+      """WITH vals AS (
+           SELECT l_returnflag AS grp,
+             CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+           FROM lineitem),
+         rr AS (
+           SELECT grp, h & 255 AS bucket,
+             CASE WHEN (h >> 8) = 0 THEN 53
+                  ELSE bit_count(((h >> 8) & -(h >> 8)) - 1) + 1 END AS rho
+           FROM vals),
+         regs AS (
+           SELECT grp, bucket, max(rho) AS register FROM rr GROUP BY grp, bucket),
+         allregs AS (
+           SELECT '__all__' AS grp, bucket, max(register) AS register
+           FROM regs GROUP BY bucket),
+         summary AS (
+           SELECT grp,
+             CAST(count(*) AS BIGINT) AS n_present,
+             CAST(sum(register) AS BIGINT) AS sum_reg,
+             CAST(sum(CAST(1 AS BIGINT) << (53 - register)) AS BIGINT) AS z_present
+           FROM (SELECT * FROM regs UNION ALL SELECT * FROM allregs) u GROUP BY grp),
+         exact AS (
+           SELECT l_returnflag AS grp, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact
+           FROM lineitem GROUP BY 1
+           UNION ALL
+           SELECT '__all__', CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem),
+         fin AS (
+           SELECT s.grp, CAST(256 AS BIGINT) AS m, e.n_exact,
+             CAST(256 - s.n_present AS BIGINT) AS n_zero, s.sum_reg,
+             CAST(s.z_present + (256 - s.n_present) * (CAST(1 AS BIGINT) << 53) AS BIGINT) AS z_num
+           FROM summary s JOIN exact e USING (grp))
+         SELECT grp, m, n_exact, n_zero, sum_reg, z_num,
+           round((CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)))
+             * CAST(65536.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE)
+             / CAST(z_num AS DOUBLE), 3) AS est,
+           CAST(CASE WHEN abs(est - CAST(n_exact AS DOUBLE))
+                <= CAST(0.1 AS DOUBLE) * CAST(n_exact AS DOUBLE) THEN 1 ELSE 0 END AS BIGINT) AS within_10pct
+         FROM fin ORDER BY grp""",
     "q_bm25" -> bm25Oracle,
     // DSIR replay: same md5 hash-split and bucket hash, same smoothed
     // log-ratio dag (ln of exact integer counts, 7dp round, DECIMAL sum),

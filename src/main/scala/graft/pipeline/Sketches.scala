@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Cardinality sketches for corpus-scale statistics.
+  *
+  * Spark's own `approx_count_distinct` is an HLL++ whose register
+  * layout is engine-private: it can't be replayed by another engine,
+  * persisted as data, or merged outside Spark. This is a from-scratch
+  * HyperLogLog (Flajolet et al. 2007) whose ENTIRE state is a plain
+  * `(group, bucket, register)` DataFrame:
+  *
+  *  - engine-portable: the hash is the md5-prefix-60 leaf
+  *    ([[TextOps.md5Hash60]]) and every derivation is integer
+  *    arithmetic, so a DuckDB oracle replays registers AND estimate
+  *    bit-for-bit (`q_hll` hashes them);
+  *  - mergeable: registers from disjoint shards/groups merge with a
+  *    plain `groupBy(bucket).agg(max(register))` — the sketch can be
+  *    computed per source/day/shard at scan time (one map-side-combined
+  *    aggregation of m rows per group), stored as a tiny table, and
+  *    rolled up later without touching the raw data — the property that
+  *    matters at 100 TB, where re-scanning for every distinct-count is
+  *    the thing sketches exist to avoid.
+  *
+  * Geometric variable: ρ = (trailing zeros of the 60−p suffix bits) + 1,
+  * the Flajolet–Martin/PCSA convention — P(ρ=k) = 2^−k, identical in
+  * law to HLL's leading-zero rank but expressible on ANY SQL engine as
+  * `bit_count((v & -v) - 1) + 1` with no loops. The estimator keeps the
+  * classic α_m·m²/Z form with Z carried as an EXACT integer:
+  * Z = Σ 2^(−M_j) = (Σ 2^(C−M_j)) / 2^C with C = 61−p, so the hashed
+  * surface has one double division total (transcendental-free, the
+  * SURVEY §2.6 rule).
+  */
+object Sketches {
+
+  /** Per-group HLL register table: (group, bucket, register), only
+    * occupied buckets present (absent bucket = register 0). One
+    * map-side-combined shuffle of ≤ m rows per group.
+    */
+  def hllRegisters(df: DataFrame, valueCol: String, groupCol: String,
+      p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"p in [4,16], got $p")
+    val m = 1 << p
+    val c = 60 - p + 1 // rho for an all-zero suffix
+    val h = TextOps.md5Hash60(col(valueCol).cast(StringType))
+    val rest = shiftright(h, p)
+    val rho = when(rest === 0L, lit(c)).otherwise(
+      call_function("bit_count", rest.bitwiseAND(negate(rest)) - 1) + 1)
+    df.select(
+      col(groupCol).as("grp"),
+      h.bitwiseAND(lit((m - 1).toLong)).as("bucket"),
+      rho.cast(IntegerType).as("rho"))
+      .groupBy("grp", "bucket")
+      .agg(max("rho").as("register"))
+  }
+
+  /** Merge register tables (max per bucket) under a new group label —
+    * the shard/day/source rollup. */
+  def hllMerge(regs: DataFrame, label: String): DataFrame =
+    regs.groupBy(col("bucket"))
+      .agg(max(col("register")).as("register"))
+      .select(lit(label).as("grp"), col("bucket"), col("register"))
+
+  /** One summary row per group from a register table: occupancy stats,
+    * the exact integer Z numerator, and the α_m·m²/Z estimate (3 dp,
+    * one double division — replayable). `p` must match the table. */
+  def hllEstimate(regs: DataFrame, p: Int = 8): DataFrame = {
+    val m = 1 << p
+    val c = 60 - p + 1
+    // alpha_m * m^2 * 2^C; the only inexact step is 0.7213/(1+1.079/m)
+    // (the /m and *2^k factors are exact IEEE scalings)
+    val k = 0.7213 / (1.0 + 1.079 / m.toDouble) * m.toDouble * m.toDouble *
+      java.lang.Math.scalb(1.0, c)
+    val g = regs.groupBy("grp").agg(
+      count(lit(1)).as("n_present"),
+      sum(col("register").cast(LongType)).cast(LongType).as("sum_reg"),
+      sum(call_function("shiftleft", lit(1L), lit(c) - col("register")))
+        .cast(LongType).as("z_present"))
+    g.select(
+      col("grp"),
+      lit(m.toLong).as("m"),
+      (lit(m.toLong) - col("n_present")).cast(LongType).as("n_zero"),
+      col("sum_reg"),
+      (col("z_present") +
+        (lit(m.toLong) - col("n_present")) * lit(1L << c)).as("z_num"))
+      .withColumn("est",
+        round(lit(k) / col("z_num").cast(DoubleType), 3))
+  }
+
+  /** q_hll surface: per-group sketch summaries + a '__all__' row merged
+    * FROM the per-group register tables (mergeability on the hashed
+    * surface), joined with exact distinct counts for the error pin.
+    */
+  def hllSummary(df: DataFrame, valueCol: String, groupCol: String,
+      p: Int = 8): DataFrame = {
+    val regs = hllRegisters(df, valueCol, groupCol, p).persist()
+    val all = hllMerge(regs, "__all__")
+    val est = hllEstimate(regs.unionByName(all), p)
+    val exact = df.groupBy(col(groupCol).as("grp"))
+      .agg(countDistinct(col(valueCol)).cast(LongType).as("n_exact"))
+      .unionByName(df.select(lit("__all__").as("grp"),
+        col(valueCol)).groupBy("grp")
+        .agg(countDistinct(col(valueCol)).cast(LongType).as("n_exact")))
+    est.join(exact, "grp")
+      .select(col("grp"), col("m"), col("n_exact"), col("n_zero"),
+        col("sum_reg"), col("z_num"), col("est"),
+        (abs(col("est") - col("n_exact")) <=
+          lit(0.1) * col("n_exact").cast(DoubleType))
+          .cast(LongType).as("within_10pct"))
+      .orderBy("grp")
+  }
+}
