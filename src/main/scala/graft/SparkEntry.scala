@@ -970,6 +970,12 @@ object SparkEntry {
     "q_stream_neardup" -> ((s, dir) =>
       streaming.EventStreams.streamingNearDup(lenient(s), dir)),
 
+    // streaming heavy hitters: complete-mode exact counts per
+    // (event_type, user), top-k slice over the drained state table;
+    // integer counts + key tie-break = equal to the batch GROUP BY
+    "q_stream_topk" -> ((s, dir) =>
+      streaming.EventStreams.streamingTopK(lenient(s), dir)),
+
     // watermarked stream-stream interval join: non-error events joined
     // to the same user's errors from the trailing 30 minutes
     "q_stream_join" -> ((s, dir) =>
@@ -2796,6 +2802,13 @@ object SparkEntry {
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",
+    "q_stream_topk" ->
+      """SELECT event_type, user_id, cnt, "rank" FROM (
+           SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(row_number() OVER (PARTITION BY event_type
+               ORDER BY count(*) DESC, user_id) AS BIGINT) AS "rank"
+           FROM events GROUP BY event_type, user_id) t
+         WHERE "rank" <= 5 ORDER BY event_type, "rank"""",
     // streaming near-dup equals the order-independent batch answer:
     // exact Jaccard >= 0.8 pairs (banding recall is 1.0 on the gate
     // corpus, pinned by the hash-green q_dedup_minhash twin), each doc

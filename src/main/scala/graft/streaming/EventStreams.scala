@@ -283,6 +283,53 @@ object EventStreams {
     spark.table(queryName).orderBy(keys.map(col): _*)
     }
 
+  /** Streaming heavy hitters: per-group top-k keys by exact count over
+    * an event stream — the live "top users / top queries / top domains"
+    * panel every ingestion pipeline keeps. ONE streaming aggregation
+    * (map-side-combined counts per (group, key), complete-mode memory
+    * sink) drained with availableNow, then the top-k slice ranks the
+    * drained state table — exactly how a dashboard queries a streaming
+    * state store; rank itself can't run inside the streaming plan (no
+    * window functions over streams) and shouldn't: the state IS the
+    * sketch, the slice is a view of it.
+    *
+    * State contract, 100 TB framing: exact counts hold one state row
+    * per distinct (group, key) — bounded by key cardinality (user ids
+    * here), not stream length. For unbounded key spaces (URLs, n-grams)
+    * swap the exact agg for the bounded-heap approx pass
+    * ([[graft.pipeline.TextOps.ngramFrequenciesApprox]]'s shape) per
+    * trigger window. Counts are integers and ties break on key, so the
+    * drained result equals the batch GROUP BY — one oracle gates both.
+    */
+  def streamingTopK(spark: SparkSession, eventsDir: String,
+      glob: String = "events.parquet", k: Int = 5,
+      queryName: String = "q_stream_topk"): DataFrame =
+    withStreamParts(spark, eventsDir, glob) { spark =>
+    val raw = eventsRawStream(spark, eventsDir, glob)
+    val query = raw
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    topKSlice(spark.table(queryName), k)
+    }
+
+  /** Rank-and-slice view over a drained (event_type, user_id, cnt)
+    * state table — deterministic ties on user_id. */
+  def topKSlice(counts: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("cnt").desc, col("user_id"))
+    counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("event_type"), col("user_id"),
+        col("cnt").cast("long").as("cnt"), col("rank"))
+      .orderBy("event_type", "rank")
+  }
+
   /** Streaming MinHash NEAR-duplicate detection over a document stream —
     * the incremental-corpus-ingest twin of
     * [[graft.pipeline.Dedup.minhashLsh]]: every arriving document's

@@ -244,4 +244,29 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(batch.nonEmpty && streamed == batch)
   }
+
+  test("streaming top-k: counts accumulate across micro-batches, slice ranks the state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = input.toDS().toDF()
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .writeStream.format("memory").queryName("tt_topk")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1L, "view", 0.0), Event(2, ts(1), 1L, "view", 0.0),
+        Event(3, ts(2), 2L, "view", 0.0))
+      query.processAllAvailable()
+      // second batch: user 2 overtakes user 1
+      input.addData(
+        Event(4, ts(3), 2L, "view", 0.0), Event(5, ts(4), 2L, "view", 0.0),
+        Event(6, ts(5), 3L, "view", 0.0))
+      query.processAllAvailable()
+      val out = EventStreams.topKSlice(spark.table("tt_topk"), 2).collect()
+      assert(out.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("cnt"),
+        r.getAs[Long]("rank"))).toSeq == Seq((2L, 3L, 1L), (1L, 2L, 2L)))
+    } finally query.stop()
+  }
 }
