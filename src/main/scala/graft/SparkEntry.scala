@@ -1059,6 +1059,14 @@ object SparkEntry {
       algos.Algos.hopHistogram(relatedTo(s, dir),
         seeds = Seq(1L, 2L, 3L), maxDepth = 3)),
 
+    // sampled harmonic centrality (Eppstein-Wang estimator shape): one
+    // multi-source BFS from a fixed 8-seed sample, per-term 1/d rounded
+    // 6dp and summed as exact DECIMAL (order-independent)
+    "q_harmonic" -> ((s, dir) =>
+      algos.Algos.harmonicCentrality(relatedTo(s, dir),
+        seeds = Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L), maxDepth = 4)
+        .withColumnRenamed("id", "p_partkey")),
+
     "q_concomp" -> ((s, dir) =>
       algos.Algos.connectedComponents(relatedTo(s, dir))
         .select(col("id").as("p_partkey"), col("component"))
@@ -2967,6 +2975,25 @@ object SparkEntry {
          SELECT s AS seed, CAST(d AS BIGINT) AS dist,
            count(*) AS n_nodes
          FROM firstreach GROUP BY s, d ORDER BY seed, dist""",
+    // harmonic replay: same directed walk as q_hop_histogram from the
+    // 8-seed sample, first-reach min(d), then sum of 6dp-rounded 1/d as
+    // exact DECIMAL -> double (the aggregation-order-independent rule)
+    "q_harmonic" ->
+      """WITH RECURSIVE related AS (
+           SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         walk(s, k, d) AS (
+           SELECT CAST(s AS BIGINT), CAST(s AS BIGINT), 0
+           FROM (SELECT unnest([1, 2, 3, 5, 8, 13, 21, 34]) AS s)
+           UNION
+           SELECT w.s, r.p2, w.d + 1
+           FROM walk w JOIN related r ON r.p1 = w.k WHERE w.d < 4),
+         firstreach AS (
+           SELECT s, k, min(d) AS d FROM walk GROUP BY s, k)
+         SELECT k AS p_partkey, CAST(count(*) AS BIGINT) AS n_sources,
+           CAST(sum(CAST(round(CAST(1.0 AS DOUBLE) / d, 6) AS DECIMAL(10,6))) AS DOUBLE) AS harmonic
+         FROM firstreach WHERE d >= 1 GROUP BY k ORDER BY p_partkey""",
     "q_concomp" ->
       """WITH RECURSIVE related AS (
            SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2

@@ -166,10 +166,23 @@ object Algos {
     */
   def hopHistogram(edges: DataFrame, seeds: Seq[Long], maxDepth: Int,
       src: String = "_src", dst: String = "_dst"): DataFrame = {
+    val visitedOut = multiSourceBfs(edges, seeds, maxDepth, src, dst)
+    visitedOut.groupBy("seed", "dist")
+      .agg(count(lit(1)).as("n_nodes"))
+      .select(col("seed"), col("dist").cast("long").as("dist"), col("n_nodes"))
+      .orderBy("seed", "dist")
+  }
+
+  /** Shared multi-source BFS: first-reach (seed, id, dist ≤ maxDepth)
+    * rows for every seed, all seeds advancing in ONE frontier — the
+    * level count, not the seed count, bounds the shuffles. Edge
+    * projection materialized once for the sizing count + per-level
+    * joins, dead levels released (the [[shortestPaths]] discipline).
+    */
+  private def multiSourceBfs(edges: DataFrame, seeds: Seq[Long],
+      maxDepth: Int, src: String, dst: String): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    // materialized once for the sizing count + per-level joins, as in
-    // [[shortestPaths]]
     val e0 = materialize(edges.select(col(src).as("es"), col(dst).as("ed")))
     val visitedOut = withLoopParts(spark, e0.count()) { sc =>
       val e = sc.in(e0)
@@ -192,10 +205,31 @@ object Algos {
       sc.out(visited)
     }
     release(e0)
-    visitedOut.groupBy("seed", "dist")
-      .agg(count(lit(1)).as("n_nodes"))
-      .select(col("seed"), col("dist").cast("long").as("dist"), col("n_nodes"))
-      .orderBy("seed", "dist")
+    visitedOut
+  }
+
+  /** Sampled harmonic centrality (Eppstein–Wang '04 estimator shape):
+    * for a deterministic seed sample S, each node's score is
+    * Σ_{s∈S, d(s,v)≥1} 1/d(s,v) — the centrality family that stays
+    * well-defined on disconnected graphs (unreached pairs contribute 0,
+    * no infinite-distance pathology). One multi-source BFS (level-count
+    * shuffles, shared with [[hopHistogram]]); per-term 1/d rounds at
+    * 6 dp and sums as exact DECIMAL so the score is aggregation-order
+    * independent (the engine-parity rule), converted to double only for
+    * the final column (≤ 8 significant digits — exact).
+    * Returns (id, n_sources, harmonic) for every reached node.
+    */
+  def harmonicCentrality(edges: DataFrame, seeds: Seq[Long], maxDepth: Int,
+      src: String = "_src", dst: String = "_dst"): DataFrame = {
+    val visited = multiSourceBfs(edges, seeds, maxDepth, src, dst)
+    visited.filter(col("dist") >= 1)
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_sources"),
+        sum(round(lit(1.0) / col("dist"), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(10, 6)))
+          .cast("double").as("harmonic"))
+      .orderBy("id")
   }
 
   /** Triangle count over the undirected graph given by a canonically

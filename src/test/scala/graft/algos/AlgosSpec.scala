@@ -36,6 +36,21 @@ class AlgosSpec extends SparkSpec {
       (5L, 0L) -> 1L, (5L, 1L) -> 1L, (5L, 2L) -> 1L))
   }
 
+  test("harmonicCentrality sums 1/d over reaching seeds, skips unreached") {
+    // 1->2->3->4 chain plus 5->3 shortcut; seeds 1 and 5
+    val e = edgesOf(1L -> 2L, 2L -> 3L, 3L -> 4L, 5L -> 3L)
+    val got = Algos.harmonicCentrality(e, seeds = Seq(1L, 5L), maxDepth = 3)
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_sources"), r.getAs[Double]("harmonic")))).toMap
+    // node 2: only seed 1 at d=1; node 3: seed 1 at d=2 + seed 5 at d=1;
+    // node 4: seed 1 at d=3 + seed 5 at d=2; seeds themselves unreached
+    assert(got.keySet == Set(2L, 3L, 4L))
+    assert(got(2L) == ((1L, 1.0)))
+    assert(got(3L) == ((2L, 1.5)))
+    assert(got(4L) == ((2L, 0.333333 + 0.5)))
+  }
+
   test("triangleCount on canonically ordered edges") {
     // triangles: (1,2,3) and (1,3,4); non-triangle edge 2->5
     val e = edgesOf(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L, 1L -> 4L, 2L -> 5L)
