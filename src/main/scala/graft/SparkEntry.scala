@@ -427,6 +427,57 @@ object SparkEntry {
     "q_normalize" -> ((s, dir) =>
       pipeline.TextOps.normalizeText(plantNoisyText(docs(s, dir)))),
 
+    // Count-min sketch of per-user event frequencies: d*w integer
+    // counters, probes = 20 present + 5 absent ids; est >= exact always
+    "q_cms" -> ((s, dir) => {
+      val ss = lenient(s)
+      import ss.implicits._
+      val ev = GraphLoader.table(ss, dir, "events")
+      val cms = pipeline.Sketches.cmsSketch(ev, "user_id")
+      val probes = ((1L to 20L) ++ (9991L to 9995L)).toDF("user_id")
+      val est = pipeline.Sketches.cmsEstimate(cms, probes, "user_id")
+      val exact = ev.groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("exact"))
+      est.join(exact, Seq("user_id"), "left")
+        .select(col("user_id"), col("est"),
+          coalesce(col("exact"), lit(0L)).as("exact"),
+          (col("est") >= coalesce(col("exact"), lit(0L)))
+            .cast("long").as("over_ok"))
+        .orderBy("user_id")
+    }),
+
+    // Bloom-filter membership summary: filter built over the distinct
+    // ordering customers (m auto-sized from the key count), probed with
+    // EVERY customer; hashed surface = integer hit/FP/bit counts
+    "q_bloom" -> ((s, dir) => {
+      val ss = lenient(s)
+      val keys = GraphLoader.table(ss, dir, "orders")
+        .select(col("o_custkey").as("ckey")).distinct()
+      val nKeys = keys.count()
+      val m = pipeline.Sketches.bloomSize(nKeys)
+      val bits = pipeline.Sketches.bloomBits(keys, "ckey", m)
+      val nBits = bits.count()
+      // probes: every customer (all present) + 1000 synthetic absent
+      // keys so the false-positive path is actually exercised
+      val probes = GraphLoader.table(ss, dir, "customer")
+        .select(col("c_custkey").as("ckey"))
+        .unionByName(ss.range(1000001L, 1001001L).select(col("id").as("ckey")))
+      val flagged = pipeline.Sketches.bloomProbe(bits, probes, "ckey", m)
+        .join(keys.withColumn("present", lit(1L)), Seq("ckey"), "left")
+        .select(col("hit"), coalesce(col("present"), lit(0L)).as("present"))
+      flagged.agg(
+        lit(m).as("m"),
+        lit(nKeys).as("n_keys"),
+        lit(nBits).as("n_bits_set"),
+        count(lit(1)).cast("long").as("n_probes"),
+        sum(col("present")).cast("long").as("n_present"),
+        sum(col("hit")).cast("long").as("n_hits"),
+        sum(when(col("hit") === 1L && col("present") === 0L, 1L)
+          .otherwise(0L)).cast("long").as("n_false_pos"),
+        (sum(col("present") * (lit(1L) - col("hit"))) === 0L)
+          .cast("long").as("no_false_neg"))
+    }),
+
     // Engine-portable mergeable HyperLogLog: per-returnflag order-key
     // sketches + a '__all__' row merged FROM the per-group register
     // tables; registers, exact integer Z, and the one-division estimate
@@ -1840,6 +1891,62 @@ object SparkEntry {
            CAST(length(text_norm) AS BIGINT) AS chars_norm,
            CAST(CASE WHEN t <> text_norm THEN 1 ELSE 0 END AS BIGINT) AS changed
          FROM cleaned ORDER BY doc_id""",
+    // CMS replay: same salted md5 cells ('cms<r>:<key>' & 255), same
+    // grouped counts, min over the d cells with absent = 0
+    "q_cms" ->
+      """WITH cms AS (
+           SELECT i.r,
+             CAST(('0x' || substring(md5('cms' || CAST(i.r AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)), 1, 15)) AS BIGINT) & 255 AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM events e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) i
+           GROUP BY 1, 2),
+         probes AS (
+           SELECT unnest([1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,16,17,18,19,20,
+                          9991,9992,9993,9994,9995]) AS user_id),
+         pcells AS (
+           SELECT p.user_id, i.r,
+             CAST(('0x' || substring(md5('cms' || CAST(i.r AS VARCHAR) || ':' || CAST(p.user_id AS VARCHAR)), 1, 15)) AS BIGINT) & 255 AS bucket
+           FROM probes p CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) i),
+         est AS (
+           SELECT pc.user_id, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est
+           FROM pcells pc LEFT JOIN cms c ON c.r = pc.r AND c.bucket = pc.bucket
+           GROUP BY pc.user_id),
+         exact AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS exact FROM events GROUP BY user_id)
+         SELECT e.user_id, e.est, CAST(coalesce(x.exact, 0) AS BIGINT) AS exact,
+           CAST(CASE WHEN e.est >= coalesce(x.exact, 0) THEN 1 ELSE 0 END AS BIGINT) AS over_ok
+         FROM est e LEFT JOIN exact x USING (user_id) ORDER BY user_id""",
+    // Bloom replay: same salted md5 positions ('bf<i>:<key>' % m), m
+    // auto-sized as greatest(4096, 16 * n_keys) on both engines
+    "q_bloom" ->
+      """WITH keys AS (SELECT DISTINCT o_custkey AS ckey FROM orders),
+         params AS (SELECT greatest(4096, 16 * count(*)) AS m,
+                           CAST(count(*) AS BIGINT) AS n_keys FROM keys),
+         probes AS (
+           SELECT c_custkey AS ckey FROM customer
+           UNION ALL SELECT CAST(unnest(range(1000001, 1001001)) AS BIGINT)),
+         bits AS (
+           SELECT DISTINCT CAST(('0x' || substring(md5('bf' || CAST(i.i AS VARCHAR) || ':' || CAST(k.ckey AS VARCHAR)), 1, 15)) AS BIGINT) % (SELECT m FROM params) AS pos
+           FROM keys k CROSS JOIN (SELECT unnest([0,1,2,3,4]) AS i) i),
+         pb AS (
+           SELECT p.ckey,
+             CAST(('0x' || substring(md5('bf' || CAST(i.i AS VARCHAR) || ':' || CAST(p.ckey AS VARCHAR)), 1, 15)) AS BIGINT) % (SELECT m FROM params) AS pos
+           FROM probes p CROSS JOIN (SELECT unnest([0,1,2,3,4]) AS i) i),
+         hits AS (
+           SELECT pb.ckey, CASE WHEN count(b.pos) = 5 THEN 1 ELSE 0 END AS hit
+           FROM pb LEFT JOIN bits b ON b.pos = pb.pos GROUP BY pb.ckey),
+         flag AS (
+           SELECT h.ckey, h.hit, CASE WHEN k.ckey IS NOT NULL THEN 1 ELSE 0 END AS present
+           FROM hits h LEFT JOIN keys k ON k.ckey = h.ckey)
+         SELECT (SELECT CAST(m AS BIGINT) FROM params) AS m,
+           (SELECT n_keys FROM params) AS n_keys,
+           (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_bits_set,
+           CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(present) AS BIGINT) AS n_present,
+           CAST(sum(hit) AS BIGINT) AS n_hits,
+           CAST(sum(CASE WHEN hit = 1 AND present = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           CAST(CASE WHEN sum(present * (1 - hit)) = 0 THEN 1 ELSE 0 END AS BIGINT) AS no_false_neg
+         FROM flag""",
     // HLL replay: same md5-prefix-60 hash, same trailing-zero rank
     // (bit_count((v & -v) - 1) + 1), same integer Z numerator; the one
     // double division writes every literal CAST AS DOUBLE (DuckDB parses

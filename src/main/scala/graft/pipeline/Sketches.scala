@@ -89,6 +89,85 @@ object Sketches {
         round(lit(k) / col("z_num").cast(DoubleType), 3))
   }
 
+  // ---- count-min sketch (q_cms) ----
+
+  /** Count-min sketch table (Cormode & Muthukrishnan 2005): d rows × w
+    * counters as a plain (r, bucket, cnt) DataFrame — ≤ d·w rows total
+    * regardless of input size. One pass: each input key explodes to its
+    * d (row, bucket) cells and ONE map-side-combined aggregation sums
+    * them (per-partition partial state is capped at d·w cells, so the
+    * shuffle carries sketch-sized — not data-sized — rows). Integer
+    * counts end to end; mergeable across shards/days by summing cell-
+    * wise, the same store-tiny-merge-later contract as [[hllRegisters]].
+    * Point estimate = min over the d cells — never an underestimate.
+    */
+  def cmsSketch(df: DataFrame, keyCol: String, d: Int = 4,
+      w: Int = 256): DataFrame = {
+    require(d >= 1 && d <= 16 && (w & (w - 1)) == 0, s"d in [1,16], w a power of 2")
+    val cells = array((0 until d).map { r =>
+      TextOps.md5Hash60(concat(lit(s"cms$r:"), col(keyCol).cast(StringType)))
+        .bitwiseAND(lit((w - 1).toLong))
+    }: _*)
+    df.select(posexplode(cells).as(Seq("r", "bucket")))
+      .groupBy("r", "bucket")
+      .agg(count(lit(1)).cast(LongType).as("cnt"))
+  }
+
+  /** Point-frequency estimates for a probe-key frame: min over the d
+    * cells (absent cell = 0). The probe side is tiny by construction —
+    * the cell joins broadcast. */
+  def cmsEstimate(cms: DataFrame, probes: DataFrame, keyCol: String,
+      d: Int = 4, w: Int = 256): DataFrame = {
+    val cells = array((0 until d).map { r =>
+      TextOps.md5Hash60(concat(lit(s"cms$r:"), col(keyCol).cast(StringType)))
+        .bitwiseAND(lit((w - 1).toLong))
+    }: _*)
+    probes.select(col(keyCol), posexplode(cells).as(Seq("r", "bucket")))
+      .join(cms, Seq("r", "bucket"), "left")
+      .groupBy(keyCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  // ---- Bloom filter (q_bloom) ----
+
+  /** Bloom-filter bit set (Bloom 1970) as a plain DataFrame of set bit
+    * positions — ≤ m rows. k positions per key from the md5-prefix-60
+    * leaf with per-hash salts; mergeable across shards by UNION
+    * (bitwise OR). The corpus-scale use is scan-side decontamination /
+    * membership: build the filter over a benchmark's keys, broadcast m
+    * bits to a 100 TB scan, and drop rows without any join. `m` is
+    * DATA-SIZED — use [[bloomSize]] (the auto-sizing rule: a fixed m
+    * saturates to FPR→1 as n grows).
+    */
+  def bloomBits(df: DataFrame, keyCol: String, m: Long,
+      k: Int = 5): DataFrame = {
+    require(k >= 1 && k <= 16 && m >= 64, s"k in [1,16], m >= 64")
+    df.select(explode(bloomPositions(col(keyCol), m, k)).as("pos")).distinct()
+  }
+
+  /** Bits for n keys at ~16 bits/key (FPR ≈ 0.0014 at k=5), floor 4096.
+    * Plain integer arithmetic so any engine replays the size. */
+  def bloomSize(nKeys: Long): Long = math.max(4096L, 16L * nKeys)
+
+  private def bloomPositions(key: Column, m: Long, k: Int): Column =
+    array((0 until k).map { i =>
+      pmod(TextOps.md5Hash60(concat(lit(s"bf$i:"), key.cast(StringType))),
+        lit(m))
+    }: _*)
+
+  /** Membership test: hit iff ALL k positions are set. No false
+    * negatives by construction; false positives bounded by the
+    * (1−e^(−kn/m))^k envelope. Returns (key, hit). */
+  def bloomProbe(bits: DataFrame, probes: DataFrame, keyCol: String,
+      m: Long, k: Int = 5): DataFrame = {
+    probes.select(col(keyCol),
+      explode(bloomPositions(col(keyCol), m, k)).as("pos"))
+      .join(bits.withColumn("set", lit(1L)), Seq("pos"), "left")
+      .groupBy(keyCol)
+      .agg((sum(coalesce(col("set"), lit(0L))) === lit(k.toLong))
+        .cast(LongType).as("hit"))
+  }
+
   /** q_hll surface: per-group sketch summaries + a '__all__' row merged
     * FROM the per-group register tables (mergeability on the hashed
     * surface), joined with exact distinct counts for the error pin.

@@ -60,6 +60,60 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("CMS never underestimates and is exact without collisions") {
+    import spark.implicits._
+    // 100 keys, key i appears i times
+    val df = (1 to 100).flatMap(i => Seq.fill(i)(i.toLong)).toDF("k")
+    val cms = Sketches.cmsSketch(df, "k", d = 4, w = 256)
+    val probes = (1 to 100).map(_.toLong).toDF("k")
+    val est = Sketches.cmsEstimate(cms, probes, "k", d = 4, w = 256)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("est")).toMap
+    (1 to 100).foreach { i =>
+      assert(est(i.toLong) >= i.toLong, s"CMS underestimated key $i")
+    }
+    // sketch is tiny regardless of input size
+    assert(cms.count() <= 4L * 256L)
+  }
+
+  test("CMS shard merge (cell-wise sum) == whole-stream sketch") {
+    import spark.implicits._
+    val a = (1 to 50).flatMap(i => Seq.fill(3)(i.toLong)).toDF("k")
+    val b = (25 to 75).flatMap(i => Seq.fill(2)(i.toLong)).toDF("k")
+    val merged = Sketches.cmsSketch(a, "k").unionByName(Sketches.cmsSketch(b, "k"))
+      .groupBy("r", "bucket").agg(sum("cnt").cast("long").as("cnt"))
+    val direct = Sketches.cmsSketch(a.unionByName(b), "k")
+    val x = merged.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val y = direct.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(x == y)
+  }
+
+  test("Bloom: zero false negatives; shard union == whole-set filter") {
+    import spark.implicits._
+    val keys = (1 to 2000).map(_.toLong).toDF("k")
+    val m = Sketches.bloomSize(2000)
+    val bits = Sketches.bloomBits(keys, "k", m)
+    val hits = Sketches.bloomProbe(bits, keys, "k", m).collect()
+    assert(hits.forall(_.getAs[Long]("hit") == 1L), "false negative!")
+    // shard merge = plain union/distinct of bit positions
+    val half1 = Sketches.bloomBits((1 to 1000).map(_.toLong).toDF("k"), "k", m)
+    val half2 = Sketches.bloomBits((1001 to 2000).map(_.toLong).toDF("k"), "k", m)
+    val mergedPos = half1.unionByName(half2).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(mergedPos == bits.collect().map(_.getLong(0)).toSet)
+  }
+
+  test("Bloom auto-size keeps the false-positive rate bounded") {
+    import spark.implicits._
+    val keys = (1 to 3000).map(_.toLong).toDF("k")
+    val m = Sketches.bloomSize(3000)
+    val bits = Sketches.bloomBits(keys, "k", m)
+    val absent = (100001 to 102000).map(_.toLong).toDF("k")
+    val fp = Sketches.bloomProbe(bits, absent, "k", m)
+      .filter(col("hit") === 1L).count()
+    // envelope at 16 bits/key, k=5 is ~0.0014; allow 4x slack on 2000 probes
+    assert(fp <= 12, s"false-positive count $fp out of 2000 absent probes")
+  }
+
   test("duplicates do not move the sketch") {
     import spark.implicits._
     val once = (1 to 3000).map(i => (i.toLong, "g")).toDF("v", "g")
