@@ -788,6 +788,15 @@ object SparkEntry {
     "q_ann_cosine" -> ((s, dir) =>
       pipeline.Ann.cosineTopK(embs(s, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
 
+    // margin-based cross-set mining (Artetxe-Schwenk ratio margin):
+    // labels 0-4 mined against labels 5-9, best match per left vector,
+    // 6dp-rounded cosines + decimal k-NN means so the margin replays
+    "q_mine" -> ((s, dir) => {
+      val e = embs(s, dir)
+      pipeline.Ann.minePairs(
+        e.filter(col("label") < 5), e.filter(col("label") >= 5))
+    }),
+
     // rows-only oracle (hyperplane hashing not expressible in DuckDB)
     "q_ann_lsh" -> ((s, dir) =>
       pipeline.Ann.lshTopK(embs(s, dir), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)),
@@ -2763,6 +2772,28 @@ object SparkEntry {
                FROM s)
          SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank"
          FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
+    // mining replay: 6dp-rounded cosines, decimal k-NN means / fixed k,
+    // one double division rounded 6dp, ties on ids
+    "q_mine" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         a AS (SELECT vec_id AS a_id, v FROM e WHERE label < 5),
+         b AS (SELECT vec_id AS b_id, v FROM e WHERE label >= 5),
+         s AS (SELECT a_id, b_id, round(list_cosine_similarity(a.v, b.v), 6) AS cos6 FROM a, b),
+         r AS (SELECT a_id, b_id, cos6,
+                 row_number() OVER (PARTITION BY a_id ORDER BY cos6 DESC, b_id) AS ra,
+                 row_number() OVER (PARTITION BY b_id ORDER BY cos6 DESC, a_id) AS rb
+               FROM s),
+         ma AS (SELECT a_id, CAST(sum(CAST(cos6 AS DECIMAL(10,6))) AS DOUBLE) / 4 AS mean_a
+                FROM r WHERE ra <= 4 GROUP BY a_id),
+         mb AS (SELECT b_id, CAST(sum(CAST(cos6 AS DECIMAL(10,6))) AS DOUBLE) / 4 AS mean_b
+                FROM r WHERE rb <= 4 GROUP BY b_id),
+         g AS (SELECT r.a_id, r.b_id, r.cos6,
+                 round(r.cos6 / ((ma.mean_a + mb.mean_b) / CAST(2.0 AS DOUBLE)), 6) AS margin
+               FROM r JOIN ma USING (a_id) JOIN mb USING (b_id)),
+         best AS (SELECT a_id, b_id, cos6, margin,
+                 row_number() OVER (PARTITION BY a_id ORDER BY margin DESC, b_id) AS rk FROM g)
+         SELECT a_id, b_id, cos6 AS sim, margin FROM best
+         WHERE rk = 1 AND margin >= CAST(1.0 AS DOUBLE) ORDER BY a_id""",
     // full fixed-round k-means replay: md5-order seeds, 3 assignment
     // passes / 2 centroid updates, 6-dp rounding on every distance and
     // mean (so cross-engine double noise can't flip an argmin), ties to

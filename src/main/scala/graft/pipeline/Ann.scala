@@ -114,6 +114,65 @@ object Ann {
       .withColumnRenamed("neighbor_id", "dst_id")
   }
 
+  /** Margin-based cross-set nearest-neighbor mining (Artetxe & Schwenk
+    * 2019's "ratio" margin) — the bitext / cross-corpus alignment
+    * primitive: for every vector x in `a`, its best match y in `b`
+    * scored by cos(x,y) relative to the mean cosine of each side's
+    * k-NN neighborhood, margin = cos / ((meanₖ(x) + meanₖ(y)) / 2).
+    * The margin cancels hubness: a pair only scores high if it stands
+    * OUT of both local neighborhoods, not merely in a dense region.
+    *
+    * Engine-parity discipline: cosines round to 6 dp BEFORE every
+    * downstream use; the k-NN means sum those exact decimals and divide
+    * by the fixed k (one exact scaling); the margin is one double
+    * division rounded at 6 dp — so rank order and the ≥ `minMargin`
+    * cut replay identically in the oracle.
+    *
+    * Scale contract: this is the EXACT all-pairs form — the verify
+    * baseline, guarded like [[graft.pipeline.Dedup.embedDupsExact]]
+    * (fails fast above `maxRows` per side). At corpus scale generate
+    * candidates with the bucketed paths (lshTopK / ivfTopK per x, then
+    * this margin rescoring on candidates only): the margin needs just
+    * the k-NN mean per endpoint, which candidate top-k already yields.
+    */
+  def minePairs(a: DataFrame, b: DataFrame, k: Int = 4,
+      minMargin: Double = 1.0, id: String = "vec_id",
+      vec: String = "embedding", maxRows: Long = 100000L): DataFrame = {
+    graft.functions.VectorExprs.register(a.sparkSession)
+    Seq(a -> "a", b -> "b").foreach { case (df, side) =>
+      val n = df.select(col(id)).limit((maxRows + 1).min(Int.MaxValue).toInt).count()
+      require(n <= maxRows,
+        s"minePairs: side '$side' exceeds $maxRows rows — the all-pairs " +
+          "O(|a|·|b|) baseline would not finish; generate candidates with " +
+          "lshTopK/ivfTopK and margin-rescore those instead")
+    }
+    import org.apache.spark.sql.expressions.Window
+    val av = a.select(col(id).as("a_id"), col(vec).as("va"))
+    val bv = b.select(col(id).as("b_id"), col(vec).as("vb"))
+    val s = av.crossJoin(bv)
+      .select(col("a_id"), col("b_id"),
+        round(cosine(col("va"), col("vb")), 6).as("cos6"))
+    val wa = Window.partitionBy("a_id").orderBy(col("cos6").desc, col("b_id"))
+    val wb = Window.partitionBy("b_id").orderBy(col("cos6").desc, col("a_id"))
+    val ranked = s
+      .withColumn("ra", row_number().over(wa))
+      .withColumn("rb", row_number().over(wb))
+    val dec = col("cos6").cast(org.apache.spark.sql.types.DecimalType(10, 6))
+    val ma = ranked.filter(col("ra") <= k).groupBy("a_id")
+      .agg((sum(dec).cast("double") / k).as("mean_a"))
+    val mb = ranked.filter(col("rb") <= k).groupBy("b_id")
+      .agg((sum(dec).cast("double") / k).as("mean_b"))
+    val g = ranked.join(ma, "a_id").join(mb, "b_id")
+      .withColumn("margin", round(col("cos6") /
+        ((col("mean_a") + col("mean_b")) / lit(2.0)), 6))
+    val best = org.apache.spark.sql.expressions.Window
+      .partitionBy("a_id").orderBy(col("margin").desc, col("b_id"))
+    g.withColumn("rk", row_number().over(best))
+      .filter(col("rk") === 1 && col("margin") >= minMargin)
+      .select(col("a_id"), col("b_id"), col("cos6").as("sim"), col("margin"))
+      .orderBy("a_id")
+  }
+
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
