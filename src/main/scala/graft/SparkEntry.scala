@@ -1036,6 +1036,26 @@ object SparkEntry {
     "q_stream_topk" -> ((s, dir) =>
       streaming.EventStreams.streamingTopK(lenient(s), dir)),
 
+    // HLL on the stream: one streaming max-aggregation holds the live
+    // register table (m rows per group forever); max is order-
+    // insensitive so the drained state equals the batch sketch and the
+    // batch-replay oracle gates the streamed run
+    "q_stream_hll" -> ((s, dir) => {
+      val ss = lenient(s)
+      val regs = streaming.EventStreams.streamingHll(ss, dir)
+      val est = pipeline.Sketches.hllEstimate(regs)
+      val exact = GraphLoader.table(ss, dir, "events")
+        .groupBy(col("event_type").as("grp"))
+        .agg(countDistinct(col("event_id")).cast("long").as("n_exact"))
+      est.join(exact, "grp")
+        .select(col("grp"), col("m"), col("n_exact"), col("n_zero"),
+          col("sum_reg"), col("z_num"), col("est"),
+          (abs(col("est") - col("n_exact")) <=
+            lit(0.2) * col("n_exact").cast("double"))
+            .cast("long").as("within_20pct"))
+        .orderBy("grp")
+    }),
+
     // watermarked stream-stream interval join: non-error events joined
     // to the same user's errors from the trailing 30 minutes
     "q_stream_join" -> ((s, dir) =>
@@ -2948,6 +2968,41 @@ object SparkEntry {
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",
+    // streamed HLL == batch HLL (max is order-insensitive): same
+    // replay as q_hll but over per-type event ids, 20pct pin (SE 6.5%)
+    "q_stream_hll" ->
+      """WITH vals AS (
+           SELECT event_type AS grp,
+             CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+           FROM events),
+         rr AS (
+           SELECT grp, h & 255 AS bucket,
+             CASE WHEN (h >> 8) = 0 THEN 53
+                  ELSE bit_count(((h >> 8) & -(h >> 8)) - 1) + 1 END AS rho
+           FROM vals),
+         regs AS (
+           SELECT grp, bucket, max(rho) AS register FROM rr GROUP BY grp, bucket),
+         summary AS (
+           SELECT grp,
+             CAST(count(*) AS BIGINT) AS n_present,
+             CAST(sum(register) AS BIGINT) AS sum_reg,
+             CAST(sum(CAST(1 AS BIGINT) << (53 - register)) AS BIGINT) AS z_present
+           FROM regs GROUP BY grp),
+         exact AS (
+           SELECT event_type AS grp, CAST(count(DISTINCT event_id) AS BIGINT) AS n_exact
+           FROM events GROUP BY 1),
+         fin AS (
+           SELECT s.grp, CAST(256 AS BIGINT) AS m, e.n_exact,
+             CAST(256 - s.n_present AS BIGINT) AS n_zero, s.sum_reg,
+             CAST(s.z_present + (256 - s.n_present) * (CAST(1 AS BIGINT) << 53) AS BIGINT) AS z_num
+           FROM summary s JOIN exact e USING (grp))
+         SELECT grp, m, n_exact, n_zero, sum_reg, z_num,
+           round((CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)))
+             * CAST(65536.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE)
+             / CAST(z_num AS DOUBLE), 3) AS est,
+           CAST(CASE WHEN abs(est - CAST(n_exact AS DOUBLE))
+                <= CAST(0.2 AS DOUBLE) * CAST(n_exact AS DOUBLE) THEN 1 ELSE 0 END AS BIGINT) AS within_20pct
+         FROM fin ORDER BY grp""",
     "q_stream_topk" ->
       """SELECT event_type, user_id, cnt, "rank" FROM (
            SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS cnt,

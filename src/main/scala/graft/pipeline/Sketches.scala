@@ -40,6 +40,18 @@ object Sketches {
     * map-side-combined shuffle of ≤ m rows per group.
     */
   def hllRegisters(df: DataFrame, valueCol: String, groupCol: String,
+      p: Int = 8): DataFrame =
+    hllCells(df, valueCol, groupCol, p)
+      .groupBy("grp", "bucket")
+      .agg(max("rho").as("register"))
+
+  /** The ROW-LOCAL half of [[hllRegisters]]: (grp, bucket, rho) per
+    * input row, no aggregation — so the same projection runs on a
+    * STREAM, where `groupBy(grp, bucket).max(rho)` becomes a streaming
+    * aggregation whose complete-mode state IS the live register table
+    * (bounded at m rows per group forever, the sketch contract).
+    */
+  def hllCells(df: DataFrame, valueCol: String, groupCol: String,
       p: Int = 8): DataFrame = {
     require(p >= 4 && p <= 16, s"p in [4,16], got $p")
     val m = 1 << p
@@ -52,8 +64,6 @@ object Sketches {
       col(groupCol).as("grp"),
       h.bitwiseAND(lit((m - 1).toLong)).as("bucket"),
       rho.cast(IntegerType).as("rho"))
-      .groupBy("grp", "bucket")
-      .agg(max("rho").as("register"))
   }
 
   /** Merge register tables (max per bucket) under a new group label —

@@ -317,6 +317,33 @@ object EventStreams {
     topKSlice(spark.table(queryName), k)
     }
 
+  /** HyperLogLog ON THE STREAM: the sketch's row-local cell projection
+    * ([[graft.pipeline.Sketches.hllCells]]) runs per arriving event and
+    * ONE streaming `groupBy(grp, bucket).max(rho)` aggregation holds the
+    * live register table as its complete-mode state — bounded at m rows
+    * per group FOREVER, the whole point of sketching a stream (exact
+    * streaming distinct-count state grows with cardinality; this never
+    * does). Drained with availableNow; max is order-insensitive, so the
+    * drained registers equal the batch sketch bit-for-bit and the batch
+    * oracle gates the streamed run. Returns the register table.
+    */
+  def streamingHll(spark: SparkSession, eventsDir: String,
+      glob: String = "events.parquet", valueCol: String = "event_id",
+      groupCol: String = "event_type", p: Int = 8,
+      queryName: String = "q_stream_hll"): DataFrame =
+    withStreamParts(spark, eventsDir, glob) { spark =>
+    val raw = eventsRawStream(spark, eventsDir, glob)
+    val query = graft.pipeline.Sketches.hllCells(raw, valueCol, groupCol, p)
+      .groupBy(col("grp"), col("bucket"))
+      .agg(max(col("rho")).as("register"))
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(queryName)
+    }
+
   /** Rank-and-slice view over a drained (event_type, user_id, cnt)
     * state table — deterministic ties on user_id. */
   def topKSlice(counts: DataFrame, k: Int): DataFrame = {

@@ -245,6 +245,17 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty && streamed == batch)
   }
 
+  test("streaming HLL register state equals the batch sketch bit-for-bit") {
+    val streamed = EventStreams.streamingHll(spark, sfDir, queryName = "tt_hll")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val batch = graft.pipeline.Sketches.hllRegisters(
+      graft.graph.GraphLoader.eventsTable(spark, sfDir), "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(streamed.nonEmpty && streamed == batch)
+    // bounded state: at most m rows per group
+    assert(streamed.keys.groupBy(_._1).forall(_._2.size <= 256))
+  }
+
   test("streaming top-k: counts accumulate across micro-batches, slice ranks the state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
