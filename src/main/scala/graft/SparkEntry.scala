@@ -1030,6 +1030,20 @@ object SparkEntry {
     "q_stream_neardup" -> ((s, dir) =>
       streaming.EventStreams.streamingNearDup(lenient(s), dir)),
 
+    // ordered-funnel analysis (view -> click -> purchase): per-user
+    // earliest step times with strict-after chaining, depth reached;
+    // null step times coalesce to -1 (integers-only hashed surface)
+    "q_funnel" -> ((s, dir) => {
+      val ev = GraphLoader.eventsTable(lenient(s), dir)
+      streaming.EventStreams.funnelBatch(ev, Seq("view", "click", "purchase"))
+        .select(col("user_id"),
+          coalesce(col("t1_us"), lit(-1L)).as("t1_us"),
+          coalesce(col("t2_us"), lit(-1L)).as("t2_us"),
+          coalesce(col("t3_us"), lit(-1L)).as("t3_us"),
+          col("depth"))
+        .orderBy("user_id")
+    }),
+
     // streaming heavy hitters: complete-mode exact counts per
     // (event_type, user), top-k slice over the drained state table;
     // integer counts + key tie-break = equal to the batch GROUP BY
@@ -2968,6 +2982,32 @@ object SparkEntry {
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",
+    // funnel replay: per-step conditional min with strict-after chain,
+    // null -> -1, all epoch-micro integers
+    "q_funnel" ->
+      """WITH s1 AS (
+           SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (
+           SELECT s1.user_id, s1.t1,
+             min(CASE WHEN e.ts > s1.t1 THEN e.ts END) AS t2
+           FROM s1 LEFT JOIN events e
+             ON e.user_id = s1.user_id AND e.event_type = 'click'
+           GROUP BY s1.user_id, s1.t1),
+         s3 AS (
+           SELECT s2.user_id, s2.t1, s2.t2,
+             min(CASE WHEN e.ts > s2.t2 THEN e.ts END) AS t3
+           FROM s2 LEFT JOIN events e
+             ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+           GROUP BY s2.user_id, s2.t1, s2.t2)
+         SELECT user_id,
+           CAST(coalesce(epoch_us(t1), -1) AS BIGINT) AS t1_us,
+           CAST(coalesce(epoch_us(t2), -1) AS BIGINT) AS t2_us,
+           CAST(coalesce(epoch_us(t3), -1) AS BIGINT) AS t3_us,
+           CAST((CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS depth
+         FROM s3 ORDER BY user_id""",
     // streamed HLL == batch HLL (max is order-insensitive): same
     // replay as q_hll but over per-type event ids, 20pct pin (SE 6.5%)
     "q_stream_hll" ->

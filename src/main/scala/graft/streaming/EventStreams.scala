@@ -317,6 +317,43 @@ object EventStreams {
     topKSlice(spark.table(queryName), k)
     }
 
+  /** Ordered-funnel analysis: for an ordered step sequence (e.g.
+    * view → click → purchase), each user's earliest completion time of
+    * step i STRICTLY AFTER their step i−1 time — the product-analytics
+    * conversion primitive. One aggregation per step, each keyed by
+    * user_id (co-partitioned: every join and groupBy shares the one
+    * hash partitioning, so Spark plans a single exchange chain, no
+    * re-shuffle per step). Emits one row per user who completed step 1,
+    * with per-step epoch-micro times (null = never reached) and the
+    * depth reached — all integers, exactly replayable.
+    */
+  def funnelBatch(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val byUser = events.select(col("user_id"), col("event_type"), col("ts"))
+    // step 1: unconditional earliest
+    var acc = byUser.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    steps.zipWithIndex.drop(1).foreach { case (s, i) =>
+      val prev = s"t$i"
+      val cur = s"t${i + 1}"
+      val next = byUser.filter(col("event_type") === s)
+        .select(col("user_id"), col("ts").as("_ts"))
+      // conditional min, NOT a filter: a user whose step-i events all
+      // precede t(i-1) must keep their row with t(i) = null, and a null
+      // t(i-1) nulls the comparison so the cascade stays null
+      acc = acc.join(next, Seq("user_id"), "left")
+        .groupBy((col("user_id") +: (1 to i).map(j => col(s"t$j"))): _*)
+        .agg(min(when(col("_ts") > col(prev), col("_ts"))).as(cur))
+    }
+    val depth = steps.indices.map(i => when(col(s"t${i + 1}").isNotNull, 1L)
+      .otherwise(0L)).reduce(_ + _)
+    acc.select(
+      (col("user_id") +:
+        steps.indices.map(i => unix_micros(col(s"t${i + 1}")).as(s"t${i + 1}_us"))) :+
+        depth.as("depth"): _*)
+      .orderBy("user_id")
+  }
+
   /** HyperLogLog ON THE STREAM: the sketch's row-local cell projection
     * ([[graft.pipeline.Sketches.hllCells]]) runs per arriving event and
     * ONE streaming `groupBy(grp, bucket).max(rho)` aggregation holds the

@@ -245,6 +245,25 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty && streamed == batch)
   }
 
+  test("funnel: strict-after chaining, out-of-order steps don't count") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1 completes the funnel in order
+      Event(1, ts(0), 1L, "view", 0.0), Event(2, ts(5), 1L, "click", 0.0),
+      Event(3, ts(9), 1L, "purchase", 0.0),
+      // user 2: click BEFORE the first view — doesn't count; depth 1
+      Event(4, ts(3), 2L, "click", 0.0), Event(5, ts(7), 2L, "view", 0.0),
+      // user 3: view+click but purchase precedes the click — depth 2
+      Event(6, ts(0), 3L, "view", 0.0), Event(7, ts(1), 3L, "purchase", 0.0),
+      Event(8, ts(2), 3L, "click", 0.0),
+      // user 4: never views — not in the funnel at all
+      Event(9, ts(0), 4L, "purchase", 0.0)
+    ).toDF()
+    val out = EventStreams.funnelBatch(events, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("depth")).toMap
+    assert(out == Map(1L -> 3L, 2L -> 1L, 3L -> 2L))
+  }
+
   test("streaming HLL register state equals the batch sketch bit-for-bit") {
     val streamed = EventStreams.streamingHll(spark, sfDir, queryName = "tt_hll")
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
