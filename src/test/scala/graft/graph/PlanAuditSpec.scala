@@ -119,6 +119,59 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_normalize: row-local cleanup — no joins, no aggregates, sort-only exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = SparkEntry.queries("q_normalize")(spark, sfDir)
+    assert(joinKinds(df).isEmpty, "normalization must be join-free")
+    val exchanges = df.queryExecution.sparkPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(exchanges.length <= 1, s"unexpected exchanges: ${exchanges.length}")
+  }
+
+  test("NFC kernel survives forced codegen") {
+    val keys = Seq("spark.sql.codegen.fallback" -> "false",
+      "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      val out = SparkEntry.queries("q_normalize")(spark, sfDir).limit(5).collect()
+      assert(out.nonEmpty)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("hllRegisters: exactly one hash exchange (the m-row register agg)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = graft.pipeline.Sketches.hllRegisters(
+      GraphLoader.table(spark, sfDir, "lineitem"), "l_orderkey", "l_returnflag")
+    assert(joinKinds(df).isEmpty, "register build must be join-free")
+    val exchanges = df.queryExecution.sparkPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    // 0 when the test-SF scan is a single partition, 1 otherwise —
+    // never more than the one partial→final register aggregation
+    assert(exchanges.length <= 1,
+      s"register build should shuffle at most once, got ${exchanges.length}")
+  }
+
+  test("q_funnel: per-step joins reuse the user_id partitioning — ≤ 4 hash exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = SparkEntry.queries("q_funnel")(spark, sfDir)
+    val js = joinKinds(df)
+    assert(!js.exists(Set("bnlj", "cartesian")), s"funnel joins degraded: $js")
+    val hashEx = df.queryExecution.sparkPlan.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.toString.contains("hashpartitioning") => e
+    }
+    // 3 per-step inputs + the first aggregation; later groupBys are
+    // satisfied by the join's user_id partitioning (superset clustering)
+    assert(hashEx.length <= 4,
+      s"funnel re-shuffles between steps: ${hashEx.length} hash exchanges")
+  }
+
   test("q_chunk: row-local chunking — no joins, no aggregates, sort-only exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val df = SparkEntry.queries("q_chunk")(spark, sfDir)
