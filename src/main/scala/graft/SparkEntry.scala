@@ -790,11 +790,20 @@ object SparkEntry {
 
     // margin-based cross-set mining (Artetxe-Schwenk ratio margin):
     // labels 0-4 mined against labels 5-9, best match per left vector,
-    // 6dp-rounded cosines + decimal k-NN means so the margin replays
+    // 6dp-rounded cosines + decimal k-NN means so the margin replays.
+    // Each side is bounded to a FIXED-SIZE md5-ordered sample (the
+    // q_knn_graph precedent) so the exact all-pairs verify baseline
+    // costs the same at 1x and 1000x corpus size; non-binding at the
+    // sf0.01 gate scale (254/246 vectors per side). Full-corpus mining
+    // routes through lshTopK/ivfTopK candidates per minePairs' scaladoc.
     "q_mine" -> ((s, dir) => {
       val e = embs(s, dir)
-      pipeline.Ann.minePairs(
-        e.filter(col("label") < 5), e.filter(col("label") >= 5))
+      def side(pred: org.apache.spark.sql.Column) = {
+        val hkey = md5(col("vec_id").cast("string"))
+        e.filter(pred).withColumn("_hkey", hkey)
+          .orderBy(col("_hkey"), col("vec_id")).limit(1000).drop("_hkey")
+      }
+      pipeline.Ann.minePairs(side(col("label") < 5), side(col("label") >= 5))
     }),
 
     // rows-only oracle (hyperplane hashing not expressible in DuckDB)
@@ -2807,11 +2816,15 @@ object SparkEntry {
          SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank"
          FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
     // mining replay: 6dp-rounded cosines, decimal k-NN means / fixed k,
-    // one double division rounded 6dp, ties on ids
+    // one double division rounded 6dp, ties on ids; each side bounded by
+    // the md5-ordered fixed-size sample (non-binding at gate scale)
     "q_mine" ->
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         a AS (SELECT vec_id AS a_id, v FROM e WHERE label < 5),
-         b AS (SELECT vec_id AS b_id, v FROM e WHERE label >= 5),
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+                row_number() OVER (PARTITION BY (label >= 5)
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+              FROM embeddings),
+         a AS (SELECT vec_id AS a_id, v FROM e WHERE label < 5 AND rn <= 1000),
+         b AS (SELECT vec_id AS b_id, v FROM e WHERE label >= 5 AND rn <= 1000),
          s AS (SELECT a_id, b_id, round(list_cosine_similarity(a.v, b.v), 6) AS cos6 FROM a, b),
          r AS (SELECT a_id, b_id, cos6,
                  row_number() OVER (PARTITION BY a_id ORDER BY cos6 DESC, b_id) AS ra,
