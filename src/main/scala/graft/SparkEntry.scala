@@ -487,6 +487,14 @@ object SparkEntry {
         GraphLoader.table(lenient(s), dir, "lineitem"),
         "l_orderkey", "l_returnflag")),
 
+    // log2-histogram quantile sketch: per-language + merged-from-parts
+    // '__all__' doc-length quantiles, integer interpolation, exact
+    // rank value joined as the error pin (est pinned full-value — the
+    // sketch state is order-insensitive counts, so distributed merge
+    // order can't move it)
+    "q_qsketch" -> ((s, dir) =>
+      pipeline.Sketches.qsketchSummary(docs(s, dir), "n_chars", "lang")),
+
     // Okapi BM25 top-k retrieval for a static query-term set — fully
     // row-local tf/dl, one single-row corpus-stats broadcast, top-k as
     // TakeOrderedAndProject
@@ -601,6 +609,11 @@ object SparkEntry {
     // counts, candidate recall pinned by spec + the Zipf head)
     "q_ngram_approx" -> ((s, dir) =>
       pipeline.TextOps.ngramFrequenciesApprox(docs(s, dir), n = 2, topN = 100)),
+
+    // PMI collocations as rational lift (no log — transcendental-free
+    // hashed surface): top-50 bigrams by c_xy*N/(c_x*c_y), min count 5
+    "q_colloc" -> ((s, dir) =>
+      pipeline.TextOps.collocations(docs(s, dir))),
 
     // context-length chunking: 64-token windows, 16-token overlap
     "q_chunk" -> ((s, dir) =>
@@ -1151,6 +1164,11 @@ object SparkEntry {
 
     "q_triangles" -> ((s, dir) =>
       algos.Algos.triangleCount(relatedTo(s, dir))),
+
+    // per-node local clustering coefficient over the same co-order
+    // graph: integer (tri_cnt, degree) + one exact double division
+    "q_clustcoeff" -> ((s, dir) =>
+      algos.Algos.clusteringCoefficient(relatedTo(s, dir))),
 
     "q_shortestpath" -> ((s, dir) =>
       algos.Algos.shortestPaths(relatedTo(s, dir), source = 1L, maxDepth = 4)
@@ -2041,6 +2059,44 @@ object SparkEntry {
            CAST(CASE WHEN abs(est - CAST(n_exact AS DOUBLE))
                 <= CAST(0.1 AS DOUBLE) * CAST(n_exact AS DOUBLE) THEN 1 ELSE 0 END AS BIGINT) AS within_10pct
          FROM fin ORDER BY grp""",
+    // log2-histogram quantile replay: bucket = length(bin(v)) (pure
+    // integer/string bit length — no log2), merged '__all__' summed
+    // from the per-group histograms, integer floor-div interpolation,
+    // exact rank value via a value-cumsum window
+    "q_qsketch" ->
+      """WITH d AS (SELECT lang AS grp, n_chars AS v FROM documents),
+         cells AS (SELECT grp, CASE WHEN v <= 0 THEN 0 ELSE length(bin(v)) END AS bucket FROM d),
+         hg AS (SELECT grp, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2),
+         hist AS (SELECT grp, bucket, CAST(cnt AS BIGINT) AS cnt FROM hg
+                  UNION ALL
+                  SELECT '__all__' AS grp, bucket, CAST(sum(cnt) AS BIGINT) AS cnt FROM hg GROUP BY 2),
+         cum AS (SELECT grp, bucket, cnt,
+                   sum(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum,
+                   sum(cnt) OVER (PARTITION BY grp) AS n
+                 FROM hist),
+         phis AS (SELECT * FROM (VALUES ('p50', 500), ('p90', 900), ('p99', 990)) AS t(phi, pm)),
+         grps AS (SELECT DISTINCT grp, n FROM cum),
+         tgt AS (SELECT grp, phi, pm, n, (n * pm + 999) // 1000 AS r FROM grps, phis),
+         pick AS (SELECT t.grp AS grp, t.phi AS phi, t.n AS n, t.r AS r, min(c.bucket) AS b
+                  FROM tgt t JOIN cum c ON c.grp = t.grp AND c.cum >= t.r
+                  GROUP BY 1, 2, 3, 4),
+         est AS (SELECT p.grp AS grp, p.phi AS phi, p.n AS n, p.r AS r, p.b AS b,
+                   CASE WHEN p.b = 0 THEN 0 ELSE (CAST(1 AS BIGINT) << (p.b - 1)) END AS lo,
+                   c.cnt AS cnt, c.cum AS cum
+                 FROM pick p JOIN cum c ON c.grp = p.grp AND c.bucket = p.b),
+         q AS (SELECT grp, phi, n, b AS bucket,
+                 CAST(lo + ((r - (cum - cnt) - 1) * (CASE WHEN b = 0 THEN 1 ELSE lo END)) // cnt AS BIGINT) AS est
+               FROM est),
+         d2 AS (SELECT grp, v FROM d UNION ALL SELECT '__all__', v FROM d),
+         vals AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS c FROM d2 GROUP BY 1, 2),
+         vcum AS (SELECT grp, v, sum(c) OVER (PARTITION BY grp ORDER BY v) AS vc FROM vals),
+         ex AS (SELECT t.grp AS grp, t.phi AS phi, CAST(min(v) AS BIGINT) AS exact
+                FROM tgt t JOIN vcum ON vcum.grp = t.grp AND vcum.vc >= t.r GROUP BY 1, 2)
+         SELECT q.grp AS grp, q.phi AS phi, CAST(q.n AS BIGINT) AS n,
+           CAST(q.bucket AS BIGINT) AS bucket, q.est AS est, ex.exact AS exact,
+           CAST(CASE WHEN q.est <= 2 * ex.exact AND ex.exact <= 2 * q.est THEN 1 ELSE 0 END AS BIGINT) AS within_2x
+         FROM q JOIN ex ON ex.grp = q.grp AND ex.phi = q.phi
+         ORDER BY grp, phi""",
     "q_bm25" -> bm25Oracle,
     // DSIR replay: same md5 hash-split and bucket hash, same smoothed
     // log-ratio dag (ln of exact integer counts, 7dp round, DECIMAL sum),
@@ -2177,6 +2233,27 @@ object SparkEntry {
            FROM t WHERE len(toks) >= 2)
          SELECT gram, count(*) AS cnt FROM g
          GROUP BY gram ORDER BY cnt DESC, gram LIMIT 100""",
+    // PMI-lift replay: same bigram table; marginals and N summed from
+    // it; two exact integer products + one IEEE division, round 6dp
+    "q_colloc" ->
+      """WITH t AS (
+           SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+         g AS (
+           SELECT unnest(list_transform(range(1, greatest(len(toks) - 0, 1)),
+             i -> concat_ws(' ', toks[i], toks[i+1]))) AS gram
+           FROM t WHERE len(toks) >= 2),
+         bg AS (SELECT gram, CAST(count(*) AS BIGINT) AS c_xy FROM g GROUP BY 1),
+         sp AS (SELECT split_part(gram, ' ', 1) AS w1, split_part(gram, ' ', 2) AS w2, c_xy FROM bg),
+         mx AS (SELECT w1, CAST(sum(c_xy) AS BIGINT) AS c_x FROM sp GROUP BY 1),
+         my AS (SELECT w2, CAST(sum(c_xy) AS BIGINT) AS c_y FROM sp GROUP BY 1),
+         nn AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n FROM sp)
+         SELECT sp.w1 AS w1, sp.w2 AS w2, sp.c_xy AS c_xy, mx.c_x AS c_x, my.c_y AS c_y,
+           round(CAST(sp.c_xy * nn.n AS DOUBLE) / CAST(mx.c_x * my.c_y AS DOUBLE), 6) AS lift
+         FROM sp, nn
+         JOIN mx ON mx.w1 = sp.w1
+         JOIN my ON my.w2 = sp.w2
+         WHERE sp.c_xy >= 5
+         ORDER BY lift DESC, w1, w2 LIMIT 50""",
     // the approx heavy-hitters path must reproduce the exact answer on
     // the gate corpus — same oracle as q_ngram_freq by design
     "q_ngram_approx" ->
@@ -3192,6 +3269,27 @@ object SparkEntry {
          FROM related e1
          JOIN related e2 ON e2.p1 = e1.p2
          JOIN related e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2""",
+    // clustering-coefficient replay: wedge-at-apex form (orientation-
+    // free) — per-node counts equal the Spark side's degree-ordered
+    // triangle explode; one exact integer double division, round 6dp
+    "q_clustcoeff" ->
+      """WITH related AS (
+           SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         und AS (SELECT p1 AS a, p2 AS b FROM related UNION ALL SELECT p2, p1 FROM related),
+         deg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS degree FROM und GROUP BY 1),
+         tri AS (SELECT u.a AS v, CAST(count(*) AS BIGINT) AS tri_cnt
+                 FROM und u JOIN und w ON w.a = u.a AND u.b < w.b
+                 JOIN related e ON e.p1 = u.b AND e.p2 = w.b
+                 GROUP BY 1)
+         SELECT d.v AS node_id, coalesce(t.tri_cnt, 0) AS tri_cnt, d.degree AS degree,
+           CASE WHEN d.degree >= 2
+             THEN round(CAST(2 * coalesce(t.tri_cnt, 0) AS DOUBLE)
+                        / CAST(d.degree * (d.degree - 1) AS DOUBLE), 6)
+             ELSE CAST(0.0 AS DOUBLE) END AS coeff
+         FROM deg d LEFT JOIN tri t ON t.v = d.v
+         ORDER BY node_id""",
     "q_shortestpath" ->
       """WITH RECURSIVE related AS (
            SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2

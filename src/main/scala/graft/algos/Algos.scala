@@ -266,6 +266,52 @@ object Algos {
       .agg(count(lit(1)).as("triangles"))
   }
 
+  /** Per-node local clustering coefficient (Watts & Strogatz 1998):
+    * coeff(v) = 2·t(v) / (deg(v)·(deg(v)−1)), t(v) = triangles through
+    * v. Same degree-ordered wedge enumeration as [[triangleCount]]
+    * (O(m^1.5) wedge candidates, equi-joins only — the skew bound that
+    * matters at corpus scale); each closed wedge is ONE triangle keyed
+    * by its three distinct nodes, so per-node counts are one explode
+    * (3 rows per triangle — triangle-sized, not wedge-sized) + one
+    * count aggregation joined back to the degree frame. Hashed surface:
+    * integer (tri_cnt, degree) + one exact IEEE double division rounded
+    * 6dp (integer operands ≤ 2^53 are exactly representable, division
+    * is correctly rounded — deterministic cross-engine; the SURVEY §2.6
+    * transcendental-free rule).
+    */
+  def clusteringCoefficient(edges: DataFrame, src: String = "_src",
+      dst: String = "_dst"): DataFrame = {
+    val e0 = edges.select(col(src).as("u"), col(dst).as("v")).distinct()
+    val deg = materialize(e0.select(col("u").as("n"))
+      .unionByName(e0.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).cast(LongType).as("degree")))
+    val withDeg = e0
+      .join(deg.withColumnRenamed("n", "u").withColumnRenamed("degree", "du"), "u")
+      .join(deg.withColumnRenamed("n", "v").withColumnRenamed("degree", "dv"), "v")
+    val oriented = materialize(withDeg.select(
+      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
+        .otherwise(col("v")).as("a"),
+      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
+        .otherwise(col("u")).as("b")))
+    val wedges = oriented.join(oriented.withColumnRenamed("b", "c"), "a")
+      .filter(col("b") < col("c"))
+    val closing = oriented.select(
+      least(col("a"), col("b")).as("b"), greatest(col("a"), col("b")).as("c"))
+    val perNode = wedges.join(closing, Seq("b", "c"), "left_semi")
+      .select(explode(array(col("a"), col("b"), col("c"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).cast(LongType).as("tri_cnt"))
+    val out = deg.join(perNode, Seq("n"), "left")
+      .select(col("n").as("node_id"),
+        coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"),
+        col("degree"),
+        when(col("degree") >= 2,
+          round((coalesce(col("tri_cnt"), lit(0L)) * 2).cast(DoubleType) /
+            (col("degree") * (col("degree") - 1)).cast(DoubleType), 6))
+          .otherwise(lit(0.0)).as("coeff"))
+      .orderBy("node_id")
+    out
+  }
+
   /** Connected components via alternating large-star / small-star
     * contraction (Kiveris et al., "Connected Components in MapReduce and
     * Beyond", SoCC'14 — public algorithm). Converges in O(log n) rounds

@@ -178,6 +178,111 @@ object Sketches {
         .cast(LongType).as("hit"))
   }
 
+  // ---- log2-histogram quantile sketch (q_qsketch) ----
+
+  /** Power-of-two histogram cell per row: bucket = bit length of the
+    * value (0 for v ≤ 0), i.e. the [2^(b−1), 2^b) decade — computed as
+    * `length(bin(v))`, pure integer/string ops ANY engine replays
+    * exactly (no log2: a transcendental at a power-of-two boundary is
+    * exactly the ulp flip the SURVEY §2.6 rule bans). Row-local like
+    * [[hllCells]], so the same projection runs on a stream.
+    */
+  def qhistCells(df: DataFrame, valueCol: String, groupCol: String): DataFrame =
+    df.select(col(groupCol).cast(StringType).as("grp"),
+      when(col(valueCol) <= 0, lit(0))
+        .otherwise(length(bin(col(valueCol).cast(LongType))))
+        .cast(IntegerType).as("bucket"))
+
+  /** Per-group log2 histogram: (grp, bucket, cnt), ≤ 64 rows per group
+    * regardless of input size — ONE map-side-combined aggregation whose
+    * shuffle carries sketch-sized rows. Order-insensitive state (counts
+    * sum), so distributed merge order can't change it — the property
+    * that lets the hashed surface pin it exactly, where a KLL/t-digest's
+    * compaction order could not be replayed cross-engine.
+    */
+  def qhistSketch(df: DataFrame, valueCol: String, groupCol: String): DataFrame =
+    qhistCells(df, valueCol, groupCol)
+      .groupBy("grp", "bucket")
+      .agg(count(lit(1)).cast(LongType).as("cnt"))
+
+  /** Merge histograms (cell-wise sum) under a new group label — the
+    * shard/day/source rollup, same contract as [[hllMerge]]. */
+  def qhistMerge(hist: DataFrame, label: String): DataFrame =
+    hist.groupBy("bucket").agg(sum(col("cnt")).cast(LongType).as("cnt"))
+      .select(lit(label).as("grp"), col("bucket"), col("cnt"))
+
+  /** Quantile estimates from a histogram: for each permille target φ,
+    * rank r = ⌈φ·n⌉ lands in the first bucket whose cumulative count
+    * reaches r; the estimate interpolates WITHIN the bucket assuming
+    * uniform occupancy — all in integer arithmetic (shift, multiply,
+    * floor-div), so the estimate is a pinnable exact value with relative
+    * error bounded by the bucket width (≤ 2×, tighter under
+    * interpolation). Returns (grp, phi, n, bucket, est, r).
+    */
+  def qhistQuantiles(hist: DataFrame, permilles: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = hist.sparkSession
+    import spark.implicits._
+    require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 999))
+    val phis = broadcast(
+      permilles.map(pm => (s"p${pm / 10}", pm)).toDF("phi", "pm"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy("grp").orderBy("bucket")))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("grp")))
+    val tgt = cum.select("grp", "n").distinct()
+      .crossJoin(phis)
+      .withColumn("r", expr("(n * pm + 999) div 1000"))
+    val pick = tgt.join(cum.select("grp", "bucket", "cum"), Seq("grp"))
+      .filter(col("cum") >= col("r"))
+      .groupBy("grp", "phi", "n", "r")
+      .agg(min(col("bucket")).as("bucket"))
+    pick.join(cum.select("grp", "bucket", "cnt", "cum"), Seq("grp", "bucket"))
+      .withColumn("lo", when(col("bucket") === 0, lit(0L))
+        .otherwise(call_function("shiftleft", lit(1L), col("bucket") - 1)))
+      .withColumn("width", when(col("bucket") === 0, lit(1L)).otherwise(col("lo")))
+      .select(col("grp"), col("phi"), col("n").cast(LongType).as("n"),
+        col("bucket").cast(LongType).as("bucket"),
+        expr("lo + ((r - (cum - cnt) - 1) * width) div cnt")
+          .cast(LongType).as("est"),
+        col("r").cast(LongType).as("r"))
+  }
+
+  /** q_qsketch surface: per-group quantile estimates (p50/p90/p99 by
+    * default) + a '__all__' row merged FROM the per-group histograms
+    * (mergeability exercised on the hashed surface, the [[hllSummary]]
+    * pattern), joined with the EXACT rank-r value per group for the
+    * error pin — `within_2x` pins the sketch's error contract, and est
+    * itself is pinned full-value (deterministic: order-insensitive
+    * integer state). The exact side is the verify baseline only; at
+    * corpus scale you keep just the ≤64-rows-per-group histogram.
+    */
+  def qsketchSummary(df: DataFrame, valueCol: String, groupCol: String,
+      permilles: Seq[Int] = Seq(500, 900, 990)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(groupCol).cast(StringType).as("grp"),
+      col(valueCol).cast(LongType).as("v"))
+    val hg = qhistSketch(base, "v", "grp").persist()
+    val hist = hg.unionByName(qhistMerge(hg, "__all__"))
+    val q = qhistQuantiles(hist, permilles)
+    val d2 = base.unionByName(base.select(lit("__all__").as("grp"), col("v")))
+    val vcum = d2.groupBy("grp", "v")
+      .agg(count(lit(1)).cast(LongType).as("c"))
+      .withColumn("vc", sum(col("c")).over(
+        Window.partitionBy("grp").orderBy("v")))
+    val exact = q.select("grp", "phi", "r").join(vcum, Seq("grp"))
+      .filter(col("vc") >= col("r"))
+      .groupBy("grp", "phi")
+      .agg(min(col("v")).cast(LongType).as("exact"))
+    q.join(exact, Seq("grp", "phi"))
+      .select(col("grp"), col("phi"), col("n"), col("bucket"), col("est"),
+        col("exact"),
+        (col("est") <= lit(2L) * col("exact") &&
+          col("exact") <= lit(2L) * col("est"))
+          .cast(LongType).as("within_2x"))
+      .orderBy("grp", "phi")
+  }
+
   /** q_hll surface: per-group sketch summaries + a '__all__' row merged
     * FROM the per-group register tables (mergeability on the hashed
     * surface), joined with exact distinct counts for the error pin.

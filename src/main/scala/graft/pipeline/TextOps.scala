@@ -270,6 +270,43 @@ object TextOps {
     out
   }
 
+  /** Bigram collocations ranked by LIFT = p(x,y)/(p(x)p(y)) — the
+    * exponential of pointwise mutual information (Church & Hanks 1990),
+    * the phrase-mining / tokenizer-vocab primitive, WITHOUT the log:
+    * ordering by PMI is ordering by the rational c_xy·N/(c_x·c_y), and
+    * with every factor an exact integer ≤ 2^53 the two products and one
+    * IEEE division are deterministic cross-engine (round 6dp; the
+    * SURVEY §2.6 transcendental-free rule — the log form would
+    * hash-diverge in the last ulp). Marginals c_x/c_y and N derive from
+    * the bigram table itself, so one gram count feeds everything; the
+    * `minCount` floor is the standard PMI rare-pair guard. At corpus
+    * scale the count-1 bigram tail dominates the exchange — route the
+    * candidate set through [[ngramFrequenciesApprox]]'s bounded heaps
+    * or a [[Sketches.cmsSketch]] ≥ minCount prefilter first, then exact
+    * recount (counts here are small enough that c_xy·N can also
+    * overflow 2^53 on a trillion-token corpus: lift the products to
+    * DECIMAL(38,0) there — exact, associative).
+    */
+  def collocations(docs: DataFrame, minCount: Long = 5, topN: Int = 50,
+      text: String = "text"): DataFrame = {
+    val bg = docs.select(explode(gramsCol(docs, 2, text)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).cast(LongType).as("c_xy"))
+    val sp = bg.select(
+      element_at(split(col("gram"), " "), 1).as("w1"),
+      element_at(split(col("gram"), " "), 2).as("w2"),
+      col("c_xy")).persist()
+    val mx = sp.groupBy("w1").agg(sum(col("c_xy")).cast(LongType).as("c_x"))
+    val my = sp.groupBy("w2").agg(sum(col("c_xy")).cast(LongType).as("c_y"))
+    val n = sp.agg(sum(col("c_xy")).cast(LongType).as("n"))
+    sp.filter(col("c_xy") >= minCount)
+      .join(mx, "w1").join(my, "w2").crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        round((col("c_xy") * col("n")).cast(DoubleType) /
+          (col("c_x") * col("c_y")).cast(DoubleType), 6).as("lift"))
+      .orderBy(desc("lift"), asc("w1"), asc("w2"))
+      .limit(topN)
+  }
+
   // ---- quality scoring (q_quality) ----
 
   /** English stopwords (tiny public list) used for the stopword ratio. */

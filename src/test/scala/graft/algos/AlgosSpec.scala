@@ -205,4 +205,24 @@ class AlgosSpec extends SparkSpec {
     assert(clampSeen == "4", s"expected floor clamp 4, got $clampSeen")
     assert(spark.conf.get("spark.sql.shuffle.partitions") == default)
   }
+
+  test("clusteringCoefficient: known values on triangle + pendant") {
+    // triangle (1,2,3) with pendant edge 3->4
+    val e = edgesOf(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L)
+    val got = Algos.clusteringCoefficient(e).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) == ((1L, 2L, 1.0)))
+    assert(got(2L) == ((1L, 2L, 1.0)))
+    assert(got(3L) == ((1L, 3L, 0.333333))) // 2*1/(3*2), rounded 6dp
+    assert(got(4L) == ((0L, 1L, 0.0)))
+  }
+
+  test("clusteringCoefficient per-node counts sum to 3x triangleCount") {
+    val e = edgesOf(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L, 1L -> 4L, 2L -> 5L)
+    val total = Algos.triangleCount(e).collect()(0).getLong(0)
+    val perNode = Algos.clusteringCoefficient(e)
+      .agg(org.apache.spark.sql.functions.sum("tri_cnt")).collect()(0).getLong(0)
+    assert(perNode == 3L * total, s"per-node sum $perNode vs 3x$total")
+  }
 }

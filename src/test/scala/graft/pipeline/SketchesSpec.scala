@@ -122,4 +122,41 @@ class SketchesSpec extends SparkSpec {
     val b = Sketches.hllSummary(thrice, "v", "g").collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("qhist: <= 64 buckets per group; shard merge == whole histogram") {
+    import spark.implicits._
+    val df = (1 to 5000).map(i => (i.toLong, s"g${i % 3}")).toDF("v", "g")
+      .repartition(7)
+    val hg = Sketches.qhistSketch(df, "v", "g")
+    assert(hg.groupBy("grp").count().collect().forall(_.getLong(1) <= 64))
+    val merged = Sketches.qhistMerge(hg, "__all__")
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    val direct = Sketches.qhistSketch(
+      df.withColumn("one", lit("__all__")), "v", "one")
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(merged == direct)
+  }
+
+  test("qsketch: uniform 1..100 pins p50 exactly; error contract holds") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, "g")).toDF("v", "g")
+    val out = Sketches.qsketchSummary(df, "v", "g").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // rank 50 falls in bucket 6 ([32,63], 32 values): interpolation
+    // lands exactly on the true median
+    assert(out(("g", "p50")) == ((50L, 50L, 1L)))
+    assert(out.forall { case (_, (_, _, within)) => within == 1L })
+    // __all__ merged row equals the single group's values here
+    assert(out(("__all__", "p50")) == out(("g", "p50")))
+  }
+
+  test("qsketch is partitioning-invariant (order-insensitive state)") {
+    import spark.implicits._
+    def mk(parts: Int) = (1 to 4000).map(i => (i.toLong * 7 % 2551, s"g${i % 2}"))
+      .toDF("v", "g").repartition(parts)
+    val a = Sketches.qsketchSummary(mk(2), "v", "g").collect().map(_.toSeq).toSeq
+    val b = Sketches.qsketchSummary(mk(13), "v", "g").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
 }
