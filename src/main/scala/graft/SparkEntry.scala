@@ -1092,6 +1092,20 @@ object SparkEntry {
         .orderBy("grp")
     }),
 
+    // quantile sketch on the stream: live ≤64-rows-per-group histogram
+    // as complete-mode count state, drained and assembled into the same
+    // surface as the batch q_qsketch (order-insensitive counts — the
+    // drained state equals the batch sketch exactly, so the batch
+    // oracle gates the streamed run); exact pin from the batch table
+    "q_stream_qsketch" -> ((s, dir) => {
+      val ss = lenient(s)
+      val hg = streaming.EventStreams.streamingQuantileHist(ss, dir)
+      val base = GraphLoader.table(ss, dir, "events")
+        .select(col("event_type").cast("string").as("grp"),
+          floor(col("value")).cast("long").as("v"))
+      pipeline.Sketches.qsketchFromHist(hg, base)
+    }),
+
     // watermarked stream-stream interval join: non-error events joined
     // to the same user's errors from the trailing 30 minutes
     "q_stream_join" -> ((s, dir) =>
@@ -3100,6 +3114,43 @@ object SparkEntry {
          FROM s3 ORDER BY user_id""",
     // streamed HLL == batch HLL (max is order-insensitive): same
     // replay as q_hll but over per-type event ids, 20pct pin (SE 6.5%)
+    // streamed-histogram quantile replay: same log2-bucket leaf as
+    // q_qsketch but over floor(value) per event_type — floor (not CAST:
+    // DuckDB rounds, Spark truncates) keeps the leaf integer-identical
+    "q_stream_qsketch" ->
+      """WITH d AS (SELECT event_type AS grp, CAST(floor(value) AS BIGINT) AS v FROM events),
+         cells AS (SELECT grp, CASE WHEN v <= 0 THEN 0 ELSE length(bin(v)) END AS bucket FROM d),
+         hg AS (SELECT grp, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2),
+         hist AS (SELECT grp, bucket, CAST(cnt AS BIGINT) AS cnt FROM hg
+                  UNION ALL
+                  SELECT '__all__' AS grp, bucket, CAST(sum(cnt) AS BIGINT) AS cnt FROM hg GROUP BY 2),
+         cum AS (SELECT grp, bucket, cnt,
+                   sum(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum,
+                   sum(cnt) OVER (PARTITION BY grp) AS n
+                 FROM hist),
+         phis AS (SELECT * FROM (VALUES ('p50', 500), ('p90', 900), ('p99', 990)) AS t(phi, pm)),
+         grps AS (SELECT DISTINCT grp, n FROM cum),
+         tgt AS (SELECT grp, phi, pm, n, (n * pm + 999) // 1000 AS r FROM grps, phis),
+         pick AS (SELECT t.grp AS grp, t.phi AS phi, t.n AS n, t.r AS r, min(c.bucket) AS b
+                  FROM tgt t JOIN cum c ON c.grp = t.grp AND c.cum >= t.r
+                  GROUP BY 1, 2, 3, 4),
+         est AS (SELECT p.grp AS grp, p.phi AS phi, p.n AS n, p.r AS r, p.b AS b,
+                   CASE WHEN p.b = 0 THEN 0 ELSE (CAST(1 AS BIGINT) << (p.b - 1)) END AS lo,
+                   c.cnt AS cnt, c.cum AS cum
+                 FROM pick p JOIN cum c ON c.grp = p.grp AND c.bucket = p.b),
+         q AS (SELECT grp, phi, n, b AS bucket,
+                 CAST(lo + ((r - (cum - cnt) - 1) * (CASE WHEN b = 0 THEN 1 ELSE lo END)) // cnt AS BIGINT) AS est
+               FROM est),
+         d2 AS (SELECT grp, v FROM d UNION ALL SELECT '__all__', v FROM d),
+         vals2 AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS c FROM d2 GROUP BY 1, 2),
+         vcum AS (SELECT grp, v, sum(c) OVER (PARTITION BY grp ORDER BY v) AS vc FROM vals2),
+         ex AS (SELECT t.grp AS grp, t.phi AS phi, CAST(min(v) AS BIGINT) AS exact
+                FROM tgt t JOIN vcum ON vcum.grp = t.grp AND vcum.vc >= t.r GROUP BY 1, 2)
+         SELECT q.grp AS grp, q.phi AS phi, CAST(q.n AS BIGINT) AS n,
+           CAST(q.bucket AS BIGINT) AS bucket, q.est AS est, ex.exact AS exact,
+           CAST(CASE WHEN q.est <= 2 * ex.exact AND ex.exact <= 2 * q.est THEN 1 ELSE 0 END AS BIGINT) AS within_2x
+         FROM q JOIN ex ON ex.grp = q.grp AND ex.phi = q.phi
+         ORDER BY grp, phi""",
     "q_stream_hll" ->
       """WITH vals AS (
            SELECT event_type AS grp,

@@ -259,10 +259,17 @@ object Sketches {
     */
   def qsketchSummary(df: DataFrame, valueCol: String, groupCol: String,
       permilles: Seq[Int] = Seq(500, 900, 990)): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = df.select(col(groupCol).cast(StringType).as("grp"),
       col(valueCol).cast(LongType).as("v"))
-    val hg = qhistSketch(base, "v", "grp").persist()
+    qsketchFromHist(qhistSketch(base, "v", "grp").persist(), base, permilles)
+  }
+
+  /** Assemble the q_qsketch surface from a PREBUILT per-group histogram
+    * (batch-computed or drained from a stream's complete-mode state) +
+    * the raw (grp, v) base used only for the exact-rank error pin. */
+  def qsketchFromHist(hg: DataFrame, base: DataFrame,
+      permilles: Seq[Int] = Seq(500, 900, 990)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val hist = hg.unionByName(qhistMerge(hg, "__all__"))
     val q = qhistQuantiles(hist, permilles)
     val d2 = base.unionByName(base.select(lit("__all__").as("grp"), col("v")))

@@ -381,6 +381,38 @@ object EventStreams {
     spark.table(queryName)
     }
 
+  /** Quantile sketch ON THE STREAM — [[streamingHll]]'s sibling for the
+    * 4th sketch: the row-local log2-bucket projection
+    * ([[graft.pipeline.Sketches.qhistCells]]) runs per arriving event
+    * and ONE streaming `groupBy(grp, bucket).count()` holds the live
+    * histogram as its complete-mode state — ≤ 64 rows per group
+    * FOREVER (exact streaming quantile state grows with value
+    * cardinality; this never does). Count is order-insensitive, so the
+    * drained histogram equals the batch sketch exactly and the batch
+    * oracle gates the streamed run. Returns (grp, bucket, cnt); feed
+    * [[graft.pipeline.Sketches.qsketchFromHist]] for quantiles.
+    */
+  def streamingQuantileHist(spark: SparkSession, eventsDir: String,
+      glob: String = "events.parquet",
+      queryName: String = "q_stream_qsketch"): DataFrame =
+    withStreamParts(spark, eventsDir, glob) { spark =>
+    val raw = eventsRawStream(spark, eventsDir, glob)
+    val vals = raw.select(col("event_type").as("g"),
+      floor(col("value")).cast("long").as("v"))
+    val query = graft.pipeline.Sketches.qhistCells(vals, "v", "g")
+      .groupBy(col("grp"), col("bucket"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    // materialize OUT of the memory sink: qsketchFromHist self-joins the
+    // histogram (union with its own '__all__' rollup), and a MemoryPlan
+    // view fails Catalyst's conflicting-reference dedup under that shape
+    spark.table(queryName).localCheckpoint()
+    }
+
   /** Rank-and-slice view over a drained (event_type, user_id, cnt)
     * state table — deterministic ties on user_id. */
   def topKSlice(counts: DataFrame, k: Int): DataFrame = {

@@ -264,6 +264,19 @@ class StreamingSpec extends SparkSpec {
     assert(out == Map(1L -> 3L, 2L -> 1L, 3L -> 2L))
   }
 
+  test("streaming quantile histogram equals the batch sketch; state <= 64/group") {
+    val streamed = EventStreams.streamingQuantileHist(
+      spark, sfDir, queryName = "tt_qsketch")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val base = graft.graph.GraphLoader.eventsTable(spark, sfDir)
+      .select(col("event_type").cast("string").as("grp"),
+        floor(col("value")).cast("long").as("v"))
+    val batch = graft.pipeline.Sketches.qhistSketch(base, "v", "grp")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(streamed.nonEmpty && streamed == batch)
+    assert(streamed.keys.groupBy(_._1).forall(_._2.size <= 64))
+  }
+
   test("streaming HLL register state equals the batch sketch bit-for-bit") {
     val streamed = EventStreams.streamingHll(spark, sfDir, queryName = "tt_hll")
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
