@@ -668,6 +668,12 @@ object SparkEntry {
     "q_sample_n" -> ((s, dir) =>
       pipeline.TextOps.hashSampleN(docs(s, dir), n = 50)),
 
+    // weighted sampling without replacement (priority sampling): 52-bit
+    // hash priorities (exactly-rounded IEEE division both engines),
+    // top-k via TakeOrderedAndProject, per-item max(w, tau) estimator
+    "q_wsample" -> ((s, dir) =>
+      pipeline.TextOps.prioritySample(docs(s, dir), k = 100)),
+
     // deterministic seeded global shuffle — materialized training order
     // via the distributed prefix sum (no single-partition window)
     "q_shuffle" -> ((s, dir) =>
@@ -1183,6 +1189,11 @@ object SparkEntry {
     // graph: integer (tri_cnt, degree) + one exact double division
     "q_clustcoeff" -> ((s, dir) =>
       algos.Algos.clusteringCoefficient(relatedTo(s, dir))),
+
+    // degree assortativity: exact integer sufficient statistics + an
+    // exactly-rounded IEEE assembly (one-row surface)
+    "q_assort" -> ((s, dir) =>
+      algos.Algos.assortativity(relatedTo(s, dir))),
 
     "q_shortestpath" -> ((s, dir) =>
       algos.Algos.shortestPaths(relatedTo(s, dir), source = 1L, maxDepth = 4)
@@ -2393,6 +2404,22 @@ object SparkEntry {
                  row_number() OVER (ORDER BY hkey, doc_id) - 1 AS pick_rank
                FROM h)
          SELECT doc_id, pick_rank FROM r WHERE pick_rank < 50 ORDER BY doc_id""",
+    // priority-sampling replay: same 52-bit md5 leaf (prefix-60 >> 8,
+    // +1), same exactly-rounded double priority, tau = (k+1)-th via the
+    // one-row min-over-rank aggregate (0 when the corpus is <= k)
+    "q_wsample" ->
+      """WITH d AS (SELECT doc_id, n_chars AS w,
+             1 + (CAST(('0x' || substring(md5('ps:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) >> 8) AS u
+           FROM documents WHERE n_chars > 0),
+         p AS (SELECT doc_id, w, u,
+             (CAST(w AS DOUBLE) * CAST(4503599627370496.0 AS DOUBLE)) / CAST(u AS DOUBLE) AS priority
+           FROM d),
+         r AS (SELECT doc_id, w, priority,
+             row_number() OVER (ORDER BY priority DESC, doc_id) AS rnk FROM p),
+         tau AS (SELECT coalesce(min(CASE WHEN rnk = 101 THEN priority END), CAST(0.0 AS DOUBLE)) AS t FROM r)
+         SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(rnk AS BIGINT) AS rnk,
+           greatest(CAST(w AS DOUBLE), tau.t) AS w_hat
+         FROM r, tau WHERE rnk <= 100 ORDER BY rnk""",
     "q_knn_graph" ->
       """WITH ranked AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -3341,6 +3368,27 @@ object SparkEntry {
              ELSE CAST(0.0 AS DOUBLE) END AS coeff
          FROM deg d LEFT JOIN tri t ON t.v = d.v
          ORDER BY node_id""",
+    // assortativity replay: identical integer sufficient statistics,
+    // identical IEEE assembly expression (casts, one product, sqrt,
+    // one division, round 6)
+    "q_assort" ->
+      """WITH related AS (
+           SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         und AS (SELECT p1 AS a, p2 AS b FROM related UNION ALL SELECT p2, p1 FROM related),
+         deg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY 1),
+         pairs AS (SELECT da.d AS x, db.d AS y FROM und
+                   JOIN deg da ON da.v = und.a JOIN deg db ON db.v = und.b),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS m2,
+                 CAST(sum(x*y) AS BIGINT) AS sxy,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x*x) AS BIGINT) AS sx2, CAST(sum(y*y) AS BIGINT) AS sy2
+               FROM pairs)
+         SELECT m2, sxy, sx, sx2,
+           round(CAST(m2 * sxy - sx * sy AS DOUBLE) /
+             sqrt(CAST(m2 * sx2 - sx * sx AS DOUBLE) * CAST(m2 * sy2 - sy * sy AS DOUBLE)), 6) AS r
+         FROM s""",
     "q_shortestpath" ->
       """WITH RECURSIVE related AS (
            SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2

@@ -312,6 +312,45 @@ object Algos {
     out
   }
 
+  /** Degree assortativity (Newman 2002): Pearson correlation of degrees
+    * across edge endpoints, the one-number "do hubs link to hubs"
+    * summary. All five sufficient statistics are EXACT integer sums
+    * (m2, Σxy, Σx, Σx², and their y twins — symmetric because every
+    * edge contributes both orientations), aggregated in one pass with
+    * map-side combine; the coefficient is assembled from them with
+    * exactly-rounded IEEE ops only (casts of ≤2^53 integers, one
+    * multiply, sqrt — correctly rounded per IEEE 754 — one division,
+    * round 6dp), so the one-row surface replays on any engine. On a
+    * trillion-edge corpus lift the sums to DECIMAL(38,0) (exact,
+    * associative) — int64 holds to ~10^9 edges at web-graph degrees.
+    */
+  def assortativity(edges: DataFrame, src: String = "_src",
+      dst: String = "_dst"): DataFrame = {
+    val e0 = edges.select(col(src).as("u"), col(dst).as("v")).distinct()
+    val und = e0.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(e0.select(col("v").as("a"), col("u").as("b")))
+    val deg = und.groupBy(col("a").as("n"))
+      .agg(count(lit(1)).cast(LongType).as("d"))
+    val pairs = und
+      .join(deg.select(col("n").as("a"), col("d").as("x")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("y")), "b")
+    val s = pairs.agg(
+      count(lit(1)).cast(LongType).as("m2"),
+      sum(col("x") * col("y")).cast(LongType).as("sxy"),
+      sum(col("x")).cast(LongType).as("sx"),
+      sum(col("y")).cast(LongType).as("sy"),
+      sum(col("x") * col("x")).cast(LongType).as("sx2"),
+      sum(col("y") * col("y")).cast(LongType).as("sy2"))
+    // zero degree variance (regular graph) ⇒ r undefined: surface null,
+    // not NaN (NaN is engine-unportable on a hashed surface)
+    val dx = (col("m2") * col("sx2") - col("sx") * col("sx")).cast(DoubleType)
+    val dy = (col("m2") * col("sy2") - col("sy") * col("sy")).cast(DoubleType)
+    s.select(col("m2"), col("sxy"), col("sx"), col("sx2"),
+      when(dx * dy > 0,
+        round((col("m2") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+          sqrt(dx * dy), 6)).as("r"))
+  }
+
   /** Connected components via alternating large-star / small-star
     * contraction (Kiveris et al., "Connected Components in MapReduce and
     * Beyond", SoCC'14 — public algorithm). Converges in O(log n) rounds

@@ -770,6 +770,46 @@ object TextOps {
     * is rebuilt. Scan-side: one hash per row, no shuffle; salt to draw
     * a fresh fold (k-fold = k salts).
     */
+  /** Priority sampling (Duffield, Lund & Thorup, JACM 2007): weighted
+    * sampling WITHOUT replacement with per-item subset-sum estimators —
+    * the "sample documents proportional to quality/length, but keep
+    * totals unbiased" primitive. Item priority = w·2^52/u with u a
+    * deterministic 52-bit hash in [1, 2^52] (the md5-prefix leaf
+    * truncated to 52 bits so BOTH the cast-to-double and the one
+    * division are exactly-rounded IEEE ops — bit-identical on any
+    * engine, no RNG state anywhere); the sample is the k highest
+    * priorities and each kept item carries ŵ = max(w, τ) with τ the
+    * (k+1)-th priority — E[Σŵ] = Σw (the paper's estimator), so
+    * downstream token/byte budgeting over the sample stays honest.
+    * Selection compiles to TakeOrderedAndProject (per-partition top
+    * k+1, driver merge) — never a global sort; the rank window runs
+    * over k+1 rows only.
+    */
+  def prioritySample(docs: DataFrame, k: Int = 100,
+      weight: String = "n_chars", id: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k >= 1")
+    val u = lit(1L) +
+      shiftright(md5Hash60(concat(lit("ps:"), col(id).cast(StringType))), 8)
+    val p = docs.filter(col(weight) > 0)
+      .select(col(id), col(weight).cast(LongType).as("w"),
+        ((col(weight).cast(DoubleType) * lit(4503599627370496.0)) /
+          u.cast(DoubleType)).as("priority"))
+    val top = p.orderBy(col("priority").desc, col(id)).limit(k + 1)
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(col("priority").desc, col(id))).cast(LongType))
+    // τ = 0 when the corpus has ≤ k items (sample = everything, ŵ = w —
+    // the estimator is exact there); one-row aggregate so the broadcast
+    // never empties the result
+    val tau = top.agg(coalesce(
+      min(when(col("rnk") === (k + 1).toLong, col("priority"))),
+      lit(0.0)).as("t"))
+    top.filter(col("rnk") <= k).crossJoin(broadcast(tau))
+      .select(col(id), col("w"), col("rnk"),
+        greatest(col("w").cast(DoubleType), col("t")).as("w_hat"))
+      .orderBy("rnk")
+  }
+
   def hashSplit(docs: DataFrame, testPermille: Int = 10,
       valPermille: Int = 10, salt: String = "",
       id: String = "doc_id"): DataFrame = {

@@ -218,6 +218,17 @@ class AlgosSpec extends SparkSpec {
     assert(got(4L) == ((0L, 1L, 0.0)))
   }
 
+  test("assortativity: star graph is perfectly disassortative; regular graph is null") {
+    // star: every edge pairs the deg-3 hub with a deg-1 leaf -> r = -1
+    val star = edgesOf(1L -> 2L, 1L -> 3L, 1L -> 4L)
+    val r = Algos.assortativity(star).collect()(0)
+    assert(r.getAs[Double]("r") == -1.0)
+    assert(r.getAs[Long]("m2") == 6L)
+    // 4-cycle: all degrees equal -> zero variance -> r is null, not NaN
+    val cyc = edgesOf(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L)
+    assert(Algos.assortativity(cyc).collect()(0).isNullAt(4))
+  }
+
   test("clusteringCoefficient per-node counts sum to 3x triangleCount") {
     val e = edgesOf(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L, 1L -> 4L, 2L -> 5L)
     val total = Algos.triangleCount(e).collect()(0).getLong(0)

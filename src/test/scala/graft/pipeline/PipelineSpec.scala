@@ -708,6 +708,29 @@ class PipelineSpec extends SparkSpec {
     assert(TextOps.hashSampleN(docs, 10 * docs.count().toInt).count() == docs.count())
   }
 
+  test("prioritySample: exact k, deterministic, unbiased-estimator shape") {
+    val out = TextOps.prioritySample(docs, k = 30).collect()
+    assert(out.length == 30)
+    // ranks are 1..k; w_hat >= w on every kept row (estimator floor)
+    assert(out.map(_.getLong(2)).sorted.toSeq == (1L to 30L))
+    assert(out.forall(r => r.getDouble(3) >= r.getLong(1).toDouble))
+    // partitioning-independent draw (hash priorities, no RNG)
+    val again = TextOps.prioritySample(docs.repartition(7), k = 30).collect()
+    assert(again.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq)
+    // Horvitz-Thompson-style total: sum(w_hat) tracks sum(w) (the
+    // Duffield-Lund-Thorup estimator is exactly unbiased in expectation;
+    // this fixed draw should land well within 2x)
+    val estTotal = out.map(_.getDouble(3)).sum
+    val trueTotal = docs.agg(org.apache.spark.sql.functions.sum("n_chars"))
+      .collect()(0).getLong(0).toDouble
+    assert(estTotal > trueTotal / 2 && estTotal < trueTotal * 2,
+      s"est $estTotal vs true $trueTotal")
+    // corpus <= k: everything kept, tau = 0, estimator exact (w_hat = w)
+    val all = TextOps.prioritySample(docs.limit(10), k = 30).collect()
+    assert(all.length == 10)
+    assert(all.forall(r => r.getDouble(3) == r.getLong(1).toDouble))
+  }
+
   test("knnGraph: fixed node cap, k edges per node, deterministic") {
     val g = Ann.knnGraph(embs, k = 3, maxNodes = 120).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
