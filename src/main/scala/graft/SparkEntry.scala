@@ -767,6 +767,14 @@ object SparkEntry {
 
     "q_dedup_jaccard" -> ((s, dir) => dupPairs(s, dir)),
 
+    // sorted-neighborhood blocking (merge/purge): two complementary
+    // sort-key passes, w-row neighborhood, exact-Jaccard verify on
+    // candidates only; distributed prefix-sum ranks, bucketed window
+    // join — on this corpus the two passes recover the FULL jaccard
+    // pair set, so the gate doubles as a standing recall pin
+    "q_snb" -> ((s, dir) =>
+      pipeline.Dedup.sortedNeighborhood(docs(s, dir))),
+
     // near-dup pairs → connected components → canonical keep-list
     "q_dedup_groups" -> ((s, dir) =>
       pipeline.Dedup.dupGroupsFromPairs(docs(s, dir), dupPairs(s, dir))),
@@ -2565,6 +2573,35 @@ object SparkEntry {
     // knowledge of the candidate scheme: candidates = docs sharing any
     // shingle (a necessary condition for J > 0).
     "q_dedup_jaccard" -> jaccardPairsOracle,
+    // sorted-neighborhood replay: both rank passes as row_number
+    // windows (binary string order matches Spark's UTF8 comparison on
+    // this ASCII corpus), same w=4 neighborhood, same trigram Jaccard
+    "q_snb" ->
+      """WITH rk1 AS (SELECT doc_id,
+             row_number() OVER (ORDER BY lang, n_chars, doc_id) AS rnk FROM documents),
+         rk2 AS (SELECT doc_id,
+             row_number() OVER (ORDER BY substring(trim(lower(text)), 1, 20), doc_id) AS rnk
+           FROM documents),
+         cand AS (
+           SELECT least(a.doc_id, b.doc_id) AS id_a, greatest(a.doc_id, b.doc_id) AS id_b
+           FROM rk1 a JOIN rk1 b ON b.rnk > a.rnk AND b.rnk - a.rnk < 4
+           UNION
+           SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id)
+           FROM rk2 a JOIN rk2 b ON b.rnk > a.rnk AND b.rnk - a.rnk < 4),
+         t AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+         s AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+           FROM t WHERE len(toks) >= 3)
+         SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+             len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+         FROM cand c JOIN s sa ON sa.doc_id = c.id_a JOIN s sb ON sb.doc_id = c.id_b
+         WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+             len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.8
+         ORDER BY id_a, id_b""",
     "q_repetition" -> repetitionOracle,
     // CCNet perplexity: the oracle re-trains the same stupid-backoff
     // bigram LM on the train hash-split and replays the scoring. Every

@@ -197,6 +197,81 @@ object Dedup {
     out
   }
 
+  /** Multi-pass sorted-neighborhood near-dup blocking (Hernández &
+    * Stolfo 1995 merge/purge): sort the corpus by a cheap blocking key,
+    * slide a `window`-row neighborhood over the sorted order, and verify
+    * ONLY adjacent candidates with exact trigram Jaccard — the third
+    * blocking family next to MinHash bands and SimHash blocks, and the
+    * cheapest when a sort key is a good dup proxy. Multi-pass per the
+    * paper: complementary keys union their candidates (default passes:
+    * (lang, n_chars) catches same-length edits with different openings;
+    * the 20-char text prefix catches shared-prefix edits at any length).
+    *
+    * Scale shape: the global rank is the distributed prefix-sum
+    * (repartitionByRange + per-partition row_number + a partition-count
+    * offset broadcast — NEVER a single-partition window; range
+    * boundaries only move partition sizes, not the total order, so the
+    * rank is exact); the neighborhood join is an equi-join on
+    * rank-div-window buckets (each row probes its own and the next
+    * bucket), so candidates are ≤ (window−1)·N per pass REGARDLESS of
+    * key skew and the verify cost tracks the duplicate density, not N².
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥
+    * threshold.
+    */
+  def sortedNeighborhood(docs: DataFrame, window: Int = 4,
+      threshold: Double = 0.8, k: Int = 3, keys: Seq[Seq[Column]] = null,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    graft.functions.VectorExprs.register(docs.sparkSession)
+    require(window >= 2, "window >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val passes = Option(keys).getOrElse(Seq(
+      Seq(col("lang"), col("n_chars")),
+      Seq(substring(trim(lower(col(text))), 1, 20))))
+    val parts = docs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    def rankBy(pass: Seq[Column]): DataFrame = {
+      val keyed = docs.select(
+        col(id) +: pass.zipWithIndex.map { case (c, i) => c.as(s"_k$i") }: _*)
+      val sortKeys = pass.indices.map(i => col(s"_k$i")) :+ col(id)
+      val local = keyed.repartitionByRange(parts, sortKeys: _*)
+        .withColumn("pid", spark_partition_id())
+        .withColumn("lrn", row_number().over(
+          Window.partitionBy("pid").orderBy(sortKeys: _*)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val offsets = local.groupBy("pid").agg(count(lit(1)).as("n"))
+        .withColumn("off", coalesce(sum("n").over(
+          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select("pid", "off")
+      val out = local.join(broadcast(offsets), "pid")
+        .select(col(id), (col("off") + col("lrn")).cast("long").as("rnk"))
+        .localCheckpoint()
+      local.unpersist()
+      out
+    }
+    def candidatesOf(r: DataFrame): DataFrame = {
+      val a = r.select(col(id).as("ia"), col("rnk").as("ra"))
+        .select(col("ia"), col("ra"),
+          explode(array(expr(s"(ra - 1) div $window"),
+            expr(s"(ra - 1) div $window + 1"))).as("bkt"))
+      val b = r.select(col(id).as("ib"), col("rnk").as("rb"),
+        expr(s"(rb - 1) div $window").as("bkt"))
+      a.join(b, "bkt")
+        .filter(col("rb") > col("ra") && col("rb") - col("ra") < window)
+        .select(least(col("ia"), col("ib")).as("id_a"),
+          greatest(col("ia"), col("ib")).as("id_b"))
+    }
+    val cand = passes.map(p => candidatesOf(rankBy(p)))
+      .reduce(_ unionByName _).distinct()
+    val withSh = docs
+      .select(col(id), shingleHashes(col(text), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = verifyJaccardHashes(cand, withSh, threshold, id).localCheckpoint()
+    withSh.unpersist()
+    out
+  }
+
   /** The lazy pair plan behind [[jaccardPrefix]] (no persist/checkpoint) —
     * see [[minhashPairsFrom]] for why this is split out.
     */

@@ -36,6 +36,22 @@ class PipelineSpec extends SparkSpec {
     assert(lsh.subsetOf(exact), s"LSH reported non-dup pairs: ${lsh -- exact}")
   }
 
+  test("sortedNeighborhood: precision always, full recall on this corpus, stable under repartition") {
+    val snb = Dedup.sortedNeighborhood(docs)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.jaccardPrefix(docs, threshold = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // precision is unconditional (exact verify); recall is key-dependent —
+    // the two default passes recover every planted pair on this corpus
+    assert(snb.subsetOf(exact), s"non-dup pairs reported: ${snb -- exact}")
+    assert(snb == exact, s"missed: ${exact -- snb}")
+    // the distributed prefix-sum rank is partitioning-invariant
+    val again = Dedup.sortedNeighborhood(docs.repartition(7))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == snb)
+  }
+
   test("jaccardPrefix is a complete similarity join (matches brute-force all-pairs)") {
     // brute force in scala: 3-gram shingle sets, every pair, J >= 0.8
     val rows = docs.select("doc_id", "text").collect()
