@@ -226,4 +226,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(!joinKinds(df).exists(Set("bnlj", "cartesian")),
       "line ownership degraded to a non-equi join")
   }
+
+  test("q_clustcoeff: wedge enumeration is equi-joins only") {
+    val js = joinKinds(SparkEntry.queries("q_clustcoeff")(spark, sfDir))
+    assert(js.nonEmpty && !js.exists(Set("bnlj", "cartesian")),
+      s"wedge/closing joins degraded to non-equi: $js")
+  }
+
+  // (q_snb has no plan pin: sortedNeighborhood localCheckpoints its rank
+  // and verify stages, so the gate surface is a materialized scan —
+  // PipelineSpec pins its behavior instead)
+
+  test("q_wsample: top-k is TakeOrderedAndProject; only the one-row tau broadcast nested-loops") {
+    val df = SparkEntry.queries("q_wsample")(spark, sfDir)
+    val top = df.queryExecution.sparkPlan.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    assert(top.nonEmpty, "k+1 selection must compile to TakeOrderedAndProject, not a global sort")
+    val js = joinKinds(df)
+    assert(js.count(_ == "bnlj") <= 1 && !js.contains("cartesian"), s"$js")
+  }
+
+  test("q_colloc: marginal joins are equi; only the one-row N broadcast nested-loops") {
+    val js = joinKinds(SparkEntry.queries("q_colloc")(spark, sfDir))
+    assert(js.count(_ == "bnlj") <= 1 && !js.contains("cartesian"), s"$js")
+  }
+
+  test("q_qsketch: quantile assembly never cartesians (the phi frame broadcasts)") {
+    val js = joinKinds(SparkEntry.queries("q_qsketch")(spark, sfDir))
+    assert(!js.contains("cartesian"), s"$js")
+  }
 }
