@@ -16,9 +16,12 @@ for q in ${ALGOS//,/ }; do
   echo "[probe] $q"
   # r14: probes launched back-to-back inherit the previous JVM's load
   # (load_start 11-18 in the first merged artifact; triangles max 205s)
-  # — cool down so each probe starts near-idle
-  sleep "${SPARK_GRAFT_PROBE_COOLDOWN:-60}"
+  # — cool down so each probe starts near-idle. 60s proved too short
+  # (r16: load_start still 3.9-9.1, kcore median 2.5x its min); a
+  # 32-core 1-min load average needs ~3 min to decay below 1.
+  sleep "${SPARK_GRAFT_PROBE_COOLDOWN:-180}"
   cp BENCH_OUT.json /tmp/BENCH_OUT.preprobe.bak 2>/dev/null || true
+  cp bench_out.json /tmp/bench_out.preprobe.bak 2>/dev/null || true
   SPARK_GRAFT_SF_DIR=$DATA SPARK_GRAFT_BENCH_ONLY=$q \
     SPARK_GRAFT_BENCH_RUNS=${SPARK_GRAFT_BENCH_RUNS:-5} \
     SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-64g} \
@@ -35,5 +38,6 @@ json.dump(d, open(out, "w"), indent=1)
 print(q, d[q])
 EOF
   cp /tmp/BENCH_OUT.preprobe.bak BENCH_OUT.json 2>/dev/null || true
+  cp /tmp/bench_out.preprobe.bak bench_out.json 2>/dev/null || true
 done
 echo "[probe] wrote $OUT"
