@@ -1281,7 +1281,113 @@ object SparkEntry {
     "q_kcore" -> ((s, dir) =>
       algos.Algos.kCore(relatedTo(s, dir), k = 80, rounds = 10)
         .select(col("id").as("p_partkey"), col("core_degree"))
-        .orderBy("p_partkey"))
+        .orderBy("p_partkey")),
+
+    // ================================================================
+    // Relational OLAP surface (graft.operators.Olap) + KMV sketch +
+    // node similarity — r16 batch 3.
+    // ================================================================
+
+    // day-granularity purchase-cohort retention matrix; all-integer
+    // surface (permille = integer division)
+    "q_retention" -> ((s, dir) =>
+      operators.Olap.retention(
+        GraphLoader.eventsTable(lenient(s), dir), "purchase")),
+
+    // ROLLUP revenue summary in one pass: (flag,status) cells +
+    // per-flag subtotals + grand total; money as exact integer cents
+    "q_cube" -> ((s, dir) =>
+      operators.Olap.rollupSummary(GraphLoader.table(lenient(s), dir, "lineitem"))),
+
+    // status × priority crosstab via native pivot with a pinned value
+    // list (no distinct-values pre-job)
+    "q_pivot" -> ((s, dir) =>
+      operators.Olap.pivotCounts(GraphLoader.table(lenient(s), dir, "orders"))),
+
+    // per-type inter-arrival stats over (user,type) event sequences;
+    // epoch-micro integers end to end, exact interpolated median
+    "q_interarrival" -> ((s, dir) =>
+      operators.Olap.interArrival(GraphLoader.eventsTable(lenient(s), dir))),
+
+    // exact integer-arithmetic 3σ outlier counts: the |x−μ|>3σ test
+    // cross-multiplied into DECIMAL(38,0) — no mean/variance/sqrt on
+    // the hashed surface
+    "q_anomaly" -> ((s, dir) =>
+      operators.Olap.anomaly(GraphLoader.eventsTable(lenient(s), dir))),
+
+    // Jaccard node similarity (link prediction) over the customer—part
+    // purchase relation: md5-sampled node set (the q_mine gate bound),
+    // hub-capped postings, top-20 pairs; jaccard = one exact IEEE
+    // divide of integers
+    "q_nodesim" -> ((s, dir) => {
+      val ss = lenient(s)
+      val cp = GraphLoader.table(ss, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+        .join(GraphLoader.table(ss, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+      algos.Algos.nodeSimilarity(cp, "o_custkey", "l_partkey",
+          topK = 20, sampleN = 1024, occCap = 1024)
+        .select(col("node_a").as("cust_a"), col("node_b").as("cust_b"),
+          col("inter"), col("deg_a"), col("deg_b"), col("jaccard"))
+    }),
+
+    // KMV/theta-sketch intersection: distinct users doing click ∩
+    // purchase from two 64-hash sketches; θ, counts and floor-div
+    // estimates all integers, exact counts ride along as the error pin
+    "q_kmv" -> ((s, dir) =>
+      pipeline.Sketches.kmvIntersectSummary(
+        GraphLoader.eventsTable(lenient(s), dir),
+        "user_id", "event_type", "click", "purchase")),
+
+    // trailing 3-row moving sum/avg per user sequence — the ROWS-frame
+    // window surface; integer milli-units, avg as integer division
+    "q_moving" -> ((s, dir) =>
+      operators.Olap.movingAggregates(GraphLoader.eventsTable(lenient(s), dir))),
+
+    // cohort retention on the stream: ONE streaming dropDuplicates
+    // holds the distinct (user, day) activity set (the matrix's
+    // sufficient state); set-ness is order-insensitive so the batch
+    // q_retention oracle gates the streamed run verbatim
+    "q_stream_retention" -> ((s, dir) =>
+      streaming.EventStreams.streamingRetention(lenient(s), dir)),
+
+    // integer-3σ anomaly stats on the stream: (n, Σx, Σx²) as exact
+    // DECIMAL complete-mode state (one row per type forever), drained
+    // and broadcast into the batch flagging scan; exact sums are
+    // order-insensitive so the batch q_anomaly oracle gates it
+    "q_stream_anomaly" -> ((s, dir) =>
+      streaming.EventStreams.streamingAnomaly(lenient(s), dir)),
+
+    // Bloom filter on the stream: row-local position cells + ONE
+    // streaming dropDuplicates holds the live bit set (≤ m rows
+    // forever); set union is order-insensitive so the drained sink
+    // equals the batch filter and the q_bloom-shaped oracle gates it
+    "q_stream_bloom" -> ((s, dir) => {
+      val ss = lenient(s)
+      val ev = GraphLoader.table(ss, dir, "events")
+      val nKeys = ev.select("user_id").distinct().count()
+      val m = pipeline.Sketches.bloomSize(nKeys)
+      val bits = streaming.EventStreams.streamingBloomBits(ss, dir, m = m)
+      val nBits = bits.count()
+      val keys = ev.select(col("user_id").as("ckey")).distinct()
+      val probes = keys
+        .unionByName(ss.range(1000001L, 1001001L).select(col("id").as("ckey")))
+      val flagged = pipeline.Sketches.bloomProbe(bits, probes, "ckey", m)
+        .join(keys.withColumn("present", lit(1L)), Seq("ckey"), "left")
+        .select(col("hit"), coalesce(col("present"), lit(0L)).as("present"))
+      flagged.agg(
+        lit(m).as("m"),
+        lit(nKeys).as("n_keys"),
+        lit(nBits).as("n_bits_set"),
+        count(lit(1)).cast("long").as("n_probes"),
+        sum(col("present")).cast("long").as("n_present"),
+        sum(col("hit")).cast("long").as("n_hits"),
+        sum(when(col("hit") === 1L && col("present") === 0L, 1L)
+          .otherwise(0L)).cast("long").as("n_false_pos"),
+        (sum(col("present") * (lit(1L) - col("hit"))) === 0L)
+          .cast("long").as("no_false_neg"))
+    })
   )
 
   private def relatedTo(s: SparkSession, dir: String): DataFrame =
@@ -2050,6 +2156,222 @@ object SparkEntry {
            CAST(sum(CASE WHEN hit = 1 AND present = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
            CAST(CASE WHEN sum(present * (1 - hit)) = 0 THEN 1 ELSE 0 END AS BIGINT) AS no_false_neg
          FROM flag""",
+    // streaming Bloom replay: the BATCH filter over the same rows — set
+    // union is order-insensitive so the drained stream state equals it
+    // bit-for-bit; same salted positions, same greatest(4096,16n) size
+    "q_stream_bloom" ->
+      """WITH keys AS (SELECT DISTINCT user_id AS ckey FROM events),
+         params AS (SELECT greatest(4096, 16 * count(*)) AS m,
+                           CAST(count(*) AS BIGINT) AS n_keys FROM keys),
+         probes AS (
+           SELECT ckey FROM keys
+           UNION ALL SELECT CAST(unnest(range(1000001, 1001001)) AS BIGINT)),
+         bits AS (
+           SELECT DISTINCT CAST(('0x' || substring(md5('bf' || CAST(i.i AS VARCHAR) || ':' || CAST(k.ckey AS VARCHAR)), 1, 15)) AS BIGINT) % (SELECT m FROM params) AS pos
+           FROM keys k CROSS JOIN (SELECT unnest([0,1,2,3,4]) AS i) i),
+         pb AS (
+           SELECT p.ckey,
+             CAST(('0x' || substring(md5('bf' || CAST(i.i AS VARCHAR) || ':' || CAST(p.ckey AS VARCHAR)), 1, 15)) AS BIGINT) % (SELECT m FROM params) AS pos
+           FROM probes p CROSS JOIN (SELECT unnest([0,1,2,3,4]) AS i) i),
+         hits AS (
+           SELECT pb.ckey, CASE WHEN count(b.pos) = 5 THEN 1 ELSE 0 END AS hit
+           FROM pb LEFT JOIN bits b ON b.pos = pb.pos GROUP BY pb.ckey),
+         flag AS (
+           SELECT h.ckey, h.hit, CASE WHEN k.ckey IS NOT NULL THEN 1 ELSE 0 END AS present
+           FROM hits h LEFT JOIN keys k ON k.ckey = h.ckey)
+         SELECT (SELECT CAST(m AS BIGINT) FROM params) AS m,
+           (SELECT n_keys FROM params) AS n_keys,
+           (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_bits_set,
+           CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(present) AS BIGINT) AS n_present,
+           CAST(sum(hit) AS BIGINT) AS n_hits,
+           CAST(sum(CASE WHEN hit = 1 AND present = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           CAST(CASE WHEN sum(present * (1 - hit)) = 0 THEN 1 ELSE 0 END AS BIGINT) AS no_false_neg
+         FROM flag""",
+    // KMV/theta replay: same 'kmv:'-salted 52-bit hash leaf, per-set
+    // k-min via rank, union re-min, integer floor-div estimates
+    // (2^52 numerators stay inside BIGINT at k = 64)
+    "q_kmv" ->
+      """WITH h AS (
+           SELECT DISTINCT event_type AS s,
+             CAST(('0x' || substring(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) >> 8 AS h
+           FROM events WHERE event_type IN ('click', 'purchase')),
+         km AS (SELECT s, h, row_number() OVER (PARTITION BY s ORDER BY h) AS rk FROM h),
+         sk AS (SELECT s, h FROM km WHERE rk <= 64),
+         uni AS (SELECT h, row_number() OVER (ORDER BY h) AS rk
+                 FROM (SELECT DISTINCT h FROM sk)),
+         theta AS (SELECT max(h) AS theta, CAST(count(*) AS BIGINT) AS k_u
+                   FROM uni WHERE rk <= 64),
+         mem AS (
+           SELECT CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_inter,
+                  CAST(sum(CASE WHEN c = 1 AND ina = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_a_not_b
+           FROM (SELECT h, count(*) AS c,
+                   sum(CASE WHEN s = 'click' THEN 1 ELSE 0 END) AS ina
+                 FROM sk GROUP BY h) g, theta t
+           WHERE g.h < t.theta),
+         ex AS (
+           SELECT CAST(count(*) AS BIGINT) AS exact_union,
+                  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS exact_inter,
+                  CAST(sum(CASE WHEN c = 1 AND ina = 1 THEN 1 ELSE 0 END) AS BIGINT) AS exact_a_not_b
+           FROM (SELECT user_id, count(DISTINCT event_type) AS c,
+                   max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ina
+                 FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1))
+         SELECT t.theta, t.k_u, m.n_inter, m.n_a_not_b,
+           CAST((m.n_inter * (CAST(1 AS BIGINT) << 52)) // t.theta AS BIGINT) AS est_inter,
+           CAST(((t.k_u - 1) * (CAST(1 AS BIGINT) << 52)) // t.theta AS BIGINT) AS est_union,
+           CAST((m.n_a_not_b * (CAST(1 AS BIGINT) << 52)) // t.theta AS BIGINT) AS est_a_not_b,
+           e.exact_inter, e.exact_union, e.exact_a_not_b
+         FROM theta t, mem m, ex e""",
+    // cohort retention replay: integer day buckets from the same fixed
+    // epoch, distinct (user, day) activity, permille = floor division
+    "q_retention" ->
+      """WITH act AS (
+           SELECT DISTINCT user_id,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day
+           FROM events WHERE event_type = 'purchase'),
+         cohort AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY 1),
+         cells AS (
+           SELECT c.cohort_day, a.day - c.cohort_day AS offset_days,
+                  CAST(count(*) AS BIGINT) AS n_active
+           FROM act a JOIN cohort c USING (user_id) GROUP BY 1, 2),
+         sizes AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+                   FROM cohort GROUP BY 1)
+         SELECT c.cohort_day, c.offset_days, s.cohort_size, c.n_active,
+           CAST((1000 * c.n_active) // s.cohort_size AS BIGINT) AS permille
+         FROM cells c JOIN sizes s USING (cohort_day)
+         ORDER BY cohort_day, offset_days""",
+    // ROLLUP replay: DuckDB's ROLLUP emits the same grouping sets;
+    // gid reconstructed as grouping(flag)*2 + grouping(status) (Spark's
+    // grouping_id bit order); money summed as exact integer cents
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY gid, returnflag, linestatus""",
+    // pivot replay: conditional aggregation per pinned priority value
+    "q_pivot" ->
+      """SELECT o_orderstatus AS status,
+           CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p_urgent,
+           CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p_high,
+           CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p_medium,
+           CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p_notspec,
+           CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p_low,
+           CAST(count(*) AS BIGINT) AS total
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    // inter-arrival replay: same (user,type) lag over epoch micros,
+    // quantile_cont = Spark's exact interpolated percentile ((a+b)/2 of
+    // ≤ 2^53 integers is exactly rounded on both engines)
+    "q_interarrival" ->
+      """WITH seq AS (
+           SELECT event_type, user_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev
+           FROM events),
+         d AS (SELECT event_type, us - prev AS delta FROM seq WHERE prev IS NOT NULL)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(delta) AS BIGINT) AS sum_us,
+           CAST(min(delta) AS BIGINT) AS min_us,
+           CAST(max(delta) AS BIGINT) AS max_us,
+           round(quantile_cont(CAST(delta AS DOUBLE), 0.5), 1) AS median_us
+         FROM d GROUP BY 1 ORDER BY 1""",
+    // anomaly replay: identical cross-multiplied integer 3σ test in
+    // DECIMAL(38,0) — no mean, no variance, no sqrt on either engine
+    "q_anomaly" ->
+      """WITH v AS (
+           SELECT event_type, event_id, CAST(round(value * 1000) AS BIGINT) AS vm FROM events),
+         st AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(vm) AS DECIMAL(38,0)) AS s1,
+             CAST(sum(CAST(vm AS DECIMAL(38,0)) * vm) AS DECIMAL(38,0)) AS s2
+           FROM v GROUP BY 1),
+         fl AS (
+           SELECT v.event_type, v.event_id,
+             CASE WHEN (st.n * v.vm - st.s1) * (st.n * v.vm - st.s1)
+                       > 9 * (st.n * st.s2 - st.s1 * st.s1) THEN 1 ELSE 0 END AS is_out
+           FROM v JOIN st USING (event_type))
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(is_out) AS BIGINT) AS n_outliers,
+           CAST(min(CASE WHEN is_out = 1 THEN event_id END) AS BIGINT) AS first_outlier_id
+         FROM fl GROUP BY 1 ORDER BY 1""",
+    // moving-window replay: identical ROWS frame; positive operands so
+    // DuckDB's floor-div and Spark's DIV agree
+    "q_moving" ->
+      """WITH v AS (
+           SELECT user_id, event_id, ts, CAST(round(value * 1000) AS BIGINT) AS vm
+           FROM events),
+         m AS (
+           SELECT user_id, event_id, vm,
+             CAST(sum(vm) OVER w AS BIGINT) AS mov_sum3,
+             CAST(count(*) OVER w AS BIGINT) AS mov_n
+           FROM v
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+         SELECT user_id, event_id, vm, mov_sum3, mov_n,
+           CAST((1000 * mov_sum3) // mov_n AS BIGINT) AS mov_avg_milli
+         FROM m ORDER BY user_id, event_id""",
+    // streaming retention replay: the drained distinct (user, day) set
+    // equals the batch projection, so the batch oracle applies verbatim
+    "q_stream_retention" ->
+      """WITH act AS (
+           SELECT DISTINCT user_id,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day
+           FROM events WHERE event_type = 'purchase'),
+         cohort AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY 1),
+         cells AS (
+           SELECT c.cohort_day, a.day - c.cohort_day AS offset_days,
+                  CAST(count(*) AS BIGINT) AS n_active
+           FROM act a JOIN cohort c USING (user_id) GROUP BY 1, 2),
+         sizes AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+                   FROM cohort GROUP BY 1)
+         SELECT c.cohort_day, c.offset_days, s.cohort_size, c.n_active,
+           CAST((1000 * c.n_active) // s.cohort_size AS BIGINT) AS permille
+         FROM cells c JOIN sizes s USING (cohort_day)
+         ORDER BY cohort_day, offset_days""",
+    // streaming anomaly replay: drained exact decimal sums equal the
+    // batch pass, so the batch oracle applies verbatim
+    "q_stream_anomaly" ->
+      """WITH v AS (
+           SELECT event_type, event_id, CAST(round(value * 1000) AS BIGINT) AS vm FROM events),
+         st AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(vm) AS DECIMAL(38,0)) AS s1,
+             CAST(sum(CAST(vm AS DECIMAL(38,0)) * vm) AS DECIMAL(38,0)) AS s2
+           FROM v GROUP BY 1),
+         fl AS (
+           SELECT v.event_type, v.event_id,
+             CASE WHEN (st.n * v.vm - st.s1) * (st.n * v.vm - st.s1)
+                       > 9 * (st.n * st.s2 - st.s1 * st.s1) THEN 1 ELSE 0 END AS is_out
+           FROM v JOIN st USING (event_type))
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(is_out) AS BIGINT) AS n_outliers,
+           CAST(min(CASE WHEN is_out = 1 THEN event_id END) AS BIGINT) AS first_outlier_id
+         FROM fl GROUP BY 1 ORDER BY 1""",
+    // node-similarity replay: same md5-ordered 1024-node sample, same
+    // occupancy cap, posting-list self-join, one exact IEEE divide
+    "q_nodesim" ->
+      """WITH cp0 AS (
+           SELECT DISTINCT o.o_custkey AS node, l.l_partkey AS feat
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         picked AS (
+           SELECT node FROM (SELECT DISTINCT node FROM cp0)
+           ORDER BY md5(CAST(node AS VARCHAR)), node LIMIT 1024),
+         cp1 AS (SELECT cp0.* FROM cp0 JOIN picked USING (node)),
+         occ AS (SELECT feat, count(*) AS occ FROM cp1 GROUP BY 1),
+         cp AS (SELECT cp1.* FROM cp1 JOIN occ USING (feat) WHERE occ.occ <= 1024),
+         deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM cp GROUP BY 1),
+         pairs AS (
+           SELECT a.node AS cust_a, b.node AS cust_b, CAST(count(*) AS BIGINT) AS inter
+           FROM cp a JOIN cp b ON a.feat = b.feat AND a.node < b.node
+           GROUP BY 1, 2),
+         sim AS (
+           SELECT p.cust_a, p.cust_b, p.inter, da.deg AS deg_a, db.deg AS deg_b,
+             CAST(p.inter AS DOUBLE) / CAST(da.deg + db.deg - p.inter AS DOUBLE) AS jaccard
+           FROM pairs p JOIN deg da ON da.node = p.cust_a
+                        JOIN deg db ON db.node = p.cust_b)
+         SELECT * FROM sim ORDER BY jaccard DESC, cust_a, cust_b LIMIT 20""",
     // HLL replay: same md5-prefix-60 hash, same trailing-zero rank
     // (bit_count((v & -v) - 1) + 1), same integer Z numerator; the one
     // double division writes every literal CAST AS DOUBLE (DuckDB parses

@@ -963,4 +963,58 @@ object Algos {
     }
     eFinal.groupBy(col("u").as("id")).agg(count(lit(1)).as("core_degree"))
   }
+
+  /** Jaccard node similarity over a bipartite (node, feature) relation —
+    * the link-prediction primitive (Neo4j GDS nodeSimilarity's measure):
+    * sim(a,b) = |Γa ∩ Γb| / |Γa ∪ Γb| with Γ the feature set, top-K
+    * pairs by similarity. The reference reaches this shape through
+    * two-hop Cypher patterns with count aggregation; here it is the
+    * classic posting-list self-join: group by feature, pair nodes
+    * within a posting, count shared features per pair, one exact
+    * integer division at the end (single IEEE divide of exact ints —
+    * bit-identical in any engine, SURVEY §2.6).
+    *
+    * Scale controls, both replayable in the oracle:
+    *  - `occCap` drops features whose posting exceeds the cap — the
+    *    prefix-filtering/stopword cut that bounds candidate pairs to
+    *    occCap·|edges| (without it a single hub feature alone generates
+    *    occ²/2 pairs). Degrees are computed AFTER the cut so the
+    *    measure is self-consistent on the filtered relation.
+    *  - `sampleN` > 0 restricts to the N nodes with the smallest
+    *    md5(node) — the fixed-size deterministic gate bound (the q_mine
+    *    rule: exact all-pairs verification surfaces must be bounded in
+    *    the GATE, not just guarded in the operator), non-binding when N
+    *    exceeds the node count.
+    * The production path at 100 TB keeps occCap and swaps the final
+    * global top-K for a per-node top-k (rank window over pair partials).
+    */
+  def nodeSimilarity(rel: DataFrame, nodeCol: String, featCol: String,
+      topK: Int = 20, sampleN: Int = 0, occCap: Int = 1024): DataFrame = {
+    var cp = rel.select(col(nodeCol).as("node"), col(featCol).as("feat"))
+      .distinct()
+    if (sampleN > 0) {
+      val picked = cp.select("node").distinct()
+        .orderBy(md5(col("node").cast(StringType)), col("node"))
+        .limit(sampleN)
+      cp = cp.join(picked, Seq("node"))
+    }
+    val occ = cp.groupBy("feat").agg(count(lit(1)).as("occ"))
+    val kept = cp.join(occ.filter(col("occ") <= occCap).select("feat"), Seq("feat"))
+    val deg = kept.groupBy("node").agg(count(lit(1)).cast(LongType).as("deg"))
+    val a = kept.select(col("feat"), col("node").as("node_a"))
+    val b = kept.select(col("feat"), col("node").as("node_b"))
+    val pairs = a.join(b, Seq("feat"))
+      .filter(col("node_a") < col("node_b"))
+      .groupBy("node_a", "node_b")
+      .agg(count(lit(1)).cast(LongType).as("inter"))
+    pairs
+      .join(deg.select(col("node").as("node_a"), col("deg").as("deg_a")), Seq("node_a"))
+      .join(deg.select(col("node").as("node_b"), col("deg").as("deg_b")), Seq("node_b"))
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) /
+          (col("deg_a") + col("deg_b") - col("inter")).cast(DoubleType))
+      .select("node_a", "node_b", "inter", "deg_a", "deg_b", "jaccard")
+      .orderBy(desc("jaccard"), asc("node_a"), asc("node_b"))
+      .limit(topK)
+  }
 }

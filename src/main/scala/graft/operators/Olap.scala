@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** Relational OLAP surface the reference's dashboard queries lean on
+  * (reference: benchmark/src/queries.ts aggregation tier + the
+  * translator's GROUP BY lowering, translator.ts) — re-expressed as
+  * plain Catalyst aggregations so cube/pivot/cohort shapes come out of
+  * the same engine as the graph queries, with every gate surface kept
+  * integer/decimal per SURVEY §2.6's cross-engine rule.
+  *
+  * Scale notes (100 TB): every operator here is one or two hash
+  * aggregations with map-side partials — no windows over the full
+  * corpus, no driver collects, no data-dependent fan-out. Cohort
+  * retention's per-user reduction shrinks events to ≤ |users| rows
+  * before the cells aggregation; rollup/pivot emit a bounded number of
+  * groups (grouping-set multiplier × category cardinalities).
+  */
+object Olap {
+
+  /** Day-granularity cohort retention over an event log — the classic
+    * product-analytics matrix: users cohorted by their FIRST qualifying
+    * event day, each later active day counted into (cohort_day,
+    * offset_days), with cohort size and integer-permille retention.
+    *
+    * Two keyed aggregations: (user → first day, distinct active days)
+    * then (cohort, offset → count). The events table never carries its
+    * payload past the first projection; the user reduction is the only
+    * user-keyed shuffle and the cells aggregation reuses its output
+    * (≤ |users| × |days| rows — at 100 TB the matrix is still tiny
+    * because offsets are bounded by the observation window).
+    *
+    * Permille is `(1000·n) DIV size` — integer division, exact in any
+    * engine (SURVEY §2.6: no float aggregate on the hashed surface).
+    */
+  def retention(events: DataFrame, eventType: String,
+      epochDay: String = "2024-01-01"): DataFrame = {
+    val act = events.filter(col("event_type") === eventType)
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit(epochDay).cast("date"))
+          .cast(LongType).as("day"))
+      .distinct()
+    val cohort = act.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    val sizes = cohort.groupBy("cohort_day")
+      .agg(count(lit(1)).cast(LongType).as("cohort_size"))
+    val cells = act.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset_days"))
+      .agg(count(lit(1)).cast(LongType).as("n_active"))
+    cells.join(sizes, Seq("cohort_day"))
+      .select(col("cohort_day"), col("offset_days"), col("cohort_size"),
+        col("n_active"),
+        expr("CAST((1000 * n_active) DIV cohort_size AS BIGINT)").as("permille"))
+      .orderBy("cohort_day", "offset_days")
+  }
+
+  /** ROLLUP revenue summary — the grouping-sets member of the surface:
+    * per (returnflag, linestatus), per returnflag, and grand total in
+    * ONE pass (Catalyst expands the rollup inside a single hash
+    * aggregate; no re-scan per level). Money goes on the wire as exact
+    * integer cents (`round(price·100)` of the SAME parquet double is
+    * deterministic in any engine; summing raw doubles would be
+    * order-dependent), quantities as BIGINT.
+    */
+  def rollupSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast(LongType).as("qty"),
+        round(col("l_extendedprice") * lit(100)).cast(LongType).as("cents"))
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast(LongType).as("gid"),
+        count(lit(1)).cast(LongType).as("n_rows"),
+        sum(col("qty")).cast(LongType).as("sum_qty"),
+        sum(col("cents")).cast(LongType).as("sum_price_cents"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("gid"), col("n_rows"), col("sum_qty"), col("sum_price_cents"))
+      .orderBy("gid", "returnflag", "linestatus")
+
+  /** Status × priority crosstab via the native `pivot` with an EXPLICIT
+    * value list — the implicit form runs a distinct-values job first
+    * and caps at spark.sql.pivotMaxValues; pinning the list keeps the
+    * plan a single hash aggregate at any scale. Output columns renamed
+    * to stable identifiers so the oracle's conditional-aggregation
+    * replay matches by name.
+    */
+  def pivotCounts(orders: DataFrame): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val names = Seq("p_urgent", "p_high", "p_medium", "p_notspec", "p_low")
+    val piv = orders.groupBy(col("o_orderstatus").as("status"))
+      .pivot("o_orderpriority", prios)
+      .agg(count(lit(1)))
+    val renamed = prios.zip(names).foldLeft(piv) { case (df, (v, n)) =>
+      df.withColumnRenamed(v, n)
+    }
+    renamed.select(col("status") +:
+      names.map(n => coalesce(col(n), lit(0L)).cast(LongType).as(n)): _*)
+      .withColumn("total", names.map(col).reduce(_ + _))
+      .orderBy("status")
+  }
+
+  /** Per-type inter-arrival statistics: consecutive gaps of each
+    * (user, type) event sequence in epoch MICROS (integers end to end),
+    * aggregated per type — n, sum, min, max, and the exact median.
+    * The lag window partitions by (user_id, event_type): per-user
+    * sequences are short, so the sort is many small runs, never a
+    * corpus-wide order. Median uses `percentile` (exact, interpolated);
+    * both halves of an even-count interpolation are ≤ 2^53 micros so
+    * (a+b)/2 is exactly rounded and engine-portable.
+    */
+  def interArrival(events: DataFrame): DataFrame = {
+    // ordered by (us, event_id): unix_micros is monotone in ts, so the
+    // lag sequence (and the oracle's ORDER BY ts, event_id) is identical
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    events
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"), (col("us") - col("prev")).as("delta"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        sum(col("delta")).cast(LongType).as("sum_us"),
+        min(col("delta")).cast(LongType).as("min_us"),
+        max(col("delta")).cast(LongType).as("max_us"),
+        round(expr("percentile(delta, 0.5)"), 1).as("median_us"))
+      .orderBy("event_type")
+  }
+
+  /** Trailing moving aggregates per user sequence — the ROWS-frame
+    * window surface (every other window here is an unbounded or lag
+    * frame): 3-row trailing sum/count over each user's event sequence
+    * in milli-units, with the moving average as integer division
+    * (`(1000·sum) DIV n` — positive operands, so floor and truncate
+    * agree on every engine). Partitioned by user: many short sorted
+    * runs, one hash exchange, never a corpus-wide order.
+    */
+  def movingAggregates(events: DataFrame, frame: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-(frame - 1), 0)
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(col("value") * lit(1000)).cast(LongType).as("vm"))
+      .withColumn("mov_sum3", sum(col("vm")).over(w).cast(LongType))
+      .withColumn("mov_n", count(lit(1)).over(w).cast(LongType))
+      .select(col("user_id"), col("event_id"), col("vm"),
+        col("mov_sum3"), col("mov_n"),
+        expr("CAST((1000 * mov_sum3) DIV mov_n AS BIGINT)").as("mov_avg_milli"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Exact integer-arithmetic 3σ outlier detection per group — the
+    * anomaly-count member of the quality battery. The float-free trick:
+    * flag x iff (n·x − Σx)² > 9·(n·Σx² − (Σx)²), the |x−μ| > 3σ test
+    * cross-multiplied into DECIMAL(38,0) integer arithmetic, so there
+    * is NO mean, NO variance, NO sqrt on any engine — a summation-order
+    * -dependent float aggregate on the hashed surface is the exact bug
+    * class that shipped q_perplexity red in r15 (SURVEY §2.6).
+    * Values quantize to milli-units first (round(v·1000) of the same
+    * parquet double — deterministic everywhere).
+    *
+    * One stats aggregation + one broadcast-joined scan: stats is one
+    * row per group, so the flagging pass is map-side at any corpus
+    * size. DECIMAL(38,0) holds the cross-multiplied products up to
+    * n·Σx² < 10³⁸ — beyond that (≫ 10¹⁵ rows/group at these
+    * magnitudes), pre-center per partition or drop to 128-bit sums.
+    */
+  def anomaly(events: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val v = events.select(col("event_type"), col("event_id"),
+      round(col("value") * lit(1000)).cast(LongType).as("vm"))
+    val st = v.groupBy("event_type").agg(
+      count(lit(1)).cast(LongType).as("n"),
+      sum(col("vm").cast(d38)).cast(d38).as("s1"),
+      sum((col("vm").cast(d38) * col("vm").cast(d38)).cast(d38)).cast(d38).as("s2"))
+    val lhs = (col("n").cast(d38) * col("vm").cast(d38) - col("s1")).cast(d38)
+    val rhs = (col("n").cast(d38) * col("s2") - col("s1") * col("s1")).cast(d38)
+    v.join(broadcast(st), Seq("event_type"))
+      .withColumn("is_out",
+        when((lhs * lhs).cast(d38) > (lit(9).cast(d38) * rhs).cast(d38), 1L)
+          .otherwise(0L))
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n"),
+        sum(col("is_out")).cast(LongType).as("n_outliers"),
+        min(when(col("is_out") === 1L, col("event_id"))).cast(LongType)
+          .as("first_outlier_id"))
+      .orderBy("event_type")
+  }
+}

@@ -165,6 +165,18 @@ object Sketches {
         lit(m))
     }: _*)
 
+  /** Row-local Bloom position projection — one (pos) row per key×hash,
+    * BEFORE the distinct. The streaming twin runs this per arriving row
+    * and lets a streaming `dropDuplicates("pos")` hold the live bit set
+    * as its state (bounded at m rows FOREVER — [[graft.streaming
+    * .EventStreams.streamingBloomBits]]); the batch [[bloomBits]] is
+    * this + a batch distinct.
+    */
+  def bloomCells(df: DataFrame, keyCol: String, m: Long, k: Int = 5): DataFrame = {
+    require(k >= 1 && k <= 16 && m >= 64, s"k in [1,16], m >= 64")
+    df.select(explode(bloomPositions(col(keyCol), m, k)).as("pos"))
+  }
+
   /** Membership test: hit iff ALL k positions are set. No false
     * negatives by construction; false positives bounded by the
     * (1−e^(−kn/m))^k envelope. Returns (key, hit). */
@@ -311,5 +323,86 @@ object Sketches {
           lit(0.1) * col("n_exact").cast(DoubleType))
           .cast(LongType).as("within_10pct"))
       .orderBy("grp")
+  }
+
+  // ---- KMV / theta sketch (q_kmv) ----
+
+  /** K-minimum-values sketch per set (Bar-Yossef et al. 2002; the theta
+    * sketch of Dasgupta et al. 2016): the k smallest distinct 52-bit
+    * md5 hashes of each set's members — ≤ k rows per set, mergeable by
+    * "union then re-take k smallest" (associative), engine-portable
+    * like [[hllRegisters]] (hash + ORDER BY + LIMIT, nothing else).
+    * Unlike HLL this sketch supports INTERSECTION estimates, the reason
+    * to carry both: distinct-users-doing-A∩B at corpus scale without a
+    * pairwise exact join. The 52-bit leaf (md5Hash60 >> 8) keeps every
+    * hash exactly representable as a double should an engine cast it.
+    *
+    * Distributed shape: the distinct pre-aggregation shrinks input to
+    * one row per (set, distinct key); the per-set k-min is a rank
+    * window over that — a single hash exchange on set, partial-sorted
+    * within partitions.
+    */
+  def kmvMins(df: DataFrame, keyCol: String, setCol: String,
+      k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 16, "k >= 16")
+    val h = df.select(col(setCol).cast(StringType).as("s"),
+      shiftright(TextOps.md5Hash60(
+        concat(lit("kmv:"), col(keyCol).cast(StringType))), 8).as("h"))
+      .distinct()
+    val w = Window.partitionBy("s").orderBy("h")
+    h.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("s", "h")
+  }
+
+  /** q_kmv surface: theta-sketch set algebra (∩, ∪, A∖B) over two
+    * sets' KMV sketches — ONE row, all-integer. Union sketch = k
+    * smallest of the merged k-mins; θ = its max; every estimate is an
+    * integer floor-division `cnt·2^52 DIV θ` (n ≤ k keeps the
+    * numerator well inside BIGINT). Exact counts ride along as the
+    * error pin — verify-side only; at corpus scale you keep just the
+    * two ≤k-row sketches. The set math runs on ≤ 2k rows total, so the
+    * global-order windows here are sketch-sized, never data-sized.
+    */
+  def kmvIntersectSummary(df: DataFrame, keyCol: String, setCol: String,
+      setA: String, setB: String, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val two = df.filter(col(setCol).isin(setA, setB))
+    val sk = kmvMins(two, keyCol, setCol, k).persist()
+    val uni = sk.select("h").distinct()
+      .withColumn("rk", row_number().over(Window.orderBy("h")))
+      .filter(col("rk") <= k)
+    val theta = uni.agg(max(col("h")).as("theta"),
+      count(lit(1)).cast(LongType).as("k_u"))
+    val membership = sk
+      .groupBy("h")
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("s") === setA, 1L).otherwise(0L)).as("inA"))
+      .crossJoin(broadcast(theta))
+      .filter(col("h") < col("theta"))
+      .agg(sum(when(col("c") === 2, 1L).otherwise(0L)).cast(LongType)
+          .as("n_inter"),
+        sum(when(col("c") === 1 && col("inA") === 1, 1L).otherwise(0L))
+          .cast(LongType).as("n_a_not_b"))
+    val keys = two.select(col(setCol).cast(StringType).as("s"),
+      col(keyCol).cast(StringType).as("key")).distinct()
+    val exact = keys.groupBy("key")
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("s") === setA, 1L).otherwise(0L)).as("inA"))
+      .agg(count(lit(1)).cast(LongType).as("exact_union"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).cast(LongType)
+          .as("exact_inter"),
+        sum(when(col("c") === 1 && col("inA") === 1, 1L).otherwise(0L))
+          .cast(LongType).as("exact_a_not_b"))
+    // 4503599627370496 = 2^52, the hash-domain size
+    theta.crossJoin(membership).crossJoin(exact)
+      .select(col("theta"), col("k_u"), col("n_inter"), col("n_a_not_b"),
+        expr("CAST((n_inter * 4503599627370496) DIV theta AS BIGINT)")
+          .as("est_inter"),
+        expr("CAST(((k_u - 1) * 4503599627370496) DIV theta AS BIGINT)")
+          .as("est_union"),
+        expr("CAST((n_a_not_b * 4503599627370496) DIV theta AS BIGINT)")
+          .as("est_a_not_b"),
+        col("exact_inter"), col("exact_union"), col("exact_a_not_b"))
   }
 }

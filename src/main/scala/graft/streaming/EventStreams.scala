@@ -381,6 +381,131 @@ object EventStreams {
     spark.table(queryName)
     }
 
+  /** Bloom filter ON THE STREAM — the membership sketch's streaming
+    * twin: every arriving event's k bit positions are computed
+    * ROW-LOCALLY ([[graft.pipeline.Sketches.bloomCells]]) and ONE
+    * streaming `dropDuplicates("pos")` holds the live bit SET as its
+    * state — bounded at m rows FOREVER regardless of stream length
+    * (exact streaming membership state grows with key cardinality).
+    * Append mode: a position row is emitted exactly when its bit first
+    * flips on, so the drained sink IS the bit set, bit-for-bit equal to
+    * the batch [[graft.pipeline.Sketches.bloomBits]] over the same rows
+    * (set union is order-insensitive) — the batch oracle gates the
+    * streamed run. `m` must be fixed BEFORE the stream starts: size it
+    * from expected cardinality ([[graft.pipeline.Sketches.bloomSize]]);
+    * a growing stream saturates any fixed filter, so production rotates
+    * filters per window/shard and ORs them (union = plain UNION here).
+    */
+  def streamingBloomBits(spark: SparkSession, eventsDir: String,
+      glob: String = "events.parquet", keyCol: String = "user_id",
+      m: Long = 4096L, k: Int = 5,
+      queryName: String = "q_stream_bloom"): DataFrame =
+    withStreamParts(spark, eventsDir, glob) { spark =>
+    val raw = eventsRawStream(spark, eventsDir, glob)
+    val query = graft.pipeline.Sketches.bloomCells(raw, keyCol, m, k)
+      .dropDuplicates("pos")
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    // materialize OUT of the memory sink: the probe joins the bit set
+    // twice (probe-positions left-join + presence join) and MemoryPlan
+    // views fail Catalyst's conflicting-reference dedup under self-join
+    spark.table(queryName).localCheckpoint()
+    }
+
+  /** Cohort retention ON THE STREAM: the retention matrix's sufficient
+    * state is just the distinct (user, day) activity set — a row-local
+    * projection per arriving event + ONE streaming
+    * `dropDuplicates(user_id, day)` in append mode (a row emits exactly
+    * when a user's first event of a day arrives). The drained sink
+    * feeds the SAME cohort/cells assembly as the batch operator
+    * ([[graft.operators.Olap.retention]] semantics), and set-ness is
+    * order-insensitive, so the result equals the batch matrix exactly
+    * and the batch oracle gates the streamed run. State is bounded by
+    * |users|·|observed days| — the matrix's own input size; on a
+    * truly unbounded stream you watermark `day` and age cohorts out.
+    */
+  def streamingRetention(spark: SparkSession, eventsDir: String,
+      glob: String = "events.parquet", eventType: String = "purchase",
+      epochDay: String = "2024-01-01",
+      queryName: String = "q_stream_retention"): DataFrame =
+    withStreamParts(spark, eventsDir, glob) { spark =>
+    val raw = eventsRawStream(spark, eventsDir, glob)
+    val query = raw.filter(col("event_type") === eventType)
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit(epochDay).cast("date"))
+          .cast(LongType).as("day"))
+      .dropDuplicates("user_id", "day")
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    // localCheckpoint: the cohort assembly self-joins the activity set
+    // (cohort min + cells + sizes), which a MemoryPlan view can't serve
+    val act = spark.table(queryName).localCheckpoint()
+    val cohort = act.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    val sizes = cohort.groupBy("cohort_day")
+      .agg(count(lit(1)).cast(LongType).as("cohort_size"))
+    val cells = act.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset_days"))
+      .agg(count(lit(1)).cast(LongType).as("n_active"))
+    cells.join(sizes, Seq("cohort_day"))
+      .select(col("cohort_day"), col("offset_days"), col("cohort_size"),
+        col("n_active"),
+        expr("CAST((1000 * n_active) DIV cohort_size AS BIGINT)").as("permille"))
+      .orderBy("cohort_day", "offset_days")
+    }
+
+  /** Integer-3σ anomaly counts ON THE STREAM: the detector's sufficient
+    * statistics (n, Σx, Σx² in exact DECIMAL) accumulate as ONE
+    * complete-mode streaming aggregation — one state row per group
+    * FOREVER, and decimal sums are exact and order-insensitive, so the
+    * drained stats equal the batch pass bit-for-bit. The flagging scan
+    * then runs batch-side against the stored events with the drained
+    * stats broadcast — the lambda-architecture shape: cheap always-on
+    * stats on the stream, point-in-time flagging on demand — and the
+    * batch q_anomaly oracle gates the whole thing.
+    */
+  def streamingAnomaly(spark: SparkSession, eventsDir: String,
+      glob: String = "events.parquet",
+      queryName: String = "q_stream_anomaly"): DataFrame =
+    withStreamParts(spark, eventsDir, glob) { spark =>
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val raw = eventsRawStream(spark, eventsDir, glob)
+    val query = raw
+      .select(col("event_type"),
+        round(col("value") * lit(1000)).cast(LongType).as("vm"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        sum(col("vm").cast(d38)).cast(d38).as("s1"),
+        sum((col("vm").cast(d38) * col("vm").cast(d38)).cast(d38)).cast(d38)
+          .as("s2"))
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    val st = spark.table(queryName).localCheckpoint()
+    val ev = graft.graph.GraphLoader.table(spark, eventsDir, "events")
+    val v = ev.select(col("event_type"), col("event_id"),
+      round(col("value") * lit(1000)).cast(LongType).as("vm"))
+    val lhs = (col("n").cast(d38) * col("vm").cast(d38) - col("s1")).cast(d38)
+    val rhs = (col("n").cast(d38) * col("s2") - col("s1") * col("s1")).cast(d38)
+    v.join(broadcast(st), Seq("event_type"))
+      .withColumn("is_out",
+        when((lhs * lhs).cast(d38) > (lit(9).cast(d38) * rhs).cast(d38), 1L)
+          .otherwise(0L))
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n"),
+        sum(col("is_out")).cast(LongType).as("n_outliers"),
+        min(when(col("is_out") === 1L, col("event_id"))).cast(LongType)
+          .as("first_outlier_id"))
+      .orderBy("event_type")
+    }
+
   /** Quantile sketch ON THE STREAM — [[streamingHll]]'s sibling for the
     * 4th sketch: the row-local log2-bucket projection
     * ([[graft.pipeline.Sketches.qhistCells]]) runs per arriving event

@@ -236,4 +236,39 @@ class AlgosSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.sum("tri_cnt")).collect()(0).getLong(0)
     assert(perNode == 3L * total, s"per-node sum $perNode vs 3x$total")
   }
+
+  test("nodeSimilarity: exact jaccard on known feature sets") {
+    import spark.implicits._
+    // A={1,2,3}, B={2,3,4}, C={1,2,3}, D={9}
+    val rel = Seq(
+      ("A", 1L), ("A", 2L), ("A", 3L),
+      ("B", 2L), ("B", 3L), ("B", 4L),
+      ("C", 1L), ("C", 2L), ("C", 3L),
+      ("D", 9L)).toDF("n", "f")
+    val got = Algos.nodeSimilarity(rel, "n", "f", topK = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(5)))).toMap
+    assert(got(("A", "C")) == ((3L, 1.0)))          // identical sets
+    assert(got(("A", "B")) == ((2L, 0.5)))          // 2 shared of 4
+    assert(got(("B", "C")) == ((2L, 0.5)))
+    assert(!got.contains(("A", "D")))               // nothing shared
+    assert(got.size == 3)
+  }
+
+  test("nodeSimilarity: occCap drops hub features; sampleN bounds nodes") {
+    import spark.implicits._
+    // feature 100 is a hub touching everyone; cap 2 must drop it
+    val rel = (1 to 6).map(i => (s"n$i", 100L)) ++
+      Seq(("n1", 1L), ("n2", 1L))
+    val got = Algos.nodeSimilarity(rel.toDF("n", "f"), "n", "f",
+      topK = 10, occCap = 2).collect()
+    assert(got.length == 1) // only the (n1,n2) pair via feature 1
+    assert(got(0).getString(0) == "n1" && got(0).getString(1) == "n2")
+    assert(got(0).getLong(2) == 1L && got(0).getDouble(5) == 1.0)
+    // sample of 2 nodes leaves at most one pair
+    val s2 = Algos.nodeSimilarity(rel.toDF("n", "f"), "n", "f",
+      topK = 10, sampleN = 2).collect()
+    assert(s2.length <= 1)
+  }
 }

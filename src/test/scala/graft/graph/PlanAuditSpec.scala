@@ -256,4 +256,49 @@ class PlanAuditSpec extends SparkSpec {
     val js = joinKinds(SparkEntry.queries("q_qsketch")(spark, sfDir))
     assert(!js.contains("cartesian"), s"$js")
   }
+
+  test("q_cube: ONE hash aggregate expands the rollup — no re-scan per level") {
+    val df = SparkEntry.queries("q_cube")(spark, sfDir)
+    val plan = df.queryExecution.sparkPlan
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.length == 1, s"rollup must scan lineitem once, got ${scans.length}")
+    assert(joinKinds(df).isEmpty, "rollup needs no joins")
+  }
+
+  test("q_pivot: one aggregate, no distinct-values pre-job (pinned value list)") {
+    val df = SparkEntry.queries("q_pivot")(spark, sfDir)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.length == 1, s"pivot must scan orders once, got ${scans.length}")
+  }
+
+  test("q_anomaly: the one-row-per-group stats frame broadcasts into the flag scan") {
+    val js = joinKinds(SparkEntry.queries("q_anomaly")(spark, sfDir))
+    assert(js.count(_ == "bhj") >= 1, s"stats join must broadcast: $js")
+    assert(!js.exists(Set("smj", "cartesian")), s"$js")
+  }
+
+  test("q_nodesim: posting self-join and degree joins are equi; top-k is TakeOrdered") {
+    val df = SparkEntry.queries("q_nodesim")(spark, sfDir)
+    val js = joinKinds(df)
+    assert(!js.exists(Set("bnlj", "cartesian")),
+      s"pair generation degraded to non-equi: $js")
+    val top = df.queryExecution.sparkPlan.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    assert(top.nonEmpty, "top-20 must compile to TakeOrderedAndProject")
+  }
+
+  test("q_kmv: sketch set-algebra never cartesians beyond one-row broadcasts") {
+    val js = joinKinds(SparkEntry.queries("q_kmv")(spark, sfDir))
+    assert(!js.contains("cartesian"), s"$js")
+  }
+
+  test("q_retention: two keyed aggregations, equi-joins only") {
+    val js = joinKinds(SparkEntry.queries("q_retention")(spark, sfDir))
+    assert(js.nonEmpty && !js.exists(Set("bnlj", "cartesian")), s"$js")
+  }
 }

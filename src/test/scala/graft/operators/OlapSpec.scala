@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** q_retention / q_cube / q_pivot / q_interarrival / q_anomaly:
+  * invariants of the relational OLAP surface plus cross-checks against
+  * independently computed answers on synthetic frames.
+  */
+class OlapSpec extends SparkSpec {
+
+  private lazy val events =
+    graft.graph.GraphLoader.eventsTable(spark, sfDir)
+
+  test("retention: offset-0 cell is the full cohort, permille ≤ 1000") {
+    val r = Olap.retention(events, "purchase").collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val size = row.getAs[Long]("cohort_size")
+      val act = row.getAs[Long]("n_active")
+      val pm = row.getAs[Long]("permille")
+      assert(act >= 1 && act <= size)
+      assert(pm == 1000L * act / size)
+      if (row.getAs[Long]("offset_days") == 0L)
+        assert(act == size, "every cohort member is active on day 0")
+    }
+    // cohorts partition the users: sizes sum to distinct purchasers
+    val users = events.filter(col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    val sizes = r.filter(_.getAs[Long]("offset_days") == 0L)
+      .map(_.getAs[Long]("cohort_size")).sum
+    assert(sizes == users)
+  }
+
+  test("retention is partitioning-invariant") {
+    val a = Olap.retention(events.repartition(2), "purchase").collect()
+    val b = Olap.retention(events.repartition(11), "purchase").collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
+  test("rollup: grand total row aggregates the whole table") {
+    val li = graft.graph.GraphLoader.table(spark, sfDir, "lineitem")
+    val r = Olap.rollupSummary(li).collect()
+    val total = r.filter(_.getAs[Long]("gid") == 3L)
+    assert(total.length == 1)
+    assert(total.head.getAs[Long]("n_rows") == li.count())
+    // level sums agree: Σ cells == Σ subtotals == grand total
+    def sumAt(gid: Long) = r.filter(_.getAs[Long]("gid") == gid)
+      .map(_.getAs[Long]("sum_price_cents")).sum
+    assert(sumAt(0) == sumAt(1) && sumAt(1) == sumAt(3))
+  }
+
+  test("pivot: per-row priority counts sum to total, totals sum to table") {
+    val orders = graft.graph.GraphLoader.table(spark, sfDir, "orders")
+    val r = Olap.pivotCounts(orders).collect()
+    val names = Seq("p_urgent", "p_high", "p_medium", "p_notspec", "p_low")
+    r.foreach { row =>
+      assert(names.map(row.getAs[Long](_)).sum == row.getAs[Long]("total"))
+    }
+    assert(r.map(_.getAs[Long]("total")).sum == orders.count())
+  }
+
+  test("interarrival: deltas positive, n = events - sequences") {
+    val r = Olap.interArrival(events).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("min_us") >= 0L)
+      assert(row.getAs[Long]("min_us") <= row.getAs[Long]("max_us"))
+      val med = row.getAs[Double]("median_us")
+      assert(med >= row.getAs[Long]("min_us") && med <= row.getAs[Long]("max_us"))
+    }
+    val nTotal = r.map(_.getAs[Long]("n")).sum
+    val nEvents = events.count()
+    val nSeqs = events.select("user_id", "event_type").distinct().count()
+    assert(nTotal == nEvents - nSeqs, "one delta per event after the first of each sequence")
+  }
+
+  test("anomaly: integer test agrees with the float 3σ definition") {
+    import spark.implicits._
+    // one group: 100 values at 10.0 + two spikes — spikes are > 3σ out
+    val vals = Seq.fill(100)(10.0) ++ Seq(500.0, -400.0)
+    val df = vals.zipWithIndex
+      .map { case (v, i) => (i.toLong, "g", v) }
+      .toDF("event_id", "event_type", "value")
+    val r = Olap.anomaly(df).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_outliers") == 2L)
+    assert(r.head.getAs[Long]("first_outlier_id") == 100L)
+    // and the no-outlier case
+    val flat = (1 to 50).map(i => (i.toLong, "g", 10.0 + (i % 3) * 0.001))
+      .toDF("event_id", "event_type", "value")
+    val r2 = Olap.anomaly(flat).collect()
+    assert(r2.head.getAs[Long]("n_outliers") == 0L)
+  }
+
+  test("anomaly is partitioning-invariant (exact decimal sums)") {
+    val a = Olap.anomaly(events.repartition(3)).collect()
+    val b = Olap.anomaly(events.repartition(17)).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
+  test("movingAggregates: trailing 3-row frame on a known sequence") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val df = Seq(
+      (1L, 1L, Timestamp.valueOf("2024-01-01 00:00:01"), 1.0),
+      (1L, 2L, Timestamp.valueOf("2024-01-01 00:00:02"), 2.0),
+      (1L, 3L, Timestamp.valueOf("2024-01-01 00:00:03"), 3.0),
+      (1L, 4L, Timestamp.valueOf("2024-01-01 00:00:04"), 4.0),
+      (2L, 5L, Timestamp.valueOf("2024-01-01 00:00:05"), 10.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val got = Olap.movingAggregates(df).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Long]("mov_sum3"), r.getAs[Long]("mov_n"),
+          r.getAs[Long]("mov_avg_milli")))).toMap
+    assert(got(1L) == ((1000L, 1L, 1000000L)))
+    assert(got(2L) == ((3000L, 2L, 1500000L)))
+    assert(got(3L) == ((6000L, 3L, 2000000L)))
+    assert(got(4L) == ((9000L, 3L, 3000000L)))  // window slid past 1
+    assert(got(5L) == ((10000L, 1L, 10000000L))) // separate user
+  }
+}

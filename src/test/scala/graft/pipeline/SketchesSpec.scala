@@ -159,4 +159,53 @@ class SketchesSpec extends SparkSpec {
     val b = Sketches.qsketchSummary(mk(13), "v", "g").collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("kmv: ≤ k rows per set, shard-mergeable by union-then-re-min") {
+    import spark.implicits._
+    val df = (1 to 5000).map(i => (i.toLong, s"s${i % 2}")).toDF("k", "s")
+    val mins = Sketches.kmvMins(df, "k", "s", k = 64)
+    val byS = mins.collect().groupBy(_.getString(0))
+    assert(byS.size == 2 && byS.forall(_._2.length == 64))
+    // merge property: the k smallest of (shard1 k-mins ∪ shard2 k-mins)
+    // equal the whole-set k-mins — every global k-min survives sharding
+    val sh1 = df.filter(col("k") % 3 === 0)
+    val sh2 = df.filter(col("k") % 3 =!= 0)
+    val shardMins = Sketches.kmvMins(sh1, "k", "s", 64)
+      .unionByName(Sketches.kmvMins(sh2, "k", "s", 64))
+    import org.apache.spark.sql.expressions.Window
+    val remin = shardMins
+      .withColumn("rk", row_number().over(Window.partitionBy("s").orderBy("h")))
+      .filter(col("rk") <= 64).select("s", "h")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val directSet = Sketches.kmvMins(df, "k", "s", 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(remin == directSet)
+  }
+
+  test("kmv intersection: estimates within 3/sqrt(k) of exact") {
+    import spark.implicits._
+    // sets share exactly half their members: A = 1..2000, B = 1001..3000
+    val df = ((1 to 2000).map(i => (i.toLong, "a")) ++
+      (1001 to 3000).map(i => (i.toLong, "b"))).toDF("k", "s")
+    val r = Sketches.kmvIntersectSummary(df, "k", "s", "a", "b", k = 64)
+      .collect()(0)
+    assert(r.getAs[Long]("exact_inter") == 1000L)
+    assert(r.getAs[Long]("exact_union") == 3000L)
+    assert(r.getAs[Long]("exact_a_not_b") == 1000L)
+    val tol = 3.0 / math.sqrt(64.0) // ~0.375 relative
+    val estU = r.getAs[Long]("est_union").toDouble
+    val estI = r.getAs[Long]("est_inter").toDouble
+    assert(math.abs(estU - 3000) <= tol * 3000, s"union est $estU")
+    assert(math.abs(estI - 1000) <= tol * 1000 + 200, s"inter est $estI")
+    assert(r.getAs[Long]("n_inter") <= 64L)
+  }
+
+  test("kmv summary is partitioning-invariant") {
+    import spark.implicits._
+    def mk(parts: Int) = ((1 to 500).map(i => (i.toLong, "a")) ++
+      (250 to 800).map(i => (i.toLong, "b"))).toDF("k", "s").repartition(parts)
+    val a = Sketches.kmvIntersectSummary(mk(2), "k", "s", "a", "b").collect()
+    val b = Sketches.kmvIntersectSummary(mk(13), "k", "s", "a", "b").collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
 }

@@ -312,4 +312,35 @@ class StreamingSpec extends SparkSpec {
         r.getAs[Long]("rank"))).toSeq == Seq((2L, 3L, 1L), (1L, 2L, 2L)))
     } finally query.stop()
   }
+
+  test("streaming retention equals the batch cohort matrix") {
+    val streamed = EventStreams.streamingRetention(spark, sfDir,
+      queryName = "tt_retention").collect().map(_.toSeq).toSeq
+    val batch = graft.operators.Olap.retention(
+      graft.graph.GraphLoader.eventsTable(spark, sfDir), "purchase")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("streaming anomaly stats equal the batch pass (exact decimal sums)") {
+    val streamed = EventStreams.streamingAnomaly(spark, sfDir,
+      queryName = "tt_anomaly").collect().map(_.toSeq).toSeq
+    val batch = graft.operators.Olap.anomaly(
+      graft.graph.GraphLoader.eventsTable(spark, sfDir))
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("streaming Bloom bit set equals the batch filter bit-for-bit") {
+    val m = 4096L
+    val streamed = EventStreams.streamingBloomBits(spark, sfDir, m = m,
+      queryName = "tt_bloom")
+      .collect().map(_.getLong(0)).toSet
+    val batch = graft.pipeline.Sketches.bloomBits(
+      graft.graph.GraphLoader.table(spark, sfDir, "events"), "user_id", m)
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+    // state boundedness: the bit set never exceeds m rows
+    assert(streamed.size <= m)
+  }
 }
