@@ -1340,6 +1340,44 @@ object SparkEntry {
         GraphLoader.eventsTable(lenient(s), dir),
         "user_id", "event_type", "click", "purchase")),
 
+    // 2D skyline (Pareto frontier): cheapest-price / highest-quantity
+    // line items — per-price max aggregation + ONE running-max window
+    // over the aggregated frame (never a quadratic dominance self-join)
+    "q_skyline" -> ((s, dir) =>
+      operators.Olap.skyline(GraphLoader.table(lenient(s), dir, "lineitem"))),
+
+    // NTILE decile bands of doc length per language — deterministic
+    // (value, id) order, per-band integer count/min/max
+    "q_ntile" -> ((s, dir) =>
+      operators.Olap.decileBands(docs(s, dir))),
+
+    // resource-allocation link prediction over the RELATED_TO co-order
+    // graph: wedge enumeration + 6dp-rounded 1/deg terms summed as
+    // exact DECIMAL (order-independent), top-50 pairs
+    "q_ra" -> ((s, dir) =>
+      algos.Algos.resourceAllocation(relatedTo(s, dir))),
+
+    // CMS on the stream: row-local d-cell projection + ONE complete-
+    // mode count holds the live d×w counter table; counts are order-
+    // insensitive so the drained state equals the batch sketch and the
+    // q_cms-shaped oracle gates it (same probes, same exact join)
+    "q_stream_cms" -> ((s, dir) => {
+      val ss = lenient(s)
+      import ss.implicits._
+      val cms = streaming.EventStreams.streamingCms(ss, dir)
+      val ev = GraphLoader.table(ss, dir, "events")
+      val probes = ((1L to 20L) ++ (9991L to 9995L)).toDF("user_id")
+      val est = pipeline.Sketches.cmsEstimate(cms, probes, "user_id")
+      val exact = ev.groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("exact"))
+      est.join(exact, Seq("user_id"), "left")
+        .select(col("user_id"), col("est"),
+          coalesce(col("exact"), lit(0L)).as("exact"),
+          (col("est") >= coalesce(col("exact"), lit(0L)))
+            .cast("long").as("over_ok"))
+        .orderBy("user_id")
+    }),
+
     // trailing 3-row moving sum/avg per user sequence — the ROWS-frame
     // window surface; integer milli-units, avg as integer division
     "q_moving" -> ((s, dir) =>
@@ -2296,6 +2334,77 @@ object SparkEntry {
            CAST(sum(is_out) AS BIGINT) AS n_outliers,
            CAST(min(CASE WHEN is_out = 1 THEN event_id END) AS BIGINT) AS first_outlier_id
          FROM fl GROUP BY 1 ORDER BY 1""",
+    // skyline replay: dominance NOT-EXISTS over distinct points — an
+    // ALGORITHM-INDEPENDENT definition (the Spark side is sort+cummax);
+    // equality of the two formulations is the correctness claim
+    "q_skyline" ->
+      """WITH pts AS (
+           SELECT DISTINCT CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+                           CAST(l_quantity AS BIGINT) AS qty
+           FROM lineitem)
+         SELECT p.price_cents, p.qty FROM pts p
+         WHERE NOT EXISTS (
+           SELECT 1 FROM pts o
+           WHERE o.price_cents <= p.price_cents AND o.qty >= p.qty
+             AND (o.price_cents < p.price_cents OR o.qty > p.qty))
+         ORDER BY price_cents""",
+    // ntile replay: identical deterministic (value, id) order
+    "q_ntile" ->
+      """WITH t AS (
+           SELECT lang, n_chars,
+             ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS decile
+           FROM documents)
+         SELECT lang, CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+         FROM t GROUP BY 1, 2 ORDER BY 1, 2""",
+    // resource-allocation replay: same wedge enumeration, same
+    // 6dp-rounded 1/deg terms summed as exact DECIMAL (the q_harmonic
+    // order-independence trick), same (ra, a, b) top-50
+    "q_ra" ->
+      """WITH related AS (
+           SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         und AS (SELECT p1 AS z, p2 AS nbr FROM related UNION ALL SELECT p2, p1 FROM related),
+         deg AS (SELECT z, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+         terms AS (
+           SELECT u.nbr AS a, w.nbr AS b,
+             CAST(round(CAST(1.0 AS DOUBLE) / CAST(d.deg AS DOUBLE), 6) AS DECIMAL(18,6)) AS term
+           FROM und u JOIN und w ON w.z = u.z AND u.nbr < w.nbr
+           JOIN deg d ON d.z = u.z),
+         sc AS (
+           SELECT a, b, CAST(count(*) AS BIGINT) AS n_common,
+             CAST(sum(term) AS DECIMAL(18,6)) AS ra
+           FROM terms GROUP BY 1, 2)
+         SELECT a AS part_a, b AS part_b, n_common, CAST(ra AS DOUBLE) AS ra
+         FROM sc ORDER BY ra DESC, part_a, part_b LIMIT 50""",
+    // streaming CMS replay: drained complete-mode counts equal the
+    // batch sketch, so the q_cms oracle applies verbatim
+    "q_stream_cms" ->
+      """WITH cms AS (
+           SELECT i.r,
+             CAST(('0x' || substring(md5('cms' || CAST(i.r AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)), 1, 15)) AS BIGINT) & 255 AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM events e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) i
+           GROUP BY 1, 2),
+         probes AS (
+           SELECT unnest([1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,16,17,18,19,20,
+                          9991,9992,9993,9994,9995]) AS user_id),
+         pcells AS (
+           SELECT p.user_id, i.r,
+             CAST(('0x' || substring(md5('cms' || CAST(i.r AS VARCHAR) || ':' || CAST(p.user_id AS VARCHAR)), 1, 15)) AS BIGINT) & 255 AS bucket
+           FROM probes p CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) i),
+         est AS (
+           SELECT pc.user_id, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est
+           FROM pcells pc LEFT JOIN cms c ON c.r = pc.r AND c.bucket = pc.bucket
+           GROUP BY pc.user_id),
+         exact AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS exact FROM events GROUP BY user_id)
+         SELECT e.user_id, e.est, CAST(coalesce(x.exact, 0) AS BIGINT) AS exact,
+           CAST(CASE WHEN e.est >= coalesce(x.exact, 0) THEN 1 ELSE 0 END AS BIGINT) AS over_ok
+         FROM est e LEFT JOIN exact x USING (user_id) ORDER BY user_id""",
     // moving-window replay: identical ROWS frame; positive operands so
     // DuckDB's floor-div and Spark's DIV agree
     "q_moving" ->

@@ -964,6 +964,41 @@ object Algos {
     eFinal.groupBy(col("u").as("id")).agg(count(lit(1)).as("core_degree"))
   }
 
+  /** Resource-allocation link prediction (Zhou, Lü & Zhang 2009): for
+    * node pairs sharing neighbors, RA(a,b) = Σ_{z ∈ Γa∩Γb} 1/deg(z) —
+    * the measure that beats common-neighbors by discounting hub
+    * intermediaries, and the rational-only member of the family
+    * (Adamic–Adar's 1/log(deg) is a transcendental the hashed surface
+    * bans, SURVEY §2.6). Same wedge enumeration as
+    * [[clusteringCoefficient]] — two joins on the center z, bounded by
+    * Σdeg² — with each 1/deg term rounded 6dp and summed as exact
+    * DECIMAL so the score is aggregation-order independent (the
+    * q_harmonic trick). Top-K by (score, a, b) — TakeOrdered.
+    */
+  def resourceAllocation(edges: DataFrame, topK: Int = 50,
+      src: String = "_src", dst: String = "_dst"): DataFrame = {
+    val fwd = edges.select(col(src).as("p1"), col(dst).as("p2"))
+      .filter(col(src) =!= col(dst)).distinct()
+    val und = fwd.select(col("p1").as("z"), col("p2").as("nbr"))
+      .unionByName(fwd.select(col("p2").as("z"), col("p1").as("nbr")))
+    val deg = und.groupBy("z").agg(count(lit(1)).cast(LongType).as("deg"))
+    val dec = DecimalType(18, 6)
+    val terms = und.join(
+        und.select(col("z"), col("nbr").as("nbr2")),
+        Seq("z"))
+      .filter(col("nbr") < col("nbr2"))
+      .join(deg, Seq("z"))
+      .select(col("nbr").as("a"), col("nbr2").as("b"),
+        round(lit(1.0) / col("deg").cast(DoubleType), 6).cast(dec).as("term"))
+    terms.groupBy("a", "b")
+      .agg(count(lit(1)).cast(LongType).as("n_common"),
+        sum(col("term")).cast(dec).as("ra_dec"))
+      .select(col("a").as("part_a"), col("b").as("part_b"),
+        col("n_common"), col("ra_dec").cast(DoubleType).as("ra"))
+      .orderBy(desc("ra"), asc("part_a"), asc("part_b"))
+      .limit(topK)
+  }
+
   /** Jaccard node similarity over a bipartite (node, feature) relation —
     * the link-prediction primitive (Neo4j GDS nodeSimilarity's measure):
     * sim(a,b) = |Γa ∩ Γb| / |Γa ∪ Γb| with Γ the feature set, top-K

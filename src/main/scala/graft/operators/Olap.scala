@@ -129,6 +129,50 @@ object Olap {
       .orderBy("event_type")
   }
 
+  /** 2D skyline (Pareto frontier; Börzsönyi et al. 2001): the points
+    * not dominated on (minimize x, maximize y) — here cheapest-price /
+    * highest-quantity line items. Spark-first shape: dominance in 2D
+    * collapses to a sort + running max, NOT the quadratic NOT-EXISTS
+    * self-join — first reduce to max(y) per distinct x (one hash
+    * aggregation, the only data-sized pass), then one running-max
+    * window over the AGGREGATED frame keeps x whose y beats every
+    * cheaper x. The window's global order runs over |distinct x| rows,
+    * not corpus rows; at extreme x-cardinality, pre-filter with
+    * per-partition local skylines (dominated points stay dominated).
+    * All-integer surface (cents, quantity).
+    */
+  def skyline(lineitem: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("price_cents")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    lineitem
+      .select(round(col("l_extendedprice") * lit(100)).cast(LongType)
+          .as("price_cents"),
+        col("l_quantity").cast(LongType).as("qty"))
+      .groupBy("price_cents").agg(max(col("qty")).as("qty"))
+      .withColumn("prevmax", max(col("qty")).over(w))
+      .filter(col("prevmax").isNull || col("qty") > col("prevmax"))
+      .select(col("price_cents"), col("qty"))
+      .orderBy("price_cents")
+  }
+
+  /** Per-group decile bands — the NTILE ranking surface: documents cut
+    * into 10 equal-count bands per language with a fully deterministic
+    * order (value, id), then per-band count/min/max. One hash exchange
+    * on the group key; each group sorts locally. Integer surface.
+    */
+  def decileBands(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("n_chars", "doc_id")
+    docs.select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("decile", ntile(10).over(w).cast(LongType))
+      .groupBy("lang", "decile")
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        min(col("n_chars")).cast(LongType).as("min_chars"),
+        max(col("n_chars")).cast(LongType).as("max_chars"))
+      .orderBy("lang", "decile")
+  }
+
   /** Trailing moving aggregates per user sequence — the ROWS-frame
     * window surface (every other window here is an unbounded or lag
     * frame): 3-row trailing sum/count over each user's event sequence

@@ -112,6 +112,18 @@ object Sketches {
     * Point estimate = min over the d cells — never an underestimate.
     */
   def cmsSketch(df: DataFrame, keyCol: String, d: Int = 4,
+      w: Int = 256): DataFrame =
+    cmsCells(df, keyCol, d, w)
+      .groupBy("r", "bucket")
+      .agg(count(lit(1)).cast(LongType).as("cnt"))
+
+  /** Row-local CMS cell projection — d (r, bucket) rows per key, BEFORE
+    * the count aggregation. The streaming twin runs this per arriving
+    * row and lets one complete-mode count hold the live counter table
+    * ([[graft.streaming.EventStreams.streamingCms]]); the batch
+    * [[cmsSketch]] is this + a batch count.
+    */
+  def cmsCells(df: DataFrame, keyCol: String, d: Int = 4,
       w: Int = 256): DataFrame = {
     require(d >= 1 && d <= 16 && (w & (w - 1)) == 0, s"d in [1,16], w a power of 2")
     val cells = array((0 until d).map { r =>
@@ -119,8 +131,6 @@ object Sketches {
         .bitwiseAND(lit((w - 1).toLong))
     }: _*)
     df.select(posexplode(cells).as(Seq("r", "bucket")))
-      .groupBy("r", "bucket")
-      .agg(count(lit(1)).cast(LongType).as("cnt"))
   }
 
   /** Point-frequency estimates for a probe-key frame: min over the d

@@ -415,6 +415,34 @@ object EventStreams {
     spark.table(queryName).localCheckpoint()
     }
 
+  /** Count-min sketch ON THE STREAM — the frequency sketch's streaming
+    * twin, completing the set (HLL, quantile, Bloom, CMS each have
+    * one): the row-local d-cell projection
+    * ([[graft.pipeline.Sketches.cmsCells]]) runs per arriving event
+    * and ONE complete-mode count holds the live d×w counter table as
+    * its state — bounded FOREVER; counts are order-insensitive, so the
+    * drained table equals the batch sketch cell-for-cell and the batch
+    * q_cms oracle gates the streamed run. Returns (r, bucket, cnt).
+    */
+  def streamingCms(spark: SparkSession, eventsDir: String,
+      glob: String = "events.parquet", keyCol: String = "user_id",
+      d: Int = 4, w: Int = 256,
+      queryName: String = "q_stream_cms"): DataFrame =
+    withStreamParts(spark, eventsDir, glob) { spark =>
+    val raw = eventsRawStream(spark, eventsDir, glob)
+    val query = graft.pipeline.Sketches.cmsCells(raw, keyCol, d, w)
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).cast(LongType).as("cnt"))
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    // materialize OUT of the memory sink: the estimate probe left-joins
+    // the counter table, which a MemoryPlan view can't serve reliably
+    spark.table(queryName).localCheckpoint()
+    }
+
   /** Cohort retention ON THE STREAM: the retention matrix's sufficient
     * state is just the distinct (user, day) activity set — a row-local
     * projection per arriving event + ONE streaming

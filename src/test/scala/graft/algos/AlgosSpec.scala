@@ -237,6 +237,22 @@ class AlgosSpec extends SparkSpec {
     assert(perNode == 3L * total, s"per-node sum $perNode vs 3x$total")
   }
 
+  test("resourceAllocation: RA discounts hub intermediaries") {
+    // star center 1 connects 2,3,4 (deg 3); leaf pair (5,6) share only
+    // the deg-2 node 7: RA(5,6)=1/2 beats RA(2,3)=1/3 through the hub
+    val e = edgesOf(1L -> 2L, 1L -> 3L, 1L -> 4L, 7L -> 5L, 7L -> 6L)
+    val got = Algos.resourceAllocation(e, topK = 10).collect()
+      .map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b")) ->
+        ((r.getAs[Long]("n_common"), r.getAs[Double]("ra")))).toMap
+    assert(got((5L, 6L)) == ((1L, 0.5)))
+    assert(got((2L, 3L)) == ((1L, 0.333333)))
+    assert(got((2L, 4L)) == ((1L, 0.333333)))
+    assert(got((3L, 4L)) == ((1L, 0.333333)))
+    // top-1 is the low-degree wedge
+    val top = Algos.resourceAllocation(e, topK = 1).collect()(0)
+    assert(top.getAs[Long]("part_a") == 5L && top.getAs[Long]("part_b") == 6L)
+  }
+
   test("nodeSimilarity: exact jaccard on known feature sets") {
     import spark.implicits._
     // A={1,2,3}, B={2,3,4}, C={1,2,3}, D={9}

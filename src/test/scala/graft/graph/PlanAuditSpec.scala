@@ -301,4 +301,23 @@ class PlanAuditSpec extends SparkSpec {
     val js = joinKinds(SparkEntry.queries("q_retention")(spark, sfDir))
     assert(js.nonEmpty && !js.exists(Set("bnlj", "cartesian")), s"$js")
   }
+
+  test("q_skyline: sort+cummax shape — one scan, ZERO joins (no NOT-EXISTS)") {
+    val df = SparkEntry.queries("q_skyline")(spark, sfDir)
+    assert(joinKinds(df).isEmpty, "skyline must not plan a dominance join")
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.length == 1)
+  }
+
+  test("q_ra: wedge enumeration is equi-joins only; top-k is TakeOrdered") {
+    val df = SparkEntry.queries("q_ra")(spark, sfDir)
+    val js = joinKinds(df)
+    assert(js.nonEmpty && !js.exists(Set("bnlj", "cartesian")), s"$js")
+    val top = df.queryExecution.sparkPlan.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    assert(top.nonEmpty, "top-50 must compile to TakeOrderedAndProject")
+  }
 }

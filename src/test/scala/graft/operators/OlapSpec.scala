@@ -99,6 +99,45 @@ class OlapSpec extends SparkSpec {
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
 
+  test("skyline: no returned point dominates another; none is dominated") {
+    val li = graft.graph.GraphLoader.table(spark, sfDir, "lineitem")
+    val sky = Olap.skyline(li).collect()
+      .map(r => (r.getAs[Long]("price_cents"), r.getAs[Long]("qty")))
+    assert(sky.nonEmpty)
+    // strictly increasing in BOTH dims along the price order — the 2D
+    // skyline signature (cheaper points must have strictly lower qty)
+    sky.sliding(2).foreach { case Array((p1, q1), (p2, q2)) =>
+      assert(p1 < p2 && q1 < q2, s"($p1,$q1) vs ($p2,$q2)")
+    case _ => ()
+    }
+    // and no input point dominates any skyline point
+    val pts = li.selectExpr(
+      "CAST(round(l_extendedprice * 100) AS BIGINT) AS p",
+      "CAST(l_quantity AS BIGINT) AS q").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    sky.foreach { case (p, q) =>
+      assert(!pts.exists { case (op, oq) =>
+        op <= p && oq >= q && (op < p || oq > q) }, s"($p,$q) is dominated")
+    }
+  }
+
+  test("decileBands: 10 bands per group, sizes within 1, ranges ordered") {
+    val docs = graft.graph.GraphLoader.table(spark, sfDir, "documents")
+    val r = Olap.decileBands(docs).collect()
+    val byLang = r.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.length == 10, s"$lang has ${rows.length} bands")
+      val sizes = rows.map(_.getAs[Long]("n"))
+      assert(sizes.max - sizes.min <= 1, s"$lang sizes $sizes")
+      // band value ranges are non-overlapping in decile order
+      rows.sortBy(_.getAs[Long]("decile")).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("max_chars") <= b.getAs[Long]("min_chars"))
+        case _ => ()
+      }
+    }
+  }
+
   test("movingAggregates: trailing 3-row frame on a known sequence") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -313,6 +313,16 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming CMS counter table equals the batch sketch cell-for-cell") {
+    val streamed = EventStreams.streamingCms(spark, sfDir, queryName = "tt_cms")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = graft.pipeline.Sketches.cmsSketch(
+      graft.graph.GraphLoader.table(spark, sfDir, "events"), "user_id")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed.nonEmpty && streamed == batch)
+    assert(streamed.size <= 4 * 256)
+  }
+
   test("streaming retention equals the batch cohort matrix") {
     val streamed = EventStreams.streamingRetention(spark, sfDir,
       queryName = "tt_retention").collect().map(_.toSeq).toSeq
