@@ -1340,6 +1340,17 @@ object SparkEntry {
         GraphLoader.eventsTable(lenient(s), dir),
         "user_id", "event_type", "click", "purchase")),
 
+    // k-truss membership (support >= 10, 5 synchronous rounds) over the
+    // RELATED_TO co-order graph — the edge-cohesion analog of q_kcore;
+    // the round-5 (u, v, support) surface is all-integer
+    "q_ktruss" -> ((s, dir) =>
+      algos.Algos.kTruss(relatedTo(s, dir), support = 10, rounds = 5)),
+
+    // piecewise aggregate approximation: per-user 8-day segments with
+    // integer mean — the time-series downsampling representation
+    "q_paa" -> ((s, dir) =>
+      operators.Olap.paa(GraphLoader.eventsTable(lenient(s), dir))),
+
     // 2D skyline (Pareto frontier): cheapest-price / highest-quantity
     // line items — per-price max aggregation + ONE running-max window
     // over the aggregated frame (never a quadratic dominance self-join)
@@ -2334,6 +2345,57 @@ object SparkEntry {
            CAST(sum(is_out) AS BIGINT) AS n_outliers,
            CAST(min(CASE WHEN is_out = 1 THEN event_id END) AS BIGINT) AS first_outlier_id
          FROM fl GROUP BY 1 ORDER BY 1""",
+    // k-truss replay: 5 materialized synchronous rounds, each one wedge
+    // join + support filter — identical pruning rule, identical final
+    // surface (the fixed-round twin of the Spark loop's early exit)
+    "q_ktruss" ->
+      """WITH related AS (
+           SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         e0 AS MATERIALIZED (SELECT p1 AS u, p2 AS v FROM related),
+         und1 AS MATERIALIZED (SELECT u AS z, v AS n FROM e0 UNION ALL SELECT v, u FROM e0),
+         sup1 AS MATERIALIZED (
+           SELECT e.u, e.v, CAST(count(*) AS BIGINT) AS sup
+           FROM e0 e JOIN und1 x ON x.z = e.u JOIN und1 y ON y.z = e.v AND y.n = x.n
+           GROUP BY e.u, e.v),
+         e1 AS MATERIALIZED (SELECT u, v FROM sup1 WHERE sup >= 10),
+         und2 AS MATERIALIZED (SELECT u AS z, v AS n FROM e1 UNION ALL SELECT v, u FROM e1),
+         sup2 AS MATERIALIZED (
+           SELECT e.u, e.v, CAST(count(*) AS BIGINT) AS sup
+           FROM e1 e JOIN und2 x ON x.z = e.u JOIN und2 y ON y.z = e.v AND y.n = x.n
+           GROUP BY e.u, e.v),
+         e2 AS MATERIALIZED (SELECT u, v FROM sup2 WHERE sup >= 10),
+         und3 AS MATERIALIZED (SELECT u AS z, v AS n FROM e2 UNION ALL SELECT v, u FROM e2),
+         sup3 AS MATERIALIZED (
+           SELECT e.u, e.v, CAST(count(*) AS BIGINT) AS sup
+           FROM e2 e JOIN und3 x ON x.z = e.u JOIN und3 y ON y.z = e.v AND y.n = x.n
+           GROUP BY e.u, e.v),
+         e3 AS MATERIALIZED (SELECT u, v FROM sup3 WHERE sup >= 10),
+         und4 AS MATERIALIZED (SELECT u AS z, v AS n FROM e3 UNION ALL SELECT v, u FROM e3),
+         sup4 AS MATERIALIZED (
+           SELECT e.u, e.v, CAST(count(*) AS BIGINT) AS sup
+           FROM e3 e JOIN und4 x ON x.z = e.u JOIN und4 y ON y.z = e.v AND y.n = x.n
+           GROUP BY e.u, e.v),
+         e4 AS MATERIALIZED (SELECT u, v FROM sup4 WHERE sup >= 10),
+         und5 AS MATERIALIZED (SELECT u AS z, v AS n FROM e4 UNION ALL SELECT v, u FROM e4),
+         sup5 AS MATERIALIZED (
+           SELECT e.u, e.v, CAST(count(*) AS BIGINT) AS sup
+           FROM e4 e JOIN und5 x ON x.z = e.u JOIN und5 y ON y.z = e.v AND y.n = x.n
+           GROUP BY e.u, e.v)
+         SELECT u AS part_u, v AS part_v, sup
+         FROM sup5 WHERE sup >= 10 ORDER BY part_u, part_v""",
+    // PAA replay: same integer day-bucket segments, integer mean
+    "q_paa" ->
+      """WITH v AS (
+           SELECT user_id,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) // 8 AS segment,
+             CAST(round(value * 1000) AS BIGINT) AS vm
+           FROM events)
+         SELECT user_id, segment, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(vm) AS BIGINT) AS sum_vm,
+           CAST(sum(vm) // count(*) AS BIGINT) AS paa_milli
+         FROM v GROUP BY 1, 2 ORDER BY 1, 2""",
     // skyline replay: dominance NOT-EXISTS over distinct points — an
     // ALGORITHM-INDEPENDENT definition (the Spark side is sort+cummax);
     // equality of the two formulations is the correctness claim

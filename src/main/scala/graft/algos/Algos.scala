@@ -964,6 +964,55 @@ object Algos {
     eFinal.groupBy(col("u").as("id")).agg(count(lit(1)).as("core_degree"))
   }
 
+  /** k-truss decomposition membership (Cohen 2008): fixed synchronous
+    * support-pruning rounds — drop every edge in fewer than `support`
+    * triangles, recount, repeat — the EDGE-cohesion analog of
+    * [[kCore]]'s vertex pruning, and the cheapest dense-subgraph
+    * certificate above triangles. Per round: one wedge join (the
+    * clustering-coefficient shape, Σdeg²-bounded, equi-keys only) and
+    * one filter; iteration frames are materialized so lineage stays
+    * O(1). Early exit at the fixed point is oracle-safe: a no-prune
+    * round recomputes identical supports, so the converged surface
+    * equals the fixed-round replay. Returns surviving (u, v, sup) with
+    * the final-round support — all integers.
+    */
+  def kTruss(edges: DataFrame, support: Int, rounds: Int = 5,
+      src: String = "_src", dst: String = "_dst"): DataFrame = {
+    val e00 = materialize(
+      edges.select(col(src).as("u"), col(dst).as("v"))
+        .filter(col(src) =!= col(dst)).distinct())
+    var edgeCount = e00.count()
+    val supFinal = withLoopParts(edges.sparkSession, edgeCount) { sc =>
+    var e = sc.in(e00)
+    var lastMat = e
+    var out: DataFrame = null
+    var i = 1
+    var converged = false
+    while (i <= rounds && !converged) {
+      val und = e.select(col("u").as("z"), col("v").as("n"))
+        .unionByName(e.select(col("v").as("z"), col("u").as("n")))
+      val sup = e
+        .join(und.select(col("z").as("u"), col("n").as("w1")), Seq("u"))
+        .join(und.select(col("z").as("v"), col("n").as("w2")), Seq("v"))
+        .filter(col("w1") === col("w2"))
+        .groupBy("u", "v")
+        .agg(count(lit(1)).cast(LongType).as("sup"))
+        .filter(col("sup") >= support)
+      out = materialize(sup)
+      e = out.select("u", "v")
+      release(lastMat)
+      lastMat = out
+      val n = e.count()
+      converged = n == edgeCount
+      edgeCount = n
+      i += 1
+    }
+    sc.out(out)
+    }
+    supFinal.select(col("u").as("part_u"), col("v").as("part_v"), col("sup"))
+      .orderBy("part_u", "part_v")
+  }
+
   /** Resource-allocation link prediction (Zhou, Lü & Zhang 2009): for
     * node pairs sharing neighbors, RA(a,b) = Σ_{z ∈ Γa∩Γb} 1/deg(z) —
     * the measure that beats common-neighbors by discounting hub

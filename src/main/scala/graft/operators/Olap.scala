@@ -129,6 +129,26 @@ object Olap {
       .orderBy("event_type")
   }
 
+  /** Piecewise aggregate approximation (Keogh & Pazzani 2001) — the
+    * time-series downsampling primitive: each user's 30-day value
+    * series reduced to fixed 8-day segments with integer mean
+    * (`sum DIV n`). ONE hash aggregation on (user, segment) — the
+    * representation you compute once at corpus scale so similarity
+    * search runs over 4-segment sketches instead of raw series.
+    */
+  def paa(events: DataFrame, segmentDays: Int = 8,
+      epochDay: String = "2024-01-01"): DataFrame =
+    events
+      .select(col("user_id"),
+        expr(s"CAST(datediff(CAST(ts AS DATE), DATE '$epochDay') AS BIGINT) DIV $segmentDays")
+          .as("segment"),
+        round(col("value") * lit(1000)).cast(LongType).as("vm"))
+      .groupBy("user_id", "segment")
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        sum(col("vm")).cast(LongType).as("sum_vm"))
+      .withColumn("paa_milli", expr("CAST(sum_vm DIV n AS BIGINT)"))
+      .orderBy("user_id", "segment")
+
   /** 2D skyline (Pareto frontier; Börzsönyi et al. 2001): the points
     * not dominated on (minimize x, maximize y) — here cheapest-price /
     * highest-quantity line items. Spark-first shape: dominance in 2D

@@ -237,6 +237,26 @@ class AlgosSpec extends SparkSpec {
     assert(perNode == 3L * total, s"per-node sum $perNode vs 3x$total")
   }
 
+  test("kTruss: keeps the clique, prunes the pendant chain transitively") {
+    // K4 on {1,2,3,4} (every edge in 2 triangles) + chain 4-5-6.
+    // support>=2: chain edges die round 1; K4 survives untouched.
+    val e = edgesOf(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L,
+      3L -> 4L, 4L -> 5L, 5L -> 6L)
+    val got = Algos.kTruss(e, support = 2, rounds = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("sup")).toMap
+    assert(got.keySet == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L)))
+    assert(got.values.forall(_ == 2L), s"K4 edges all have support 2: $got")
+    // cascade: triangle hanging off the clique by one edge dies too
+    // (its edges have support 1 once the bridge's triangles are gone)
+    val e2 = edgesOf(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L,
+      3L -> 4L, 4L -> 5L, 4L -> 6L, 5L -> 6L)
+    val got2 = Algos.kTruss(e2, support = 2, rounds = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L)))
+  }
+
   test("resourceAllocation: RA discounts hub intermediaries") {
     // star center 1 connects 2,3,4 (deg 3); leaf pair (5,6) share only
     // the deg-2 node 7: RA(5,6)=1/2 beats RA(2,3)=1/3 through the hub

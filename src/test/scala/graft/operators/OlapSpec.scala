@@ -99,6 +99,16 @@ class OlapSpec extends SparkSpec {
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
 
+  test("paa: segments cover all events, integer means bounded by extremes") {
+    val r = Olap.paa(events).collect()
+    assert(r.map(_.getAs[Long]("n")).sum == events.count())
+    r.foreach { row =>
+      val n = row.getAs[Long]("n"); val s = row.getAs[Long]("sum_vm")
+      assert(row.getAs[Long]("paa_milli") == s / n)
+      assert(row.getAs[Long]("segment") >= 0L)
+    }
+  }
+
   test("skyline: no returned point dominates another; none is dominated") {
     val li = graft.graph.GraphLoader.table(spark, sfDir, "lineitem")
     val sky = Olap.skyline(li).collect()
