@@ -1364,9 +1364,11 @@ object SparkEntry {
 
     // resource-allocation link prediction over the RELATED_TO co-order
     // graph: wedge enumeration + 6dp-rounded 1/deg terms summed as
-    // exact DECIMAL (order-independent), top-50 pairs
+    // exact DECIMAL (order-independent), top-50 pairs; pair endpoints
+    // bounded to a fixed 512-node md5 sample (full-graph degrees) —
+    // the Σdeg² pair surface must be gate-bounded (q_mine rule)
     "q_ra" -> ((s, dir) =>
-      algos.Algos.resourceAllocation(relatedTo(s, dir))),
+      algos.Algos.resourceAllocation(relatedTo(s, dir), sampleN = 512)),
 
     // CMS on the stream: row-local d-cell projection + ONE complete-
     // mode count holds the live d×w counter table; counts are order-
@@ -2431,10 +2433,14 @@ object SparkEntry {
              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
          und AS (SELECT p1 AS z, p2 AS nbr FROM related UNION ALL SELECT p2, p1 FROM related),
          deg AS (SELECT z, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+         picked AS (
+           SELECT nbr FROM (SELECT DISTINCT nbr FROM und)
+           ORDER BY md5(CAST(nbr AS VARCHAR)), nbr LIMIT 512),
+         us AS (SELECT u.* FROM und u JOIN picked USING (nbr)),
          terms AS (
            SELECT u.nbr AS a, w.nbr AS b,
              CAST(round(CAST(1.0 AS DOUBLE) / CAST(d.deg AS DOUBLE), 6) AS DECIMAL(18,6)) AS term
-           FROM und u JOIN und w ON w.z = u.z AND u.nbr < w.nbr
+           FROM us u JOIN us w ON w.z = u.z AND u.nbr < w.nbr
            JOIN deg d ON d.z = u.z),
          sc AS (
            SELECT a, b, CAST(count(*) AS BIGINT) AS n_common,

@@ -978,9 +978,41 @@ object Algos {
     */
   def kTruss(edges: DataFrame, support: Int, rounds: Int = 5,
       src: String = "_src", dst: String = "_dst"): DataFrame = {
+    // canonical undirected edges (u < v), like the oracle's related CTE
     val e00 = materialize(
-      edges.select(col(src).as("u"), col(dst).as("v"))
-        .filter(col(src) =!= col(dst)).distinct())
+      edges.select(least(col(src), col(dst)).as("u"),
+          greatest(col(src), col(dst)).as("v"))
+        .filter(col("u") =!= col("v")).distinct())
+    // per-edge triangle support via DEGREE-ORDERED listing (the
+    // triangleCount shape — O(m^1.5) wedge candidates, not the 2-sided
+    // adjacency join, which measured ~5x slower on the dense co-order
+    // graph): each closed wedge is ONE triangle (a,b,c), scattered to
+    // its three canonical edges, counted per edge. Edges in no triangle
+    // are absent — support 0, pruned by any threshold >= 1.
+    def supportOf(e: DataFrame): DataFrame = {
+      val deg = e.select(col("u").as("n")).unionByName(e.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val withDeg = e
+        .join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
+      val oriented = withDeg.select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
+          .otherwise(col("v")).as("a"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
+          .otherwise(col("u")).as("b"))
+      val wedges = oriented.join(oriented.withColumnRenamed("b", "c"), "a")
+        .filter(col("b") < col("c"))
+      val closing = oriented.select(
+        least(col("a"), col("b")).as("b"), greatest(col("a"), col("b")).as("c"))
+      wedges.join(closing, Seq("b", "c"), "left_semi")
+        .select(explode(array(
+          struct(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v")),
+          struct(least(col("a"), col("c")).as("u"), greatest(col("a"), col("c")).as("v")),
+          struct(col("b").as("u"), col("c").as("v")))).as("t"))
+        .select(col("t.u").as("u"), col("t.v").as("v"))
+        .groupBy("u", "v")
+        .agg(count(lit(1)).cast(LongType).as("sup"))
+    }
     var edgeCount = e00.count()
     val supFinal = withLoopParts(edges.sparkSession, edgeCount) { sc =>
     var e = sc.in(e00)
@@ -989,15 +1021,7 @@ object Algos {
     var i = 1
     var converged = false
     while (i <= rounds && !converged) {
-      val und = e.select(col("u").as("z"), col("v").as("n"))
-        .unionByName(e.select(col("v").as("z"), col("u").as("n")))
-      val sup = e
-        .join(und.select(col("z").as("u"), col("n").as("w1")), Seq("u"))
-        .join(und.select(col("z").as("v"), col("n").as("w2")), Seq("v"))
-        .filter(col("w1") === col("w2"))
-        .groupBy("u", "v")
-        .agg(count(lit(1)).cast(LongType).as("sup"))
-        .filter(col("sup") >= support)
+      val sup = supportOf(e).filter(col("sup") >= support)
       out = materialize(sup)
       e = out.select("u", "v")
       release(lastMat)
@@ -1023,17 +1047,32 @@ object Algos {
     * Σdeg² — with each 1/deg term rounded 6dp and summed as exact
     * DECIMAL so the score is aggregation-order independent (the
     * q_harmonic trick). Top-K by (score, a, b) — TakeOrdered.
+    *
+    * `sampleN` > 0 bounds PAIR ENDPOINTS to the N nodes with the
+    * smallest md5(node) — the q_mine/q_nodesim gate rule: the per-pair
+    * aggregation is Σdeg² rows, quadratic in density, so the exact
+    * surface must be bounded IN THE GATE (measured 25.8s at sf0.1
+    * unbounded). Degrees stay FULL-GRAPH (RA's discounting semantics);
+    * only which pairs are scored is sampled — the production path
+    * scores candidate pairs from a blocking stage instead.
     */
   def resourceAllocation(edges: DataFrame, topK: Int = 50,
+      sampleN: Int = 0,
       src: String = "_src", dst: String = "_dst"): DataFrame = {
     val fwd = edges.select(col(src).as("p1"), col(dst).as("p2"))
       .filter(col(src) =!= col(dst)).distinct()
     val und = fwd.select(col("p1").as("z"), col("p2").as("nbr"))
       .unionByName(fwd.select(col("p2").as("z"), col("p1").as("nbr")))
     val deg = und.groupBy("z").agg(count(lit(1)).cast(LongType).as("deg"))
+    val undSampled = if (sampleN > 0) {
+      val picked = und.select(col("nbr")).distinct()
+        .orderBy(md5(col("nbr").cast(StringType)), col("nbr"))
+        .limit(sampleN)
+      und.join(picked, Seq("nbr"))
+    } else und
     val dec = DecimalType(18, 6)
-    val terms = und.join(
-        und.select(col("z"), col("nbr").as("nbr2")),
+    val terms = undSampled.join(
+        undSampled.select(col("z"), col("nbr").as("nbr2")),
         Seq("z"))
       .filter(col("nbr") < col("nbr2"))
       .join(deg, Seq("z"))
