@@ -99,6 +99,32 @@ class OlapSpec extends SparkSpec {
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
 
+  test("skyline: single point and duplicate points degenerate correctly") {
+    import spark.implicits._
+    val one = Seq((100.0, 5.0), (100.0, 5.0))
+      .toDF("l_extendedprice", "l_quantity")
+    val r = Olap.skyline(one).collect()
+    assert(r.length == 1 && r(0).getLong(0) == 10000L && r(0).getLong(1) == 5L)
+    // a strictly dominated point disappears; an incomparable one stays
+    val three = Seq((100.0, 5.0), (200.0, 3.0), (50.0, 9.0))
+      .toDF("l_extendedprice", "l_quantity")
+    val sky = Olap.skyline(three).collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(sky.toSeq == Seq((5000L, 9L)), s"$sky")
+  }
+
+  test("retention: a single-day user is a size-1 cohort at offset 0 only") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val df = Seq(
+      (1L, Timestamp.valueOf("2024-01-03 10:00:00"), 9L, "purchase", 1.0, ""),
+      (2L, Timestamp.valueOf("2024-01-03 11:00:00"), 9L, "purchase", 1.0, ""),
+      (3L, Timestamp.valueOf("2024-01-05 10:00:00"), 8L, "purchase", 1.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Olap.retention(df, "purchase").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+    assert(r.toSet == Set((2L, 0L, 1L, 1L, 1000L), (4L, 0L, 1L, 1L, 1000L)))
+  }
+
   test("paa: segments cover all events, integer means bounded by extremes") {
     val r = Olap.paa(events).collect()
     assert(r.map(_.getAs[Long]("n")).sum == events.count())

@@ -200,6 +200,21 @@ class SketchesSpec extends SparkSpec {
     assert(r.getAs[Long]("n_inter") <= 64L)
   }
 
+  test("kmv: disjoint sets estimate zero intersection, exact A-not-B") {
+    import spark.implicits._
+    val df = ((1 to 800).map(i => (i.toLong, "a")) ++
+      (10001 to 10800).map(i => (i.toLong, "b"))).toDF("k", "s")
+    val r = Sketches.kmvIntersectSummary(df, "k", "s", "a", "b", k = 64)
+      .collect()(0)
+    assert(r.getAs[Long]("exact_inter") == 0L)
+    assert(r.getAs[Long]("n_inter") == 0L)
+    assert(r.getAs[Long]("est_inter") == 0L)
+    assert(r.getAs[Long]("exact_a_not_b") == 800L)
+    // A∖B estimate within the sketch tolerance
+    val est = r.getAs[Long]("est_a_not_b").toDouble
+    assert(math.abs(est - 800) <= 0.5 * 800, s"est_a_not_b $est")
+  }
+
   test("kmv summary is partitioning-invariant") {
     import spark.implicits._
     def mk(parts: Int) = ((1 to 500).map(i => (i.toLong, "a")) ++
