@@ -79,6 +79,10 @@ object Algos {
     * caller's session therefore NEVER sees the clamp (the r15 ConfScope
     * caveat, now solved rather than documented — ConfScope's depth
     * tracking is obsolete because nothing mutates shared state).
+    *
+    * Caveat (pooled clones): the clamped clone snapshots the parent's
+    * OTHER confs at its creation for a given clamp value; parent conf
+    * changes made later do NOT propagate into an already-pooled clone.
     */
   private[algos] final class LoopScope(parent: SparkSession, loop: SparkSession) {
     /** Rebind a loop input to the clamped clone session (plan-only, free). */
@@ -978,6 +982,9 @@ object Algos {
     */
   def kTruss(edges: DataFrame, support: Int, rounds: Int = 5,
       src: String = "_src", dst: String = "_dst"): DataFrame = {
+    // rounds < 1 would skip the loop and dereference a null result frame
+    require(rounds >= 1, s"rounds >= 1, got $rounds")
+    require(support >= 1, s"support >= 1, got $support")
     // canonical undirected edges (u < v), like the oracle's related CTE
     val e00 = materialize(
       edges.select(least(col(src), col(dst)).as("u"),

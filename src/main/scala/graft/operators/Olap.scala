@@ -162,14 +162,31 @@ object Olap {
     * All-integer surface (cents, quantity).
     */
   def skyline(lineitem: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy("price_cents")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    lineitem
+    import org.apache.spark.sql.expressions.Window
+    val agg = lineitem
       .select(round(col("l_extendedprice") * lit(100)).cast(LongType)
           .as("price_cents"),
         col("l_quantity").cast(LongType).as("qty"))
       .groupBy("price_cents").agg(max(col("qty")).as("qty"))
+    // per-partition local-skyline pre-filter: range-partition by price so
+    // each task holds a contiguous price slice, drop points dominated
+    // WITHIN their slice (dominated points stay dominated globally, and
+    // each slice's running max is always attained by a survivor, so the
+    // global running max over survivors equals the one over all points).
+    // The global window below then orders ≤ (frontier-per-partition)
+    // rows, not |distinct price| — safe on continuous-valued columns.
+    val parts = lineitem.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    val local = agg.repartitionByRange(parts, col("price_cents"))
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_lmax", max(col("qty")).over(
+        Window.partitionBy("_pid").orderBy("price_cents")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(col("_lmax").isNull || col("qty") > col("_lmax"))
+      .select("price_cents", "qty")
+    val w = Window.orderBy("price_cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    local
       .withColumn("prevmax", max(col("qty")).over(w))
       .filter(col("prevmax").isNull || col("qty") > col("prevmax"))
       .select(col("price_cents"), col("qty"))
@@ -178,14 +195,32 @@ object Olap {
 
   /** Per-group decile bands — the NTILE ranking surface: documents cut
     * into 10 equal-count bands per language with a fully deterministic
-    * order (value, id), then per-band count/min/max. One hash exchange
-    * on the group key; each group sorts locally. Integer surface.
+    * order (value, id), then per-band count/min/max. Integer surface.
+    *
+    * NOT a grouped `ntile` window: that hash-exchanges on the group key,
+    * so at corpus scale the dominant language (realistically half the
+    * corpus) sorts inside ONE task — the single-partition-window shape
+    * this repo engineered around everywhere else. Instead the per-group
+    * rank comes from the distributed prefix sum
+    * ([[graft.pipeline.Skew.groupedRank]]: range-partition, local
+    * row_number, broadcast offsets) and the tile is SQL NTILE's exact
+    * integer arithmetic over (rank, group count): with n = group size,
+    * base = n DIV 10, rem = n MOD 10, the first rem tiles hold base+1
+    * rows — identical values to `ntile(10) OVER (PARTITION BY lang ORDER
+    * BY n_chars, doc_id)`, which is what the oracle replays.
     */
   def decileBands(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy("n_chars", "doc_id")
-    docs.select(col("lang"), col("doc_id"), col("n_chars"))
-      .withColumn("decile", ntile(10).over(w).cast(LongType))
+    val ranked = graft.pipeline.Skew.groupedRank(
+      docs.select(col("lang"), col("doc_id"), col("n_chars")),
+      groupCols = Seq("lang"), orderCols = Seq("n_chars", "doc_id"))
+    val sizes = ranked.groupBy("lang").agg(count(lit(1)).as("_gn"))
+    ranked.join(broadcast(sizes), "lang")
+      .withColumn("decile", expr(
+        """CAST(CASE
+             WHEN rnk <= (_gn % 10) * (_gn DIV 10 + 1)
+             THEN (rnk - 1) DIV (_gn DIV 10 + 1) + 1
+             ELSE (_gn % 10) + (rnk - (_gn % 10) * (_gn DIV 10 + 1) - 1) DIV (_gn DIV 10) + 1
+           END AS BIGINT)"""))
       .groupBy("lang", "decile")
       .agg(count(lit(1)).cast(LongType).as("n"),
         min(col("n_chars")).cast(LongType).as("min_chars"),

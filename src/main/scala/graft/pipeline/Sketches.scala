@@ -75,7 +75,17 @@ object Sketches {
 
   /** One summary row per group from a register table: occupancy stats,
     * the exact integer Z numerator, and the α_m·m²/Z estimate (3 dp,
-    * one double division — replayable). `p` must match the table. */
+    * one double division — replayable). `p` must match the table.
+    *
+    * PRECONDITION (documented, not corrected): this is the RAW HLL
+    * estimator with NO small-range (linear-counting) branch — groups
+    * whose true cardinality is well below m are biased high. The classic
+    * correction (n_zero > 0 → m·ln(m/n_zero)) is a transcendental the
+    * hashed cross-engine surface bans (SURVEY §2.6), so callers that
+    * need accuracy below ~2.5·m should either raise p until n ≫ m per
+    * group, or read n_zero from this surface and apply the log branch
+    * OUTSIDE the pinned columns. The q_hll gate corpus satisfies n ≫ m.
+    */
   def hllEstimate(regs: DataFrame, p: Int = 8): DataFrame = {
     val m = 1 << p
     val c = 60 - p + 1
@@ -246,6 +256,11 @@ object Sketches {
     val spark = hist.sparkSession
     import spark.implicits._
     require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 999))
+    // the label is the percent (pm/10): two targets in the same decile
+    // (990 and 995) would collide to one phi key and silently merge rows
+    // in the (grp, phi) joins downstream — reject rather than mislabel
+    require(permilles.map(_ / 10).distinct.size == permilles.size,
+      s"permille targets must map to distinct percent labels, got $permilles")
     val phis = broadcast(
       permilles.map(pm => (s"p${pm / 10}", pm)).toDF("phi", "pm"))
     val cum = hist
@@ -283,7 +298,12 @@ object Sketches {
       permilles: Seq[Int] = Seq(500, 900, 990)): DataFrame = {
     val base = df.select(col(groupCol).cast(StringType).as("grp"),
       col(valueCol).cast(LongType).as("v"))
-    qsketchFromHist(qhistSketch(base, "v", "grp").persist(), base, permilles)
+    val hg = qhistSketch(base, "v", "grp").persist()
+    // force the (tiny) summary, then release the shared histogram — a
+    // lazily returned frame would pin the cache entry until LRU eviction
+    val out = qsketchFromHist(hg, base, permilles).localCheckpoint()
+    hg.unpersist()
+    out
   }
 
   /** Assemble the q_qsketch surface from a PREBUILT per-group histogram
@@ -326,13 +346,18 @@ object Sketches {
       .unionByName(df.select(lit("__all__").as("grp"),
         col(valueCol)).groupBy("grp")
         .agg(countDistinct(col(valueCol)).cast(LongType).as("n_exact")))
-    est.join(exact, "grp")
+    // force the (one row per group) summary, then release the shared
+    // register table — a lazy return would pin the cache entry forever
+    val out = est.join(exact, "grp")
       .select(col("grp"), col("m"), col("n_exact"), col("n_zero"),
         col("sum_reg"), col("z_num"), col("est"),
         (abs(col("est") - col("n_exact")) <=
           lit(0.1) * col("n_exact").cast(DoubleType))
           .cast(LongType).as("within_10pct"))
       .orderBy("grp")
+      .localCheckpoint()
+    regs.unpersist()
+    out
   }
 
   // ---- KMV / theta sketch (q_kmv) ----
@@ -348,9 +373,14 @@ object Sketches {
     * hash exactly representable as a double should an engine cast it.
     *
     * Distributed shape: the distinct pre-aggregation shrinks input to
-    * one row per (set, distinct key); the per-set k-min is a rank
-    * window over that — a single hash exchange on set, partial-sorted
-    * within partitions.
+    * one row per (set, distinct key); then the sketch's OWN merge law
+    * ("union then re-take k smallest", associative) licenses a
+    * per-partition pre-prune — local k-min per (set, source partition)
+    * first, so the per-set rank window never sees more than k·P rows.
+    * Without the pre-prune a 10⁹-member set (the whole reason the
+    * sketch exists) sorts ALL its distinct members inside one task; with
+    * it both windows are bounded by partition size / k·P respectively,
+    * and the output is identical.
     */
   def kmvMins(df: DataFrame, keyCol: String, setCol: String,
       k: Int = 64): DataFrame = {
@@ -360,8 +390,17 @@ object Sketches {
       shiftright(TextOps.md5Hash60(
         concat(lit("kmv:"), col(keyCol).cast(StringType))), 8).as("h"))
       .distinct()
+    // local k-min per (set, partition): the window partitions by the
+    // SOURCE partition id too, so its exchange spreads a hot set across
+    // as many tasks as the distinct left it on — bounded by partition
+    // size, never set size
+    val pruned = h.withColumn("_pid", spark_partition_id())
+      .withColumn("_lrk", row_number().over(
+        Window.partitionBy("s", "_pid").orderBy("h")))
+      .filter(col("_lrk") <= k)
+      .select("s", "h")
     val w = Window.partitionBy("s").orderBy("h")
-    h.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    pruned.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select("s", "h")
   }
 
@@ -405,7 +444,7 @@ object Sketches {
         sum(when(col("c") === 1 && col("inA") === 1, 1L).otherwise(0L))
           .cast(LongType).as("exact_a_not_b"))
     // 4503599627370496 = 2^52, the hash-domain size
-    theta.crossJoin(membership).crossJoin(exact)
+    val out = theta.crossJoin(membership).crossJoin(exact)
       .select(col("theta"), col("k_u"), col("n_inter"), col("n_a_not_b"),
         expr("CAST((n_inter * 4503599627370496) DIV theta AS BIGINT)")
           .as("est_inter"),
@@ -414,5 +453,8 @@ object Sketches {
         expr("CAST((n_a_not_b * 4503599627370496) DIV theta AS BIGINT)")
           .as("est_a_not_b"),
         col("exact_inter"), col("exact_union"), col("exact_a_not_b"))
+      .localCheckpoint() // force the 1-row surface, then free the sketch
+    sk.unpersist()
+    out
   }
 }

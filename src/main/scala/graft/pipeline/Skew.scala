@@ -43,4 +43,53 @@ object Skew {
     df.select(col(key), col(valueCol)).distinct()
       .groupBy(col(key))
       .agg(count(lit(1)).as(s"n_distinct_$valueCol"))
+
+  /** Per-group dense rank (`row_number() OVER (PARTITION BY group ORDER
+    * BY order)`) WITHOUT a per-group single-task sort — the skew killer:
+    * a plain grouped window hash-exchanges on the group key, so a group
+    * holding half the corpus (the dominant language, the hot tenant)
+    * sorts entirely inside ONE task. This is the distributed prefix-sum
+    * shape already proven by Dedup.sortedNeighborhood's rankBy and
+    * q_pack/q_shuffle: range-partition by (group, order) so every task
+    * gets a contiguous slice of the global order, rank locally within
+    * (task, group), then add per-(task, group) offsets computed from a
+    * tiny P+G-row count frame (broadcast). Output = input columns +
+    * `rankCol` (1-based per group), values identical to the grouped
+    * window's for a total `orderCols` (ties must be broken — include an
+    * id column, same contract as every rank surface here).
+    *
+    * Each window below partitions by the RANGE-partition id, so its
+    * exchange spreads a hot group across as many tasks as the range
+    * partitioner gave it — bounded by partition size, never group size.
+    */
+  def groupedRank(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[String], rankCol: String = "rnk"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(groupCols.nonEmpty && orderCols.nonEmpty)
+    val parts = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    val sortKeys = (groupCols ++ orderCols).map(col)
+    val local = df.repartitionByRange(parts, sortKeys: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_lrn", row_number().over(
+        Window.partitionBy(("_pid" +: groupCols).map(col): _*)
+          .orderBy(orderCols.map(col): _*)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ≤ P + |groups-spanning-a-boundary| rows: each range partition holds
+    // a contiguous (group, order) slice, so a group appears in ≥2 rows
+    // here only when it crosses a partition boundary
+    val offsets = local.groupBy(("_pid" +: groupCols).map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_off", coalesce(
+        sum("_n").over(Window.partitionBy(groupCols.map(col): _*)
+          .orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(("_pid" +: groupCols).map(col) :+ col("_off"): _*)
+    val out = local.join(broadcast(offsets), "_pid" +: groupCols)
+      .withColumn(rankCol, (col("_off") + col("_lrn")).cast("long"))
+      .drop("_pid", "_lrn", "_off")
+      .localCheckpoint()
+    local.unpersist()
+    out
+  }
 }

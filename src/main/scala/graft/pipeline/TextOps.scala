@@ -298,13 +298,18 @@ object TextOps {
     val mx = sp.groupBy("w1").agg(sum(col("c_xy")).cast(LongType).as("c_x"))
     val my = sp.groupBy("w2").agg(sum(col("c_xy")).cast(LongType).as("c_y"))
     val n = sp.agg(sum(col("c_xy")).cast(LongType).as("n"))
-    sp.filter(col("c_xy") >= minCount)
+    // force the ≤topN surface, then release the shared bigram split — a
+    // lazy return would pin the data-sized cache entry until LRU eviction
+    val out = sp.filter(col("c_xy") >= minCount)
       .join(mx, "w1").join(my, "w2").crossJoin(broadcast(n))
       .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
         round((col("c_xy") * col("n")).cast(DoubleType) /
           (col("c_x") * col("c_y")).cast(DoubleType), 6).as("lift"))
       .orderBy(desc("lift"), asc("w1"), asc("w2"))
       .limit(topN)
+      .localCheckpoint()
+    sp.unpersist()
+    out
   }
 
   // ---- quality scoring (q_quality) ----

@@ -211,6 +211,10 @@ object EventStreams {
     * unrelated query on the caller's session never sees the clamp (the
     * r15 ConfScope caveat, solved the same way as
     * [[graft.algos.Algos]]'s loop scopes).
+    *
+    * Caveat (pooled clones): the clamped clone snapshots the parent's
+    * OTHER confs at its creation for a given clamp value; parent conf
+    * changes made later do NOT propagate into an already-pooled clone.
     */
   private[streaming] def withStreamParts(spark: SparkSession, dir: String,
       glob: String)(body: SparkSession => DataFrame): DataFrame = {

@@ -43,12 +43,19 @@ object GraftShims {
     */
   private val pool = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), SparkSession]
-  def clampedSession(parent: SparkSession, key: String, value: String): SparkSession =
+  def clampedSession(parent: SparkSession, key: String, value: String): SparkSession = {
+    // evict dead entries on access: a pool keyed by strong session refs
+    // would otherwise leak SessionStates in processes that create/stop
+    // many sessions (test suites) for the life of the JVM
+    pool.keysIterator
+      .filter(_._1.sparkContext.isStopped)
+      .foreach(pool.remove)
     pool.getOrElseUpdate((parent, key, value), {
       val s = cloneSession(parent)
       s.conf.set(key, value)
       s
     })
+  }
 
   def retarget(df: DataFrame, to: SparkSession): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(

@@ -174,6 +174,34 @@ class OlapSpec extends SparkSpec {
     }
   }
 
+  test("decileBands equals the grouped NTILE window on a skewed corpus") {
+    // 9:1 group skew — the shape the distributed prefix-sum rank exists
+    // for: the grouped-window form would sort the hot group in ONE task
+    import spark.implicits._
+    val rows = (1 to 900).map(i => ("en", i.toLong, (i * 37 % 211).toLong)) ++
+      (1 to 100).map(i => ("fr", (1000 + i).toLong, (i * 53 % 97).toLong)) ++
+      (1 to 7).map(i => ("de", (2000 + i).toLong, i.toLong)) // n < tiles
+    val df = rows.toDF("lang", "doc_id", "n_chars")
+    val got = Olap.decileBands(df.repartition(7))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    val want = df.withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("lang", "decile")
+      .agg(count(lit(1)).cast("long").as("n"),
+        min(col("n_chars")).cast("long").as("min_chars"),
+        max(col("n_chars")).cast("long").as("max_chars"))
+    assert(sortedRowsOf(got) == sortedRowsOf(want))
+    // and partitioning-invariant
+    assert(sortedRowsOf(Olap.decileBands(df.repartition(1))) == sortedRowsOf(got))
+  }
+
+  test("skyline: local pre-filter result is partitioning-invariant") {
+    val li = graft.graph.GraphLoader.table(spark, sfDir, "lineitem")
+    val a = Olap.skyline(li.repartition(2)).collect().map(_.toSeq).toSeq
+    val b = Olap.skyline(li.repartition(17)).collect().map(_.toSeq).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("movingAggregates: trailing 3-row frame on a known sequence") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -215,6 +215,32 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(est - 800) <= 0.5 * 800, s"est_a_not_b $est")
   }
 
+  test("kmv pre-prune: kmvMins equals the definitional per-set k-min under skew") {
+    import spark.implicits._
+    // one hot set holding 98% of the rows — the shape the per-partition
+    // pre-prune exists for (naive: the whole set sorts on one reducer)
+    val df = ((1 to 9800).map(i => (i.toLong, "hot")) ++
+      (1 to 200).map(i => (i.toLong * 31, "cold"))).toDF("k", "s")
+    val got = Sketches.kmvMins(df.repartition(13), "k", "s", k = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // definition: 64 smallest distinct hashes per set, computed directly
+    val want = df
+      .select(col("s"),
+        shiftright(TextOps.md5Hash60(
+          concat(lit("kmv:"), col("k").cast("string"))), 8).as("h"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).toSeq
+      .flatMap { case (_, hs) => hs.sortBy(_._2).take(64).toSeq }
+      .toSet
+    assert(got == want)
+    // and partitioning-invariant (the pre-prune depends on partition
+    // layout; the RESULT must not)
+    val got1 = Sketches.kmvMins(df.repartition(1), "k", "s", k = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got1 == got)
+  }
+
   test("kmv summary is partitioning-invariant") {
     import spark.implicits._
     def mk(parts: Int) = ((1 to 500).map(i => (i.toLong, "a")) ++
