@@ -1332,6 +1332,24 @@ object SparkEntry {
           col("inter"), col("deg_a"), col("deg_b"), col("jaccard"))
     }),
 
+    // per-node top-k node similarity — the PRODUCTION shape (the
+    // reference's related_items_* pattern: a similarity graph, not 20
+    // global pairs): every scored pair scattered to both endpoints,
+    // ranked in a per-node window over pair partials (bounded by
+    // deg·occCap per node); same md5-sampled gate bound as q_nodesim
+    "q_nodesim_topk" -> ((s, dir) => {
+      val ss = lenient(s)
+      val cp = GraphLoader.table(ss, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+        .join(GraphLoader.table(ss, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+      algos.Algos.nodeSimilarityTopK(cp, "o_custkey", "l_partkey",
+          kPerNode = 3, sampleN = 1024, occCap = 1024)
+        .select(col("node").as("cust"), col("rnk"), col("nbr").as("cust_nbr"),
+          col("inter"), col("jaccard"))
+    }),
+
     // KMV/theta-sketch intersection: distinct users doing click ∩
     // purchase from two 64-hash sketches; θ, counts and floor-div
     // estimates all integers, exact counts ride along as the error pin
@@ -1369,6 +1387,27 @@ object SparkEntry {
     // the Σdeg² pair surface must be gate-bounded (q_mine rule)
     "q_ra" -> ((s, dir) =>
       algos.Algos.resourceAllocation(relatedTo(s, dir), sampleN = 512)),
+
+    // RA scoring of an EXTERNALLY SUPPLIED candidate set — the
+    // production path (blocking stage proposes, RA scores): candidates
+    // here are the RELATED_TO edges whose endpoints both fall in a
+    // fixed 256-node md5 sample (bounded by construction, the q_mine
+    // rule); degrees stay full-graph, zero-common pairs keep ra = 0
+    "q_ra_cand" -> ((s, dir) => {
+      val edges = relatedTo(s, dir)
+      val picked = edges.select(col("_src").as("n"))
+        .unionByName(edges.select(col("_dst").as("n")))
+        .distinct()
+        .orderBy(md5(col("n").cast("string")), col("n"))
+        .limit(256)
+      val cand = edges
+        .join(picked.withColumnRenamed("n", "_src"), Seq("_src"))
+        .join(picked.withColumnRenamed("n", "_dst"), Seq("_dst"))
+        .select(col("_src").as("a"), col("_dst").as("b"))
+      algos.Algos.resourceAllocationScores(cand, edges)
+        .select(col("a").as("part_a"), col("b").as("part_b"),
+          col("n_common"), col("ra"))
+    }),
 
     // CMS on the stream: row-local d-cell projection + ONE complete-
     // mode count holds the live d×w counter table; counts are order-
@@ -2549,6 +2588,72 @@ object SparkEntry {
            FROM pairs p JOIN deg da ON da.node = p.cust_a
                         JOIN deg db ON db.node = p.cust_b)
          SELECT * FROM sim ORDER BY jaccard DESC, cust_a, cust_b LIMIT 20""",
+    // per-node top-k replay: the q_nodesim pair CTE WITHOUT the global
+    // limit, scattered to both endpoints, ranked per node on
+    // (jaccard DESC, nbr) — jaccard is one exact IEEE divide, so the
+    // rank order replays bit-for-bit
+    "q_nodesim_topk" ->
+      """WITH cp0 AS (
+           SELECT DISTINCT o.o_custkey AS node, l.l_partkey AS feat
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         picked AS (
+           SELECT node FROM (SELECT DISTINCT node FROM cp0)
+           ORDER BY md5(CAST(node AS VARCHAR)), node LIMIT 1024),
+         cp1 AS (SELECT cp0.* FROM cp0 JOIN picked USING (node)),
+         occ AS (SELECT feat, count(*) AS occ FROM cp1 GROUP BY 1),
+         cp AS (SELECT cp1.* FROM cp1 JOIN occ USING (feat) WHERE occ.occ <= 1024),
+         deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM cp GROUP BY 1),
+         pairs AS (
+           SELECT a.node AS node_a, b.node AS node_b, CAST(count(*) AS BIGINT) AS inter
+           FROM cp a JOIN cp b ON a.feat = b.feat AND a.node < b.node
+           GROUP BY 1, 2),
+         sim AS (
+           SELECT p.node_a, p.node_b, p.inter,
+             CAST(p.inter AS DOUBLE) / CAST(da.deg + db.deg - p.inter AS DOUBLE) AS jaccard
+           FROM pairs p JOIN deg da ON da.node = p.node_a
+                        JOIN deg db ON db.node = p.node_b),
+         sym AS (
+           SELECT node_a AS cust, node_b AS cust_nbr, inter, jaccard FROM sim
+           UNION ALL
+           SELECT node_b, node_a, inter, jaccard FROM sim),
+         rk AS (
+           SELECT cust, cust_nbr, inter, jaccard,
+             CAST(row_number() OVER (PARTITION BY cust
+               ORDER BY jaccard DESC, cust_nbr) AS BIGINT) AS rnk
+           FROM sym)
+         SELECT cust, rnk, cust_nbr, inter, jaccard
+         FROM rk WHERE rnk <= 3 ORDER BY cust, rnk""",
+    // RA candidate-scoring replay: candidates = related edges inside the
+    // 256-node md5 sample; same full-graph degrees, same 6dp decimal
+    // terms; zero-common candidates keep ra = 0 via the left join
+    "q_ra_cand" ->
+      """WITH related AS (
+           SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         und AS (SELECT p1 AS z, p2 AS nbr FROM related UNION ALL SELECT p2, p1 FROM related),
+         deg AS (SELECT z, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+         picked AS (
+           SELECT nbr AS n FROM (SELECT DISTINCT nbr FROM und)
+           ORDER BY md5(CAST(nbr AS VARCHAR)), nbr LIMIT 256),
+         cand AS (
+           SELECT r.p1 AS a, r.p2 AS b FROM related r
+           JOIN picked x ON x.n = r.p1 JOIN picked y ON y.n = r.p2),
+         terms AS (
+           SELECT c.a, c.b,
+             CAST(round(CAST(1.0 AS DOUBLE) / CAST(d.deg AS DOUBLE), 6) AS DECIMAL(18,6)) AS term
+           FROM cand c JOIN und u ON u.nbr = c.a
+                       JOIN und w ON w.nbr = c.b AND w.z = u.z
+                       JOIN deg d ON d.z = u.z),
+         sc AS (
+           SELECT a, b, CAST(count(*) AS BIGINT) AS n_common,
+             CAST(sum(term) AS DECIMAL(18,6)) AS ra
+           FROM terms GROUP BY 1, 2)
+         SELECT c.a AS part_a, c.b AS part_b,
+           CAST(coalesce(s.n_common, 0) AS BIGINT) AS n_common,
+           CAST(coalesce(s.ra, 0) AS DOUBLE) AS ra
+         FROM cand c LEFT JOIN sc s ON s.a = c.a AND s.b = c.b
+         ORDER BY part_a, part_b""",
     // HLL replay: same md5-prefix-60 hash, same trailing-zero rank
     // (bit_count((v & -v) - 1) + 1), same integer Z numerator; the one
     // double division writes every literal CAST AS DOUBLE (DuckDB parses

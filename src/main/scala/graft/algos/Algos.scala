@@ -1116,10 +1116,21 @@ object Algos {
     *    the GATE, not just guarded in the operator), non-binding when N
     *    exceeds the node count.
     * The production path at 100 TB keeps occCap and swaps the final
-    * global top-K for a per-node top-k (rank window over pair partials).
+    * global top-K for the per-node top-k of [[nodeSimilarityTopK]].
     */
   def nodeSimilarity(rel: DataFrame, nodeCol: String, featCol: String,
-      topK: Int = 20, sampleN: Int = 0, occCap: Int = 1024): DataFrame = {
+      topK: Int = 20, sampleN: Int = 0, occCap: Int = 1024): DataFrame =
+    nodeSimPairs(rel, nodeCol, featCol, sampleN, occCap)
+      .orderBy(desc("jaccard"), asc("node_a"), asc("node_b"))
+      .limit(topK)
+
+  /** The shared scored-pair frame behind both node-similarity surfaces:
+    * (node_a < node_b, inter, deg_a, deg_b, jaccard) for every candidate
+    * pair that shares ≥ 1 kept feature. See [[nodeSimilarity]] for the
+    * occCap / sampleN scale controls.
+    */
+  private def nodeSimPairs(rel: DataFrame, nodeCol: String, featCol: String,
+      sampleN: Int, occCap: Int): DataFrame = {
     var cp = rel.select(col(nodeCol).as("node"), col(featCol).as("feat"))
       .distinct()
     if (sampleN > 0) {
@@ -1144,7 +1155,81 @@ object Algos {
         col("inter").cast(DoubleType) /
           (col("deg_a") + col("deg_b") - col("inter")).cast(DoubleType))
       .select("node_a", "node_b", "inter", "deg_a", "deg_b", "jaccard")
-      .orderBy(desc("jaccard"), asc("node_a"), asc("node_b"))
-      .limit(topK)
+  }
+
+  /** Per-node top-k node similarity — the PRODUCTION shape of
+    * [[nodeSimilarity]] and the operator the reference's benchmark
+    * exercises as `related_items_depth*` (reference
+    * benchmark/src/queries.ts:97-111): a similarity GRAPH (each node's k
+    * most similar peers), not k global pairs. Every scored pair is
+    * scattered to BOTH endpoints and ranked inside a per-node window
+    * over pair partials — the window's partition is one node's candidate
+    * list, bounded by deg(node)·occCap rows (the occCap cut is what
+    * makes this a bound), so no task ever sorts more than one node's
+    * candidates and the hot-node case spreads with AQE like any other
+    * grouped rank. Ties break on (jaccard DESC, nbr ASC) — jaccard is an
+    * exact IEEE divide of integers, so the order replays cross-engine.
+    * Returns (node, rnk, nbr, inter, deg_node, deg_nbr, jaccard).
+    */
+  def nodeSimilarityTopK(rel: DataFrame, nodeCol: String, featCol: String,
+      kPerNode: Int = 5, sampleN: Int = 0, occCap: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(kPerNode >= 1, s"kPerNode >= 1, got $kPerNode")
+    val scored = nodeSimPairs(rel, nodeCol, featCol, sampleN, occCap)
+    val sym = scored.select(col("node_a").as("node"), col("node_b").as("nbr"),
+        col("inter"), col("deg_a").as("deg_node"), col("deg_b").as("deg_nbr"),
+        col("jaccard"))
+      .unionByName(scored.select(col("node_b").as("node"),
+        col("node_a").as("nbr"), col("inter"), col("deg_b").as("deg_node"),
+        col("deg_a").as("deg_nbr"), col("jaccard")))
+    val w = Window.partitionBy("node").orderBy(desc("jaccard"), asc("nbr"))
+    sym.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= kPerNode)
+      .select("node", "rnk", "nbr", "inter", "deg_node", "deg_nbr", "jaccard")
+      .orderBy("node", "rnk")
+  }
+
+  /** Score an EXTERNALLY SUPPLIED candidate-pair frame with the
+    * resource-allocation index — the production path of
+    * [[resourceAllocation]]: at corpus scale nobody enumerates all
+    * Σdeg² wedge pairs; a blocking stage (MinHash bands, sorted
+    * neighborhood, [[nodeSimilarityTopK]] output, business rules)
+    * proposes pairs and this scores them. Cost is candidate-bounded:
+    * one equi-join fanning each pair to Γ(a) (Σ_pairs deg(a) rows), one
+    * (b, z) equi-join keeping the common neighbors, one broadcast-sized
+    * degree join. Degrees are FULL-graph (RA's discounting semantics);
+    * pairs with no common neighbor keep their row with ra = 0 — a
+    * blocking stage wants the negative signal too. Terms are the same
+    * 6dp-rounded 1/deg summed as exact DECIMAL, so scores equal
+    * [[resourceAllocation]]'s on any shared pair (spec-pinned).
+    * Returns (a, b, n_common, ra) canonicalized a < b.
+    */
+  def resourceAllocationScores(pairs: DataFrame, edges: DataFrame,
+      aCol: String = "a", bCol: String = "b",
+      src: String = "_src", dst: String = "_dst"): DataFrame = {
+    val fwd = edges.select(col(src).as("p1"), col(dst).as("p2"))
+      .filter(col(src) =!= col(dst)).distinct()
+    val und = fwd.select(col("p1").as("z"), col("p2").as("nbr"))
+      .unionByName(fwd.select(col("p2").as("z"), col("p1").as("nbr")))
+    val deg = und.groupBy("z").agg(count(lit(1)).cast(LongType).as("deg"))
+    val p = pairs
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val dec = DecimalType(18, 6)
+    val common = p
+      .join(und.select(col("nbr").as("a"), col("z")), Seq("a"))
+      .join(und.select(col("nbr").as("b"), col("z")), Seq("b", "z"))
+    val scored = common.join(deg, Seq("z"))
+      .select(col("a"), col("b"),
+        round(lit(1.0) / col("deg").cast(DoubleType), 6).cast(dec).as("term"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).cast(LongType).as("n_common"),
+        sum(col("term")).cast(dec).as("ra_dec"))
+    p.join(scored, Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        coalesce(col("ra_dec").cast(DoubleType), lit(0.0)).as("ra"))
+      .orderBy("a", "b")
   }
 }

@@ -307,4 +307,65 @@ class AlgosSpec extends SparkSpec {
       topK = 10, sampleN = 2).collect()
     assert(s2.length <= 1)
   }
+
+  test("nodeSimilarityTopK: per-node k bound, scores equal the pair surface") {
+    import spark.implicits._
+    val rel = Seq(
+      ("A", 1L), ("A", 2L), ("A", 3L),
+      ("B", 2L), ("B", 3L), ("B", 4L),
+      ("C", 1L), ("C", 2L), ("C", 3L),
+      ("D", 3L), ("D", 9L)).toDF("n", "f")
+    val topk = Algos.nodeSimilarityTopK(rel, "n", "f", kPerNode = 2).collect()
+    // per-node bound holds
+    topk.groupBy(_.getString(0)).foreach { case (n, rows) =>
+      assert(rows.length <= 2, s"$n has ${rows.length} rows")
+      assert(rows.map(_.getAs[Long]("rnk")).sorted.toSeq ==
+        (1L to rows.length).toSeq)
+      // ranked by (jaccard desc, nbr asc)
+      val ord = rows.sortBy(_.getAs[Long]("rnk"))
+        .map(r => (-r.getAs[Double]("jaccard"), r.getAs[String]("nbr")))
+      assert(ord.sorted.toSeq == ord.toSeq)
+    }
+    // A's best neighbor is its identical twin C (jaccard 1.0), then B
+    val a = topk.filter(_.getString(0) == "A").sortBy(_.getAs[Long]("rnk"))
+    assert(a.map(_.getAs[String]("nbr")).toSeq == Seq("C", "B"))
+    assert(a.head.getAs[Double]("jaccard") == 1.0)
+    // every (node, nbr, jaccard) matches the global pair surface
+    val pairs = Algos.nodeSimilarity(rel, "n", "f", topK = 100).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    topk.foreach { r =>
+      val (x, y) = (r.getString(0), r.getAs[String]("nbr"))
+      val key = if (x < y) (x, y) else (y, x)
+      assert(pairs(key) == r.getAs[Double]("jaccard"))
+    }
+    // partitioning-invariant (the window rank must not depend on layout)
+    val again = Algos.nodeSimilarityTopK(rel.repartition(7), "n", "f",
+      kPerNode = 2).collect()
+    assert(again.map(_.toSeq).sortBy(_.mkString("|")).toSeq ==
+      topk.map(_.toSeq).sortBy(_.mkString("|")).toSeq)
+  }
+
+  test("resourceAllocationScores equals resourceAllocation on shared pairs; zero-common pairs keep ra 0") {
+    import spark.implicits._
+    // hub h touches everyone; x,y also share low-degree z; w isolated-ish
+    val edges = Seq(
+      (1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L), // hub 10
+      (1L, 20L), (2L, 20L),                       // low-degree 20
+      (5L, 6L)).toDF("_src", "_dst")
+    val exact = Algos.resourceAllocation(edges, topK = 100).collect()
+      .map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b")) ->
+        ((r.getAs[Long]("n_common"), r.getAs[Double]("ra")))).toMap
+    val cand = exact.keys.toSeq.toDF("a", "b")
+      .unionByName(Seq((5L, 1L)).toDF("a", "b")) // no common neighbor
+    val scored = Algos.resourceAllocationScores(cand, edges).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        ((r.getAs[Long]("n_common"), r.getAs[Double]("ra")))).toMap
+    exact.foreach { case (k, v) =>
+      assert(scored(k) == v, s"pair $k: ${scored(k)} != $v")
+    }
+    // the planted no-common-neighbor candidate keeps its row with ra 0
+    assert(scored((1L, 5L)) == ((0L, 0.0)))
+    // and the candidate frame canonicalizes order (5,1) -> (1,5)
+    assert(!scored.contains((5L, 1L)))
+  }
 }
