@@ -113,6 +113,8 @@ object Algos {
   // trim round / coloring step / peel — the diagnostic that located the
   // r14 plan-blowup and task-launch costs; zero overhead when unset
   private val sccDebug = sys.env.contains("GRAFT_SCC_DEBUG")
+  // same opt-in timing for the k-truss rounds (GRAFT_TRUSS_DEBUG=1)
+  private val trussDebug = sys.env.contains("GRAFT_TRUSS_DEBUG")
   private def sccTick(label: String, t0: Long): Long = {
     val t1 = System.nanoTime
     if (sccDebug) Console.err.println(f"[scc] $label ${(t1 - t0) / 1e9}%.2fs")
@@ -972,13 +974,39 @@ object Algos {
     * support-pruning rounds — drop every edge in fewer than `support`
     * triangles, recount, repeat — the EDGE-cohesion analog of
     * [[kCore]]'s vertex pruning, and the cheapest dense-subgraph
-    * certificate above triangles. Per round: one wedge join (the
-    * clustering-coefficient shape, Σdeg²-bounded, equi-keys only) and
-    * one filter; iteration frames are materialized so lineage stays
-    * O(1). Early exit at the fixed point is oracle-safe: a no-prune
-    * round recomputes identical supports, so the converged surface
-    * equals the fixed-round replay. Returns surviving (u, v, sup) with
-    * the final-round support — all integers.
+    * certificate above triangles.
+    *
+    * Round 1 pays ONE degree-ordered triangle listing (the O(m^1.5)
+    * triangleCount shape). Later rounds choose per round between a full
+    * recount of the (collapsed) survivor graph and a DELTA-recount: a
+    * surviving edge's support only changes through triangles it shared
+    * with a just-deleted edge, so when the deletion set D is SMALL the
+    * round enumerates only the triangles CONTAINING a deleted edge (fan
+    * each deleted edge from its lower-degree endpoint into the previous
+    * adjacency — cost tracks Σ_{d∈D} min-deg, the deletion
+    * neighborhood), dedups them (a triangle with 2+ deleted edges must
+    * decrement each survivor once), scatters to surviving member edges
+    * and subtracts. When D is LARGE (the post-round-1 mass extinction:
+    * most edges die, and fanning a graph-sized D costs more than
+    * relisting the pruned survivors — measured 3.5× worse at sf0.1) the
+    * round falls back to the degree-ordered full recount, which that
+    * same pruning has made cheap. Both paths produce identical supports
+    * by induction (spec-pinned against [[kTrussFullRecount]] across
+    * cascade/shared-edge/derived graphs).
+    *
+    * Measured honesty (GRAFT_TRUSS_DEBUG=1, sf0.1): round 1 = 17.1s,
+    * rounds 2-3 = 2.8s, converged at round 3 with every later round a
+    * mass-deletion full recount — on the co-order gate graph the delta
+    * branch never fires and the hybrid equals the old full-recount loop
+    * exactly. The delta path's value is the slow-cascade regime (high
+    * support thresholds, many rounds, small per-round deletions), where
+    * the old loop paid a survivor-graph relisting per round; it is NOT a
+    * round-1 fix — that one listing is the algorithmic floor.
+    * Iteration frames are
+    * materialized so lineage stays O(1). Early exit at the fixed point
+    * is oracle-safe: a no-prune round leaves supports untouched, so the
+    * converged surface equals the fixed-round replay. Returns surviving
+    * (u, v, sup) with the final-round support — all integers.
     */
   def kTruss(edges: DataFrame, support: Int, rounds: Int = 5,
       src: String = "_src", dst: String = "_dst"): DataFrame = {
@@ -990,36 +1018,150 @@ object Algos {
       edges.select(least(col(src), col(dst)).as("u"),
           greatest(col(src), col(dst)).as("v"))
         .filter(col("u") =!= col("v")).distinct())
-    // per-edge triangle support via DEGREE-ORDERED listing (the
-    // triangleCount shape — O(m^1.5) wedge candidates, not the 2-sided
-    // adjacency join, which measured ~5x slower on the dense co-order
-    // graph): each closed wedge is ONE triangle (a,b,c), scattered to
-    // its three canonical edges, counted per edge. Edges in no triangle
-    // are absent — support 0, pruned by any threshold >= 1.
-    def supportOf(e: DataFrame): DataFrame = {
-      val deg = e.select(col("u").as("n")).unionByName(e.select(col("v").as("n")))
-        .groupBy("n").agg(count(lit(1)).as("d"))
-      val withDeg = e
-        .join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
-        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
-      val oriented = withDeg.select(
-        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
-          .otherwise(col("v")).as("a"),
-        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
-          .otherwise(col("u")).as("b"))
-      val wedges = oriented.join(oriented.withColumnRenamed("b", "c"), "a")
-        .filter(col("b") < col("c"))
-      val closing = oriented.select(
-        least(col("a"), col("b")).as("b"), greatest(col("a"), col("b")).as("c"))
-      wedges.join(closing, Seq("b", "c"), "left_semi")
-        .select(explode(array(
-          struct(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v")),
-          struct(least(col("a"), col("c")).as("u"), greatest(col("a"), col("c")).as("v")),
-          struct(col("b").as("u"), col("c").as("v")))).as("t"))
-        .select(col("t.u").as("u"), col("t.v").as("v"))
-        .groupBy("u", "v")
-        .agg(count(lit(1)).cast(LongType).as("sup"))
+    var edgeCount = e00.count()
+    val supFinal = withLoopParts(edges.sparkSession, edgeCount) { sc =>
+    // round 1: the one full listing — support of every e00 edge
+    val t1 = System.nanoTime
+    var out = materialize(
+      supportOf(sc.in(e00)).filter(col("sup") >= support))
+    if (trussDebug) Console.err.println(
+      f"[truss] round 1 full  edges=$edgeCount ${(System.nanoTime - t1) / 1e9}%.2fs")
+    // deleted set = e00 edges NOT surviving (incl. triangle-less edges,
+    // absent from supportOf and pruned by any support >= 1). LAZY on
+    // purpose: both parents are checkpointed, so the plan is O(1) and
+    // the anti-join only ever runs in delta rounds that read it —
+    // full-recount rounds never pay for it
+    var deleted = sc.in(e00).join(out.select("u", "v"), Seq("u", "v"),
+      "left_anti")
+    // release cadence: the lazy deleted-set of round i reads the
+    // checkpoints of out_{i-1} AND out_i, so out_{i-1} (tracked as
+    // `older`) is only releasable once round i+1 has built ITS deleted
+    // set — two rounds back. e00 is the initial two-back frame.
+    var older = e00
+    var lastMat = out
+    var n = out.count()
+    var nDeleted = edgeCount - n
+    var converged = n == edgeCount
+    edgeCount = n
+    var i = 2
+    while (i <= rounds && !converged) {
+      val t0 = System.nanoTime
+      val e = out.select("u", "v")
+      // strategy pivot: deltas win only when the deletion set is small
+      // relative to the survivors; after a mass-extinction round the
+      // pruned graph is what's cheap to relist (measured at sf0.1:
+      // delta-always was 3.5× WORSE than full recount on round 2's
+      // graph-sized D). 8× is a coarse cost ratio — the delta fan-out
+      // lacks the full listing's degree ordering, so it needs real slack.
+      val supNew = if (nDeleted * 8 > n) {
+        supportOf(e)
+      } else {
+        // triangles of the PREVIOUS edge set (survivors ∪ deleted)
+        // containing >= 1 deleted edge: fan each deleted edge from its
+        // LOWER-degree endpoint into the previous adjacency — cost
+        // tracks Σ_{d∈D} min-deg, the deletion neighborhood
+        val prev = e.unionByName(deleted.select("u", "v"))
+        val undPrev = prev.select(col("u").as("z"), col("v").as("w"))
+          .unionByName(prev.select(col("v").as("z"), col("u").as("w")))
+        val degPrev = undPrev.groupBy("z").agg(count(lit(1)).as("d"))
+        val fanned = deleted.select("u", "v")
+          .join(degPrev.select(col("z").as("u"), col("d").as("du")), Seq("u"))
+          .join(degPrev.select(col("z").as("v"), col("d").as("dv")), Seq("v"))
+          .select(
+            when(struct(col("du"), col("u")) <= struct(col("dv"), col("v")),
+              col("u")).otherwise(col("v")).as("x"),
+            when(struct(col("du"), col("u")) <= struct(col("dv"), col("v")),
+              col("v")).otherwise(col("u")).as("y"))
+        val tris = fanned
+          .join(undPrev.withColumnRenamed("z", "x"), Seq("x"))
+          .filter(col("w") =!= col("y"))
+          .join(undPrev.select(col("z").as("y"), col("w")), Seq("y", "w"),
+            "left_semi")
+          // canonicalize so a triangle with 2-3 deleted edges counts ONCE
+          .select(array_sort(array(col("x"), col("y"), col("w"))).as("t"))
+          .select(col("t")(0).as("a"), col("t")(1).as("b"), col("t")(2).as("c"))
+          .distinct()
+        // scatter each destroyed triangle to its member edges; only
+        // SURVIVING members need the decrement
+        val dec = tris.select(explode(array(
+            struct(col("a").as("u"), col("b").as("v")),
+            struct(col("a").as("u"), col("c").as("v")),
+            struct(col("b").as("u"), col("c").as("v")))).as("t"))
+          .select(col("t.u").as("u"), col("t.v").as("v"))
+          .join(e, Seq("u", "v"), "left_semi")
+          .groupBy("u", "v")
+          .agg(count(lit(1)).cast(LongType).as("dec"))
+        out.join(dec, Seq("u", "v"), "left")
+          .select(col("u"), col("v"),
+            (col("sup") - coalesce(col("dec"), lit(0L))).as("sup"))
+      }
+      val nextOut = materialize(supNew.filter(col("sup") >= support))
+      deleted = e.join(nextOut.select("u", "v"), Seq("u", "v"), "left_anti")
+      release(older) // two rounds back — no live reader remains
+      older = lastMat
+      lastMat = nextOut
+      out = nextOut
+      n = out.count()
+      if (trussDebug) Console.err.println(
+        f"[truss] round $i ${if (nDeleted * 8 > edgeCount) "full " else "delta"}" +
+          f" del=$nDeleted surv=$n ${(System.nanoTime - t0) / 1e9}%.2fs")
+      nDeleted = edgeCount - n
+      converged = n == edgeCount
+      edgeCount = n
+      i += 1
     }
+    sc.out(out)
+    }
+    supFinal.select(col("u").as("part_u"), col("v").as("part_v"), col("sup"))
+      .orderBy("part_u", "part_v")
+  }
+
+  /** Per-edge triangle support via DEGREE-ORDERED listing (the
+    * triangleCount shape — O(m^1.5) wedge candidates, not the 2-sided
+    * adjacency join, which measured ~5x slower on the dense co-order
+    * graph): each closed wedge is ONE triangle (a,b,c), scattered to
+    * its three canonical edges, counted per edge. Edges in no triangle
+    * are absent — support 0, pruned by any threshold >= 1. Input must be
+    * canonical (u < v, distinct).
+    */
+  private def supportOf(e: DataFrame): DataFrame = {
+    val deg = e.select(col("u").as("n")).unionByName(e.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
+      .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
+    val oriented = withDeg.select(
+      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
+        .otherwise(col("v")).as("a"),
+      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
+        .otherwise(col("u")).as("b"))
+    val wedges = oriented.join(oriented.withColumnRenamed("b", "c"), "a")
+      .filter(col("b") < col("c"))
+    val closing = oriented.select(
+      least(col("a"), col("b")).as("b"), greatest(col("a"), col("b")).as("c"))
+    wedges.join(closing, Seq("b", "c"), "left_semi")
+      .select(explode(array(
+        struct(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v")),
+        struct(least(col("a"), col("c")).as("u"), greatest(col("a"), col("c")).as("v")),
+        struct(col("b").as("u"), col("c").as("v")))).as("t"))
+      .select(col("t.u").as("u"), col("t.v").as("v"))
+      .groupBy("u", "v")
+      .agg(count(lit(1)).cast(LongType).as("sup"))
+  }
+
+  /** The full-recount k-truss loop — relists ALL triangles every round.
+    * Kept as the spec baseline for [[kTruss]]'s delta-recount (identical
+    * output by induction; KTrussDeltaSpec pins it on planted and derived
+    * graphs). Not for production use: every round pays the whole-graph
+    * wedge join the delta version only pays once.
+    */
+  private[algos] def kTrussFullRecount(edges: DataFrame, support: Int,
+      rounds: Int = 5, src: String = "_src", dst: String = "_dst"): DataFrame = {
+    require(rounds >= 1 && support >= 1)
+    val e00 = materialize(
+      edges.select(least(col(src), col(dst)).as("u"),
+          greatest(col(src), col(dst)).as("v"))
+        .filter(col("u") =!= col("v")).distinct())
     var edgeCount = e00.count()
     val supFinal = withLoopParts(edges.sparkSession, edgeCount) { sc =>
     var e = sc.in(e00)

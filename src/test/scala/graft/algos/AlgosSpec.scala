@@ -257,6 +257,36 @@ class AlgosSpec extends SparkSpec {
       (2L, 4L), (3L, 4L)))
   }
 
+  test("kTruss delta-recount equals the full recount, round for round") {
+    // shapes that exercise the delta paths: a cascade (deletions in
+    // round 2+), a triangle with TWO deleted edges (the dedup-once
+    // case), and the derived co-order graph at sf0.001
+    import spark.implicits._
+    def check(e: org.apache.spark.sql.DataFrame, support: Int,
+        rounds: Int): Unit = {
+      val d = Algos.kTruss(e, support, rounds).collect()
+        .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+      val f = Algos.kTrussFullRecount(e, support, rounds).collect()
+        .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+      assert(d == f, s"delta != full at support=$support rounds=$rounds")
+    }
+    // K4 + pendant triangle off node 4 (cascades across rounds)
+    val cascade = edgesOf(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L,
+      2L -> 4L, 3L -> 4L, 4L -> 5L, 4L -> 6L, 5L -> 6L)
+    check(cascade, support = 2, rounds = 5)
+    check(cascade, support = 1, rounds = 5)
+    check(cascade, support = 3, rounds = 5) // everything eventually dies
+    // two K4s sharing an edge — deleting shared-edge triangles hits a
+    // triangle whose OTHER two edges survive
+    val shared = edgesOf(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L,
+      3L -> 4L, 3L -> 5L, 3L -> 6L, 4L -> 5L, 4L -> 6L, 5L -> 6L)
+    check(shared, support = 2, rounds = 5)
+    check(shared, support = 3, rounds = 5)
+    // the real derived graph (q_ktruss's input) at spec scale
+    val rel = graph.edgeFrame(graft.graph.EdgeType("RELATED_TO", "Part", "Part"))
+    check(rel, support = 3, rounds = 3)
+  }
+
   test("resourceAllocation: RA discounts hub intermediaries") {
     // star center 1 connects 2,3,4 (deg 3); leaf pair (5,6) share only
     // the deg-2 node 7: RA(5,6)=1/2 beats RA(2,3)=1/3 through the hub
