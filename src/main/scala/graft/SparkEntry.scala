@@ -1086,6 +1086,15 @@ object SparkEntry {
     "q_stream_topk" -> ((s, dir) =>
       streaming.EventStreams.streamingTopK(lenient(s), dir)),
 
+    // BOUNDED-state heavy hitters on an unbounded key space: per-bucket
+    // space-saving summaries (≤ 16×2048 state rows FOREVER) via
+    // flatMapGroupsWithState; capacity is non-binding on the gate corpus
+    // (distinct users per bucket ≪ 2048 — the q_mine rule), so the
+    // drained top-k equals the exact batch GROUP BY and the
+    // q_stream_topk oracle gates the approx operator too
+    "q_stream_topk_approx" -> ((s, dir) =>
+      streaming.EventStreams.streamingTopKApprox(lenient(s), dir)),
+
     // HLL on the stream: one streaming max-aggregation holds the live
     // register table (m rows per group forever); max is order-
     // insensitive so the drained state equals the batch sketch and the
@@ -3853,6 +3862,15 @@ object SparkEntry {
                 <= CAST(0.2 AS DOUBLE) * CAST(n_exact AS DOUBLE) THEN 1 ELSE 0 END AS BIGINT) AS within_20pct
          FROM fin ORDER BY grp""",
     "q_stream_topk" ->
+      """SELECT event_type, user_id, cnt, "rank" FROM (
+           SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(row_number() OVER (PARTITION BY event_type
+               ORDER BY count(*) DESC, user_id) AS BIGINT) AS "rank"
+           FROM events GROUP BY event_type, user_id) t
+         WHERE "rank" <= 5 ORDER BY event_type, "rank"""",
+    // the approx operator's capacity is non-binding at gate SF, so its
+    // summaries hold exact counts and the exact-top-k oracle applies
+    "q_stream_topk_approx" ->
       """SELECT event_type, user_id, cnt, "rank" FROM (
            SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS cnt,
              CAST(row_number() OVER (PARTITION BY event_type

@@ -321,6 +321,100 @@ object EventStreams {
     topKSlice(spark.table(queryName), k)
     }
 
+  /** Input/output rows of [[streamingTopKApprox]]'s bounded-state pass. */
+  final case class HHRow(grp: String, key: Long)
+  final case class HHState(grp: String, bucket: Int, version: Long,
+    key: Long, cnt: Long)
+
+  /** Streaming heavy hitters with BOUNDED state on an UNBOUNDED key
+    * space — the documented swap-in for [[streamingTopK]], whose exact
+    * per-key counts grow with key cardinality. Space-saving / Misra-
+    * Gries summaries (Metwally et al. 2005) keyed by (group, hash
+    * bucket): each of the B buckets owns a disjoint key slice and keeps
+    * AT MOST `capacity` (key, count) entries FOREVER — when a new key
+    * hits a full summary it inherits the minimum count (evicting that
+    * key), the classic overestimate-never-underestimate trade. State is
+    * ≤ B·capacity rows per group regardless of how many distinct keys
+    * the stream carries (spec-pinned with a MemoryStream feeding ×10
+    * more keys than capacity).
+    *
+    * Exactness contract, same shape as every sketch gate here: while
+    * distinct keys per bucket ≤ capacity nothing ever evicts, summaries
+    * hold EXACT counts whatever the arrival/batch order, and the
+    * drained top-k equals the batch GROUP BY — the q_stream_topk oracle
+    * gates this operator at a capacity that is non-binding on the gate
+    * corpus (the q_mine rule). Beyond capacity the answer degrades
+    * gracefully (counts only overestimate, by ≤ the evicted minimum)
+    * instead of the state growing.
+    *
+    * Each trigger emits the group's full summary stamped with a
+    * monotone version (its total count); the drain keeps each bucket's
+    * LAST emission — append-mode memory sinks accumulate every trigger,
+    * and "latest wins" is exactly how a dashboard reads a state store.
+    */
+  def streamingTopKApprox(spark: SparkSession, eventsDir: String,
+      glob: String = "events.parquet", k: Int = 5,
+      buckets: Int = 16, capacity: Int = 2048,
+      queryName: String = "q_stream_topk_approx"): DataFrame =
+    withStreamParts(spark, eventsDir, glob) { spark =>
+    import spark.implicits._
+    require(buckets >= 1 && capacity >= 1)
+    val raw = eventsRawStream(spark, eventsDir, glob)
+    val rows = raw.select(col("event_type").as("grp"),
+      col("user_id").as("key")).as[HHRow]
+    val query = topKApproxSummaries(rows, buckets, capacity)
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    // latest emission per (grp, bucket) = the drained state table
+    val drained = spark.table(queryName).localCheckpoint()
+    val latest = drained.groupBy("grp", "bucket")
+      .agg(max(col("version")).as("version"))
+    val stateTable = drained.join(latest, Seq("grp", "bucket", "version"))
+      .select(col("grp").as("event_type"), col("key").as("user_id"),
+        col("cnt"))
+    topKSlice(stateTable, k)
+    }
+
+  /** The bounded-state pass of [[streamingTopKApprox]], exposed for
+    * MemoryStream specs: per-(group, bucket) space-saving summaries of
+    * ≤ `capacity` entries, each trigger re-emitting the group's summary
+    * stamped with its monotone total count as `version`.
+    */
+  def topKApproxSummaries(rows: Dataset[HHRow], buckets: Int,
+      capacity: Int): Dataset[HHState] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    def update(gk: (String, Int), it: Iterator[HHRow],
+        state: GroupState[Map[Long, Long]]): Iterator[HHState] = {
+      var m = state.getOption.getOrElse(Map.empty[Long, Long])
+      // exact counts within the batch first, then ONE deterministic
+      // merge sweep (ascending key): while the summary never fills, the
+      // result is batch-order-independent — the gate's exact regime
+      val batch = scala.collection.mutable.Map.empty[Long, Long]
+      it.foreach(r => batch.update(r.key, batch.getOrElse(r.key, 0L) + 1L))
+      batch.toSeq.sortBy(_._1).foreach { case (key, c) =>
+        m.get(key) match {
+          case Some(prev) => m = m.updated(key, prev + c)
+          case None if m.size < capacity => m = m.updated(key, c)
+          case None =>
+            val (mk, mc) = m.minBy { case (kk, cc) => (cc, kk) }
+            m = (m - mk).updated(key, mc + c) // count inheritance
+        }
+      }
+      state.update(m)
+      val version = m.valuesIterator.sum
+      m.iterator.map { case (key, cnt) =>
+        HHState(gk._1, gk._2, version, key, cnt)
+      }
+    }
+    rows.groupByKey(r => (r.grp, (r.key % buckets).toInt))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Ordered-funnel analysis: for an ordered step sequence (e.g.
     * view → click → purchase), each user's earliest completion time of
     * step i STRICTLY AFTER their step i−1 time — the product-analytics

@@ -149,6 +149,39 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("topKApproxSummaries: state stays <= capacity as keys grow; heavy key survives exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.HHRow]
+    val query = EventStreams.topKApproxSummaries(input.toDS(),
+        buckets = 1, capacity = 8)
+      .writeStream.format("memory").queryName("hh_approx_spec")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // heavy key 7 arrives 50x up front, then 10x capacity distinct
+      // one-off keys try to flush it
+      input.addData((1 to 50).map(_ => EventStreams.HHRow("g", 7L)): _*)
+      query.processAllAvailable()
+      input.addData((100L to 179L).map(k => EventStreams.HHRow("g", k)): _*)
+      query.processAllAvailable()
+      val drained = spark.table("hh_approx_spec").as[EventStreams.HHState]
+        .collect()
+      val last = drained.map(_.version).max
+      val state = drained.filter(_.version == last)
+      // bounded state: 80 distinct keys entered, summary holds 8
+      assert(state.length == 8, s"state rows ${state.length}")
+      // the heavy hitter survives with its exact count (space-saving
+      // guarantees any key with true count > N/capacity survives; 7's
+      // entry was never the minimum so never inherited)
+      val heavy = state.find(_.key == 7L)
+      assert(heavy.isDefined && heavy.get.cnt == 50L, s"heavy: $heavy")
+      // space-saving invariant: every kept count <= true total
+      assert(state.map(_.cnt).sum <= 130L)
+      // version is the monotone total
+      assert(last == 130L)
+    } finally query.stop()
+  }
+
   test("streamingNearDup flags planted near-duplicates against the earlier doc") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
