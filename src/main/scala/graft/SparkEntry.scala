@@ -1230,6 +1230,14 @@ object SparkEntry {
         seeds = Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L), maxDepth = 4)
         .withColumnRenamed("id", "p_partkey")),
 
+    // sampled betweenness (Brandes over the 8-seed fixed sample,
+    // distance-bounded at 4): forward σ per level, backward δ per level
+    // with round-7dp terms summed as exact DECIMAL — chained-CTE replay
+    "q_betweenness" -> ((s, dir) =>
+      algos.Algos.betweennessSampled(relatedTo(s, dir),
+          seeds = Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L), maxDepth = 4)
+        .withColumnRenamed("id", "p_partkey")),
+
     "q_concomp" -> ((s, dir) =>
       algos.Algos.connectedComponents(relatedTo(s, dir))
         .select(col("id").as("p_partkey"), col("component"))
@@ -1284,6 +1292,15 @@ object SparkEntry {
     "q_labelprop" -> ((s, dir) =>
       algos.Algos.labelPropagation(relatedTo(s, dir), iterations = 5)
         .select(col("id").as("p_partkey"), col("label"))
+        .orderBy("p_partkey")),
+
+    // Louvain phase-1 community detection: 3 fixed synchronous local-
+    // move rounds, integer modularity-gain surrogate S·kin − k·Σtot'
+    // (ΔQ scaled by 2m² — zero floats), smallest-community tie-break;
+    // chained-CTE oracle replays the identical labeling
+    "q_louvain" -> ((s, dir) =>
+      algos.Algos.louvain(relatedTo(s, dir), rounds = 3)
+        .select(col("id").as("p_partkey"), col("community"))
         .orderBy("p_partkey")),
 
     // k-core via fixed synchronous pruning rounds (chained-CTE oracle)
@@ -1615,6 +1632,64 @@ object SparkEntry {
   /** The RELATED_TO edge derivation shared by the graph-analytics
     * oracles (canonical small<large part pairs co-occurring in an order).
     */
+  /** Sampled-Brandes betweenness replay mirroring
+    * [[algos.Algos.betweennessSampled]] at maxDepth 4: forward levels
+    * l0..l4 with path counts (first-reach via anti-join against the
+    * previous visited union), backward dependencies dep3..dep1 with the
+    * identical floor(x·10⁷ + 0.5) integer-unit term arithmetic summed
+    * as exact BIGINTs (floor, not round: DuckDB's round(double, n)
+    * float-multiplies and mis-rounds midpoint-adjacent doubles).
+    */
+  private def betweennessOracle(seeds: Seq[Long]): String = {
+    val fwd = (1 to 4).map { d =>
+      val vis =
+        if (d == 1) "l0"
+        else s"(SELECT s, id FROM vis${d - 1})"
+      val visNext =
+        if (d < 4)
+          s""",
+         vis$d AS MATERIALIZED (
+           SELECT s, id FROM ${if (d == 1) "l0" else s"vis${d - 1}"}
+           UNION ALL SELECT s, id FROM l$d)"""
+        else ""
+      s"""l$d AS MATERIALIZED (
+           SELECT f.s, r.p2 AS id, CAST(sum(f.sigma) AS BIGINT) AS sigma
+           FROM l${d - 1} f JOIN related r ON r.p1 = f.id
+           LEFT JOIN $vis v ON v.s = f.s AND v.id = r.p2
+           WHERE v.id IS NULL
+           GROUP BY 1, 2)$visNext"""
+    }.mkString(",\n")
+    val bwd = (3 to 1 by -1).map { d =>
+      val deltaExpr =
+        if (d == 3) "CAST(0 AS DOUBLE)"
+        else s"CAST(coalesce(dd.delta, 0) AS DOUBLE)"
+      val depJoin =
+        if (d == 3) ""
+        else s"LEFT JOIN dep${d + 1} dd ON dd.s = w.s AND dd.id = w.id"
+      s"""dep$d AS MATERIALIZED (
+           SELECT v.s, v.id,
+             CAST(sum(CAST(floor(CAST(v.sigma AS DOUBLE) *
+               (CAST(10000000 AS DOUBLE) + $deltaExpr) /
+               CAST(w.sigma AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS delta
+           FROM l$d v JOIN related r ON r.p1 = v.id
+           JOIN l${d + 1} w ON w.s = v.s AND w.id = r.p2
+           $depJoin
+           GROUP BY 1, 2)"""
+    }.mkString(",\n")
+    s"""WITH $relatedSql,
+       seeds AS (SELECT CAST(unnest([${seeds.mkString(", ")}]) AS BIGINT) AS s),
+       l0 AS MATERIALIZED (SELECT s, s AS id, CAST(1 AS BIGINT) AS sigma FROM seeds),
+       $fwd,
+       $bwd,
+       alldep AS (SELECT * FROM dep1 UNION ALL SELECT * FROM dep2
+                  UNION ALL SELECT * FROM dep3)
+       SELECT id AS p_partkey, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(delta) AS BIGINT) AS betweenness_e7,
+         CAST(CAST(sum(delta) AS BIGINT) AS DOUBLE) /
+           CAST(10000000 AS DOUBLE) AS betweenness
+       FROM alldep GROUP BY id ORDER BY p_partkey"""
+  }
+
   private val relatedSql =
     """related AS MATERIALIZED (
          SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
@@ -1701,6 +1776,53 @@ object SparkEntry {
     * [[algos.Algos.labelPropagation]]: per round each node takes the most
     * frequent neighbor label, ties to the smallest label.
     */
+  /** Fixed-round Louvain phase-1 replay mirroring [[algos.Algos
+    * .louvain]]: per round — community degree totals, neighbor-community
+    * edge counts, the integer gain surrogate S·kin − k·Σtot' (Σtot'
+    * excluding the node's own degree inside its current community), and
+    * the (score DESC, cand ASC) argmax. All integers; AS MATERIALIZED so
+    * DuckDB doesn't inline the chain exponentially.
+    */
+  private def louvainOracle(rounds: Int): String = {
+    val iters = (1 to rounds).map { i =>
+      val p = s"lab${i - 1}"
+      s"""tot$i AS MATERIALIZED (
+           SELECT l.c, CAST(sum(d.k) AS BIGINT) AS tot
+           FROM $p l JOIN deg d ON d.id = l.id GROUP BY l.c),
+         kin$i AS MATERIALIZED (
+           SELECT e.u AS id, l.c AS cand, CAST(count(*) AS BIGINT) AS kin
+           FROM sym e JOIN $p l ON l.id = e.v GROUP BY 1, 2),
+         cand$i AS MATERIALIZED (
+           SELECT id, cand, max(kin) AS kin FROM (
+             SELECT id, cand, kin FROM kin$i
+             UNION ALL SELECT id, c AS cand, 0 FROM $p) GROUP BY 1, 2),
+         sc$i AS MATERIALIZED (
+           SELECT c.id, c.cand,
+             s.s * c.kin - d.k * (t.tot -
+               CASE WHEN c.cand = l.c THEN d.k ELSE 0 END) AS score
+           FROM cand$i c
+           JOIN tot$i t ON t.c = c.cand
+           JOIN deg d ON d.id = c.id
+           JOIN $p l ON l.id = c.id
+           CROSS JOIN s),
+         lab$i AS MATERIALIZED (
+           SELECT id, cand AS c FROM (
+             SELECT id, cand,
+               row_number() OVER (PARTITION BY id ORDER BY score DESC, cand) AS rn
+             FROM sc$i) WHERE rn = 1)"""
+    }.mkString(",\n")
+    s"""WITH $relatedSql,
+       sym AS MATERIALIZED (SELECT p1 AS u, p2 AS v FROM related
+               UNION ALL SELECT p2, p1 FROM related),
+       deg AS MATERIALIZED (
+         SELECT u AS id, CAST(count(*) AS BIGINT) AS k FROM sym GROUP BY u),
+       s AS (SELECT CAST(sum(k) AS BIGINT) AS s FROM deg),
+       lab0 AS MATERIALIZED (SELECT id, id AS c FROM deg),
+       $iters
+       SELECT id AS p_partkey, CAST(c AS BIGINT) AS community
+       FROM lab$rounds ORDER BY p_partkey"""
+  }
+
   private def labelPropOracle(iterations: Int): String = {
     val iters = (1 to iterations).map { i =>
       val p = s"l${i - 1}"
@@ -1952,6 +2074,8 @@ object SparkEntry {
     "q_pagerank" -> pageRankOracle(10),
     "q_ppr" -> pprOracle(10, Seq(1L, 2L, 3L)),
     "q_labelprop" -> labelPropOracle(5),
+    "q_louvain" -> louvainOracle(3),
+    "q_betweenness" -> betweennessOracle(Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L)),
     "q_kcore" -> kCoreOracle(80, 10),
     "q_lookup" ->
       "SELECT c_name, c_acctbal FROM customer WHERE c_custkey = 42",

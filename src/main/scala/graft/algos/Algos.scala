@@ -238,6 +238,117 @@ object Algos {
       .orderBy("id")
   }
 
+  /** Sampled betweenness centrality (Brandes 2001, source-sampled à la
+    * Brandes–Pich 2007, distance-bounded at maxDepth): for each seed s,
+    * a forward BFS accumulates shortest-path counts σ(s,v) per level
+    * (σ of a node first reached at level d = Σ σ of its dist-(d−1)
+    * in-neighbors — ONE grouped aggregation per level), then the
+    * backward sweep accumulates dependencies level by level:
+    * δ(s,v) = Σ_{w ∈ succ(v)} (σv/σw)·(1+δw), betweenness(v) = Σ_s
+    * δ(s,v). Directed edges, the [[harmonicCentrality]] convention.
+    *
+    * Engine-parity arithmetic — the q_harmonic rule EXTENDED, because
+    * `round(double, 7)` itself is NOT portable (DuckDB implements it
+    * with a float multiply that mis-rounds midpoint-adjacent doubles —
+    * measured: 0.56172835 rounds up there, down under Spark's exact
+    * HALF_UP): δ is carried in INTEGER 1e-7 units and every step is an
+    * op both engines make bit-identical — term = floor(σv·(10⁷+δ₇)/σw
+    * + 0.5) (casts of ≤2^53 ints exact; each multiply/divide/add ONE
+    * correctly-rounded IEEE op; floor exact; floor-before-cast because
+    * DOUBLE→BIGINT rounds in DuckDB but truncates in Spark), summed as
+    * exact BIGINTs per (seed, v) — so every level's δ (and the final Σ
+    * over seeds) is aggregation-order independent and a chained-CTE
+    * replay reproduces it bit-for-bit. Cost: one shuffle
+    * per level forward (shared-frontier multi-source, the
+    * [[hopHistogram]] shape) + one join per level backward; the level
+    * count, never the seed count, bounds the rounds.
+    * Returns (id, n_pairs, betweenness_e7, betweenness) for nodes with
+    * positive dependency — betweenness_e7 is the exact scaled integer,
+    * betweenness its single-divide double view.
+    */
+  def betweennessSampled(edges: DataFrame, seeds: Seq[Long], maxDepth: Int,
+      src: String = "_src", dst: String = "_dst"): DataFrame = {
+    require(maxDepth >= 1 && seeds.nonEmpty)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e0 = materialize(edges.select(col(src).as("es"), col(dst).as("ed")))
+    val out = withLoopParts(spark, e0.count()) { sc =>
+    val e = sc.in(e0)
+    // forward: per-level first-reach frames with path counts σ
+    var levels = Vector(sc.in(materialize(
+      seeds.map(s => (s, s, 1L)).toDF("seed", "id", "sigma"))))
+    // level frames stay live through the backward pass; only the
+    // visited-set UNION frames (owned here, separate checkpoints) are
+    // released as they are superseded
+    var visited = levels.head
+    var prevUnion: DataFrame = null
+    var depth = 0
+    var frontier = visited
+    while (depth < maxDepth && !frontier.isEmpty) {
+      depth += 1
+      val next = frontier.join(e, col("id") === col("es"))
+        .groupBy(col("seed"), col("ed").as("nid"))
+        .agg(sum(col("sigma")).cast(LongType).as("sigma"))
+        .join(visited.select(col("seed"), col("id").as("nid")),
+          Seq("seed", "nid"), "left_anti")
+        .select(col("seed"), col("nid").as("id"), col("sigma"))
+      frontier = materialize(next)
+      levels = levels :+ frontier
+      val nv = materialize(visited.unionByName(frontier))
+      if (prevUnion ne null) release(prevUnion)
+      prevUnion = nv
+      visited = nv
+    }
+    if (prevUnion ne null) release(prevUnion)
+    // backward: δ per level from deepest-1 up; level frames stay live
+    var deltaNext: DataFrame = null
+    var deltaLevels = Vector.empty[DataFrame]
+    val maxL = levels.length - 1
+    for (d <- (maxL - 1) to 1 by -1) {
+      val ws0 = levels(d + 1).select(col("seed").as("wseed"),
+        col("id").as("wid"), col("sigma").as("wsigma"))
+      val ws = if (deltaNext eq null) {
+        ws0.withColumn("wdelta", lit(0L))
+      } else {
+        ws0.join(deltaNext.select(col("seed").as("wseed"),
+            col("id").as("wid"), col("delta").as("wd0")),
+            Seq("wseed", "wid"), "left")
+          .withColumn("wdelta", coalesce(col("wd0"), lit(0L)))
+          .drop("wd0")
+      }
+      val terms = levels(d)
+        .join(e, col("id") === col("es"))
+        .join(ws, col("seed") === col("wseed") && col("ed") === col("wid"))
+        .select(col("seed"), col("id"),
+          floor(col("sigma").cast(DoubleType) *
+              (lit(1.0e7) + col("wdelta").cast(DoubleType)) /
+              col("wsigma").cast(DoubleType) + lit(0.5))
+            .cast(LongType).as("term"))
+      val deltaLevel = materialize(
+        terms.groupBy("seed", "id")
+          .agg(sum(col("term")).cast(LongType).as("delta")))
+      deltaLevels = deltaLevels :+ deltaLevel
+      deltaNext = deltaLevel
+    }
+    val result =
+      if (deltaLevels.isEmpty)
+        Seq.empty[(Long, Long, Long, Double)]
+          .toDF("id", "n_pairs", "betweenness_e7", "betweenness")
+      else materialize(deltaLevels.reduce(_ unionByName _)
+        .groupBy("id")
+        .agg(count(lit(1)).cast(LongType).as("n_pairs"),
+          sum(col("delta")).cast(LongType).as("betweenness_e7"))
+        .withColumn("betweenness",
+          col("betweenness_e7").cast(DoubleType) / lit(1.0e7))
+        .orderBy("id"))
+    release(levels: _*)
+    release(deltaLevels: _*)
+    sc.out(result)
+    }
+    release(e0)
+    out
+  }
+
   /** Triangle count over the undirected graph given by a canonically
     * oriented edge frame (src < dst, each undirected edge once).
     *
@@ -912,6 +1023,77 @@ object Algos {
     }
     release(sym0) // the returned labels frame is checkpointed
     out
+  }
+
+  /** Modularity-based community detection — fixed synchronous rounds of
+    * Louvain's phase-1 local move (Blondel et al. 2008): each round
+    * every node considers joining the community of a neighbor (or
+    * staying) and picks the one maximizing the modularity gain, ties →
+    * the smallest community id, all nodes updated synchronously. The
+    * gain comparison runs on the INTEGER surrogate
+    * `score(C) = S·k_{i,in}(C) − k_i·Σtot'(C)` with S = Σdeg = 2m and
+    * Σtot'(C) excluding i's own degree when i ∈ C — this is the
+    * standard ΔQ = k_{i,in}/m − k_i·Σtot'/(2m²) scaled by the positive
+    * constant 2m², so the argmax (and therefore the labeling) is
+    * EXACTLY Louvain's, with zero floats on the hashed surface (the
+    * q_colloc rule; S·kin ≤ 2m·deg — lift to DECIMAL(38,0) beyond
+    * ~10⁹-edge graphs). Fixed rounds + deterministic tie-break = a
+    * chained-CTE SQL replay computes the identical labeling (the
+    * q_labelprop discipline; synchronous Louvain has no convergence
+    * guarantee, so rounds are part of the semantics). Per round: one
+    * Σtot aggregation, one neighbor-community count (Σdeg rows), one
+    * max_by — all equi-keyed, labels materialized for O(1) lineage.
+    */
+  def louvain(edges: DataFrame, rounds: Int = 3,
+      src: String = "_src", dst: String = "_dst"): DataFrame = {
+    require(rounds >= 1, s"rounds >= 1, got $rounds")
+    val fwd = edges.select(col(src).as("u"), col(dst).as("v"))
+      .filter(col(src) =!= col(dst))
+    val sym0 = materialize(
+      fwd.unionByName(fwd.select(col("v").as("u"), col("u").as("v"))).distinct())
+    val out = withLoopParts(edges.sparkSession, sym0.count()) { sc =>
+    val sym = sc.in(sym0)
+    val deg = materialize(
+      sym.groupBy(col("u").as("id")).agg(count(lit(1)).cast(LongType).as("k")))
+    // S = Σdeg, one scalar — the only driver-side value of the loop
+    val s = deg.agg(sum(col("k"))).collect()(0).getLong(0)
+    var labels = materialize(deg.select(col("id"), col("id").as("c")))
+    var lastMat = labels
+    for (_ <- 1 to rounds) {
+      val tot = labels.join(deg, "id")
+        .groupBy("c").agg(sum(col("k")).as("tot"))
+      // k_{i,in}(C): edges from i into each neighbor community
+      val kin = sym
+        .join(labels.select(col("id").as("v"), col("c").as("cand")), "v")
+        .groupBy(col("u").as("id"), col("cand"))
+        .agg(count(lit(1)).cast(LongType).as("kin"))
+      // candidates = neighbor communities ∪ the current community
+      // (kin = 0 when no neighbor is in it); max picks the kin row when
+      // both sources contribute the same (id, cand)
+      val cands = kin.unionByName(
+          labels.select(col("id"), col("c").as("cand"))
+            .withColumn("kin", lit(0L)))
+        .groupBy("id", "cand").agg(max(col("kin")).as("kin"))
+      val scored = cands
+        .join(tot.withColumnRenamed("c", "cand"), "cand")
+        .join(deg, "id")
+        .join(labels, "id")
+        .withColumn("tot2", col("tot") -
+          when(col("cand") === col("c"), col("k")).otherwise(lit(0L)))
+        .withColumn("score", lit(s) * col("kin") - col("k") * col("tot2"))
+      val next = scored.groupBy("id")
+        .agg(max_by(struct(col("score"), (-col("cand")).as("neg")),
+          struct(col("score"), (-col("cand")).as("neg"))).getField("neg").as("nc"))
+        .select(col("id"), (-col("nc")).as("c"))
+      labels = materialize(next)
+      release(lastMat)
+      lastMat = labels
+    }
+    release(deg)
+    sc.out(labels)
+    }
+    release(sym0)
+    out.select(col("id"), col("c").as("community"))
   }
 
   /** k-core: iteratively drop nodes whose (undirected) degree falls

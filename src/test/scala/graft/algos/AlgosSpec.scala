@@ -176,6 +176,52 @@ class AlgosSpec extends SparkSpec {
     assert(got(1L) != got(10L))
   }
 
+  test("betweennessSampled: exact Brandes dependencies on path and diamond") {
+    // path 1→2→3→4 from seed 1: δ(2) = 2, δ(3) = 1, 4 absent (δ = 0)
+    val path = edgesOf(1L -> 2L, 2L -> 3L, 3L -> 4L)
+    val p = Algos.betweennessSampled(path, seeds = Seq(1L), maxDepth = 4)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("betweenness_e7"), r.getAs[Double]("betweenness")))).toMap
+    assert(p(2L) == ((20000000L, 2.0)))
+    assert(p(3L) == ((10000000L, 1.0)))
+    assert(!p.contains(4L) && !p.contains(1L))
+    // diamond 1→{2,3}→4: σ(4) = 2, δ(2) = δ(3) = 1/2
+    val diamond = edgesOf(1L -> 2L, 1L -> 3L, 2L -> 4L, 3L -> 4L)
+    val d = Algos.betweennessSampled(diamond, seeds = Seq(1L), maxDepth = 4)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Long]("betweenness_e7")).toMap
+    assert(d(2L) == 5000000L && d(3L) == 5000000L)
+    // two seeds add: from 2, path contributes δ(3) = 1
+    val p2 = Algos.betweennessSampled(path, seeds = Seq(1L, 2L), maxDepth = 4)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("betweenness_e7")))).toMap
+    assert(p2(3L) == ((2L, 20000000L))) // 1 from each seed
+    // partitioning-invariant (integer-unit sums are order-free)
+    val again = Algos.betweennessSampled(path.repartition(7),
+      seeds = Seq(1L, 2L), maxDepth = 4).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("betweenness_e7")))).toMap
+    assert(again == p2)
+  }
+
+  test("louvain separates two planted cliques joined by a bridge") {
+    // K5 on 1..5, K5 on 11..15, one bridge 5-11
+    val cliqueA = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield i -> j
+    val cliqueB = for (i <- 11L to 15L; j <- (i + 1) to 15L) yield i -> j
+    val e = edgesOf((cliqueA ++ cliqueB :+ (5L -> 11L)): _*)
+    val got = Algos.louvain(e, rounds = 3).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("community")).toMap
+    val a = (1L to 5L).map(got)
+    val b = (11L to 15L).map(got)
+    assert(a.distinct.size == 1, s"clique A split: $a")
+    assert(b.distinct.size == 1, s"clique B split: $b")
+    assert(a.head != b.head, "cliques merged")
+    // deterministic under repartition
+    val again = Algos.louvain(e, rounds = 3).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("community")).toMap
+    assert(again == got)
+  }
+
   test("kCore keeps the clique and prunes the pendant chain transitively") {
     // 4-clique (degree 3 each) with a pendant chain 4-5-6: node 5 has
     // degree 2 only while 6 survives, so 3-core pruning must cascade
