@@ -1230,6 +1230,36 @@ object SparkEntry {
         seeds = Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L), maxDepth = 4)
         .withColumnRenamed("id", "p_partkey")),
 
+    // HITS hubs & authorities: 5 fixed synchronous rounds, integer
+    // micro-unit scores with (raw*1e6) DIV max normalization — exact
+    // BIGINT arithmetic end to end, chained-CTE replay
+    "q_hits" -> ((s, dir) =>
+      algos.Algos.hits(relatedTo(s, dir), iterations = 5)
+        .select(col("id").as("p_partkey"), col("hub"), col("auth"))),
+
+    // weighted SSSP (bounded Bellman-Ford, 6 relaxation rounds) over
+    // the co-order graph with integer micro-cost weights 1e6 DIV
+    // multiplicity — more shared orders = cheaper hop; all-BIGINT
+    "q_sssp" -> ((s, dir) => {
+      val li = GraphLoader.table(lenient(s), dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val w = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("_src"), col("b.pk").as("_dst"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .withColumn("_w", expr("CAST(1000000 DIV cnt AS BIGINT)"))
+      algos.Algos.weightedShortestPaths(w, source = 1L, rounds = 6)
+        .select(col("id").as("p_partkey"), col("dist").as("dist_us"))
+        .orderBy("p_partkey")
+    }),
+
+    // deterministic random walks (derandomized DeepWalk sampling):
+    // 64 md5-picked starts × 8 steps, each step the out-neighbor
+    // minimizing md5(start|t|w) — zero RNG state, engine-replayable
+    "q_walks" -> ((s, dir) =>
+      algos.Algos.deterministicWalks(relatedTo(s, dir),
+        nStarts = 64, steps = 8)),
+
     // sampled betweenness (Brandes over the 8-seed fixed sample,
     // distance-bounded at 4): forward σ per level, backward δ per level
     // with round-7dp terms summed as exact DECIMAL — chained-CTE replay
@@ -1340,6 +1370,12 @@ object SparkEntry {
     // the hashed surface
     "q_anomaly" -> ((s, dir) =>
       operators.Olap.anomaly(GraphLoader.eventsTable(lenient(s), dir))),
+
+    // per-source distributional drift: chi-square of each source's
+    // language mix vs the corpus expectation, cross-multiplied integer
+    // cells + floor(x*1e6 + 0.5) quantization (the portable rounding)
+    "q_drift" -> ((s, dir) =>
+      pipeline.TextOps.sourceDrift(docs(s, dir))),
 
     // Jaccard node similarity (link prediction) over the customer—part
     // purchase relation: md5-sampled node set (the q_mine gate bound),
@@ -1632,6 +1668,99 @@ object SparkEntry {
   /** The RELATED_TO edge derivation shared by the graph-analytics
     * oracles (canonical small<large part pairs co-occurring in an order).
     */
+  /** Fixed-round HITS replay mirroring [[algos.Algos.hits]]: per round,
+    * authority = in-edge hub sums then (raw·10⁶) DIV max, hub = out-edge
+    * authority sums then the same normalization — exact BIGINTs.
+    */
+  private def hitsOracle(iterations: Int): String = {
+    val iters = (1 to iterations).map { r =>
+      val p = s"s${r - 1}"
+      s"""ar$r AS MATERIALIZED (
+           SELECT n.id, CAST(coalesce(sum(p.hub), 0) AS BIGINT) AS ar
+           FROM nodes n LEFT JOIN related e ON e.p2 = n.id
+           LEFT JOIN $p p ON p.id = e.p1
+           GROUP BY n.id),
+         am$r AS (SELECT greatest(max(ar), 1) AS am FROM ar$r),
+         a$r AS MATERIALIZED (
+           SELECT id, CAST((ar * 1000000) // am AS BIGINT) AS auth
+           FROM ar$r, am$r),
+         hr$r AS MATERIALIZED (
+           SELECT n.id, CAST(coalesce(sum(p.auth), 0) AS BIGINT) AS hr
+           FROM nodes n LEFT JOIN related e ON e.p1 = n.id
+           LEFT JOIN a$r p ON p.id = e.p2
+           GROUP BY n.id),
+         hm$r AS (SELECT greatest(max(hr), 1) AS hm FROM hr$r),
+         s$r AS MATERIALIZED (
+           SELECT h.id, CAST((h.hr * 1000000) // m.hm AS BIGINT) AS hub, a.auth
+           FROM hr$r h JOIN a$r a USING (id) CROSS JOIN hm$r m)"""
+    }.mkString(",\n")
+    s"""WITH $relatedSql,
+       nodes AS MATERIALIZED (SELECT p1 AS id FROM related
+               UNION SELECT p2 FROM related),
+       s0 AS MATERIALIZED (SELECT id, CAST(1000000 AS BIGINT) AS hub,
+               CAST(1000000 AS BIGINT) AS auth FROM nodes),
+       $iters
+       SELECT id AS p_partkey, hub, auth FROM s$iterations ORDER BY p_partkey"""
+  }
+
+  /** Bounded Bellman–Ford replay mirroring
+    * [[algos.Algos.weightedShortestPaths]] over co-order micro-cost
+    * weights: per round, keep each node's min of (previous dist, every
+    * in-edge relaxation) — all BIGINTs.
+    */
+  private def ssspOracle(source: Long, rounds: Int): String = {
+    val iters = (1 to rounds).map { r =>
+      val p = s"d${r - 1}"
+      s"""d$r AS MATERIALIZED (
+           SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM (
+             SELECT id, dist FROM $p
+             UNION ALL
+             SELECT r.v AS id, d.dist + r.w AS dist
+             FROM $p d JOIN rel r ON r.u = d.id)
+           GROUP BY id)"""
+    }.mkString(",\n")
+    s"""WITH rel AS MATERIALIZED (
+         SELECT a.l_partkey AS u, b.l_partkey AS v,
+           CAST(1000000 // count(*) AS BIGINT) AS w
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2),
+       d0 AS (SELECT CAST($source AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist),
+       $iters
+       SELECT id AS p_partkey, dist AS dist_us FROM d$rounds ORDER BY p_partkey"""
+  }
+
+  /** Deterministic-walk replay mirroring
+    * [[algos.Algos.deterministicWalks]]: per step, the out-neighbor
+    * minimizing (md5(start|t|w), w) via a per-start rank.
+    */
+  private def walksOracle(nStarts: Int, steps: Int): String = {
+    val iters = (1 to steps).map { t =>
+      val p = s"w${t - 1}"
+      s"""w$t AS MATERIALIZED (
+           SELECT start, CAST($t AS BIGINT) AS step, node FROM (
+             SELECT c.start, r.p2 AS node,
+               row_number() OVER (PARTITION BY c.start
+                 ORDER BY md5(CAST(c.start AS VARCHAR) || '|' || '$t' || '|' ||
+                   CAST(r.p2 AS VARCHAR)), r.p2) AS rn
+             FROM $p c JOIN related r ON r.p1 = c.node)
+           WHERE rn = 1)"""
+    }.mkString(",\n")
+    val unions = (0 to steps).map(t => s"SELECT * FROM w$t").mkString("\n         UNION ALL ")
+    s"""WITH $relatedSql,
+       nodes AS MATERIALIZED (SELECT p1 AS n FROM related
+               UNION SELECT p2 FROM related),
+       starts AS MATERIALIZED (
+         SELECT n AS start FROM nodes
+         ORDER BY md5(CAST(n AS VARCHAR)), n LIMIT $nStarts),
+       w0 AS MATERIALIZED (
+         SELECT start, CAST(0 AS BIGINT) AS step, start AS node FROM starts),
+       $iters
+       SELECT start, step, node FROM (
+         $unions)
+       ORDER BY start, step"""
+  }
+
   /** Sampled-Brandes betweenness replay mirroring
     * [[algos.Algos.betweennessSampled]] at maxDepth 4: forward levels
     * l0..l4 with path counts (first-reach via anti-join against the
@@ -2076,6 +2205,40 @@ object SparkEntry {
     "q_labelprop" -> labelPropOracle(5),
     "q_louvain" -> louvainOracle(3),
     "q_betweenness" -> betweennessOracle(Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L)),
+    "q_hits" -> hitsOracle(5),
+    "q_sssp" -> ssspOracle(1L, 6),
+    "q_walks" -> walksOracle(64, 8),
+    // chi-square drift replay: same cross-multiplied integer cells over
+    // the full source × category grid (O = 0 cells included), same
+    // floor(x*1e6 + 0.5) quantization, BIGINT sums
+    "q_drift" ->
+      """WITH o AS (
+           SELECT source AS src, lang AS cat, CAST(count(*) AS BIGINT) AS o
+           FROM documents GROUP BY 1, 2),
+         ns AS (SELECT src, CAST(sum(o) AS BIGINT) AS ns FROM o GROUP BY 1),
+         nc AS (SELECT cat, CAST(sum(o) AS BIGINT) AS nc FROM o GROUP BY 1),
+         t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
+         cells AS (
+           SELECT s.src, c.cat, s.ns, c.nc, coalesce(o.o, 0) AS o, t.n
+           FROM ns s CROSS JOIN nc c
+           LEFT JOIN o ON o.src = s.src AND o.cat = c.cat
+           CROSS JOIN t),
+         term AS (
+           SELECT src, ns,
+             CAST(floor(CAST(dd * dd AS DOUBLE) /
+               CAST(n * ns * nc AS DOUBLE) *
+               CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cell_e6
+           FROM (SELECT src, ns,
+               CAST(CAST(o AS DECIMAL(18,0)) * n -
+                    CAST(ns AS DECIMAL(18,0)) * nc AS DECIMAL(18,0)) AS dd,
+               n, nc
+             FROM cells))
+         SELECT src, CAST(max(ns) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(cell_e6) AS BIGINT) AS chi2_e6,
+           CAST(CAST(sum(cell_e6) AS BIGINT) AS DOUBLE) /
+             CAST(1000000 AS DOUBLE) AS chi2
+         FROM term GROUP BY src ORDER BY src""",
     "q_kcore" -> kCoreOracle(80, 10),
     "q_lookup" ->
       "SELECT c_name, c_acctbal FROM customer WHERE c_custkey = 42",

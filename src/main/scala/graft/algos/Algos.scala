@@ -1025,6 +1025,143 @@ object Algos {
     out
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) as fixed synchronous
+    * rounds in INTEGER micro-units: authority(v) = Σ hub over in-edges,
+    * hub(u) = Σ authority over out-edges, each half-round max-normalized
+    * to 10⁶ by integer floor-division — `(raw·10⁶) DIV max(raw)` — so
+    * the whole iteration is exact BIGINT arithmetic any engine replays
+    * (the classic L2 normalization needs a sqrt the hashed surface
+    * bans; max-normalization preserves the ranking and the fixpoint
+    * direction). Per round: two grouped sums + two one-row broadcast
+    * maxima; scores materialized for O(1) lineage. raw·10⁶ stays inside
+    * BIGINT up to max-degree ~10⁶ graphs — lift to DECIMAL(38,0) beyond.
+    * Returns (id, hub, auth) in scaled units after `iterations` rounds.
+    */
+  def hits(edges: DataFrame, iterations: Int = 5,
+      src: String = "_src", dst: String = "_dst"): DataFrame = {
+    require(iterations >= 1, s"iterations >= 1, got $iterations")
+    val e0 = materialize(edges.select(col(src).as("u"), col(dst).as("v"))
+      .filter(col(src) =!= col(dst)).distinct())
+    val out = withLoopParts(edges.sparkSession, e0.count()) { sc =>
+    val e = sc.in(e0)
+    val nodes = materialize(e.select(col("u").as("id"))
+      .unionByName(e.select(col("v").as("id"))).distinct())
+    var scores = materialize(nodes.select(col("id"),
+      lit(1000000L).as("hub"), lit(1000000L).as("auth")))
+    var lastMat = scores
+    for (_ <- 1 to iterations) {
+      val aRaw = nodes.join(
+          e.join(scores.select(col("id").as("u"), col("hub")), "u")
+            .groupBy(col("v").as("id")).agg(sum(col("hub")).as("ar")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("ar"), lit(0L)).as("ar"))
+      val aMax = aRaw.agg(greatest(max(col("ar")), lit(1L)).as("am"))
+      val auth = aRaw.crossJoin(broadcast(aMax))
+        .select(col("id"), expr("CAST((ar * 1000000) DIV am AS BIGINT)").as("auth"))
+      val hRaw = nodes.join(
+          e.join(auth.select(col("id").as("v"), col("auth")), "v")
+            .groupBy(col("u").as("id")).agg(sum(col("auth")).as("hr")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("hr"), lit(0L)).as("hr"))
+      val hMax = hRaw.agg(greatest(max(col("hr")), lit(1L)).as("hm"))
+      val hub = hRaw.crossJoin(broadcast(hMax))
+        .select(col("id"), expr("CAST((hr * 1000000) DIV hm AS BIGINT)").as("hub"))
+      scores = materialize(hub.join(auth, "id").select("id", "hub", "auth"))
+      release(lastMat)
+      lastMat = scores
+    }
+    release(nodes)
+    sc.out(scores)
+    }
+    release(e0)
+    out.orderBy("id")
+  }
+
+  /** Weighted single-source shortest paths as FIXED Bellman–Ford rounds
+    * (the bounded-hop variant — `rounds` relaxations find every
+    * shortest path of ≤ rounds edges; extra rounds are no-ops at the
+    * fixpoint): dist_r(v) = min(dist_{r−1}(v), min over in-edges
+    * (dist_{r−1}(u) + w)). Integer weights in micro-units keep the
+    * whole computation exact-BIGINT (the hashed-surface rule); each
+    * round is one equi-join + one min aggregation, frames materialized
+    * for O(1) lineage — the iterative-loop discipline of [[pageRank]].
+    * Unreached nodes are absent (no +∞ sentinel on the wire). Returns
+    * (id, dist) over the weighted edge frame (u, v, w).
+    */
+  def weightedShortestPaths(edges: DataFrame, source: Long, rounds: Int,
+      src: String = "_src", dst: String = "_dst",
+      weight: String = "_w"): DataFrame = {
+    require(rounds >= 1, s"rounds >= 1, got $rounds")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e0 = materialize(edges.select(col(src).as("u"), col(dst).as("v"),
+      col(weight).cast(LongType).as("w")))
+    val out = withLoopParts(spark, e0.count()) { sc =>
+    val e = sc.in(e0)
+    var dist = sc.in(materialize(Seq((source, 0L)).toDF("id", "dist")))
+    var lastMat = dist
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.join(e, col("id") === col("u"))
+        .select(col("v").as("id"), (col("dist") + col("w")).as("dist"))
+      val next = dist.unionByName(relaxed)
+        .groupBy("id").agg(min(col("dist")).as("dist"))
+      dist = materialize(next)
+      release(lastMat)
+      lastMat = dist
+    }
+    sc.out(dist)
+    }
+    release(e0)
+    out.orderBy("id")
+  }
+
+  /** Deterministic "random" walks for graph-embedding corpora
+    * (DeepWalk/node2vec-style sampling, derandomized): from each start
+    * node, `steps` hops where step t moves to the out-neighbor w
+    * minimizing md5(start|t|w) — a fixed pseudo-random choice that is
+    * uniform-ish per step yet REPLAYABLE by any engine with md5 (no RNG
+    * state, no seed plumbing, the q_wsample/q_shuffle discipline; walks
+    * are independent of partitioning and of each other). Walks stop
+    * early at sinks. One equi-join + one min_by per step — the step
+    * count, never the walk count, bounds the shuffles; all walks
+    * advance in one frame. Returns (start, step, node) including step 0.
+    */
+  def deterministicWalks(edges: DataFrame, nStarts: Int, steps: Int,
+      src: String = "_src", dst: String = "_dst"): DataFrame = {
+    require(nStarts >= 1 && steps >= 1)
+    val e0 = materialize(edges.select(col(src).as("u"), col(dst).as("v")))
+    val out = withLoopParts(edges.sparkSession, e0.count()) { sc =>
+    val e = sc.in(e0)
+    val starts = materialize(
+      e.select(col("u").as("node")).unionByName(e.select(col("v").as("node")))
+        .distinct()
+        .orderBy(md5(col("node").cast(StringType)), col("node"))
+        .limit(nStarts)
+        .select(col("node").as("start"), lit(0L).as("step"),
+          col("node").as("node")))
+    var cur = starts
+    var acc = Vector(starts)
+    var t = 0L
+    while (t < steps && !cur.isEmpty) {
+      t += 1
+      val key = md5(concat(col("start").cast(StringType), lit("|"),
+        lit(t).cast(StringType), lit("|"), col("v").cast(StringType)))
+      val next = cur.join(e, col("node") === col("u"))
+        .select(col("start"), col("v"), key.as("k"))
+        .groupBy("start")
+        .agg(min_by(col("v"), struct(col("k"), col("v"))).as("node"))
+        .select(col("start"), lit(t).as("step"), col("node"))
+      cur = materialize(next)
+      acc = acc :+ cur
+    }
+    val walk = materialize(acc.reduce(_ unionByName _))
+    release(acc: _*)
+    sc.out(walk)
+    }
+    release(e0)
+    out.orderBy("start", "step")
+  }
+
   /** Modularity-based community detection — fixed synchronous rounds of
     * Louvain's phase-1 local move (Blondel et al. 2008): each round
     * every node considers joining the community of a neighbor (or

@@ -570,6 +570,50 @@ object TextOps {
     * no-partition window is a constant-size reduction, not a corpus
     * funnel.
     */
+  /** Per-source distributional drift — Pearson's chi-square statistic of
+    * each source's category mix (language by default) against the
+    * corpus-wide expectation: χ²(s) = Σ_c (O_sc − E_sc)²/E_sc with
+    * E_sc = N_s·N_c/N — the data-pipeline monitor for "did this crawl
+    * slice / new dump shift the mixture", and the classic contamination
+    * smoke test. Includes O = 0 cells (a source MISSING a category is
+    * drift too): the cell grid is the (sources × categories) cross join
+    * of two tiny aggregates, never a data-sized frame.
+    *
+    * Engine-parity arithmetic: the cell term is cross-multiplied to
+    * (O·N − N_s·N_c)²/(N·N_s·N_c) — numerator an exact DECIMAL(18,0)
+    * squared into 37 digits, denominator an exact BIGINT — evaluated as
+    * casts + one divide + the floor(x·10⁶ + 0.5) integer-unit
+    * quantization (every step one correctly-rounded IEEE op — the
+    * q_betweenness rule: round(double, n) itself is NOT engine-portable),
+    * then summed per source as exact BIGINTs. Returns
+    * (source, n_docs, n_cells, chi2_e6, chi2) ordered by source.
+    */
+  def sourceDrift(docs: DataFrame, sourceCol: String = "source",
+      catCol: String = "lang"): DataFrame = {
+    val d18 = DecimalType(18, 0)
+    val o = docs.groupBy(col(sourceCol).as("src"), col(catCol).as("cat"))
+      .agg(count(lit(1)).cast(LongType).as("o"))
+    val ns = o.groupBy("src").agg(sum(col("o")).cast(LongType).as("ns"))
+    val nc = o.groupBy("cat").agg(sum(col("o")).cast(LongType).as("nc"))
+    val n = o.agg(sum(col("o")).cast(LongType).as("n"))
+    val diff = (col("o").cast(d18) * col("n") -
+      col("ns").cast(d18) * col("nc")).cast(d18)
+    val cells = ns.crossJoin(nc)
+      .join(o, Seq("src", "cat"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(n))
+      .withColumn("cell_e6", floor(
+        (diff * diff).cast(DoubleType) /
+          (col("n") * col("ns") * col("nc")).cast(DoubleType) *
+          lit(1.0e6) + lit(0.5)).cast(LongType))
+    cells.groupBy("src")
+      .agg(max(col("ns")).as("n_docs"),
+        count(lit(1)).cast(LongType).as("n_cells"),
+        sum(col("cell_e6")).cast(LongType).as("chi2_e6"))
+      .withColumn("chi2", col("chi2_e6").cast(DoubleType) / lit(1.0e6))
+      .orderBy("src")
+  }
+
   def corpusStats(docs: DataFrame, stratCol: String = "lang",
       id: String = "doc_id", text: String = "text",
       sourceCol: String = "source"): DataFrame = {

@@ -176,6 +176,52 @@ class AlgosSpec extends SparkSpec {
     assert(got(1L) != got(10L))
   }
 
+  test("hits: directed star separates pure hubs from the pure authority") {
+    // leaves 1..4 each point at center 9: leaves are hubs, 9 authority
+    val e = edgesOf(1L -> 9L, 2L -> 9L, 3L -> 9L, 4L -> 9L)
+    val got = Algos.hits(e, iterations = 3).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("hub"), r.getAs[Long]("auth")))).toMap
+    (1L to 4L).foreach { i => assert(got(i) == ((1000000L, 0L)), s"leaf $i") }
+    assert(got(9L) == ((0L, 1000000L)))
+  }
+
+  test("weightedShortestPaths: relaxation beats the direct shortcut; rounds bound hops") {
+    import spark.implicits._
+    val e = Seq((1L, 2L, 10L), (2L, 3L, 10L), (1L, 3L, 25L))
+      .toDF("_src", "_dst", "_w")
+    val d6 = Algos.weightedShortestPaths(e, source = 1L, rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("dist")).toMap
+    assert(d6 == Map(1L -> 0L, 2L -> 10L, 3L -> 20L))
+    // one round only reaches direct edges
+    val d1 = Algos.weightedShortestPaths(e, source = 1L, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("dist")).toMap
+    assert(d1 == Map(1L -> 0L, 2L -> 10L, 3L -> 25L))
+  }
+
+  test("deterministicWalks: every hop is an edge, walks stop at sinks, layout-invariant") {
+    val e = edgesOf(1L -> 2L, 1L -> 3L, 2L -> 4L, 3L -> 4L, 4L -> 5L)
+    val edgeSet = Set((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    val got = Algos.deterministicWalks(e, nStarts = 5, steps = 6).collect()
+      .map(r => (r.getAs[Long]("start"), r.getAs[Long]("step"),
+        r.getAs[Long]("node")))
+    val byStart = got.groupBy(_._1)
+    byStart.foreach { case (s, rows) =>
+      val path = rows.sortBy(_._2).map(_._3)
+      assert(path.head == s, "step 0 is the start")
+      path.sliding(2).foreach {
+        case Array(a, b) => assert(edgeSet((a, b)), s"($a,$b) not an edge")
+        case _ => ()
+      }
+      // node 5 is a sink: any walk reaching it stops there
+      if (path.contains(5L)) assert(path.last == 5L)
+    }
+    val again = Algos.deterministicWalks(e.repartition(7), nStarts = 5,
+      steps = 6).collect().map(r => (r.getAs[Long]("start"),
+        r.getAs[Long]("step"), r.getAs[Long]("node")))
+    assert(again.sorted.toSeq == got.sorted.toSeq)
+  }
+
   test("betweennessSampled: exact Brandes dependencies on path and diamond") {
     // path 1→2→3→4 from seed 1: δ(2) = 2, δ(3) = 1, 4 absent (δ = 0)
     val path = edgesOf(1L -> 2L, 2L -> 3L, 3L -> 4L)

@@ -1079,4 +1079,27 @@ class PipelineSpec extends SparkSpec {
     assert(de.getAs[Long]("n_sources") == 1L)
     assert(de.getAs[Double]("doc_share") == 1.0 / 3.0)
   }
+
+  test("sourceDrift: uniform source scores lower than a skewed one; hand-computed cells") {
+    import spark.implicits._
+    // X: 10 a / 0 b (skewed), Y: 10 a / 10 b (the corpus mix is 20a/10b)
+    val docs = ((1 to 10).map(i => (i.toLong, "X", "a")) ++
+      (11 to 20).map(i => (i.toLong, "Y", "a")) ++
+      (21 to 30).map(i => (i.toLong, "Y", "b")))
+      .toDF("doc_id", "source", "lang")
+    val got = TextOps.sourceDrift(docs).collect()
+      .map(r => r.getAs[String]("src") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_cells"),
+          r.getAs[Long]("chi2_e6")))).toMap
+    // X: (10*30-10*20)^2/(30*10*20) + (0*30-10*10)^2/(30*10*10)
+    //  = 5/3 + 10/3 -> 1666667 + 3333333 = 5000000
+    assert(got("X") == ((10L, 2L, 5000000L)), s"X: ${got("X")}")
+    // Y: (10*30-20*20)^2/(30*20*20) + (10*30-20*10)^2/(30*20*10)
+    //  = 5/6 + 5/3 -> 833333 + 1666667 = 2500000
+    assert(got("Y") == ((20L, 2L, 2500000L)), s"Y: ${got("Y")}")
+    // partitioning-invariant (integer-unit sums)
+    val again = TextOps.sourceDrift(docs.repartition(7)).collect()
+      .map(_.toSeq).toSeq
+    assert(again == TextOps.sourceDrift(docs).collect().map(_.toSeq).toSeq)
+  }
 }
