@@ -674,6 +674,13 @@ object SparkEntry {
     "q_wsample" -> ((s, dir) =>
       pipeline.TextOps.prioritySample(docs(s, dir), k = 100)),
 
+    // priority sampling ON THE STREAM: deterministic hash priorities
+    // make the top-(k+1) a pure set property — per-bucket bounded heaps
+    // (≤ k+1 state rows per bucket forever), drained union re-ranked
+    // exactly like batch, bit-equal result, q_wsample's oracle verbatim
+    "q_stream_wsample" -> ((s, dir) =>
+      streaming.EventStreams.streamingPrioritySample(lenient(s), dir)),
+
     // deterministic seeded global shuffle — materialized training order
     // via the distributed prefix sum (no single-partition window)
     "q_shuffle" -> ((s, dir) =>
@@ -1221,6 +1228,12 @@ object SparkEntry {
     "q_hop_histogram" -> ((s, dir) =>
       algos.Algos.hopHistogram(relatedTo(s, dir),
         seeds = Seq(1L, 2L, 3L), maxDepth = 3)),
+
+    // effective diameter (p90 reach distance) per seed — integer rank
+    // arithmetic over the per-seed hop histogram
+    "q_diameter" -> ((s, dir) =>
+      algos.Algos.effectiveDiameter(relatedTo(s, dir),
+        seeds = Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L), maxDepth = 4)),
 
     // sampled harmonic centrality (Eppstein-Wang estimator shape): one
     // multi-source BFS from a fixed 8-seed sample, per-term 1/d rounded
@@ -2206,6 +2219,33 @@ object SparkEntry {
     "q_louvain" -> louvainOracle(3),
     "q_betweenness" -> betweennessOracle(Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L)),
     "q_hits" -> hitsOracle(5),
+    // effective-diameter replay: q_harmonic's recursive first-reach walk
+    // (dist 0 kept), per-seed cumulative histogram, integer ceil-rank
+    "q_diameter" ->
+      """WITH RECURSIVE related AS (
+           SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         walk(s, k, d) AS (
+           SELECT CAST(s AS BIGINT), CAST(s AS BIGINT), 0
+           FROM (SELECT unnest([1, 2, 3, 5, 8, 13, 21, 34]) AS s)
+           UNION
+           SELECT w.s, r.p2, w.d + 1
+           FROM walk w JOIN related r ON r.p1 = w.k WHERE w.d < 4),
+         firstreach AS (
+           SELECT s, k, min(d) AS d FROM walk GROUP BY s, k),
+         hist AS (
+           SELECT s, d, CAST(count(*) AS BIGINT) AS n
+           FROM firstreach GROUP BY 1, 2),
+         cum AS (
+           SELECT s, d,
+             CAST(sum(n) OVER (PARTITION BY s ORDER BY d) AS BIGINT) AS cum,
+             CAST(sum(n) OVER (PARTITION BY s) AS BIGINT) AS total
+           FROM hist)
+         SELECT s AS seed, CAST(max(total) AS BIGINT) AS n_reached,
+           CAST(min(d) AS BIGINT) AS eff_diameter
+         FROM cum WHERE cum >= (900 * total + 999) // 1000
+         GROUP BY s ORDER BY seed""",
     "q_sssp" -> ssspOracle(1L, 6),
     "q_walks" -> walksOracle(64, 8),
     // chi-square drift replay: same cross-multiplied integer cells over
@@ -3316,6 +3356,22 @@ object SparkEntry {
     // +1), same exactly-rounded double priority, tau = (k+1)-th via the
     // one-row min-over-rank aggregate (0 when the corpus is <= k)
     "q_wsample" ->
+      """WITH d AS (SELECT doc_id, n_chars AS w,
+             1 + (CAST(('0x' || substring(md5('ps:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) >> 8) AS u
+           FROM documents WHERE n_chars > 0),
+         p AS (SELECT doc_id, w, u,
+             (CAST(w AS DOUBLE) * CAST(4503599627370496.0 AS DOUBLE)) / CAST(u AS DOUBLE) AS priority
+           FROM d),
+         r AS (SELECT doc_id, w, priority,
+             row_number() OVER (ORDER BY priority DESC, doc_id) AS rnk FROM p),
+         tau AS (SELECT coalesce(min(CASE WHEN rnk = 101 THEN priority END), CAST(0.0 AS DOUBLE)) AS t FROM r)
+         SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(rnk AS BIGINT) AS rnk,
+           greatest(CAST(w AS DOUBLE), tau.t) AS w_hat
+         FROM r, tau WHERE rnk <= 100 ORDER BY rnk""",
+    // streaming priority sample equals the batch sampler bit-for-bit
+    // (deterministic hash priorities; bounded-heap union preserves the
+    // global top-(k+1)), so the batch oracle applies verbatim
+    "q_stream_wsample" ->
       """WITH d AS (SELECT doc_id, n_chars AS w,
              1 + (CAST(('0x' || substring(md5('ps:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) >> 8) AS u
            FROM documents WHERE n_chars > 0),

@@ -179,6 +179,34 @@ object Algos {
       .orderBy("seed", "dist")
   }
 
+  /** Effective diameter per seed — the p-th permille reach distance
+    * (classically p90: "90% of reachable nodes are within d hops"), the
+    * one-number summary of [[hopHistogram]]'s raw material. Pure
+    * integer arithmetic over the per-seed histogram (≤ maxDepth+1 rows
+    * per seed): rank r = ⌈permille·total/1000⌉ as (p·t + 999) DIV 1000,
+    * diameter = first distance whose cumulative count reaches r. The
+    * windows run over histogram rows, never corpus rows. Returns
+    * (seed, n_reached, eff_diameter) with dist 0 (the seed) included in
+    * the reach count.
+    */
+  def effectiveDiameter(edges: DataFrame, seeds: Seq[Long], maxDepth: Int,
+      permille: Int = 900,
+      src: String = "_src", dst: String = "_dst"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(permille >= 1 && permille <= 1000)
+    val hist = hopHistogram(edges, seeds, maxDepth, src, dst)
+    hist
+      .withColumn("cum", sum(col("n_nodes")).over(
+        Window.partitionBy("seed").orderBy("dist")))
+      .withColumn("total", sum(col("n_nodes")).over(
+        Window.partitionBy("seed")))
+      .filter(col("cum") >= expr(s"($permille * total + 999) DIV 1000"))
+      .groupBy("seed")
+      .agg(max(col("total")).cast(LongType).as("n_reached"),
+        min(col("dist")).cast(LongType).as("eff_diameter"))
+      .orderBy("seed")
+  }
+
   /** Shared multi-source BFS: first-reach (seed, id, dist ≤ maxDepth)
     * rows for every seed, all seeds advancing in ONE frontier — the
     * level count, not the seed count, bounds the shuffles. Edge

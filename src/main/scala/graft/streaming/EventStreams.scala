@@ -378,6 +378,77 @@ object EventStreams {
     topKSlice(stateTable, k)
     }
 
+  /** Input/state rows of [[streamingPrioritySample]]. */
+  final case class PsRow(doc_id: Long, w: Long, priority: Double)
+  final case class PsState(bucket: Int, version: Long, doc_id: Long,
+    w: Long, priority: Double)
+
+  /** Priority sampling ON THE STREAM — the weighted-without-replacement
+    * sampler's streaming twin ([[graft.pipeline.TextOps
+    * .prioritySample]] semantics): priorities are DETERMINISTIC hash
+    * functions of the id (w·2⁵²/u, zero RNG state), so "the k+1 highest
+    * priorities" is a pure set property — maintained by per-bucket
+    * bounded heaps (flatMapGroupsWithState, ≤ k+1 state rows per bucket
+    * FOREVER) whose drained union contains the global top-(k+1)
+    * whatever the arrival order (at most k+1 global winners can live in
+    * one bucket). The drain reassembles rank/τ/ŵ over ≤ B·(k+1) rows
+    * exactly as the batch operator does, so the result is bit-equal to
+    * batch and the q_wsample oracle gates the streamed run.
+    */
+  def streamingPrioritySample(spark: SparkSession, docsDir: String,
+      glob: String = "documents.parquet", k: Int = 100, buckets: Int = 8,
+      queryName: String = "q_stream_wsample"): DataFrame =
+    withStreamParts(spark, docsDir, glob) { spark =>
+    import spark.implicits._
+    require(k >= 1 && buckets >= 1)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val docs = rawFileStream(spark, docsDir, glob, schema)
+    val u = lit(1L) + shiftright(graft.pipeline.TextOps.md5Hash60(
+      concat(lit("ps:"), col("doc_id").cast(StringType))), 8)
+    val rows = docs.filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars").cast(LongType).as("w"),
+        ((col("n_chars").cast(DoubleType) * lit(4503599627370496.0)) /
+          u.cast(DoubleType)).as("priority")).as[PsRow]
+    def update(bucket: Int, it: Iterator[PsRow],
+        state: GroupState[(Long, Seq[PsRow])]): Iterator[PsState] = {
+      val (n0, heap0) = state.getOption.getOrElse((0L, Seq.empty[PsRow]))
+      val batch = it.toSeq
+      val heap = (heap0 ++ batch)
+        .sortBy(r => (-r.priority, r.doc_id)).take(k + 1)
+      val n = n0 + batch.size
+      state.update((n, heap))
+      heap.iterator.map(r => PsState(bucket, n, r.doc_id, r.w, r.priority))
+    }
+    val query = rows
+      .groupByKey(r => (r.doc_id % buckets).toInt)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    val drained = spark.table(queryName).localCheckpoint()
+    val latest = drained.groupBy("bucket").agg(max(col("version")).as("version"))
+    val pool = drained.join(latest, Seq("bucket", "version"))
+      .select("doc_id", "w", "priority")
+    // identical assembly to the batch operator, over ≤ B·(k+1) rows
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("priority").desc, col("doc_id"))
+    val top = pool.orderBy(col("priority").desc, col("doc_id")).limit(k + 1)
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+    val tau = top.agg(coalesce(
+      min(when(col("rnk") === (k + 1).toLong, col("priority"))),
+      lit(0.0)).as("t"))
+    top.filter(col("rnk") <= k).crossJoin(broadcast(tau))
+      .select(col("doc_id"), col("w"), col("rnk"),
+        greatest(col("w").cast(DoubleType), col("t")).as("w_hat"))
+      .orderBy("rnk")
+    }
+
   /** The bounded-state pass of [[streamingTopKApprox]], exposed for
     * MemoryStream specs: per-(group, bucket) space-saving summaries of
     * ≤ `capacity` entries, each trigger re-emitting the group's summary

@@ -176,6 +176,18 @@ class AlgosSpec extends SparkSpec {
     assert(got(1L) != got(10L))
   }
 
+  test("effectiveDiameter: known ranks on a directed path") {
+    // path 1→2→...→10 from seed 1: 10 reached, p90 rank 9 → dist 8
+    val e = edgesOf((1L to 9L).map(i => i -> (i + 1)): _*)
+    val p90 = Algos.effectiveDiameter(e, seeds = Seq(1L), maxDepth = 9)
+      .collect()(0)
+    assert(p90.getAs[Long]("n_reached") == 10L)
+    assert(p90.getAs[Long]("eff_diameter") == 8L)
+    val p50 = Algos.effectiveDiameter(e, seeds = Seq(1L), maxDepth = 9,
+      permille = 500).collect()(0)
+    assert(p50.getAs[Long]("eff_diameter") == 4L) // rank 5 → dist 4
+  }
+
   test("hits: directed star separates pure hubs from the pure authority") {
     // leaves 1..4 each point at center 9: leaves are hubs, 9 authority
     val e = edgesOf(1L -> 9L, 2L -> 9L, 3L -> 9L, 4L -> 9L)

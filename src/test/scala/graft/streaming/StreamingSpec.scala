@@ -182,6 +182,21 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streamingPrioritySample equals the batch sampler bit-for-bit") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wsample").toString
+    val docs = (1 to 300).map(i =>
+      (i.toLong, s"text $i", "en", "s", (i * 37 % 211 + 1).toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val streamed = EventStreams.streamingPrioritySample(spark, tmp,
+      k = 20, queryName = "stream_wsample_spec").collect().map(_.toSeq).toSeq
+    val batch = graft.pipeline.TextOps.prioritySample(docs, k = 20)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    assert(streamed.length == 20)
+  }
+
   test("streamingNearDup flags planted near-duplicates against the earlier doc") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
