@@ -1484,6 +1484,12 @@ object SparkEntry {
           col("n_common"), col("ra"))
     }),
 
+    // ROTATED streaming Bloom: per-day bit sets keyed (window, pos)
+    // with watermark eviction of closed windows — bounded live state on
+    // an unbounded stream, per-window filters OR into any horizon
+    "q_stream_bloom_rotate" -> ((s, dir) =>
+      streaming.EventStreams.streamingBloomRotated(lenient(s), dir)),
+
     // CMS on the stream: row-local d-cell projection + ONE complete-
     // mode count holds the live d×w counter table; counts are order-
     // insensitive so the drained state equals the batch sketch and the
@@ -2585,6 +2591,15 @@ object SparkEntry {
     // streaming Bloom replay: the BATCH filter over the same rows — set
     // union is order-insensitive so the drained stream state equals it
     // bit-for-bit; same salted positions, same greatest(4096,16n) size
+    // rotated-Bloom replay: per-day distinct positions — set-ness is
+    // order-insensitive, so the drained append sink equals the batch
+    "q_stream_bloom_rotate" ->
+      """WITH cells AS (
+           SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(('0x' || substring(md5('bf' || CAST(i.i AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 4096 AS pos
+           FROM events e CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4]) AS i) i)
+         SELECT day, CAST(count(DISTINCT pos) AS BIGINT) AS n_bits
+         FROM cells GROUP BY day ORDER BY day""",
     "q_stream_bloom" ->
       """WITH keys AS (SELECT DISTINCT user_id AS ckey FROM events),
          params AS (SELECT greatest(4096, 16 * count(*)) AS m,

@@ -179,7 +179,7 @@ object Sketches {
     * Plain integer arithmetic so any engine replays the size. */
   def bloomSize(nKeys: Long): Long = math.max(4096L, 16L * nKeys)
 
-  private def bloomPositions(key: Column, m: Long, k: Int): Column =
+  private[graft] def bloomPositions(key: Column, m: Long, k: Int): Column =
     array((0 until k).map { i =>
       pmod(TextOps.md5Hash60(concat(lit(s"bf$i:"), key.cast(StringType))),
         lit(m))

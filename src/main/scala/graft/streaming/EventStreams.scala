@@ -584,6 +584,45 @@ object EventStreams {
     spark.table(queryName).localCheckpoint()
     }
 
+  /** ROTATED streaming Bloom filters — the production answer to "a
+    * fixed filter saturates on an unbounded stream" ([[
+    * streamingBloomBits]]'s documented caveat, now code): every event's
+    * k bit positions are tagged with its event-time WINDOW (daily
+    * here), one streaming `dropDuplicates(win, pos)` holds the per-
+    * window bit sets, and the watermark on `win` lets Spark EVICT
+    * closed windows' state — so live state is bounded by m·(windows
+    * inside the watermark), not by stream length OR key cardinality
+    * growth. Per-window filters OR (union) into any coarser horizon on
+    * demand. A fixed per-window m is sound precisely BECAUSE rotation
+    * bounds each window's key count — the global auto-sizing rule
+    * applies to the horizon, not the window. Returns (day, n_bits) —
+    * per-window set-bit counts, deterministic (set-ness is order-
+    * insensitive), so a batch per-day distinct replay gates the run.
+    */
+  def streamingBloomRotated(spark: SparkSession, eventsDir: String,
+      glob: String = "events.parquet", keyCol: String = "user_id",
+      m: Long = 4096L, k: Int = 5,
+      queryName: String = "q_stream_bloom_rotate"): DataFrame =
+    withStreamParts(spark, eventsDir, glob) { spark =>
+    val raw = eventsRawStream(spark, eventsDir, glob)
+    val query = raw
+      .withColumn("win", date_trunc("day", col("ts")))
+      .withWatermark("win", "1 day")
+      .select(col("win"),
+        explode(graft.pipeline.Sketches.bloomPositions(
+          col(keyCol), m, k)).as("pos"))
+      .dropDuplicates("win", "pos")
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(queryName)
+      .groupBy(date_format(col("win"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).cast(LongType).as("n_bits"))
+      .orderBy("day")
+    }
+
   /** Count-min sketch ON THE STREAM — the frequency sketch's streaming
     * twin, completing the set (HLL, quantile, Bloom, CMS each have
     * one): the row-local d-cell projection

@@ -182,6 +182,22 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streamingBloomRotated: per-window bit sets equal per-day batch filters") {
+    val got = EventStreams.streamingBloomRotated(spark, sfDir,
+      queryName = "stream_bloom_rotate_spec").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_bits")).toMap
+    val ev = graft.graph.GraphLoader.eventsTable(spark, sfDir)
+      .withColumn("day", date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
+    val want = ev
+      .select(col("day"), explode(graft.pipeline.Sketches.bloomPositions(
+        col("user_id"), 4096L, 5)).as("pos"))
+      .distinct().groupBy("day").agg(count(lit(1)).as("n_bits"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_bits")).toMap
+    assert(got == want && got.nonEmpty)
+    // every per-window filter is bounded by m
+    assert(got.values.forall(_ <= 4096L))
+  }
+
   test("streamingPrioritySample equals the batch sampler bit-for-bit") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-wsample").toString
