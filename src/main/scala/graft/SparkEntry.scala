@@ -1087,6 +1087,46 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // funnel CONVERSION RATES: the q_funnel per-user surface reduced
+    // to the dashboard numbers — users reaching each step, permille vs
+    // step 1 and vs the previous step (integer division; step 1 = 1000)
+    "q_funnel_rates" -> ((s, dir) => {
+      val ev = GraphLoader.eventsTable(lenient(s), dir)
+      val f = streaming.EventStreams.funnelBatch(ev,
+        Seq("view", "click", "purchase"))
+      f.agg(count(col("t1_us")).cast("long").as("n1"),
+          count(col("t2_us")).cast("long").as("n2"),
+          count(col("t3_us")).cast("long").as("n3"))
+        .selectExpr(
+          "stack(3, 1L, 'view', n1, n1, n1, 2L, 'click', n2, n1, n1, 3L, 'purchase', n3, n1, n2) AS (step, event_type, n_users, n_first, n_prev)")
+        .select(col("step"), col("event_type"), col("n_users"),
+          expr("CAST((1000 * n_users) DIV n_first AS BIGINT)").as("vs_first_permille"),
+          expr("CAST((1000 * n_users) DIV n_prev AS BIGINT)").as("vs_prev_permille"))
+        .orderBy("step")
+    }),
+
+    // maximal independent set: deterministic Luby rounds with per-round
+    // md5 priorities — the distributed symmetry-breaking classic; state
+    // in {in, out, undecided} after 4 fixed rounds, chained-CTE replay
+    "q_mis" -> ((s, dir) =>
+      algos.Algos.maximalIndependentSet(relatedTo(s, dir), rounds = 4)
+        .select(col("id").as("p_partkey"), col("state"))),
+
+    // frequent triple itemsets (a-priori) over part-CATEGORY baskets
+    // (pk % 97 — raw part-id triples trend to support 1 as the catalog
+    // scales, an empty surface; categories repeat at every SF), support
+    // >= 3; oracle = the direct definition (triple join + HAVING),
+    // proving the pruned formulation equal
+    "q_itemsets" -> ((s, dir) =>
+      operators.Olap.frequentTriples(
+        GraphLoader.table(lenient(s), dir, "lineitem"), minSupport = 3,
+        item = pmod(col("l_partkey"), lit(97)))),
+
+    // vocabulary growth / type-token stats per source: tokens, types,
+    // hapax legomena + integer-permille ratios (dataset-card tier)
+    "q_vocab" -> ((s, dir) =>
+      pipeline.TextOps.vocabGrowth(docs(s, dir))),
+
     // streaming heavy hitters: complete-mode exact counts per
     // (event_type, user), top-k slice over the drained state table;
     // integer counts + key tie-break = equal to the batch GROUP BY
@@ -1687,6 +1727,51 @@ object SparkEntry {
   /** The RELATED_TO edge derivation shared by the graph-analytics
     * oracles (canonical small<large part pairs co-occurring in an order).
     */
+  /** Deterministic-Luby MIS replay mirroring
+    * [[algos.Algos.maximalIndependentSet]]: per round, salted md5
+    * priorities over the undecided set, winners strictly below every
+    * undecided neighbor, neighbors of winners out.
+    */
+  private def misOracle(rounds: Int): String = {
+    val iters = (1 to rounds).map { r =>
+      val u = s"u${r - 1}"
+      s"""p$r AS MATERIALIZED (
+           SELECT id, CAST(('0x' || substring(md5('mis$r:' || CAST(id AS VARCHAR)), 1, 15)) AS BIGINT) AS p
+           FROM $u),
+         nm$r AS MATERIALIZED (
+           SELECT s.v AS id, min(p.p) AS np
+           FROM p$r p JOIN sym s ON s.u = p.id
+           JOIN $u x ON x.id = s.v
+           GROUP BY s.v),
+         win$r AS MATERIALIZED (
+           SELECT p.id FROM p$r p LEFT JOIN nm$r n ON n.id = p.id
+           WHERE n.np IS NULL OR p.p < n.np),
+         lose$r AS MATERIALIZED (
+           SELECT DISTINCT s.v AS id
+           FROM win$r w JOIN sym s ON s.u = w.id
+           JOIN $u x ON x.id = s.v
+           WHERE s.v NOT IN (SELECT id FROM win$r)),
+         u$r AS MATERIALIZED (
+           SELECT id FROM $u
+           WHERE id NOT IN (SELECT id FROM win$r)
+             AND id NOT IN (SELECT id FROM lose$r))"""
+    }.mkString(",\n")
+    val ins = (1 to rounds).map(r => s"SELECT id, 'in' AS state FROM win$r")
+      .mkString("\n           UNION ALL ")
+    val outs = (1 to rounds).map(r => s"SELECT id, 'out' AS state FROM lose$r")
+      .mkString("\n           UNION ALL ")
+    s"""WITH $relatedSql,
+       sym AS MATERIALIZED (SELECT p1 AS u, p2 AS v FROM related
+               UNION ALL SELECT p2, p1 FROM related),
+       u0 AS MATERIALIZED (SELECT DISTINCT u AS id FROM sym),
+       $iters
+       SELECT id AS p_partkey, state FROM (
+         $ins
+         UNION ALL $outs
+         UNION ALL SELECT id, 'undecided' AS state FROM u$rounds)
+       ORDER BY p_partkey"""
+  }
+
   /** Fixed-round HITS replay mirroring [[algos.Algos.hits]]: per round,
     * authority = in-edge hub sums then (raw·10⁶) DIV max, hub = out-edge
     * authority sums then the same normalization — exact BIGINTs.
@@ -2225,6 +2310,75 @@ object SparkEntry {
     "q_louvain" -> louvainOracle(3),
     "q_betweenness" -> betweennessOracle(Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L)),
     "q_hits" -> hitsOracle(5),
+    "q_mis" -> misOracle(4),
+    // funnel-rates replay: the q_funnel chain reduced to per-step user
+    // counts + integer permilles (step 1 is its own baseline, 1000)
+    "q_funnel_rates" ->
+      """WITH s1 AS (
+           SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (
+           SELECT s1.user_id, s1.t1,
+             min(CASE WHEN e.ts > s1.t1 THEN e.ts END) AS t2
+           FROM s1 LEFT JOIN events e
+             ON e.user_id = s1.user_id AND e.event_type = 'click'
+           GROUP BY s1.user_id, s1.t1),
+         s3 AS (
+           SELECT s2.user_id, s2.t1, s2.t2,
+             min(CASE WHEN e.ts > s2.t2 THEN e.ts END) AS t3
+           FROM s2 LEFT JOIN events e
+             ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+           GROUP BY s2.user_id, s2.t1, s2.t2),
+         agg AS (
+           SELECT CAST(count(t1) AS BIGINT) AS n1,
+                  CAST(count(t2) AS BIGINT) AS n2,
+                  CAST(count(t3) AS BIGINT) AS n3 FROM s3)
+         SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+             n1 AS n_users,
+             CAST((1000 * n1) // n1 AS BIGINT) AS vs_first_permille,
+             CAST((1000 * n1) // n1 AS BIGINT) AS vs_prev_permille
+           FROM agg
+           UNION ALL
+           SELECT CAST(2 AS BIGINT), 'click', n2,
+             CAST((1000 * n2) // n1 AS BIGINT),
+             CAST((1000 * n2) // n1 AS BIGINT)
+           FROM agg
+           UNION ALL
+           SELECT CAST(3 AS BIGINT), 'purchase', n3,
+             CAST((1000 * n3) // n1 AS BIGINT),
+             CAST((1000 * n3) // n2 AS BIGINT)
+           FROM agg)
+         ORDER BY step""",
+    // frequent-triples replay: the DEFINITION (direct triple join +
+    // HAVING) — algorithm-independent; a-priori pruning provably drops
+    // nothing above threshold, the gate proves the formulations equal
+    "q_itemsets" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey % 97 AS pk FROM lineitem),
+         t AS (
+           SELECT a.pk AS x, b2.pk AS y, c.pk AS z,
+             CAST(count(*) AS BIGINT) AS support
+           FROM b a JOIN b b2 ON b2.ok = a.ok AND a.pk < b2.pk
+                    JOIN b c ON c.ok = b2.ok AND b2.pk < c.pk
+           GROUP BY 1, 2, 3 HAVING count(*) >= 3)
+         SELECT x, y, z, support FROM t
+         ORDER BY support DESC, x, y, z LIMIT 50""",
+    // vocab-growth replay: same whitespace tokens (q_tokens form), same
+    // (src, token) counts, integer-permille ratios
+    "q_vocab" ->
+      """WITH tok AS (
+           SELECT source AS src,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+           FROM documents),
+         counts AS (
+           SELECT src, tok, CAST(count(*) AS BIGINT) AS c
+           FROM tok WHERE tok <> '' GROUP BY 1, 2)
+         SELECT src, CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST((1000 * count(*)) // sum(c) AS BIGINT) AS ttr_permille,
+           CAST((1000 * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS hapax_permille
+         FROM counts GROUP BY src ORDER BY src""",
     // effective-diameter replay: q_harmonic's recursive first-reach walk
     // (dist 0 kept), per-seed cumulative histogram, integer ceil-rank
     "q_diameter" ->

@@ -1053,6 +1053,72 @@ object Algos {
     out
   }
 
+  /** Maximal independent set — deterministic Luby rounds (Luby 1986,
+    * derandomized the [[deterministicWalks]] way): per round, an
+    * UNDECIDED node joins the MIS iff its round-salted hash priority
+    * md5₆₀("mis{r}:" ‖ v) is STRICTLY smaller than every undecided
+    * neighbor's; winners' neighbors leave as OUT; repeat. Fresh
+    * per-round salts give Luby's expected O(log n) decided fraction,
+    * zero RNG state makes every round an exact chained-CTE replay (hash
+    * ties exclude both sides — deterministic on any engine since both
+    * compare the same integers). Per round: one neighbor-min join + two
+    * anti-joins, frames materialized for O(1) lineage. Returns
+    * (id, state) with state in {'in', 'out', 'undecided'} after
+    * `rounds` — fixed rounds are part of the semantics; on real graphs
+    * a handful decides everything (spec pins MIS invariants: no two
+    * 'in' nodes adjacent, every 'out' node has an 'in' neighbor).
+    */
+  def maximalIndependentSet(edges: DataFrame, rounds: Int = 4,
+      src: String = "_src", dst: String = "_dst"): DataFrame = {
+    require(rounds >= 1, s"rounds >= 1, got $rounds")
+    val fwd = edges.select(col(src).as("u"), col(dst).as("v"))
+      .filter(col(src) =!= col(dst))
+    val sym0 = materialize(
+      fwd.unionByName(fwd.select(col("v").as("u"), col("u").as("v"))).distinct())
+    val out = withLoopParts(edges.sparkSession, sym0.count()) { sc =>
+    val sym = sc.in(sym0)
+    var undecided = materialize(sym.select(col("u").as("id")).distinct())
+    var decided: DataFrame = null // (id, state)
+    var lastUnd = undecided
+    var i = 1
+    var done = false
+    while (i <= rounds && !done) {
+      val pri = graft.pipeline.TextOps.md5Hash60(
+        concat(lit(s"mis$i:"), col("id").cast(StringType)))
+      val p = undecided.select(col("id"), pri.as("p"))
+      // min undecided-neighbor priority (null = no undecided neighbor)
+      val nbrMin = p.join(sym, col("id") === col("u"))
+        .select(col("v").as("id"), col("p").as("np"))
+        .join(undecided, Seq("id"), "left_semi")
+        .groupBy("id").agg(min(col("np")).as("np"))
+      val winners = p.join(nbrMin, Seq("id"), "left")
+        .filter(col("np").isNull || col("p") < col("np"))
+        .select("id")
+      val losers = winners.join(sym, col("id") === col("u"))
+        .select(col("v").as("id")).distinct()
+        .join(undecided, Seq("id"), "left_semi")
+        .join(winners, Seq("id"), "left_anti")
+      val newDecided = winners.withColumn("state", lit("in"))
+        .unionByName(losers.withColumn("state", lit("out")))
+      val prevDecided = decided
+      decided = materialize(
+        if (decided eq null) newDecided else decided.unionByName(newDecided))
+      if (prevDecided ne null) release(prevDecided)
+      val nextUnd = materialize(
+        undecided.join(decided, Seq("id"), "left_anti"))
+      release(lastUnd)
+      lastUnd = nextUnd
+      undecided = nextUnd
+      done = undecided.isEmpty
+      i += 1
+    }
+    sc.out(decided.unionByName(
+      undecided.withColumn("state", lit("undecided"))))
+    }
+    release(sym0)
+    out.orderBy("id")
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999) as fixed synchronous
     * rounds in INTEGER micro-units: authority(v) = Σ hub over in-edges,
     * hub(u) = Σ authority over out-edges, each half-round max-normalized

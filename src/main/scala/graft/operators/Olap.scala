@@ -251,6 +251,46 @@ object Olap {
       .orderBy("user_id", "event_id")
   }
 
+  /** Frequent triple itemsets over order baskets (Agrawal & Srikant's
+    * a-priori, 1994) — the market-basket tier above pair co-occurrence:
+    * all (x < y < z) part triples bought together in ≥ minSupport
+    * orders. The Spark shape prunes candidates with the a-priori
+    * property BEFORE the 3-way expansion: frequent pairs are computed
+    * first (one self-join + threshold), and every triple candidate must
+    * semi-join all three of its pairs into the frequent-pair set — so
+    * the C(basket,3) blowup only materializes where every sub-pair
+    * already passed support, the exact pruning that makes basket mining
+    * feasible at corpus scale. The ORACLE is the definition itself
+    * (direct triple join + HAVING — algorithm-independent, the
+    * q_skyline pattern): a-priori provably drops nothing above
+    * threshold, and the gate proves the two formulations equal.
+    * Returns (x, y, z, support) top-N by (support DESC, x, y, z).
+    */
+  def frequentTriples(lineitem: DataFrame, minSupport: Long = 3,
+      topN: Int = 50, item: Column = col("l_partkey")): DataFrame = {
+    require(minSupport >= 1 && topN >= 1)
+    val b = lineitem.select(col("l_orderkey").as("ok"),
+      item.as("pk")).distinct()
+    val pairs = b.as("a").join(b.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("x"), col("b.pk").as("y"))
+      .agg(count(lit(1)).as("c2"))
+    val freq2 = pairs.filter(col("c2") >= minSupport).select("x", "y")
+    b.as("a").join(b.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .join(b.as("c"),
+        col("b.ok") === col("c.ok") && col("b.pk") < col("c.pk"))
+      .select(col("a.pk").as("x"), col("b.pk").as("y"), col("c.pk").as("z"))
+      .join(freq2, Seq("x", "y"), "left_semi")
+      .join(freq2.select(col("x"), col("y").as("z")), Seq("x", "z"), "left_semi")
+      .join(freq2.select(col("x").as("y"), col("y").as("z")), Seq("y", "z"), "left_semi")
+      .groupBy("x", "y", "z")
+      .agg(count(lit(1)).cast(LongType).as("support"))
+      .filter(col("support") >= minSupport)
+      .orderBy(desc("support"), col("x"), col("y"), col("z"))
+      .limit(topN)
+  }
+
   /** Exact integer-arithmetic 3σ outlier detection per group — the
     * anomaly-count member of the quality battery. The float-free trick:
     * flag x iff (n·x − Σx)² > 9·(n·Σx² − (Σx)²), the |x−μ| > 3σ test

@@ -570,6 +570,33 @@ object TextOps {
     * no-partition window is a constant-size reduction, not a corpus
     * funnel.
     */
+  /** Vocabulary-growth statistics per source — the Heaps'-law /
+    * type-token dataset-card tier: token count, distinct-type count,
+    * hapax legomena (types occurring ONCE in that source — the
+    * vocabulary frontier, and the classic OCR-noise / boilerplate
+    * signal), with type-token and hapax ratios as integer permilles.
+    * One (source, token)-keyed count (hash-partitioned by the PAIR, so
+    * a hot source spreads — the skewSafeCountDistinct shape) + one
+    * per-source rollup of the tiny type table. All-integer surface.
+    */
+  def vocabGrowth(docs: DataFrame, sourceCol: String = "source",
+      text: String = "text"): DataFrame = {
+    val tok = docs.select(col(sourceCol).as("src"),
+      explode(tokens(col(text))).as("tok"))
+      .filter(col("tok") =!= "")
+    val counts = tok.groupBy("src", "tok")
+      .agg(count(lit(1)).cast(LongType).as("c"))
+    counts.groupBy("src")
+      .agg(sum(col("c")).cast(LongType).as("n_tokens"),
+        count(lit(1)).cast(LongType).as("n_types"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).cast(LongType)
+          .as("n_hapax"))
+      .select(col("src"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        expr("CAST((1000 * n_types) DIV n_tokens AS BIGINT)").as("ttr_permille"),
+        expr("CAST((1000 * n_hapax) DIV n_types AS BIGINT)").as("hapax_permille"))
+      .orderBy("src")
+  }
+
   /** Per-source distributional drift — Pearson's chi-square statistic of
     * each source's category mix (language by default) against the
     * corpus-wide expectation: χ²(s) = Σ_c (O_sc − E_sc)²/E_sc with

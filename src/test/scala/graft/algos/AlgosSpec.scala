@@ -176,6 +176,31 @@ class AlgosSpec extends SparkSpec {
     assert(got(1L) != got(10L))
   }
 
+  test("maximalIndependentSet: invariants hold and everything decides on a small graph") {
+    // two triangles joined by a bridge + a pendant
+    val e = edgesOf(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L, 4L -> 5L,
+      5L -> 6L, 4L -> 6L, 6L -> 7L)
+    val got = Algos.maximalIndependentSet(e, rounds = 6).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("state")).toMap
+    val edgeSet = Set((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (4L, 6L), (6L, 7L))
+    def adjacent(a: Long, b: Long) = edgeSet((a, b)) || edgeSet((b, a))
+    val ins = got.filter(_._2 == "in").keys.toSeq
+    // independence: no two MIS members adjacent
+    for (a <- ins; b <- ins if a < b) assert(!adjacent(a, b), s"$a-$b both in")
+    // maximality: every out node has an in neighbor
+    got.filter(_._2 == "out").keys.foreach { o =>
+      assert(ins.exists(i => adjacent(o, i)), s"$o out with no in neighbor")
+    }
+    // 6 rounds decide a 7-node graph completely
+    assert(!got.values.exists(_ == "undecided"))
+    assert(got.size == 7)
+    // deterministic under repartition
+    val again = Algos.maximalIndependentSet(e, rounds = 6).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("state")).toMap
+    assert(again == got)
+  }
+
   test("effectiveDiameter: known ranks on a directed path") {
     // path 1→2→...→10 from seed 1: 10 reached, p90 rank 9 → dist 8
     val e = edgesOf((1L to 9L).map(i => i -> (i + 1)): _*)

@@ -202,6 +202,27 @@ class OlapSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("frequentTriples: hand-planted baskets, a-priori equals the definition") {
+    import spark.implicits._
+    // (1,2,3) together in 3 orders; (1,2,4) once; duplicates in o1 collapse
+    val li = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L), (10L, 3L),
+      (11L, 1L), (11L, 2L), (11L, 3L),
+      (12L, 1L), (12L, 2L), (12L, 3L), (12L, 4L),
+      (13L, 1L), (13L, 2L), (13L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = Olap.frequentTriples(li, minSupport = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        r.getAs[Long]("support")).toMap
+    assert(got == Map((1L, 2L, 3L) -> 3L), s"got $got")
+    // support 2 admits nothing else ((1,2,4) has support 2 and all its
+    // pairs are frequent at 2)
+    val got2 = Olap.frequentTriples(li, minSupport = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        r.getAs[Long]("support")).toMap
+    assert(got2 == Map((1L, 2L, 3L) -> 3L, (1L, 2L, 4L) -> 2L))
+  }
+
   test("movingAggregates: trailing 3-row frame on a known sequence") {
     import spark.implicits._
     import java.sql.Timestamp

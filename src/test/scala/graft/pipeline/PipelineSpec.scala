@@ -1102,4 +1102,21 @@ class PipelineSpec extends SparkSpec {
       .map(_.toSeq).toSeq
     assert(again == TextOps.sourceDrift(docs).collect().map(_.toSeq).toSeq)
   }
+
+  test("vocabGrowth: hand-computed types/hapax on a planted corpus") {
+    import spark.implicits._
+    // srcA: tokens [a a b] -> 3 tokens, 2 types, 1 hapax (b)
+    // srcB: tokens [x y z x] -> 4 tokens, 3 types, 2 hapax (y, z)
+    val docs = Seq(
+      (1L, "a a", "en", "srcA"), (2L, "b", "en", "srcA"),
+      (3L, "x y", "en", "srcB"), (4L, "z x", "en", "srcB"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextOps.vocabGrowth(docs).collect()
+      .map(r => r.getAs[String]("src") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"),
+          r.getAs[Long]("n_hapax"), r.getAs[Long]("ttr_permille"),
+          r.getAs[Long]("hapax_permille")))).toMap
+    assert(got("srcA") == ((3L, 2L, 1L, 666L, 500L)), s"srcA ${got("srcA")}")
+    assert(got("srcB") == ((4L, 3L, 2L, 750L, 666L)), s"srcB ${got("srcB")}")
+  }
 }

@@ -417,4 +417,16 @@ class StreamingSpec extends SparkSpec {
     // state boundedness: the bit set never exceeds m rows
     assert(streamed.size <= m)
   }
+
+  test("funnel rates surface: step counts monotone, step 1 is its own baseline") {
+    val ev = graft.graph.GraphLoader.eventsTable(spark, sfDir)
+    val f = EventStreams.funnelBatch(ev, Seq("view", "click", "purchase"))
+    val n1 = f.filter(col("t1_us").isNotNull).count()
+    val n2 = f.filter(col("t2_us").isNotNull).count()
+    val n3 = f.filter(col("t3_us").isNotNull).count()
+    assert(n1 >= n2 && n2 >= n3 && n1 > 0)
+    // the permille identities the q_funnel_rates gate publishes
+    assert(1000L * n1 / n1 == 1000L)
+    assert(1000L * n3 / n2 <= 1000L)
+  }
 }
