@@ -2426,7 +2426,7 @@ object SparkEntry {
          term AS (
            SELECT src, ns,
              CAST(floor(CAST(dd * dd AS DOUBLE) /
-               CAST(n * ns * nc AS DOUBLE) *
+               CAST(CAST(n AS HUGEINT) * ns * nc AS DOUBLE) *
                CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cell_e6
            FROM (SELECT src, ns,
                CAST(CAST(o AS DECIMAL(18,0)) * n -

@@ -1523,6 +1523,11 @@ object Algos {
       edgeCount = n
       i += 1
     }
+    // loop exit: the returned frame reads only out's checkpoint, and the
+    // final lazy deleted-set is never consumed again — so the two-back
+    // frame (e00 itself when the loop converged after round 1 or
+    // rounds == 1) has no live reader left (r17 ADVICE leak)
+    release(older)
     sc.out(out)
     }
     supFinal.select(col("u").as("part_u"), col("v").as("part_v"), col("sup"))
@@ -1717,13 +1722,24 @@ object Algos {
     * exercises as `related_items_depth*` (reference
     * benchmark/src/queries.ts:97-111): a similarity GRAPH (each node's k
     * most similar peers), not k global pairs. Every scored pair is
-    * scattered to BOTH endpoints and ranked inside a per-node window
-    * over pair partials — the window's partition is one node's candidate
-    * list, bounded by deg(node)·occCap rows (the occCap cut is what
-    * makes this a bound), so no task ever sorts more than one node's
-    * candidates and the hot-node case spreads with AQE like any other
-    * grouped rank. Ties break on (jaccard DESC, nbr ASC) — jaccard is an
-    * exact IEEE divide of integers, so the order replays cross-engine.
+    * scattered to BOTH endpoints and ranked per node in TWO stages,
+    * because a single `Window.partitionBy(node)` would sort a hub
+    * node's ENTIRE candidate list (deg·occCap rows — ~10⁸ for a
+    * deg-10⁵ hub at occCap 1024) inside ONE task, and window
+    * partitions — unlike grouped AGGREGATES with partial combine —
+    * cannot be split by AQE (the r17 hub-window finding):
+    *  1. a salted local top-k: rank within (node, hash(nbr) mod P) —
+    *     each (node, nbr) pair is unique, so nbr-hash salting spreads
+    *     a hub's candidates over all P reducers (bucket ≤ candidates/P
+    *     in expectation) — and keep k per bucket. The merge law is the
+    *     kmvMins one: every row of the node's true top-k is inside its
+    *     own bucket's top-k, so the prune never drops a winner.
+    *  2. the per-node window over survivors — ≤ k·P rows per node by
+    *     construction, bounded whatever the hub degree.
+    * Rows and ranks are identical to the single-window definition (the
+    * oracle replays that definition; spec pins a planted hub). Ties
+    * break on (jaccard DESC, nbr ASC) — jaccard is an exact IEEE
+    * divide of integers, so the order replays cross-engine.
     * Returns (node, rnk, nbr, inter, deg_node, deg_nbr, jaccard).
     */
   def nodeSimilarityTopK(rel: DataFrame, nodeCol: String, featCol: String,
@@ -1737,8 +1753,17 @@ object Algos {
       .unionByName(scored.select(col("node_b").as("node"),
         col("node_a").as("nbr"), col("inter"), col("deg_b").as("deg_node"),
         col("deg_a").as("deg_nbr"), col("jaccard")))
+    val parts = sym.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toLong
+    val wLocal = Window.partitionBy("node", "_salt")
+      .orderBy(desc("jaccard"), asc("nbr"))
+    val pruned = sym
+      .withColumn("_salt", pmod(xxhash64(col("nbr")), lit(parts)))
+      .withColumn("_lrn", row_number().over(wLocal))
+      .filter(col("_lrn") <= kPerNode)
+      .drop("_salt", "_lrn")
     val w = Window.partitionBy("node").orderBy(desc("jaccard"), asc("nbr"))
-    sym.withColumn("rnk", row_number().over(w).cast(LongType))
+    pruned.withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= kPerNode)
       .select("node", "rnk", "nbr", "inter", "deg_node", "deg_nbr", "jaccard")
       .orderBy("node", "rnk")

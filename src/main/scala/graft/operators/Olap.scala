@@ -254,34 +254,34 @@ object Olap {
   /** Frequent triple itemsets over order baskets (Agrawal & Srikant's
     * a-priori, 1994) — the market-basket tier above pair co-occurrence:
     * all (x < y < z) part triples bought together in ≥ minSupport
-    * orders. The Spark shape prunes candidates with the a-priori
-    * property BEFORE the 3-way expansion: frequent pairs are computed
-    * first (one self-join + threshold), and every triple candidate must
-    * semi-join all three of its pairs into the frequent-pair set — so
-    * the C(basket,3) blowup only materializes where every sub-pair
-    * already passed support, the exact pruning that makes basket mining
-    * feasible at corpus scale. The ORACLE is the definition itself
-    * (direct triple join + HAVING — algorithm-independent, the
-    * q_skyline pattern): a-priori provably drops nothing above
-    * threshold, and the gate proves the two formulations equal.
-    * Returns (x, y, z, support) top-N by (support DESC, x, y, z).
+    * orders. The Spark shape (r18 rebuild — the r17 late-prune finding)
+    * applies the a-priori property at EVERY level before the expansion
+    * it licenses:
+    *  - L1: baskets semi-join to frequent ITEMS before any pair is
+    *    enumerated — a hot basket of 10⁵ singleton items contributes
+    *    ZERO pairs instead of ~10¹⁰ (spec-pinned);
+    *  - L2: the (ok, x, y) pair frame is built ONCE (checkpointed, so
+    *    the suite's most expensive self-join no longer runs twice — the
+    *    r17 ADVICE item), aggregated for pair support, then semi-joined
+    *    through the frequent-pair set EXPLICITLY before the third-leg
+    *    join — only (x, y)-frequent pairs ever fan out to a third item
+    *    (the optimizer can push that first semi below the 3-way join
+    *    only for (x, y); (x, z)/(y, z) structurally must stay above);
+    *  - the remaining two sub-pair semis then cut candidates before the
+    *    support aggregation.
+    * The ORACLE is the definition itself (direct triple join + HAVING —
+    * algorithm-independent, the q_skyline pattern): a-priori provably
+    * drops nothing above threshold, and the gate proves the two
+    * formulations equal. Returns (x, y, z, support) top-N by
+    * (support DESC, x, y, z).
     */
   def frequentTriples(lineitem: DataFrame, minSupport: Long = 3,
       topN: Int = 50, item: Column = col("l_partkey")): DataFrame = {
     require(minSupport >= 1 && topN >= 1)
-    val b = lineitem.select(col("l_orderkey").as("ok"),
-      item.as("pk")).distinct()
-    val pairs = b.as("a").join(b.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("x"), col("b.pk").as("y"))
-      .agg(count(lit(1)).as("c2"))
-    val freq2 = pairs.filter(col("c2") >= minSupport).select("x", "y")
-    b.as("a").join(b.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .join(b.as("c"),
-        col("b.ok") === col("c.ok") && col("b.pk") < col("c.pk"))
-      .select(col("a.pk").as("x"), col("b.pk").as("y"), col("c.pk").as("z"))
-      .join(freq2, Seq("x", "y"), "left_semi")
+    val (b, fp, freq2) = frequentTriplesPairs(lineitem, minSupport, item)
+    fp.as("p").join(b.as("c"),
+        col("p.ok") === col("c.ok") && col("p.y") < col("c.pk"))
+      .select(col("p.x").as("x"), col("p.y").as("y"), col("c.pk").as("z"))
       .join(freq2.select(col("x"), col("y").as("z")), Seq("x", "z"), "left_semi")
       .join(freq2.select(col("x").as("y"), col("y").as("z")), Seq("y", "z"), "left_semi")
       .groupBy("x", "y", "z")
@@ -289,6 +289,34 @@ object Olap {
       .filter(col("support") >= minSupport)
       .orderBy(desc("support"), col("x"), col("y"), col("z"))
       .limit(topN)
+  }
+
+  /** The pruned stages of [[frequentTriples]], exposed package-private so
+    * the hot-basket spec can COUNT what survives each cut: (frequent-item
+    * baskets (ok, pk), freq2-pruned pair rows (ok, x, y), frequent pairs
+    * (x, y)). Both the basket frame and the raw pair frame are
+    * checkpointed: `b` feeds three join legs and `pairRows` feeds both
+    * the support aggregation and the expansion, so each computes once
+    * (the checkpoint blocks live for the session — the groupedRank
+    * contract for operators that return lazy frames).
+    */
+  private[graft] def frequentTriplesPairs(lineitem: DataFrame,
+      minSupport: Long, item: Column): (DataFrame, DataFrame, DataFrame) = {
+    val shims = org.apache.spark.sql.graftshim.GraftShims
+    val b0 = lineitem.select(col("l_orderkey").as("ok"),
+      item.as("pk")).distinct()
+    val freq1 = b0.groupBy("pk").agg(count(lit(1)).as("c1"))
+      .filter(col("c1") >= minSupport).select("pk")
+    val b = shims.localCheckpointRealStats(
+      b0.join(freq1, Seq("pk"), "left_semi").select("ok", "pk"))
+    val pairRows = shims.localCheckpointRealStats(
+      b.as("a").join(b.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.ok").as("ok"), col("a.pk").as("x"),
+          col("b.pk").as("y")))
+    val freq2 = pairRows.groupBy("x", "y").agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minSupport).select("x", "y")
+    (b, pairRows.join(freq2, Seq("x", "y"), "left_semi"), freq2)
   }
 
   /** Exact integer-arithmetic 3σ outlier detection per group — the

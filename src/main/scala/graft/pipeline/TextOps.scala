@@ -608,11 +608,15 @@ object TextOps {
     *
     * Engine-parity arithmetic: the cell term is cross-multiplied to
     * (O·N − N_s·N_c)²/(N·N_s·N_c) — numerator an exact DECIMAL(18,0)
-    * squared into 37 digits, denominator an exact BIGINT — evaluated as
-    * casts + one divide + the floor(x·10⁶ + 0.5) integer-unit
-    * quantization (every step one correctly-rounded IEEE op — the
-    * q_betweenness rule: round(double, n) itself is NOT engine-portable),
-    * then summed per source as exact BIGINTs. Returns
+    * squared into 37 digits, denominator an exact DECIMAL(38,0) (NOT
+    * BIGINT: n·ns·nc crosses 2⁶³ at ~2M docs with a dominant source ×
+    * category, where non-ANSI Spark would wrap silently while DuckDB
+    * errors — the r17 ADVICE divergence; the oracle mirrors with
+    * HUGEINT) — evaluated as casts + one divide + the
+    * floor(x·10⁶ + 0.5) integer-unit quantization (every step one
+    * correctly-rounded IEEE op — the q_betweenness rule:
+    * round(double, n) itself is NOT engine-portable), then summed per
+    * source as exact BIGINTs. Returns
     * (source, n_docs, n_cells, chi2_e6, chi2) ordered by source.
     */
   def sourceDrift(docs: DataFrame, sourceCol: String = "source",
@@ -631,7 +635,8 @@ object TextOps {
       .crossJoin(broadcast(n))
       .withColumn("cell_e6", floor(
         (diff * diff).cast(DoubleType) /
-          (col("n") * col("ns") * col("nc")).cast(DoubleType) *
+          (col("n").cast(d18) * col("ns").cast(d18) * col("nc").cast(d18))
+            .cast(DecimalType(38, 0)).cast(DoubleType) *
           lit(1.0e6) + lit(0.5)).cast(LongType))
     cells.groupBy("src")
       .agg(max(col("ns")).as("n_docs"),

@@ -598,6 +598,17 @@ object EventStreams {
     * applies to the horizon, not the window. Returns (day, n_bits) —
     * per-window set-bit counts, deterministic (set-ness is order-
     * insensitive), so a batch per-day distinct replay gates the run.
+    *
+    * Late-data contract (r17 ADVICE): eviction is a real TRADE — once
+    * the watermark passes a window, that window's late bits are
+    * DROPPED, so "equals the batch distinct replay" is guaranteed only
+    * when ingestion is event-time-ordered across microbatches (or, as
+    * on the gate, AvailableNow with no maxFilesPerTrigger processes
+    * everything in ONE batch, so the watermark never advances mid-run).
+    * A multi-drop production feed with out-of-order days must either
+    * drop files in event-time order or widen the watermark to its
+    * actual disorder horizon; bits already evicted are gone by design —
+    * that IS the state bound.
     */
   def streamingBloomRotated(spark: SparkSession, eventsDir: String,
       glob: String = "events.parquet", keyCol: String = "user_id",

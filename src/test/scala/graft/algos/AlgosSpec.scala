@@ -504,6 +504,42 @@ class AlgosSpec extends SparkSpec {
       topk.map(_.toSeq).sortBy(_.mkString("|")).toSeq)
   }
 
+  test("nodeSimilarityTopK: planted hub equals the single-window definition") {
+    import spark.implicits._
+    // hub H shares feature 0 with 200 spokes (deg·occCap-style fan-out:
+    // H's candidate list is ALL 200 spokes) plus per-spoke features
+    // making jaccards distinct-ish; the salted two-stage prune must
+    // return exactly what one global per-node window would.
+    val rows = Seq.newBuilder[(String, Long)]
+    rows += (("H", 0L)); rows += (("H", 1L)); rows += (("H", 2L))
+    (0 until 200).foreach { i =>
+      val n = f"s$i%03d"
+      rows += ((n, 0L))                       // shared with the hub
+      rows += ((n, 1000L + i))                // private feature
+      if (i % 3 == 0) rows += ((n, 1L))       // some share a 2nd hub feat
+      if (i % 7 == 0) rows += ((n, 2L))
+    }
+    val rel = rows.result().toDF("n", "f")
+    val got = Algos.nodeSimilarityTopK(rel, "n", "f", kPerNode = 4)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    // reference: the plain single-window rank over the same pair surface
+    val pairs = Algos.nodeSimilarity(rel, "n", "f", topK = Int.MaxValue)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("inter"),
+        r.getAs[Long]("deg_a"), r.getAs[Long]("deg_b"),
+        r.getAs[Double]("jaccard")))
+    val sym = pairs.flatMap { case (a, b, i, da, db, j) =>
+      Seq((a, b, i, da, db, j), (b, a, i, db, da, j)) }
+    val want = sym.groupBy(_._1).toSeq.flatMap { case (n, cs) =>
+      cs.sortBy(c => (-c._6, c._2)).take(4).zipWithIndex.map {
+        case ((_, nbr, i, dn, dnb, j), rk) =>
+          Seq[Any](n, (rk + 1).toLong, nbr, i, dn, dnb, j) }
+    }.sortBy(_.mkString("|"))
+    assert(got == want)
+    // the hub's candidate list really was hub-sized (prune had work to do)
+    assert(pairs.count(p => p._1 == "H" || p._2 == "H") == 200)
+  }
+
   test("resourceAllocationScores equals resourceAllocation on shared pairs; zero-common pairs keep ra 0") {
     import spark.implicits._
     // hub h touches everyone; x,y also share low-degree z; w isolated-ish

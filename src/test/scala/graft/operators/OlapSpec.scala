@@ -223,6 +223,57 @@ class OlapSpec extends SparkSpec {
     assert(got2 == Map((1L, 2L, 3L) -> 3L, (1L, 2L, 4L) -> 2L))
   }
 
+  test("frequentTriples: a hot basket of infrequent items stays cheap (L1 + early L2 cuts)") {
+    import spark.implicits._
+    // one pathological basket with 1000 singleton items (raw pair count
+    // would be C(1000,2) ≈ 500k before any threshold) + a planted
+    // frequent triple in 3 small baskets
+    val hot = (0 until 1000).map(i => (99L, 10000L + i))
+    val planted = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (11L, 1L), (11L, 2L), (11L, 3L),
+      (12L, 1L), (12L, 2L), (12L, 3L))
+    val li = (hot ++ planted).toDF("l_orderkey", "l_partkey")
+    val (b, fp, freq2) = Olap.frequentTriplesPairs(li, 3L, col("l_partkey"))
+    // L1 removed every hot-basket item before pair enumeration
+    assert(b.count() == 9L, "only the 3 frequent items' 9 basket rows survive L1")
+    assert(freq2.count() == 3L) // (1,2), (1,3), (2,3)
+    // the pruned pair frame the third leg fans out from: 3 baskets × 3
+    // frequent pairs — NOT half a million hot-basket pairs
+    assert(fp.count() == 9L)
+    // and the answer is still exactly the definition
+    val got = Olap.frequentTriples(li, minSupport = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        r.getAs[Long]("support")).toMap
+    assert(got == Map((1L, 2L, 3L) -> 3L))
+  }
+
+  test("frequentTriples plan: the (x,y) semi-join sits BELOW the third-leg join") {
+    import spark.implicits._
+    val li = Seq((10L, 1L), (10L, 2L), (10L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+    val df = Olap.frequentTriples(li, minSupport = 1)
+    // the checkpointed pair frame is already freq2-semi-joined before
+    // the third basket leg: walking the physical plan, the first
+    // LeftSemi above the pair scan must appear strictly below the
+    // inner join that introduces the z leg
+    val plan = df.queryExecution.sparkPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+    val semis = joins.filter(_.joinType ==
+      org.apache.spark.sql.catalyst.plans.LeftSemi)
+    assert(semis.size == 3, s"three a-priori semi-joins, got ${semis.size}")
+    // the z-introducing inner join must CONTAIN a LeftSemi in its left
+    // subtree (the explicit early prune) — i.e. at least one semi is a
+    // descendant of an inner join
+    val inner = joins.filter(_.joinType ==
+      org.apache.spark.sql.catalyst.plans.Inner)
+    assert(inner.exists(j => j.left.collect {
+      case s: org.apache.spark.sql.execution.joins.BaseJoinExec
+        if s.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => s
+    }.nonEmpty), "the (x,y) freq2 semi-join must execute below the triple expansion")
+  }
+
   test("movingAggregates: trailing 3-row frame on a known sequence") {
     import spark.implicits._
     import java.sql.Timestamp
