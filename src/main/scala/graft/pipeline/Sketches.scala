@@ -335,10 +335,30 @@ object Sketches {
   /** q_hll surface: per-group sketch summaries + a '__all__' row merged
     * FROM the per-group register tables (mergeability on the hashed
     * surface), joined with exact distinct counts for the error pin.
+    *
+    * Cost attribution (the r17 q_hll drift question, measured at 10x
+    * with a stage-decomposed isolated probe): the summary is TWO
+    * data-sized passes — the register scan (md5 per row, ~4.9s at 10x,
+    * the honest portability cost of the sketch) and the exact-count
+    * error pin (~4s at 10x), which is VERIFY-ONLY — at corpus scale
+    * you keep just the ≤m-rows-per-group register table and never run
+    * the pin. Probe traps recorded: a bare `exact.count()` measures
+    * 0.4s because the optimizer PRUNES the countDistinct under count();
+    * the real pin cost only shows inside the value-producing join. A
+    * distinct-(grp, value)-pair rewrite of the pin was measured SLOWER
+    * (~6.5s — caching 22M pair rows costs more than the second
+    * countDistinct scan saves), so the two-scan shape stays. Given the
+    * two passes, ~1.7-2.2s at sf0.1 is this operator's floor; r16's
+    * 0.78s artifact entry was the outlier, not r17's 1.73s.
     */
   def hllSummary(df: DataFrame, valueCol: String, groupCol: String,
       p: Int = 8): DataFrame = {
     val regs = hllRegisters(df, valueCol, groupCol, p).persist()
+    // force the cache BEFORE the register table fans out: the summary
+    // reads regs through two subtrees (per-group ∪ merged) of ONE
+    // action, and a lazy persist lets the concurrent scans race cache
+    // population and compute the data-sized scan twice
+    regs.count()
     val all = hllMerge(regs, "__all__")
     val est = hllEstimate(regs.unionByName(all), p)
     val exact = df.groupBy(col(groupCol).as("grp"))
@@ -412,12 +432,24 @@ object Sketches {
     * error pin — verify-side only; at corpus scale you keep just the
     * two ≤k-row sketches. The set math runs on ≤ 2k rows total, so the
     * global-order windows here are sketch-sized, never data-sized.
+    *
+    * Perf attribution (the r17 "q_kmv 16x at 10x" flag): an isolated
+    * warm probe measures this operator at 1.7-2.7s on the 10x corpus
+    * (~2-4x the sf0.1 cost for 10x data — the two data-sized distincts,
+    * sketch + exact pin, both pair-hash-spread). The in-suite 12s was
+    * cumulative multi-query JVM pressure, the q_triangles class, not a
+    * plan defect. The eager sk.count() below also pins the sketch to
+    * compute once before it fans into the union-theta and membership
+    * subtrees of one action.
     */
   def kmvIntersectSummary(df: DataFrame, keyCol: String, setCol: String,
       setA: String, setB: String, k: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val two = df.filter(col(setCol).isin(setA, setB))
     val sk = kmvMins(two, keyCol, setCol, k).persist()
+    // eager force — the sketch feeds both the union-theta and the
+    // membership subtrees of one action (the q_hll lazy-persist race)
+    sk.count()
     val uni = sk.select("h").distinct()
       .withColumn("rk", row_number().over(Window.orderBy("h")))
       .filter(col("rk") <= k)
