@@ -504,6 +504,48 @@ class AlgosSpec extends SparkSpec {
       topk.map(_.toSeq).sortBy(_.mkString("|")).toSeq)
   }
 
+  test("louvainLevels: phase 2 recovers a planted two-level hierarchy phase 1 under-merges") {
+    import spark.implicits._
+    def k4(base: Long): Seq[(Long, Long)] =
+      (for (i <- 0 until 4; j <- i + 1 until 4)
+        yield (base + i, base + j)).toSeq
+    // four super-clusters (bases 1/11/21/31), each two K4 cliques tied
+    // by two bridges, weak links chaining the super-clusters. Total
+    // edge mass matters: merging two bridged K4s is modularity-POSITIVE
+    // only when S = 2m exceeds k_C·tot' / kin = 14·15/2 = 105 (here
+    // S = 118) — with fewer super-clusters phase 2 must correctly
+    // refuse to merge, which is a different (untested) property.
+    val bases = Seq(1L, 11L, 21L, 31L)
+    val edges = (
+      bases.flatMap(b => k4(b) ++ k4(b + 4) ++
+        Seq((b + 3, b + 4), (b + 2, b + 5))) ++
+      bases.sliding(2).collect { case Seq(x, y) => (x + 7, y) }.toSeq
+    ).toDF("_src", "_dst")
+    val p1 = Algos.louvain(edges, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val p2 = Algos.louvainLevels(edges, rounds = 3, rounds2 = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p1.keySet == p2.keySet)
+    // phase 1 under-merges: the per-clique tier (> 4 communities)
+    assert(p1.values.toSet.size > 4,
+      s"phase 1 found ${p1.values.toSet.size} communities")
+    // the final labeling is a COARSENING of phase 1: every phase-1
+    // community maps to exactly one phase-2 label
+    p1.groupBy(_._2).foreach { case (c1, members) =>
+      assert(members.keys.map(p2).toSet.size == 1,
+        s"phase-1 community $c1 split by phase 2")
+    }
+    // phase 2 recovers the four planted super-clusters exactly
+    val labelsPerCluster = bases.map(b => (b to b + 7).map(p2).toSet)
+    labelsPerCluster.zip(bases).foreach { case (ls, b) =>
+      assert(ls.size == 1, s"super-cluster at $b split: $ls")
+    }
+    assert(labelsPerCluster.flatten.toSet.size == 4,
+      "weak links must not merge super-clusters")
+    // and fewer communities than phase 1 (it really merged)
+    assert(p2.values.toSet.size < p1.values.toSet.size)
+  }
+
   test("nodeSimilarityTopK: planted hub equals the single-window definition") {
     import spark.implicits._
     // hub H shares feature 0 with 200 spokes (deg·occCap-style fan-out:
