@@ -936,6 +936,13 @@ object SparkEntry {
     "q_multimodal_pixels" -> ((s, dir) =>
       pipeline.Multimodal.pixelSummary(docs(s, dir))),
 
+    // r18 AUDIO tier: plant genuine JDK-encoded 16-bit PCM WAVs, then
+    // hand-rolled RIFF chunk-walk metadata + exact sample extraction;
+    // all-integer amplitude stats (sum, sum-of-squares, peak) — WAV is
+    // lossless, so the whole surface gates full-value exact
+    "q_multimodal_audio" -> ((s, dir) =>
+      pipeline.Multimodal.audioSummary(docs(s, dir))),
+
     // ================================================================
     // Sources tier under the gate: CSV / JSON / graph-snapshot
     // round-trips — write to a scratch dir, read back, aggregate; the
@@ -1067,6 +1074,14 @@ object SparkEntry {
     // only so the drained result equals batch DISTINCT
     "q_stream_dedup" -> ((s, dir) =>
       streaming.EventStreams.streamingDedup(lenient(s), dir)),
+
+    // watermark-TTL streaming dedup (dropDuplicatesWithinWatermark):
+    // state evicts once the event-time watermark passes a key's
+    // horizon — bounded by arrival-rate×horizon on unbounded keys;
+    // equals batch DISTINCT while every dup pair fits the horizon
+    // (365d covers the gate corpus)
+    "q_stream_dedup_ttl" -> ((s, dir) =>
+      streaming.EventStreams.streamingDedupTtl(lenient(s), dir)),
 
     // streaming MinHash near-dup: row-local band keys on the stream, one
     // bucket aggregation, exact-Jaccard verify against earlier docs
@@ -1307,11 +1322,12 @@ object SparkEntry {
     }),
 
     // deterministic random walks (derandomized DeepWalk sampling):
-    // 64 md5-picked starts × 8 steps, each step the out-neighbor
-    // minimizing md5(start|t|w) — zero RNG state, engine-replayable
+    // 64 md5-picked starts × 4 walks each × 8 steps, walk w's step t
+    // the out-neighbor minimizing md5(start|w|t|x) — zero RNG state,
+    // engine-replayable, sibling walks diverge via the walkId salt
     "q_walks" -> ((s, dir) =>
       algos.Algos.deterministicWalks(relatedTo(s, dir),
-        nStarts = 64, steps = 8)),
+        nStarts = 64, steps = 8, walksPerStart = 4)),
 
     // sampled betweenness (Brandes over the 8-seed fixed sample,
     // distance-bounded at 4): forward σ per level, backward δ per level
@@ -1383,6 +1399,17 @@ object SparkEntry {
     // chained-CTE oracle replays the identical labeling
     "q_louvain" -> ((s, dir) =>
       algos.Algos.louvain(relatedTo(s, dir), rounds = 3)
+        .select(col("id").as("p_partkey"), col("community"))
+        .orderBy("p_partkey")),
+
+    // TWO-LEVEL Louvain (phase 1 + Blondel '08 phase-2 coarsening):
+    // phase-1 communities contract to a weighted super-graph (self-loop
+    // = 2×intra-edges, degrees preserved), then the same integer local
+    // move reruns semi-synchronously (round-salted md5 parity gates
+    // movers, breaking super-node swap 2-cycles); chained-CTE oracle
+    // replays BOTH levels including the contraction
+    "q_louvain2" -> ((s, dir) =>
+      algos.Algos.louvainLevels(relatedTo(s, dir), rounds = 3, rounds2 = 2)
         .select(col("id").as("p_partkey"), col("community"))
         .orderBy("p_partkey")),
 
@@ -1838,14 +1865,15 @@ object SparkEntry {
     * [[algos.Algos.deterministicWalks]]: per step, the out-neighbor
     * minimizing (md5(start|t|w), w) via a per-start rank.
     */
-  private def walksOracle(nStarts: Int, steps: Int): String = {
+  private def walksOracle(nStarts: Int, steps: Int, walksPerStart: Int): String = {
     val iters = (1 to steps).map { t =>
       val p = s"w${t - 1}"
       s"""w$t AS MATERIALIZED (
-           SELECT start, CAST($t AS BIGINT) AS step, node FROM (
-             SELECT c.start, r.p2 AS node,
-               row_number() OVER (PARTITION BY c.start
-                 ORDER BY md5(CAST(c.start AS VARCHAR) || '|' || '$t' || '|' ||
+           SELECT start, walk_id, CAST($t AS BIGINT) AS step, node FROM (
+             SELECT c.start, c.walk_id, r.p2 AS node,
+               row_number() OVER (PARTITION BY c.start, c.walk_id
+                 ORDER BY md5(CAST(c.start AS VARCHAR) || '|' ||
+                   CAST(c.walk_id AS VARCHAR) || '|' || '$t' || '|' ||
                    CAST(r.p2 AS VARCHAR)), r.p2) AS rn
              FROM $p c JOIN related r ON r.p1 = c.node)
            WHERE rn = 1)"""
@@ -1854,15 +1882,18 @@ object SparkEntry {
     s"""WITH $relatedSql,
        nodes AS MATERIALIZED (SELECT p1 AS n FROM related
                UNION SELECT p2 FROM related),
+       wids AS MATERIALIZED (
+         SELECT CAST(range AS BIGINT) AS walk_id FROM range($walksPerStart)),
        starts AS MATERIALIZED (
          SELECT n AS start FROM nodes
          ORDER BY md5(CAST(n AS VARCHAR)), n LIMIT $nStarts),
        w0 AS MATERIALIZED (
-         SELECT start, CAST(0 AS BIGINT) AS step, start AS node FROM starts),
+         SELECT start, walk_id, CAST(0 AS BIGINT) AS step, start AS node
+         FROM starts CROSS JOIN wids),
        $iters
-       SELECT start, step, node FROM (
+       SELECT start, walk_id, step, node FROM (
          $unions)
-       ORDER BY start, step"""
+       ORDER BY start, walk_id, step"""
   }
 
   /** Sampled-Brandes betweenness replay mirroring
@@ -2016,7 +2047,11 @@ object SparkEntry {
     * the (score DESC, cand ASC) argmax. All integers; AS MATERIALIZED so
     * DuckDB doesn't inline the chain exponentially.
     */
-  private def louvainOracle(rounds: Int): String = {
+  /** Phase-1 local-move CTE chain shared by the q_louvain and
+    * q_louvain2 oracles: fixed synchronous rounds of the integer
+    * surrogate S·kin − k·Σtot′ with smallest-community tie-break.
+    */
+  private def louvainPhase1Ctes(rounds: Int): String = {
     val iters = (1 to rounds).map { i =>
       val p = s"lab${i - 1}"
       s"""tot$i AS MATERIALIZED (
@@ -2044,16 +2079,80 @@ object SparkEntry {
                row_number() OVER (PARTITION BY id ORDER BY score DESC, cand) AS rn
              FROM sc$i) WHERE rn = 1)"""
     }.mkString(",\n")
-    s"""WITH $relatedSql,
-       sym AS MATERIALIZED (SELECT p1 AS u, p2 AS v FROM related
+    s"""sym AS MATERIALIZED (SELECT p1 AS u, p2 AS v FROM related
                UNION ALL SELECT p2, p1 FROM related),
        deg AS MATERIALIZED (
          SELECT u AS id, CAST(count(*) AS BIGINT) AS k FROM sym GROUP BY u),
        s AS (SELECT CAST(sum(k) AS BIGINT) AS s FROM deg),
        lab0 AS MATERIALIZED (SELECT id, id AS c FROM deg),
-       $iters
+       $iters"""
+  }
+
+  private def louvainOracle(rounds: Int): String =
+    s"""WITH $relatedSql,
+       ${louvainPhase1Ctes(rounds)}
        SELECT id AS p_partkey, CAST(c AS BIGINT) AS community
        FROM lab$rounds ORDER BY p_partkey"""
+
+  /** Two-level replay mirroring [[algos.Algos.louvainLevels]]: the
+    * phase-1 chain, the ordered-pair contraction to a weighted
+    * super-graph (self rows carry 2×intra-edges so degrees and S are
+    * preserved), then `rounds2` WEIGHTED local-move rounds where only
+    * super-nodes with even last-md5-hex-digit parity of md5(id|round)
+    * move (the Scala semi-synchronous rule). kin sums non-self weights;
+    * k is the full weighted degree including the self-loop.
+    */
+  private def louvainLevelsOracle(rounds: Int, rounds2: Int): String = {
+    val iters = (1 to rounds2).map { i =>
+      val p = s"vlab${i - 1}"
+      s"""vtot$i AS MATERIALIZED (
+           SELECT l.c, CAST(sum(d.k) AS BIGINT) AS tot
+           FROM $p l JOIN wdeg d ON d.id = l.id GROUP BY l.c),
+         vkin$i AS MATERIALIZED (
+           SELECT e.u AS id, l.c AS cand, CAST(sum(e.w) AS BIGINT) AS kin
+           FROM wsym e JOIN $p l ON l.id = e.v
+           WHERE e.u <> e.v GROUP BY 1, 2),
+         vcand$i AS MATERIALIZED (
+           SELECT id, cand, max(kin) AS kin FROM (
+             SELECT id, cand, kin FROM vkin$i
+             UNION ALL SELECT id, c AS cand, 0 FROM $p) GROUP BY 1, 2),
+         vsc$i AS MATERIALIZED (
+           SELECT c.id, c.cand,
+             w.s * c.kin - d.k * (t.tot -
+               CASE WHEN c.cand = l.c THEN d.k ELSE 0 END) AS score
+           FROM vcand$i c
+           JOIN vtot$i t ON t.c = c.cand
+           JOIN wdeg d ON d.id = c.id
+           JOIN $p l ON l.id = c.id
+           CROSS JOIN ws w),
+         vlab$i AS MATERIALIZED (
+           SELECT m.id,
+             CASE WHEN CAST(concat('0x', substr(md5(
+                 CAST(m.id AS VARCHAR) || '|' || '$i'), 32, 1)) AS BIGINT)
+                 % 2 = 0
+               THEN m.cn ELSE l.c END AS c
+           FROM (SELECT id, cand AS cn FROM (
+             SELECT id, cand,
+               row_number() OVER (PARTITION BY id ORDER BY score DESC, cand) AS rn
+             FROM vsc$i) WHERE rn = 1) m
+           JOIN $p l ON l.id = m.id)"""
+    }.mkString(",\n")
+    s"""WITH $relatedSql,
+       ${louvainPhase1Ctes(rounds)},
+       wsym AS MATERIALIZED (
+         SELECT lu.c AS u, lv.c AS v, CAST(count(*) AS BIGINT) AS w
+         FROM sym e
+         JOIN lab$rounds lu ON lu.id = e.u
+         JOIN lab$rounds lv ON lv.id = e.v
+         GROUP BY 1, 2),
+       wdeg AS MATERIALIZED (
+         SELECT u AS id, CAST(sum(w) AS BIGINT) AS k FROM wsym GROUP BY u),
+       ws AS (SELECT CAST(sum(k) AS BIGINT) AS s FROM wdeg),
+       vlab0 AS MATERIALIZED (SELECT id, id AS c FROM wdeg),
+       $iters
+       SELECT l1.id AS p_partkey, CAST(v.c AS BIGINT) AS community
+       FROM lab$rounds l1 JOIN vlab$rounds2 v ON v.id = l1.c
+       ORDER BY p_partkey"""
   }
 
   private def labelPropOracle(iterations: Int): String = {
@@ -2308,6 +2407,7 @@ object SparkEntry {
     "q_ppr" -> pprOracle(10, Seq(1L, 2L, 3L)),
     "q_labelprop" -> labelPropOracle(5),
     "q_louvain" -> louvainOracle(3),
+    "q_louvain2" -> louvainLevelsOracle(3, 2),
     "q_betweenness" -> betweennessOracle(Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L)),
     "q_hits" -> hitsOracle(5),
     "q_mis" -> misOracle(4),
@@ -2407,7 +2507,7 @@ object SparkEntry {
          FROM cum WHERE cum >= (900 * total + 999) // 1000
          GROUP BY s ORDER BY seed""",
     "q_sssp" -> ssspOracle(1L, 6),
-    "q_walks" -> walksOracle(64, 8),
+    "q_walks" -> walksOracle(64, 8, 4),
     // chi-square drift replay: same cross-multiplied integer cells over
     // the full source × category grid (O = 0 cells included), same
     // floor(x*1e6 + 0.5) quantization, BIGINT sums
@@ -4275,6 +4375,11 @@ object SparkEntry {
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",
+    // TTL dedup == batch DISTINCT while the horizon (365d) covers every
+    // duplicate pair's gap, which it does on the whole gate corpus
+    "q_stream_dedup_ttl" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
     // funnel replay: per-step conditional min with strict-after chain,
     // null -> -1, all epoch-micro integers
     "q_funnel" ->
@@ -4498,6 +4603,28 @@ object SparkEntry {
          round(((doc_id * 59) % 256 + (doc_id * 127) % 256) / 2.0, 4) AS mean_g,
          round(((doc_id * 83) % 256 + (doc_id * 151) % 256) / 2.0, 4) AS mean_b
          FROM documents WHERE doc_id % 2 = 0 ORDER BY media_id""",
+    // audio replay: the planted sawtooth ((id*131 + k*7) % 65536) -
+    // 32768 over interleaved sample index k, exact integer sums
+    "q_multimodal_audio" ->
+      """WITH p AS (
+           SELECT CAST(doc_id AS BIGINT) AS media_id,
+             CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+             CAST(1 + (doc_id % 2) AS INTEGER) AS channels,
+             CAST(200 + (doc_id % 5) * 100 AS BIGINT) AS n_frames
+           FROM documents),
+         ks AS (SELECT CAST(range AS BIGINT) AS k FROM range(1200)),
+         s AS (
+           SELECT p.media_id,
+             ((p.media_id * 131 + ks.k * 7) % 65536) - 32768 AS v
+           FROM p JOIN ks ON ks.k < p.n_frames * p.channels)
+         SELECT p.media_id, p.sample_rate, p.channels,
+           CAST(16 AS INTEGER) AS bits, p.n_frames,
+           CAST(p.n_frames * 1000 // p.sample_rate AS BIGINT) AS duration_ms,
+           CAST(sum(s.v) AS BIGINT) AS sum_v,
+           CAST(sum(s.v * s.v) AS BIGINT) AS sum_sq,
+           CAST(max(abs(s.v)) AS BIGINT) AS peak
+         FROM p JOIN s ON s.media_id = p.media_id
+         GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY p.media_id""",
     "q_degree" ->
       """SELECT c_custkey AS id, CAST(1 + coalesce(o.cnt, 0) AS BIGINT) AS outDegree,
          CAST(0 AS BIGINT) AS inDegree, CAST(1 + coalesce(o.cnt, 0) AS BIGINT) AS degree

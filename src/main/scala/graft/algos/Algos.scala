@@ -1211,27 +1211,39 @@ object Algos {
 
   /** Deterministic "random" walks for graph-embedding corpora
     * (DeepWalk/node2vec-style sampling, derandomized): from each start
-    * node, `steps` hops where step t moves to the out-neighbor w
-    * minimizing md5(start|t|w) — a fixed pseudo-random choice that is
-    * uniform-ish per step yet REPLAYABLE by any engine with md5 (no RNG
-    * state, no seed plumbing, the q_wsample/q_shuffle discipline; walks
-    * are independent of partitioning and of each other). Walks stop
-    * early at sinks. One equi-join + one min_by per step — the step
-    * count, never the walk count, bounds the shuffles; all walks
-    * advance in one frame. Returns (start, step, node) including step 0.
+    * node, `walksPerStart` independent walks of `steps` hops where walk
+    * w's step t moves to the out-neighbor x minimizing
+    * md5(start|w|t|x) — a fixed pseudo-random choice that is uniform-ish
+    * per step yet REPLAYABLE by any engine with md5 (no RNG state, no
+    * seed plumbing, the q_wsample/q_shuffle discipline; walks are
+    * independent of partitioning and of each other). The walkId salt is
+    * what makes multiplicity real: DeepWalk/node2vec corpora want 10-80
+    * walks per node, and each (start, walkId) pair draws its own hash
+    * stream, so sibling walks diverge wherever out-degree > 1. A walk's
+    * trajectory depends only on (start, walkId, graph) — running 2 or
+    * 80 walks per start yields bit-identical rows for the shared ids
+    * (spec-pinned). Walks stop early at sinks. One equi-join + one
+    * min_by per step — the step count, never the walk count, bounds the
+    * shuffles; all nStarts·walksPerStart walks advance in ONE frame
+    * (the frame is walk-count-sized, the shuffle count is not).
+    * Returns (start, walk_id, step, node) including step 0.
     */
   def deterministicWalks(edges: DataFrame, nStarts: Int, steps: Int,
+      walksPerStart: Int = 1,
       src: String = "_src", dst: String = "_dst"): DataFrame = {
-    require(nStarts >= 1 && steps >= 1)
+    require(nStarts >= 1 && steps >= 1 && walksPerStart >= 1)
     val e0 = materialize(edges.select(col(src).as("u"), col(dst).as("v")))
     val out = withLoopParts(edges.sparkSession, e0.count()) { sc =>
     val e = sc.in(e0)
+    val wids = edges.sparkSession.range(walksPerStart.toLong)
+      .select(col("id").as("wid"))
     val starts = materialize(
       e.select(col("u").as("node")).unionByName(e.select(col("v").as("node")))
         .distinct()
         .orderBy(md5(col("node").cast(StringType)), col("node"))
         .limit(nStarts)
-        .select(col("node").as("start"), lit(0L).as("step"),
+        .crossJoin(broadcast(wids))
+        .select(col("node").as("start"), col("wid"), lit(0L).as("step"),
           col("node").as("node")))
     var cur = starts
     var acc = Vector(starts)
@@ -1239,12 +1251,13 @@ object Algos {
     while (t < steps && !cur.isEmpty) {
       t += 1
       val key = md5(concat(col("start").cast(StringType), lit("|"),
+        col("wid").cast(StringType), lit("|"),
         lit(t).cast(StringType), lit("|"), col("v").cast(StringType)))
       val next = cur.join(e, col("node") === col("u"))
-        .select(col("start"), col("v"), key.as("k"))
-        .groupBy("start")
+        .select(col("start"), col("wid"), col("v"), key.as("k"))
+        .groupBy("start", "wid")
         .agg(min_by(col("v"), struct(col("k"), col("v"))).as("node"))
-        .select(col("start"), lit(t).as("step"), col("node"))
+        .select(col("start"), col("wid"), lit(t).as("step"), col("node"))
       cur = materialize(next)
       acc = acc :+ cur
     }
@@ -1253,7 +1266,8 @@ object Algos {
     sc.out(walk)
     }
     release(e0)
-    out.orderBy("start", "step")
+    out.select(col("start"), col("wid").as("walk_id"), col("step"), col("node"))
+      .orderBy("start", "walk_id", "step")
   }
 
   /** Modularity-based community detection — fixed synchronous rounds of

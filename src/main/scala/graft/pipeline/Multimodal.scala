@@ -179,4 +179,87 @@ object Multimodal {
       .select(col("media_id"), round(col("mean_r"), 4).as("mean_r"),
         round(col("mean_g"), 4).as("mean_g"), round(col("mean_b"), 4).as("mean_b"))
       .orderBy("media_id")
+
+  // ================================================================
+  // Audio tier (r18 — the r17 verdict's #7 ask): WAV/RIFF payloads as
+  // a second opaque-binary column type, same plant → header-parse →
+  // decode staging as images. WAV PCM is a container (no lossy
+  // transform), so the whole surface gates EXACTLY.
+  // ================================================================
+
+  final case class AudioStats(media_id: Long, sample_rate: Int,
+      channels: Int, bits: Int, n_frames: Long, duration_ms: Long,
+      sum_v: Long, sum_sq: Long, peak: Long)
+
+  // planted-waveform formulas — replayed verbatim by the DuckDB oracle.
+  // Sample k (interleaved frame-major) of doc id is a deterministic
+  // full-range sawtooth: ((id*131 + k*7) mod 65536) - 32768.
+  def plantSampleRate(id: Long): Int = 8000 + (id % 3).toInt * 4000
+  def plantAudioChannels(id: Long): Int = 1 + (id % 2).toInt
+  def plantFrames(id: Long): Long = 200L + (id % 5) * 100L
+  def plantSample(id: Long, k: Long): Short =
+    (((id * 131L + k * 7L) % 65536L) - 32768L).toShort
+
+  /** One real WAV byte stream per document: 16-bit PCM, sample rate /
+    * channel count / frame count / samples all from the formulas above,
+    * encoded with the JDK's own `javax.sound.sampled` writer — so the
+    * hand-rolled RIFF parse and sample extraction run against genuine
+    * codec output while every downstream value stays derivable in SQL.
+    */
+  def plantedAudioTable(docs: DataFrame): Dataset[MediaRaw] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val n = plantFrames(id) * plantAudioChannels(id)
+        val samples = Array.tabulate(n.toInt)(k => plantSample(id, k.toLong))
+        MediaRaw(id, AudioCodec.encodePcm16(plantSampleRate(id),
+          plantAudioChannels(id), samples))
+      }
+    }
+  }
+
+  /** Audio decode pass: hand-rolled header parse + exact PCM sample
+    * extraction, amplitude stats as EXACT integers (sum, sum of
+    * squares, peak |v|) — no float on the hashed surface (the house
+    * rule); duration_ms in integer milliseconds. Row-local end to end:
+    * the only shuffle a corpus run pays is whatever the caller
+    * aggregates afterwards.
+    */
+  def audioStats(media: Dataset[MediaRaw]): Dataset[AudioStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        for {
+          m <- AudioCodec.parseWavHeader(r.payload)
+          samples <- AudioCodec.pcm16Samples(r.payload)
+        } yield {
+          var sum = 0L; var sq = 0L; var peak = 0L
+          var i = 0
+          while (i < samples.length) {
+            val v = samples(i).toLong
+            sum += v; sq += v * v
+            val a = math.abs(v); if (a > peak) peak = a
+            i += 1
+          }
+          AudioStats(r.media_id, m.sampleRate, m.channels, m.bitsPerSample,
+            m.nFrames, m.nFrames * 1000L / m.sampleRate, sum, sq, peak)
+        }
+      }
+    }
+  }
+
+  /** Audio gate (q_multimodal_audio): plant → RIFF header parse → PCM
+    * extraction, one row per document. Every column is exact (WAV is
+    * lossless), so the oracle replays the waveform formulas over
+    * range() and any header-parse or sample-extraction defect breaks
+    * the hash — the decode-accuracy check is the gate itself.
+    */
+  def audioSummary(docs: DataFrame): DataFrame =
+    audioStats(plantedAudioTable(docs)).toDF()
+      .select(col("media_id"), col("sample_rate"), col("channels"),
+        col("bits"), col("n_frames"), col("duration_ms"), col("sum_v"),
+        col("sum_sq"), col("peak"))
+      .orderBy("media_id")
 }

@@ -287,6 +287,42 @@ object EventStreams {
     spark.table(queryName).orderBy(keys.map(col): _*)
     }
 
+  /** Streaming dedup with a watermark TTL — the bounded-state variant
+    * [[streamingDedup]]'s Scaladoc promised: `dropDuplicatesWithinWatermark`
+    * holds one state row per key only until the event-time watermark
+    * passes the key's horizon, so on a truly UNBOUNDED key stream
+    * (fresh document digests forever) state is bounded by the key
+    * ARRIVAL RATE × horizon, not by total key cardinality — the same
+    * rotation trade [[streamingBloomRotated]] makes for bits. The
+    * trade is explicit: a key recurring AFTER its state evicted is
+    * emitted again (spec pins exactly this), so downstream consumers
+    * get at-least-once distinct keys per horizon rather than global
+    * distinct. Equality with batch DISTINCT (the gate oracle) holds
+    * whenever every duplicate pair arrives within the horizon — on the
+    * gate corpus the horizon (365 days) covers the whole table, and
+    * AvailableNow with no maxFilesPerTrigger processes all files in
+    * one batch anyway (the [[streamingBloomRotated]] late-data
+    * contract applies verbatim to multi-drop feeds).
+    */
+  def streamingDedupTtl(spark: SparkSession, eventsDir: String,
+      glob: String = "events.parquet",
+      keys: Seq[String] = Seq("user_id", "event_type"),
+      horizon: String = "365 days",
+      queryName: String = "q_stream_dedup_ttl"): DataFrame =
+    withStreamParts(spark, eventsDir, glob) { spark =>
+    val raw = eventsRawStream(spark, eventsDir, glob)
+    val query = raw
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark(keys)
+      .select(keys.map(col): _*)
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(queryName).orderBy(keys.map(col): _*)
+    }
+
   /** Streaming heavy hitters: per-group top-k keys by exact count over
     * an event stream — the live "top users / top queries / top domains"
     * panel every ingestion pipeline keeps. ONE streaming aggregation

@@ -259,6 +259,31 @@ class AlgosSpec extends SparkSpec {
     assert(again.sorted.toSeq == got.sorted.toSeq)
   }
 
+  test("deterministicWalks: sibling walks are independent and diverge on branches") {
+    // star-ish branching graph: every node has out-degree >= 2 for the
+    // first hops, so the walkId salt has room to pick differently
+    val e = edgesOf(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 5L, 2L -> 6L,
+      3L -> 5L, 3L -> 7L, 4L -> 6L, 4L -> 7L, 5L -> 1L, 6L -> 1L, 7L -> 1L)
+    def run(wps: Int) = Algos.deterministicWalks(e, nStarts = 7, steps = 5,
+      walksPerStart = wps).collect()
+      .map(r => (r.getAs[Long]("start"), r.getAs[Long]("walk_id"),
+        r.getAs[Long]("step"), r.getAs[Long]("node")))
+    val w4 = run(4)
+    // (start, walk_id, step) is a key — one node per walk-step
+    assert(w4.map(t => (t._1, t._2, t._3)).distinct.length == w4.length)
+    // a walk depends only on (start, walkId): the wid<2 slice of the
+    // 4-walk run is bit-identical to the 2-walk run
+    val w2 = run(2)
+    assert(w4.filter(_._2 < 2).sorted.toSeq == w2.sorted.toSeq)
+    // multiplicity is real: at least one start's sibling walks diverge
+    val trajectories = w4.groupBy(t => (t._1, t._2)).toSeq
+      .map { case ((s, _), rows) => (s, rows.sortBy(_._3).map(_._4).toVector) }
+    val perStart = trajectories.groupBy(_._1).map { case (s, ts) =>
+      s -> ts.map(_._2).toSet.size }
+    assert(perStart.values.exists(_ > 1),
+      "every sibling walk identical - walkId salt not reaching the hash")
+  }
+
   test("betweennessSampled: exact Brandes dependencies on path and diamond") {
     // path 1→2→3→4 from seed 1: δ(2) = 2, δ(3) = 1, 4 absent (δ = 0)
     val path = edgesOf(1L -> 2L, 2L -> 3L, 3L -> 4L)

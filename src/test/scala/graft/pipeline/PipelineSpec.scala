@@ -845,6 +845,39 @@ class PipelineSpec extends SparkSpec {
     assert(s1.forall(_.getInt(5) == 1))
   }
 
+  test("multimodal audio: RIFF parse + PCM extraction against the JDK encoder") {
+    // fixture: known samples through the JDK's own WAV writer, then the
+    // hand-rolled parse — genuine codec output gates the chunk walk
+    val samples = Array[Short](0, 100, -100, 32767, -32768, 7, -7, 0)
+    val wav = AudioCodec.encodePcm16(16000, 2, samples)
+    assert(wav.take(4).map(_.toChar).mkString == "RIFF")
+    val meta = AudioCodec.parseWavHeader(wav).get
+    assert(meta == AudioCodec.WavMeta(16000, 2, 16, 4))
+    // WAV PCM is a container: extraction is bit-exact round-trip
+    assert(AudioCodec.pcm16Samples(wav).get.toSeq == samples.toSeq)
+    // corrupt / truncated / non-PCM payloads filter, not throw
+    assert(AudioCodec.parseWavHeader("garbage-not-audio-at-all-really".getBytes).isEmpty)
+    assert(AudioCodec.parseWavHeader(wav.take(30)).isEmpty)
+    val mangled = wav.clone; mangled(20) = 3 // fmt audioFormat != PCM
+    assert(AudioCodec.parseWavHeader(mangled).isEmpty)
+    // the Spark pipeline over the planted corpus: stats match the
+    // waveform formulas computed independently in JVM code
+    val stats = Multimodal.audioStats(Multimodal.plantedAudioTable(docs))
+      .collect().map(s => s.media_id -> s).toMap
+    assert(stats.size == docs.count())
+    stats.values.foreach { s =>
+      val id = s.media_id
+      assert(s.sample_rate == Multimodal.plantSampleRate(id))
+      assert(s.channels == Multimodal.plantAudioChannels(id))
+      assert(s.bits == 16 && s.n_frames == Multimodal.plantFrames(id))
+      val n = Multimodal.plantFrames(id) * Multimodal.plantAudioChannels(id)
+      val vs = (0L until n).map(k => Multimodal.plantSample(id, k).toLong)
+      assert(s.sum_v == vs.sum && s.sum_sq == vs.map(v => v * v).sum &&
+        s.peak == vs.map(math.abs).max,
+        s"amplitude stats diverge from the planted waveform for doc $id")
+    }
+  }
+
   test("duplicateSpanCoverage merges overlapping duplicated spans") {
     import spark.implicits._
     val shared = (1 to 9).map(i => s"w$i").mkString(" ") // 9 tokens: two overlapping 8-grams

@@ -121,6 +121,51 @@ class StreamingSpec extends SparkSpec {
       s"streamed dedup $a/$b != batch distinct $want")
   }
 
+  test("streamingDedupTtl equals batch DISTINCT when the horizon covers the corpus") {
+    val want = graft.graph.GraphLoader.eventsTable(spark, sfDir)
+      .select("user_id", "event_type").distinct().count()
+    val got = EventStreams.streamingDedupTtl(spark, sfDir,
+      queryName = "stream_dedup_ttl_spec").count()
+    assert(got == want, s"TTL dedup $got != batch distinct $want")
+  }
+
+  test("dropDuplicatesWithinWatermark EVICTS key state past the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val deduped = input.toDS().toDF()
+      .withWatermark("ts", "30 days")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select("user_id", "event_type", "ts")
+    val query = deduped.writeStream.format("memory")
+      .queryName("ttl_evict_spec").outputMode(OutputMode.Append).start()
+    try {
+      def day(d: Int) = new Timestamp(d.toLong * 86400L * 1000L)
+      // batch 1: a key plus an in-horizon duplicate -> ONE emission
+      input.addData(Event(1, day(0), 7L, "view", 0.0),
+        Event(2, day(1), 7L, "view", 0.0))
+      query.processAllAvailable()
+      val afterB1 = spark.table("ttl_evict_spec").count()
+      assert(afterB1 == 1, s"in-horizon duplicate not suppressed: $afterB1")
+      // batch 2 advances the watermark far past the key's horizon
+      // (its own emission also proves unrelated keys pass through)
+      input.addData(Event(3, day(100), 8L, "view", 0.0))
+      query.processAllAvailable()
+      // batch 3: the ORIGINAL key recurs long after eviction -> state
+      // is gone, so it is emitted AGAIN (the TTL trade, by design)
+      input.addData(Event(4, day(200), 7L, "view", 0.0))
+      query.processAllAvailable()
+      val rows = spark.table("ttl_evict_spec").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+      assert(rows.count(_ == (7L, "view")) == 2,
+        s"evicted key must re-emit on recurrence, got ${rows.toSeq}")
+      // bounded state: live rows never exceed the non-evicted keys
+      val state = query.lastProgress.stateOperators
+      assert(state.nonEmpty && state.head.numRowsTotal <= 2,
+        s"state not bounded: ${state.map(_.numRowsTotal).toSeq}")
+    } finally query.stop()
+  }
+
   test("nearDupCandidateStream emits each candidate pair exactly once, incrementally") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
