@@ -320,4 +320,145 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(top.nonEmpty, "top-50 must compile to TakeOrderedAndProject")
   }
+
+  // ------------------------------------------------------------------
+  // EXHAUSTIVE window audit (r18 — the r17 verdict's #8 ask): a window
+  // partition is ATOMIC — AQE splits skewed joins and grouped
+  // aggregates (partial combine), but a hot Window.partitionBy
+  // partition sorts in ONE task forever. This is the failure mode that
+  // bit q_ntile (r16) and nodeSimilarityTopK (r17). The test below
+  // scans every Window.partitionBy in main source (comments stripped,
+  // probe mains under graft/tools excluded) and fails when a site
+  // appears that is not in the audited table — so every NEW window
+  // must state its partition bound to land.
+  // ------------------------------------------------------------------
+
+  /** Audited sites: key = "<file>:<partitionBy args, whitespace-free>",
+    * value = why the partition is bounded (or why unbounded is the
+    * operator's documented semantics). Counted as a multiset: the same
+    * key appearing twice in a file needs two entries.
+    */
+  private val auditedWindows: Seq[(String, String)] = Seq(
+    "SparkEntry.scala:(\"ok\")" ->
+      "per-order lineitem run; TPC-H order size is generator-bounded (single digits at any SF)",
+    "GraphLoader.scala:(\"ok\")" ->
+      "per-order lineitem run; same generator bound",
+    "Algos.scala:(\"seed\")" ->
+      "effectiveDiameter hop histogram: <= maxDepth+1 rows per seed",
+    "Algos.scala:(\"seed\")" ->
+      "effectiveDiameter p90 pick over the same <= maxDepth+1 rows",
+    "Algos.scala:(\"node\",\"_salt\")" ->
+      "nodeSimilarityTopK local top-k: partition = one salt bucket of one node's candidates, <= ceil(cands/P)",
+    "Algos.scala:(\"node\")" ->
+      "nodeSimilarityTopK final rank AFTER the salted prune: <= k*P rows per node by construction",
+    "CypherCompiler.scala:(rawKeys:_*)" ->
+      "exact percentileDisc per Cypher aggregation group: exact-rank semantics REQUIRE a per-group ordered scan; Cypher result groups, not the 100TB batch path",
+    "PropertyGraph.scala:(col(SRC),col(DST))" ->
+      "parallel-edge EID disambiguation: partition = duplicate multiplicity of one (src,dst) pair",
+    "Olap.scala:(\"_pid\")" ->
+      "skyline local frontier: per-Spark-partition cummax, bounded by partition size",
+    "Temporal.scala:(k:_*)" ->
+      "backward as-of merge window: as-of is an order-dependent per-key scan by definition; key choice is the caller's partition contract (documented)",
+    "Temporal.scala:(k:_*)" ->
+      "forward as-of merge window: same contract",
+    "Ann.scala:(\"a_id\")" ->
+      "minePairs per-a rank: input sides are require()-guarded <= 100k rows, so a partition is <= 100k",
+    "Ann.scala:(\"b_id\")" ->
+      "minePairs per-b rank: same guard",
+    "Dedup.scala:(\"pid\")" ->
+      "sorted-neighborhood: per-Spark-partition rank after range partitioning, bounded by partition size",
+    "Dedup.scala:(\"rep_id\")" ->
+      "semDedup keeper pick: partition = one cluster; auto-k targets constant expected occupancy (cluster count grows with corpus)",
+    "Sketches.scala:(\"grp\")" ->
+      "qsketch histogram cumsum: <= ~64 log2 buckets per group (sketch-sized)",
+    "Sketches.scala:(\"grp\")" ->
+      "qsketch per-group total over the same bucket rows",
+    "Sketches.scala:(\"grp\")" ->
+      "exact-rank error pin over distinct values: VERIFY-ONLY rider (gate corpus), not the production sketch path — documented in kmv/hll drift notes",
+    "Sketches.scala:(\"s\",\"_pid\")" ->
+      "kmvMins local k-min: per-(set, Spark partition), bounded by partition size",
+    "Sketches.scala:(\"s\")" ->
+      "kmvMins final k-min AFTER the local prune: <= k*P rows per set",
+    "Skew.scala:((\"_pid\"+:groupCols).map(col):_*)" ->
+      "groupedRank local row_number: per-(task, group), bounded by partition size",
+    "Skew.scala:(groupCols.map(col):_*)" ->
+      "groupedRank offset sum: partition = P partial-count rows per group (task count, not data)",
+    "TextOps.scala:(\"pid\")" ->
+      "token packing: per-Spark-partition greedy fill, bounded by partition size",
+    "TextOps.scala:(\"pid\")" ->
+      "hashSampleN local rank: per-partition, bounded by partition size",
+    "TextOps.scala:(\"shard\")" ->
+      "pack shards: docs per shard bounded by the token budget / mean doc length",
+    "TextOps.scala:()" ->
+      "balanceMixture global min: frame is |strata| rows (a grouped count), never data-sized",
+    "TextOps.scala:()" ->
+      "balanceMixtureTemperature global min: same |strata|-row frame",
+    "TextOps.scala:(col(id))" ->
+      "per-document window: partition = one doc's tokens, bounded by max doc length",
+    "TextOps.scala:(id)" ->
+      "per-document positional scan: bounded by doc length",
+    "TextOps.scala:(id)" ->
+      "per-document positional scan: bounded by doc length",
+    "TextOps.scala:(id)" ->
+      "per-document positional scan: bounded by doc length",
+    "TextOps.scala:(col(source),col(\"__b\"))" ->
+      "sourceCap salted rank: per-(source, hash bucket), <= ceil(source size/buckets)",
+    "TextOps.scala:(col(source))" ->
+      "sourceCap bucket offsets: partition = bucket count per source (constant), not docs",
+    "EventStreams.scala:(\"user_id\")" ->
+      "sessionizeBatch: sessionization is an order-dependent per-user scan by definition; the streaming flavor holds per-user STATE instead — pick it when one user's history outgrows a task")
+
+  test("window audit: every Window.partitionBy site in main source is in the audited-bounds table") {
+    import java.nio.file.{Files, Path, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get("src/main/scala/graft")
+    assert(Files.isDirectory(root), s"audit must run from the repo root, missing $root")
+    def sitesOf(p: Path): Seq[String] = {
+      val raw = new String(Files.readAllBytes(p), "UTF-8")
+      // strip block comments (Scaladoc mentions the API) and // tails
+      val noBlock = raw.replaceAll("(?s)/\\*.*?\\*/", " ")
+      val flat = noBlock.linesIterator
+        .map(l => if (l.contains("//")) l.substring(0, l.indexOf("//")) else l)
+        .mkString(" ")
+      val marker = "Window.partitionBy"
+      val out = Seq.newBuilder[String]
+      var i = flat.indexOf(marker)
+      while (i >= 0) {
+        var j = i + marker.length
+        var depth = 0
+        var end = j
+        var done = false
+        while (j < flat.length && !done) {
+          flat.charAt(j) match {
+            case '(' => depth += 1
+            case ')' =>
+              depth -= 1
+              if (depth == 0) { end = j + 1; done = true }
+            case _ => ()
+          }
+          j += 1
+        }
+        out += s"${p.getFileName}:${flat.substring(i + marker.length, end).replaceAll("\\s", "")}"
+        i = flat.indexOf(marker, end)
+      }
+      out.result()
+    }
+    val found = Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala") && !p.toString.contains("/tools/"))
+      .flatMap(sitesOf).toVector.sorted
+    val audited = auditedWindows.map(_._1).sorted
+    val unaudited = diffMultiset(found, audited)
+    val stale = diffMultiset(audited, found)
+    assert(unaudited.isEmpty,
+      s"NEW window site(s) without a pinned partition bound — add them to " +
+        s"auditedWindows WITH the bound argument: $unaudited")
+    assert(stale.isEmpty,
+      s"audited window site(s) no longer exist — drop them: $stale")
+  }
+
+  private def diffMultiset(a: Seq[String], b: Seq[String]): Seq[String] = {
+    val counts = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    b.foreach(k => counts(k) += 1)
+    a.filter { k => val c = counts(k); if (c > 0) { counts(k) = c - 1; false } else true }
+  }
 }
