@@ -1329,6 +1329,13 @@ object SparkEntry {
       algos.Algos.deterministicWalks(relatedTo(s, dir),
         nStarts = 64, steps = 8, walksPerStart = 4)),
 
+    // node2vec-biased walks: return/in/out classes weighted 250/1000/500
+    // (p=4, q=2 in permille), hop = argmin of hash60 DIV weight —
+    // integer-exact second-order bias, chained-CTE replay
+    "q_walks_n2v" -> ((s, dir) =>
+      algos.Algos.node2vecWalks(relatedTo(s, dir),
+        nStarts = 64, steps = 6, walksPerStart = 2)),
+
     // sampled betweenness (Brandes over the 8-seed fixed sample,
     // distance-bounded at 4): forward σ per level, backward δ per level
     // with round-7dp terms summed as exact DECIMAL — chained-CTE replay
@@ -1418,6 +1425,16 @@ object SparkEntry {
       algos.Algos.kCore(relatedTo(s, dir), k = 80, rounds = 10)
         .select(col("id").as("p_partkey"), col("core_degree"))
         .orderBy("p_partkey")),
+
+    // HyperBall (Boldi-Vigna '13): every node's ball size per radius on
+    // HLL registers — one scatter-join + one (node,bucket) max-combine
+    // per round; exact integer register aggregates + the raw-HLL
+    // estimate, replayed bit-for-bit by the chained-CTE oracle
+    "q_hyperball" -> ((s, dir) =>
+      algos.Algos.hyperBall(relatedTo(s, dir), rounds = 3, p = 6)
+        .select(col("id").as("p_partkey"), col("t"), col("n_present"),
+          col("sum_reg"), col("z_num"), col("est"))
+        .orderBy("p_partkey", "t")),
 
     // ================================================================
     // Relational OLAP surface (graft.operators.Olap) + KMV sketch +
@@ -1896,6 +1913,54 @@ object SparkEntry {
        ORDER BY start, walk_id, step"""
   }
 
+  /** node2vec-biased walk replay mirroring [[algos.Algos.node2vecWalks]]:
+    * per step, candidates from the related frame, weight by return/in/
+    * out class (prev NULL → in), priority = 60-bit md5 hash `//` weight
+    * (DuckDB floor-div == Spark IntegralDivide for non-negatives),
+    * smallest (priority, x) wins.
+    */
+  private def n2vWalksOracle(nStarts: Int, steps: Int, walksPerStart: Int,
+      retW: Long, inW: Long, outW: Long): String = {
+    val iters = (1 to steps).map { t =>
+      val p = s"v${t - 1}"
+      s"""v$t AS MATERIALIZED (
+           SELECT start, walk_id, CAST($t AS BIGINT) AS step,
+             node AS prev, x AS node FROM (
+             SELECT c.start, c.walk_id, c.node, c.x,
+               row_number() OVER (PARTITION BY c.start, c.walk_id
+                 ORDER BY c.h // (CASE WHEN c.prev IS NULL THEN $inW
+                                       WHEN c.x = c.prev THEN $retW
+                                       WHEN a.p1 IS NOT NULL THEN $inW
+                                       ELSE $outW END), c.x) AS rn
+             FROM (
+               SELECT w.start, w.walk_id, w.prev, w.node, r.p2 AS x,
+                 CAST(('0x' || substring(md5(CAST(w.start AS VARCHAR) || '|' ||
+                   CAST(w.walk_id AS VARCHAR) || '|' || '$t' || '|' ||
+                   CAST(r.p2 AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+               FROM $p w JOIN related r ON r.p1 = w.node) c
+             LEFT JOIN related a ON a.p1 = c.prev AND a.p2 = c.x)
+           WHERE rn = 1)"""
+    }.mkString(",\n")
+    val unions = (0 to steps).map(t => s"SELECT start, walk_id, step, node FROM v$t")
+      .mkString("\n         UNION ALL ")
+    s"""WITH $relatedSql,
+       nodes AS MATERIALIZED (SELECT p1 AS n FROM related
+               UNION SELECT p2 FROM related),
+       wids AS MATERIALIZED (
+         SELECT CAST(range AS BIGINT) AS walk_id FROM range($walksPerStart)),
+       starts AS MATERIALIZED (
+         SELECT n AS start FROM nodes
+         ORDER BY md5(CAST(n AS VARCHAR)), n LIMIT $nStarts),
+       v0 AS MATERIALIZED (
+         SELECT start, walk_id, CAST(0 AS BIGINT) AS step,
+           CAST(NULL AS BIGINT) AS prev, start AS node
+         FROM starts CROSS JOIN wids),
+       $iters
+       SELECT start, walk_id, step, node FROM (
+         $unions)
+       ORDER BY start, walk_id, step"""
+  }
+
   /** Sampled-Brandes betweenness replay mirroring
     * [[algos.Algos.betweennessSampled]] at maxDepth 4: forward levels
     * l0..l4 with path counts (first-reach via anti-join against the
@@ -2155,6 +2220,54 @@ object SparkEntry {
        ORDER BY p_partkey"""
   }
 
+  /** HyperBall replay mirroring [[algos.Algos.hyperBall]] at p=6
+    * (m=64, ρ ceiling c=55): md5-derived registers, per-round
+    * scatter + bucket-wise max, exact integer snapshots per (node, t),
+    * and the same α·m²·2^c / z_num estimate (round 3dp — the q_hll
+    * precedent; m is a power of two so the constant is bit-identical
+    * whatever the multiply order).
+    */
+  private def hyperballOracle(rounds: Int): String = {
+    val iters = (1 to rounds).map { t =>
+      val pr = s"hb${t - 1}"
+      s"""hb$t AS MATERIALIZED (
+           SELECT id, bucket, max(register) AS register FROM (
+             SELECT s.u AS id, r.bucket, r.register
+             FROM sym s JOIN $pr r ON r.id = s.v
+             UNION ALL SELECT id, bucket, register FROM $pr)
+           GROUP BY 1, 2)"""
+    }.mkString(",\n")
+    val snaps = (0 to rounds).map { t =>
+      s"""SELECT id, CAST($t AS BIGINT) AS t,
+            CAST(count(*) AS BIGINT) AS n_present,
+            CAST(sum(register) AS BIGINT) AS sum_reg,
+            CAST(sum(CAST(1 AS BIGINT) << (55 - register))
+              + (64 - count(*)) * (CAST(1 AS BIGINT) << 55) AS BIGINT) AS z_num
+          FROM hb$t GROUP BY id"""
+    }.mkString("\n         UNION ALL ")
+    s"""WITH $relatedSql,
+       sym AS MATERIALIZED (SELECT p1 AS u, p2 AS v FROM related
+               UNION ALL SELECT p2, p1 FROM related),
+       nodes AS MATERIALIZED (SELECT DISTINCT u AS id FROM sym),
+       cells AS (
+         SELECT id, h & 63 AS bucket,
+           CASE WHEN (h >> 6) = 0 THEN 55
+                ELSE bit_count(((h >> 6) & -(h >> 6)) - 1) + 1 END AS rho
+         FROM (SELECT id,
+                 CAST(('0x' || substring(md5(CAST(id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+               FROM nodes)),
+       hb0 AS MATERIALIZED (
+         SELECT id, bucket, max(rho) AS register FROM cells GROUP BY 1, 2),
+       $iters,
+       snaps AS ($snaps)
+       SELECT id AS p_partkey, t, n_present, sum_reg, z_num,
+         round((CAST(0.7213 AS DOUBLE)
+             / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(64.0 AS DOUBLE)))
+           * CAST(4096.0 AS DOUBLE) * CAST(36028797018963968.0 AS DOUBLE)
+           / CAST(z_num AS DOUBLE), 3) AS est
+       FROM snaps ORDER BY p_partkey, t"""
+  }
+
   private def labelPropOracle(iterations: Int): String = {
     val iters = (1 to iterations).map { i =>
       val p = s"l${i - 1}"
@@ -2408,6 +2521,7 @@ object SparkEntry {
     "q_labelprop" -> labelPropOracle(5),
     "q_louvain" -> louvainOracle(3),
     "q_louvain2" -> louvainLevelsOracle(3, 2),
+    "q_hyperball" -> hyperballOracle(3),
     "q_betweenness" -> betweennessOracle(Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L)),
     "q_hits" -> hitsOracle(5),
     "q_mis" -> misOracle(4),
@@ -2508,6 +2622,7 @@ object SparkEntry {
          GROUP BY s ORDER BY seed""",
     "q_sssp" -> ssspOracle(1L, 6),
     "q_walks" -> walksOracle(64, 8, 4),
+    "q_walks_n2v" -> n2vWalksOracle(64, 6, 2, 250L, 1000L, 500L),
     // chi-square drift replay: same cross-multiplied integer cells over
     // the full source × category grid (O = 0 cells included), same
     // floor(x*1e6 + 0.5) quantization, BIGINT sums

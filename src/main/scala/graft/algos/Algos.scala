@@ -207,6 +207,82 @@ object Algos {
       .orderBy("seed")
   }
 
+  /** HyperBall (Boldi & Vigna 2013): the ALL-NODES neighborhood
+    * function on HLL registers — where [[effectiveDiameter]] runs
+    * exact BFS from a seed SAMPLE, HyperBall tracks an approximate
+    * ball size for EVERY node simultaneously, the construction that
+    * made neighborhood functions computable on billion-edge graphs
+    * (it is how the "Facebook four degrees of separation" numbers
+    * were produced). Each node u carries an HLL register set of its
+    * ball B(u,t); one round is the union rule
+    * B(u,t+1) = B(u,t) ∪ ⋃_{u~v} B(v,t), which in register form is a
+    * bucket-wise max — so a round costs ONE equi-join (scatter
+    * neighbor registers) + ONE (node, bucket) max-combine, both
+    * map-side combinable, on a frame bounded by n·m rows (m = 2^p
+    * registers, p=6 → 64). Round count, never ball size, bounds the
+    * shuffles; register frames are materialized for O(1) lineage and
+    * released two-back. Registers come from the same md5-derived
+    * ρ geometric as [[graft.pipeline.Sketches.hllCells]], so a DuckDB
+    * replay is bit-exact. Output is one row per (node, t) with the
+    * EXACT integer register aggregates (n_present, Σregister, the
+    * z-numerator Z·2^c) plus the raw-HLL estimate to 3 dp (one double
+    * division, the q_hll discipline; same documented no-small-range-
+    * correction contract as [[graft.pipeline.Sketches.hllEstimate]]).
+    */
+  def hyperBall(edges: DataFrame, rounds: Int = 3, p: Int = 6,
+      src: String = "_src", dst: String = "_dst"): DataFrame = {
+    require(rounds >= 1 && p >= 4 && p <= 16)
+    val m = 1 << p
+    val c = 60 - p + 1
+    val fwd = edges.select(col(src).as("u"), col(dst).as("v"))
+      .filter(col(src) =!= col(dst))
+    val sym0 = materialize(
+      fwd.unionByName(fwd.select(col("v").as("u"), col("u").as("v"))).distinct())
+    val out = withLoopParts(edges.sparkSession, sym0.count()) { sc =>
+    val sym = sc.in(sym0)
+    val nodes = sym.select(col("u").as("id")).distinct()
+    val cells = graft.pipeline.Sketches.hllCells(
+      nodes.select(col("id"), col("id").as("val")), "val", "id", p)
+    var regs = materialize(cells.groupBy(col("grp").as("id"), col("bucket"))
+      .agg(max(col("rho")).as("register")))
+    def snap(t: Int, r: DataFrame): DataFrame =
+      r.groupBy("id").agg(
+        count(lit(1)).cast(LongType).as("n_present"),
+        sum(col("register").cast(LongType)).cast(LongType).as("sum_reg"),
+        sum(call_function("shiftleft", lit(1L), lit(c) - col("register")))
+          .cast(LongType).as("z_present"))
+        .select(col("id"), lit(t.toLong).as("t"), col("n_present"),
+          col("sum_reg"),
+          (col("z_present") + (lit(m.toLong) - col("n_present")) *
+            lit(1L << c)).as("z_num"))
+    var acc = Vector(materialize(snap(0, regs)))
+    var older: DataFrame = null
+    for (t <- 1 to rounds) {
+      val scattered = sym
+        .join(regs.withColumnRenamed("id", "v"), "v")
+        .select(col("u").as("id"), col("bucket"), col("register"))
+      val next = materialize(scattered.unionByName(regs)
+        .groupBy("id", "bucket").agg(max(col("register")).as("register")))
+      acc = acc :+ materialize(snap(t, next))
+      // regs of round t-1 feeds only round t's scatter — releasable
+      // once round t materialized (snapshots are their own checkpoints)
+      if (older != null) release(older)
+      older = regs
+      regs = next
+    }
+    release(older, regs)
+    val snaps = materialize(acc.reduce(_ unionByName _))
+    release(acc: _*)
+    sc.out(snaps)
+    }
+    release(sym0)
+    // raw-HLL estimate, exactly the hllEstimate constant and rounding
+    val k = 0.7213 / (1.0 + 1.079 / m.toDouble) * m.toDouble * m.toDouble *
+      java.lang.Math.scalb(1.0, c)
+    out.withColumn("est", round(lit(k) / col("z_num").cast(DoubleType), 3))
+      .orderBy("id", "t")
+  }
+
   /** Shared multi-source BFS: first-reach (seed, id, dist ≤ maxDepth)
     * rows for every seed, all seeds advancing in ONE frontier — the
     * level count, not the seed count, bounds the shuffles. Edge
@@ -1258,6 +1334,80 @@ object Algos {
         .groupBy("start", "wid")
         .agg(min_by(col("v"), struct(col("k"), col("v"))).as("node"))
         .select(col("start"), col("wid"), lit(t).as("step"), col("node"))
+      cur = materialize(next)
+      acc = acc :+ cur
+    }
+    val walk = materialize(acc.reduce(_ unionByName _))
+    release(acc: _*)
+    sc.out(walk)
+    }
+    release(e0)
+    out.select(col("start"), col("wid").as("walk_id"), col("step"), col("node"))
+      .orderBy("start", "walk_id", "step")
+  }
+
+  /** node2vec-BIASED deterministic walks (Grover & Leskovec 2016,
+    * derandomized): [[deterministicWalks]]'s hash-argmin machinery with
+    * the second-order return/in/out bias. Each candidate hop x from
+    * node (previous node prev) carries an integer weight — `retW` when
+    * x == prev (the 1/p "return" class), `inW` when edge prev→x exists
+    * (distance-1, the BFS-ish class; also the unbiased first hop where
+    * prev is null), `outW` otherwise (the 1/q DFS-ish class) — and the
+    * walk takes the candidate minimizing md5₆₀(start|w|t|x) DIV weight:
+    * an integer-exact priority where larger weights win more often,
+    * preserving node2vec's bias ORDERING with zero floats and zero RNG
+    * state (exact sampling proportionality is NOT claimed — this is the
+    * derandomized surrogate, documented). The second-order state is one
+    * `prev` column; the adjacency test is one extra (prev, x) equi-join
+    * per step against the edge set — so a step costs two equi-joins +
+    * one min_by, and the step count still bounds the shuffles with all
+    * nStarts·walksPerStart walks advancing in ONE frame.
+    * Returns (start, walk_id, step, node) including step 0.
+    */
+  def node2vecWalks(edges: DataFrame, nStarts: Int, steps: Int,
+      walksPerStart: Int = 1, retW: Long = 250L, inW: Long = 1000L,
+      outW: Long = 500L,
+      src: String = "_src", dst: String = "_dst"): DataFrame = {
+    require(nStarts >= 1 && steps >= 1 && walksPerStart >= 1)
+    require(retW >= 1 && inW >= 1 && outW >= 1, "weights are positive integers")
+    val e0 = materialize(edges.select(col(src).as("u"), col(dst).as("v")))
+    val out = withLoopParts(edges.sparkSession, e0.count()) { sc =>
+    val e = sc.in(e0)
+    val adj = e.select(col("u").as("pu"), col("v").as("pv"), lit(1).as("adj"))
+    val wids = edges.sparkSession.range(walksPerStart.toLong)
+      .select(col("id").as("wid"))
+    val starts = materialize(
+      e.select(col("u").as("node")).unionByName(e.select(col("v").as("node")))
+        .distinct()
+        .orderBy(md5(col("node").cast(StringType)), col("node"))
+        .limit(nStarts)
+        .crossJoin(broadcast(wids))
+        .select(col("node").as("start"), col("wid"), lit(0L).as("step"),
+          lit(null).cast(LongType).as("prev"), col("node").as("node")))
+    var cur = starts
+    var acc = Vector(starts)
+    var t = 0L
+    while (t < steps && !cur.isEmpty) {
+      t += 1
+      val h = graft.pipeline.TextOps.md5Hash60(
+        concat(col("start").cast(StringType), lit("|"),
+          col("wid").cast(StringType), lit("|"),
+          lit(t).cast(StringType), lit("|"), col("v").cast(StringType)))
+      val w = when(col("prev").isNull, lit(inW))
+        .when(col("v") === col("prev"), lit(retW))
+        .when(col("adj").isNotNull, lit(inW))
+        .otherwise(lit(outW))
+      val next = cur.join(e, col("node") === col("u"))
+        .join(adj, col("prev") === col("pu") && col("v") === col("pv"), "left")
+        .select(col("start"), col("wid"), col("node"), col("v"),
+          // IntegralDivide, never `/` — double division loses exactness
+          // past 2^53 and the 60-bit hash needs all its bits
+          call_function("div", h, w).cast(LongType).as("score"))
+        .groupBy("start", "wid")
+        .agg(min_by(col("v"), struct(col("score"), col("v"))).as("nx"),
+          max(col("node")).as("prev")) // one row per walk — node is constant
+        .select(col("start"), col("wid"), lit(t).as("step"), col("prev"),
+          col("nx").as("node"))
       cur = materialize(next)
       acc = acc :+ cur
     }

@@ -284,6 +284,68 @@ class AlgosSpec extends SparkSpec {
       "every sibling walk identical - walkId salt not reaching the hash")
   }
 
+  test("node2vecWalks: hops are edges, extreme return weight forces backtracking") {
+    // bidirectional triangle + tail so "return" is always available
+    val e = edgesOf(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 2L, 3L -> 1L,
+      1L -> 3L, 1L -> 4L, 4L -> 1L, 4L -> 5L, 5L -> 4L)
+    val edgeSet = Set((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 1L),
+      (1L, 3L), (1L, 4L), (4L, 1L), (4L, 5L), (5L, 4L))
+    val got = Algos.node2vecWalks(e, nStarts = 5, steps = 6, walksPerStart = 2)
+      .collect().map(r => (r.getAs[Long]("start"), r.getAs[Long]("walk_id"),
+        r.getAs[Long]("step"), r.getAs[Long]("node")))
+    got.groupBy(t => (t._1, t._2)).foreach { case (_, rows) =>
+      val path = rows.sortBy(_._3).map(_._4)
+      path.sliding(2).foreach {
+        case Array(a, b) => assert(edgeSet((a, b)), s"($a,$b) not an edge")
+        case _ => ()
+      }
+    }
+    // retW >> in/out: from step 2 on the walk must return to prev
+    val back = Algos.node2vecWalks(e, nStarts = 5, steps = 5,
+        retW = 1000000L, inW = 1L, outW = 1L)
+      .collect().map(r => (r.getAs[Long]("start"), r.getAs[Long]("step"),
+        r.getAs[Long]("node")))
+    back.groupBy(_._1).foreach { case (s, rows) =>
+      val path = rows.sortBy(_._2).map(_._3)
+      (2 until path.length).foreach { i =>
+        assert(path(i) == path(i - 2),
+          s"start $s must oscillate under extreme return weight: ${path.toSeq}")
+      }
+    }
+    // layout invariance
+    val again = Algos.node2vecWalks(e.repartition(7), nStarts = 5, steps = 6,
+      walksPerStart = 2).collect().map(r => (r.getAs[Long]("start"),
+        r.getAs[Long]("walk_id"), r.getAs[Long]("step"), r.getAs[Long]("node")))
+    assert(again.sorted.toSeq == got.sorted.toSeq)
+  }
+
+  test("hyperBall: balls grow to the component; final registers equal the whole set") {
+    val e = edgesOf(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L) // path, diameter 4
+    val hb = Algos.hyperBall(e, rounds = 4, p = 4).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("t"),
+        r.getAs[Long]("n_present"), r.getAs[Long]("sum_reg"),
+        r.getAs[Long]("z_num")))
+    assert(hb.length == 5 * 5, "one row per (node, t)")
+    // t=0: each ball is {self} -> exactly one occupied register
+    assert(hb.filter(_._2 == 0L).forall(_._3 == 1L))
+    // registers only grow -> z_num is non-increasing in t per node
+    hb.groupBy(_._1).foreach { case (id, rows) =>
+      val z = rows.sortBy(_._2).map(_._5).toSeq
+      assert(z.sliding(2).forall(w => w.length < 2 || w(1) <= w(0)),
+        s"z_num must be monotone for node $id: $z")
+    }
+    // after diameter rounds every ball = the whole component, so every
+    // node's final snapshot is THE SAME register multiset
+    val fin = hb.filter(_._2 == 4L).map(t => (t._3, t._4, t._5)).distinct
+    assert(fin.length == 1, s"final balls must coincide: ${fin.toSeq}")
+    // and the union rule is partitioning-invariant
+    val again = Algos.hyperBall(e.repartition(7), rounds = 4, p = 4).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("t"),
+        r.getAs[Long]("n_present"), r.getAs[Long]("sum_reg"),
+        r.getAs[Long]("z_num")))
+    assert(again.sorted.toSeq == hb.sorted.toSeq)
+  }
+
   test("betweennessSampled: exact Brandes dependencies on path and diamond") {
     // path 1→2→3→4 from seed 1: δ(2) = 2, δ(3) = 1, 4 absent (δ = 0)
     val path = edgesOf(1L -> 2L, 2L -> 3L, 3L -> 4L)
