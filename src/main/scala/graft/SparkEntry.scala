@@ -1102,6 +1102,20 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // funnel ON THE STREAM: per-user flatMapGroupsWithState holds the
+    // per-step time sets, re-derives the strict-after chain each batch
+    // (order-insensitive — late step-1 events re-qualify step-2 times),
+    // drained latest-version rows equal funnelBatch → q_funnel oracle
+    "q_stream_funnel" -> ((s, dir) =>
+      streaming.EventStreams.streamingFunnel(lenient(s), dir)),
+
+    // first-order Markov transition matrix: (event_type -> next) counts
+    // from one lead over (user_id | ts, event_id) + permille of the
+    // from-type marginal (integer division; output |types|^2 max)
+    "q_transitions" -> ((s, dir) =>
+      streaming.EventStreams.transitionMatrix(
+        GraphLoader.eventsTable(lenient(s), dir))),
+
     // funnel CONVERSION RATES: the q_funnel per-user surface reduced
     // to the dashboard numbers — users reaching each step, permille vs
     // step 1 and vs the previous step (integer division; step 1 = 1000)
@@ -1912,6 +1926,37 @@ object SparkEntry {
          $unions)
        ORDER BY start, walk_id, step"""
   }
+
+  /** Strict-after funnel chain: per-user earliest step times with each
+    * step conditioned on being after the previous, null → -1, epoch
+    * micros — shared by the batch (q_funnel) and streamed
+    * (q_stream_funnel) gates since the streamed state machine is
+    * order-insensitive.
+    */
+  private val funnelOracleSql: String =
+    """WITH s1 AS (
+         SELECT user_id, min(ts) AS t1 FROM events
+         WHERE event_type = 'view' GROUP BY user_id),
+       s2 AS (
+         SELECT s1.user_id, s1.t1,
+           min(CASE WHEN e.ts > s1.t1 THEN e.ts END) AS t2
+         FROM s1 LEFT JOIN events e
+           ON e.user_id = s1.user_id AND e.event_type = 'click'
+         GROUP BY s1.user_id, s1.t1),
+       s3 AS (
+         SELECT s2.user_id, s2.t1, s2.t2,
+           min(CASE WHEN e.ts > s2.t2 THEN e.ts END) AS t3
+         FROM s2 LEFT JOIN events e
+           ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+         GROUP BY s2.user_id, s2.t1, s2.t2)
+       SELECT user_id,
+         CAST(coalesce(epoch_us(t1), -1) AS BIGINT) AS t1_us,
+         CAST(coalesce(epoch_us(t2), -1) AS BIGINT) AS t2_us,
+         CAST(coalesce(epoch_us(t3), -1) AS BIGINT) AS t3_us,
+         CAST((CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)
+            + (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
+            + (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS depth
+       FROM s3 ORDER BY user_id"""
 
   /** node2vec-biased walk replay mirroring [[algos.Algos.node2vecWalks]]:
     * per step, candidates from the related frame, weight by return/in/
@@ -4497,30 +4542,28 @@ object SparkEntry {
          ORDER BY user_id, event_type""",
     // funnel replay: per-step conditional min with strict-after chain,
     // null -> -1, all epoch-micro integers
-    "q_funnel" ->
-      """WITH s1 AS (
-           SELECT user_id, min(ts) AS t1 FROM events
-           WHERE event_type = 'view' GROUP BY user_id),
-         s2 AS (
-           SELECT s1.user_id, s1.t1,
-             min(CASE WHEN e.ts > s1.t1 THEN e.ts END) AS t2
-           FROM s1 LEFT JOIN events e
-             ON e.user_id = s1.user_id AND e.event_type = 'click'
-           GROUP BY s1.user_id, s1.t1),
-         s3 AS (
-           SELECT s2.user_id, s2.t1, s2.t2,
-             min(CASE WHEN e.ts > s2.t2 THEN e.ts END) AS t3
-           FROM s2 LEFT JOIN events e
-             ON e.user_id = s2.user_id AND e.event_type = 'purchase'
-           GROUP BY s2.user_id, s2.t1, s2.t2)
-         SELECT user_id,
-           CAST(coalesce(epoch_us(t1), -1) AS BIGINT) AS t1_us,
-           CAST(coalesce(epoch_us(t2), -1) AS BIGINT) AS t2_us,
-           CAST(coalesce(epoch_us(t3), -1) AS BIGINT) AS t3_us,
-           CAST((CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)
-              + (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
-              + (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS depth
-         FROM s3 ORDER BY user_id""",
+    "q_funnel" -> funnelOracleSql,
+    // the streamed funnel is order-insensitive (per-step time SETS +
+    // chain re-derivation), so the batch funnel oracle gates it verbatim
+    "q_stream_funnel" -> funnelOracleSql,
+    // transition-matrix replay: one lead over (user_id | ts, event_id),
+    // grouped counts, integer permille of the from-type marginal
+    "q_transitions" ->
+      """WITH p AS (
+           SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+           FROM events),
+         c AS (
+           SELECT event_type AS from_type, to_type,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT from_type, CAST(sum(cnt) AS BIGINT) AS tot
+               FROM c GROUP BY 1)
+         SELECT c.from_type, c.to_type, c.cnt,
+           CAST((1000 * c.cnt) // t.tot AS BIGINT) AS permille
+         FROM c JOIN t USING (from_type)
+         ORDER BY from_type, to_type""",
     // streamed HLL == batch HLL (max is order-insensitive): same
     // replay as q_hll but over per-type event ids, 20pct pin (SE 6.5%)
     // streamed-histogram quantile replay: same log2-bucket leaf as

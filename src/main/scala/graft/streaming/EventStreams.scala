@@ -559,6 +559,108 @@ object EventStreams {
       .orderBy("user_id")
   }
 
+  final case class FunnelEv(user_id: Long, step: Int, us: Long)
+  final case class FunnelOut(user_id: Long, version: Long, t1_us: Long,
+      t2_us: Long, t3_us: Long, depth: Long)
+
+  /** Ordered funnel ON THE STREAM — [[funnelBatch]]'s incremental twin
+    * (completing the batch/stream pairing the funnel tier lacked): one
+    * `flatMapGroupsWithState` per user holds the per-step event-time
+    * SETS and re-derives the strict-after chain (t1 = min step-1 time,
+    * t2 = min step-2 time > t1, t3 = min step-3 time > t2) on every
+    * batch, emitting the user's current row stamped with a monotone
+    * version; the drain keeps each user's latest version. Keeping the
+    * full per-step sets is CORRECTNESS, not laziness: a late-arriving
+    * earlier step-1 event lowers t1 and can re-qualify step-2 times
+    * that were below the old chain (spec pins exactly this), so no
+    * time below the current chain may be discarded — state per user is
+    * bounded by their funnel-event count (the sessionizeStream class;
+    * cap with an event-time horizon when a product needs less). Order-
+    * insensitive by construction, so the drained result equals
+    * [[funnelBatch]] whatever the batch arrangement, and the q_funnel
+    * oracle gates the streamed run verbatim.
+    */
+  def streamingFunnel(spark: SparkSession, eventsDir: String,
+      glob: String = "events.parquet",
+      steps: Seq[String] = Seq("view", "click", "purchase"),
+      queryName: String = "q_stream_funnel"): DataFrame =
+    withStreamParts(spark, eventsDir, glob) { spark =>
+    import spark.implicits._
+    require(steps.length == 3, "the streaming funnel is specialized to 3 steps")
+    val raw = eventsRawStream(spark, eventsDir, glob)
+    val rows = raw.select(col("user_id"),
+        when(col("event_type") === steps(0), 0)
+          .when(col("event_type") === steps(1), 1)
+          .when(col("event_type") === steps(2), 2).as("step"),
+        unix_micros(col("ts")).as("us"))
+      .filter(col("step").isNotNull)
+      .as[FunnelEv]
+    val query = rows.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(funnelUpdate)
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    val drained = spark.table(queryName).localCheckpoint()
+    val latest = drained.groupBy("user_id").agg(max(col("version")).as("version"))
+    drained.join(latest, Seq("user_id", "version"))
+      .select(col("user_id"), col("t1_us"), col("t2_us"), col("t3_us"),
+        col("depth"))
+      .orderBy("user_id")
+    }
+
+  /** The per-user state transition of [[streamingFunnel]], exposed for
+    * MemoryStream specs. */
+  private[streaming] def funnelUpdate(user: Long, it: Iterator[FunnelEv],
+      state: GroupState[(Long, Seq[Long], Seq[Long], Seq[Long])]): Iterator[FunnelOut] = {
+    val (v0, a0, b0, c0) = state.getOption
+      .getOrElse((0L, Seq.empty[Long], Seq.empty[Long], Seq.empty[Long]))
+    val batch = it.toSeq
+    val a = (a0 ++ batch.filter(_.step == 0).map(_.us)).distinct.sorted
+    val b = (b0 ++ batch.filter(_.step == 1).map(_.us)).distinct.sorted
+    val c = (c0 ++ batch.filter(_.step == 2).map(_.us)).distinct.sorted
+    val v = v0 + 1
+    state.update((v, a, b, c))
+    val t1 = a.headOption
+    val t2 = t1.flatMap(x => b.find(_ > x))
+    val t3 = t2.flatMap(x => c.find(_ > x))
+    if (t1.isEmpty) Iterator.empty
+    else Iterator(FunnelOut(user, v, t1.getOrElse(-1L), t2.getOrElse(-1L),
+      t3.getOrElse(-1L), Seq(t1, t2, t3).count(_.isDefined).toLong))
+  }
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences: count and permille of (event_type → next event_type)
+    * adjacencies, the "what do users do next" dashboard surface and
+    * the raw material of sequence-model sanity checks on event
+    * corpora. Adjacency comes from one `lead` over (user_id | ts,
+    * event_id) — an order-dependent per-user scan, which is the
+    * SEMANTICS (audited window site; the sessionize contract applies:
+    * one user's history is one task) — then two tiny grouped counts;
+    * the output is |event types|² rows max, never data-sized. Permille
+    * is exact integer division (the house rule — no float ratios on
+    * the hashed surface). Returns (from_type, to_type, cnt, permille)
+    * with permille relative to the from_type row marginal.
+    */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = events.select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val cnt = pairs.groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).cast(LongType).as("cnt"))
+    val tot = cnt.groupBy("from_type")
+      .agg(sum(col("cnt")).cast(LongType).as("tot"))
+    cnt.join(tot, "from_type")
+      .select(col("from_type"), col("to_type"), col("cnt"),
+        expr("CAST((1000 * cnt) DIV tot AS BIGINT)").as("permille"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** HyperLogLog ON THE STREAM: the sketch's row-local cell projection
     * ([[graft.pipeline.Sketches.hllCells]]) runs per arriving event and
     * ONE streaming `groupBy(grp, bucket).max(rho)` aggregation holds the

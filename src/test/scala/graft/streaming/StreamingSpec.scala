@@ -129,6 +129,68 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, s"TTL dedup $got != batch distinct $want")
   }
 
+  test("streamingFunnel equals funnelBatch on the full table") {
+    val ev = graft.graph.GraphLoader.eventsTable(spark, sfDir)
+    val batch = EventStreams.funnelBatch(ev, Seq("view", "click", "purchase"))
+      .select(col("user_id"),
+        coalesce(col("t1_us"), lit(-1L)).as("t1"),
+        coalesce(col("t2_us"), lit(-1L)).as("t2"),
+        coalesce(col("t3_us"), lit(-1L)).as("t3"), col("depth"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sorted.toSeq
+    val streamed = EventStreams.streamingFunnel(spark, sfDir,
+        queryName = "stream_funnel_spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sorted.toSeq
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
+  test("streamingFunnel state: a late step-1 event re-qualifies earlier step-2 times") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.FunnelEv]
+    val query = input.toDS().groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(
+        EventStreams.funnelUpdate)
+      .writeStream.format("memory").queryName("funnel_requalify")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: click at 5, purchase at 9 — no view yet, NO emission
+      input.addData(EventStreams.FunnelEv(1L, 1, 5L),
+        EventStreams.FunnelEv(1L, 2, 9L))
+      query.processAllAvailable()
+      assert(spark.table("funnel_requalify").count() == 0)
+      // batch 2: the LATE step-1 view at 0 — the chain must now pick up
+      // the step-2/3 times that arrived before it: t1=0, t2=5, t3=9
+      input.addData(EventStreams.FunnelEv(1L, 0, 0L))
+      query.processAllAvailable()
+      val rows = spark.table("funnel_requalify").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("version"),
+          r.getAs[Long]("t1_us"), r.getAs[Long]("t2_us"),
+          r.getAs[Long]("t3_us"), r.getAs[Long]("depth")))
+      val last = rows.maxBy(_._2)
+      assert(last == ((1L, 2L, 0L, 5L, 9L, 3L)),
+        s"late step-1 must re-qualify buffered later steps: ${rows.toSeq}")
+    } finally query.stop()
+  }
+
+  test("transitionMatrix: hand-computed adjacency counts and permilles") {
+    import spark.implicits._
+    def e(id: Long, u: Long, t: Int, ty: String) =
+      Event(id, ts(t), u, ty, 0.0)
+    // user 1: view->click->view ; user 2: view->view
+    val ev = Seq(e(1, 1, 0, "view"), e(2, 1, 5, "click"), e(3, 1, 9, "view"),
+      e(4, 2, 1, "view"), e(5, 2, 4, "view")).toDF()
+    val got = EventStreams.transitionMatrix(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      ("view", "click", 1L, 500L), // 2 view-outgoing edges: ->click, ->view
+      ("view", "view", 1L, 500L),
+      ("click", "view", 1L, 1000L)))
+  }
+
   test("dropDuplicatesWithinWatermark EVICTS key state past the horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
