@@ -936,6 +936,12 @@ object SparkEntry {
     "q_multimodal_pixels" -> ((s, dir) =>
       pipeline.Multimodal.pixelSummary(docs(s, dir))),
 
+    // vocabulary frequency-of-frequencies spectrum (the Zipf /
+    // Good-Turing dataset-card diagnostic): log2-bucketed type and
+    // token counts with integer permille type shares
+    "q_freq_spectrum" -> ((s, dir) =>
+      pipeline.TextOps.frequencySpectrum(docs(s, dir))),
+
     // r18 AUDIO tier: plant genuine JDK-encoded 16-bit PCM WAVs, then
     // hand-rolled RIFF chunk-walk metadata + exact sample extraction;
     // all-integer amplitude stats (sum, sum-of-squares, peak) — WAV is
@@ -1115,6 +1121,16 @@ object SparkEntry {
     "q_transitions" -> ((s, dir) =>
       streaming.EventStreams.transitionMatrix(
         GraphLoader.eventsTable(lenient(s), dir))),
+
+    // frequent 3-step session journeys: daily-gap sessionization (the
+    // gate corpus is time-sparse — 30-min sessions rarely hold 3
+    // events), count of consecutive in-session event triples, minCount
+    // threshold (not top-k) so ties can't make the surface
+    // nondeterministic
+    "q_paths" -> ((s, dir) =>
+      streaming.EventStreams.sessionPaths(
+        GraphLoader.eventsTable(lenient(s), dir),
+        gapMinutes = 1440, minCount = 2L)),
 
     // funnel CONVERSION RATES: the q_funnel per-user surface reduced
     // to the dashboard numbers — users reaching each step, permille vs
@@ -4546,6 +4562,51 @@ object SparkEntry {
     // the streamed funnel is order-insensitive (per-step time SETS +
     // chain re-derivation), so the batch funnel oracle gates it verbatim
     "q_stream_funnel" -> funnelOracleSql,
+    // session-path replay: lag-flag + running-sum sessionization (ROWS
+    // frame == Spark's RANGE default because (ts, event_id) is unique),
+    // two leads gated to the same session, grouped path counts
+    "q_paths" ->
+      """WITH b AS (
+           SELECT user_id, event_type, ts, event_id,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id)) > 86400000000
+               THEN 1 ELSE 0 END AS new_sess
+           FROM events),
+         se AS (
+           SELECT user_id, event_type, ts, event_id,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS sess
+           FROM b),
+         p AS (
+           SELECT event_type AS e1, sess,
+             lead(event_type, 1) OVER w AS e2, lead(sess, 1) OVER w AS s2,
+             lead(event_type, 2) OVER w AS e3, lead(sess, 2) OVER w AS s3
+           FROM se WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT e1 || '>' || e2 || '>' || e3 AS path,
+           CAST(count(*) AS BIGINT) AS cnt
+         FROM p
+         WHERE e2 IS NOT NULL AND e3 IS NOT NULL AND s2 = sess AND s3 = sess
+         GROUP BY 1 HAVING count(*) >= 2 ORDER BY path""",
+    // frequency-spectrum replay: same tokenization as q_vocab, log2
+    // bucket = bit length of the count (the q_stream_qsketch idiom)
+    "q_freq_spectrum" ->
+      """WITH tok AS (
+           SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+           FROM documents),
+         counts AS (
+           SELECT tok, CAST(count(*) AS BIGINT) AS c
+           FROM tok WHERE tok <> '' GROUP BY 1),
+         spec AS (
+           SELECT CAST(length(bin(c)) AS INTEGER) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(c) AS BIGINT) AS n_tokens
+           FROM counts GROUP BY 1),
+         tt AS (SELECT CAST(sum(n_types) AS BIGINT) AS t FROM spec)
+         SELECT bucket,
+           CAST(CAST(1 AS BIGINT) << (bucket - 1) AS BIGINT) AS freq_lo,
+           n_types, n_tokens,
+           CAST((1000 * n_types) // tt.t AS BIGINT) AS types_permille
+         FROM spec CROSS JOIN tt ORDER BY bucket""",
     // transition-matrix replay: one lead over (user_id | ts, event_id),
     // grouped counts, integer permille of the from-type marginal
     "q_transitions" ->

@@ -597,6 +597,35 @@ object TextOps {
       .orderBy("src")
   }
 
+  /** Token frequency-of-frequencies SPECTRUM — the Zipf / Good–Turing
+    * diagnostic of a corpus vocabulary (how many types occur once,
+    * 2-3×, 4-7×, …): the dataset-card plot that shows at a glance
+    * whether a corpus is hapax-heavy crawl noise or template-heavy
+    * boilerplate. Frequencies land in log2 buckets (bit length of the
+    * count — the q_qsketch idiom, so the output is ≤ ~60 rows whatever
+    * the corpus size) with types-per-bucket, tokens-per-bucket, and an
+    * integer permille share of types. Two grouped counts + a one-row
+    * broadcast total; every hashed column an exact integer. Returns
+    * (bucket, freq_lo, n_types, n_tokens, types_permille) ascending.
+    */
+  def frequencySpectrum(docs: DataFrame, text: String = "text"): DataFrame = {
+    val tok = docs.select(explode(tokens(col(text))).as("tok"))
+      .filter(col("tok") =!= "")
+    val counts = tok.groupBy("tok").agg(count(lit(1)).cast(LongType).as("c"))
+    val spec = counts
+      .select(length(bin(col("c"))).cast(IntegerType).as("bucket"), col("c"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).cast(LongType).as("n_types"),
+        sum(col("c")).cast(LongType).as("n_tokens"))
+    val total = spec.agg(sum(col("n_types")).cast(LongType).as("tt"))
+    spec.crossJoin(broadcast(total))
+      .select(col("bucket"),
+        call_function("shiftleft", lit(1L), col("bucket") - 1).as("freq_lo"),
+        col("n_types"), col("n_tokens"),
+        expr("CAST((1000 * n_types) DIV tt AS BIGINT)").as("types_permille"))
+      .orderBy("bucket")
+  }
+
   /** Per-source distributional drift — Pearson's chi-square statistic of
     * each source's category mix (language by default) against the
     * corpus-wide expectation: χ²(s) = Σ_c (O_sc − E_sc)²/E_sc with

@@ -661,6 +661,41 @@ object EventStreams {
       .orderBy("from_type", "to_type")
   }
 
+  /** Frequent 3-step SESSION PATHS — the product-analytics "common
+    * journeys" surface [[transitionMatrix]]'s first-order counts can't
+    * see: sessionize by the same inactivity gap as [[sessionizeBatch]]
+    * (lag + running sum of boundary flags), then count every 3
+    * CONSECUTIVE events inside one session as a path string. One
+    * per-user ordered window (the audited sessionize contract — the
+    * scan IS the semantics) feeding a grouped count; output is
+    * path-vocabulary-sized, thresholded by `minCount` rather than
+    * top-k so ties can't make the surface nondeterministic. Returns
+    * (path, cnt) with cnt ≥ minCount, ordered by path.
+    */
+  def sessionPaths(events: DataFrame, gapMinutes: Int = 30,
+      minCount: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val withSess = events.select(col("user_id"), col("event_type"),
+        col("ts"), col("event_id"))
+      .withColumn("new_sess",
+        when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+          > gapUs, 1L).otherwise(lit(0L)))
+      .withColumn("sess", sum(col("new_sess")).over(w))
+    val paths = withSess
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("s2", lead(col("sess"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .withColumn("s3", lead(col("sess"), 2).over(w))
+      .filter(col("e2").isNotNull && col("e3").isNotNull &&
+        col("s2") === col("sess") && col("s3") === col("sess"))
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+    paths.groupBy("path").agg(count(lit(1)).cast(LongType).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .orderBy("path")
+  }
+
   /** HyperLogLog ON THE STREAM: the sketch's row-local cell projection
     * ([[graft.pipeline.Sketches.hllCells]]) runs per arriving event and
     * ONE streaming `groupBy(grp, bucket).max(rho)` aggregation holds the

@@ -408,7 +408,9 @@ class PlanAuditSpec extends SparkSpec {
     "EventStreams.scala:(\"user_id\")" ->
       "sessionizeBatch: sessionization is an order-dependent per-user scan by definition; the streaming flavor holds per-user STATE instead — pick it when one user's history outgrows a task",
     "EventStreams.scala:(\"user_id\")" ->
-      "transitionMatrix lead: event-sequence adjacency is an order-dependent per-user scan by definition (same contract as sessionizeBatch); downstream frames are |event types|^2")
+      "transitionMatrix lead: event-sequence adjacency is an order-dependent per-user scan by definition (same contract as sessionizeBatch); downstream frames are |event types|^2",
+    "EventStreams.scala:(\"user_id\")" ->
+      "sessionPaths: sessionization + in-session triples are the same order-dependent per-user scan; downstream is path-vocabulary-sized")
 
   test("window audit: every Window.partitionBy site in main source is in the audited-bounds table") {
     import java.nio.file.{Files, Path, Paths}

@@ -845,6 +845,19 @@ class PipelineSpec extends SparkSpec {
     assert(s1.forall(_.getInt(5) == 1))
   }
 
+  test("frequencySpectrum: hand-computed log2 buckets on a planted corpus") {
+    import spark.implicits._
+    // token counts: a=4 (bucket 3), b=2 (bucket 2), c=1 (bucket 1)
+    val d = Seq((1L, "a a b"), (2L, "a a b c")).toDF("doc_id", "text")
+    val got = TextOps.frequencySpectrum(d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1, 1L, 1L, 1L, 333L),   // c: one type occurring once
+      (2, 2L, 1L, 2L, 333L),   // b: one type, 2 tokens
+      (3, 4L, 1L, 4L, 333L)))  // a: one type, 4 tokens
+  }
+
   test("multimodal audio: RIFF parse + PCM extraction against the JDK encoder") {
     // fixture: known samples through the JDK's own WAV writer, then the
     // hand-rolled parse — genuine codec output gates the chunk walk

@@ -191,6 +191,25 @@ class StreamingSpec extends SparkSpec {
       ("click", "view", 1L, 1000L)))
   }
 
+  test("sessionPaths: triples count inside a session, never across the gap") {
+    import spark.implicits._
+    def e(id: Long, u: Long, minute: Int, ty: String) =
+      Event(id, ts(minute), u, ty, 0.0)
+    // user 1: A,B,C close together; 40-min gap; D,E,F close together.
+    // In-session triples: A>B>C and D>E>F. B>C>D and C>D>E span the gap.
+    // user 2 repeats A,B,C so that triple clears minCount = 2.
+    val ev = Seq(
+      e(1, 1, 0, "A"), e(2, 1, 5, "B"), e(3, 1, 9, "C"),
+      e(4, 1, 49, "D"), e(5, 1, 52, "E"), e(6, 1, 55, "F"),
+      e(7, 2, 0, "A"), e(8, 2, 3, "B"), e(9, 2, 7, "C")).toDF()
+    val got = EventStreams.sessionPaths(ev, gapMinutes = 30, minCount = 1L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("A>B>C" -> 2L, "D>E>F" -> 1L), s"got $got")
+    val thresholded = EventStreams.sessionPaths(ev, gapMinutes = 30,
+      minCount = 2L).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(thresholded == Map("A>B>C" -> 2L))
+  }
+
   test("dropDuplicatesWithinWatermark EVICTS key state past the horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
