@@ -1566,11 +1566,24 @@ object TextOps {
       .drop("__logp_sum")
       .withColumn("ppl", round(exp(-col("avg_logp")), 3))
 
-    // CCNet head/middle/tail: perplexity tertiles per language
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__lang").orderBy(col("ppl").asc, col(id).asc)
-    scored
-      .withColumn("__t", ntile(3).over(w))
+    // CCNet head/middle/tail: perplexity tertiles per language — ranked
+    // via Skew.groupedRank, NOT a per-language ntile window (the q_ntile
+    // rule, caught by the r18 window audit: a grouped window puts the
+    // DOMINANT language's whole corpus slice in one task; range
+    // partition + offset rank spreads it). Tile from exact NTILE
+    // arithmetic on (rank, group size) — first gn%3 tiles one row
+    // larger, Spark ntile's own distribution — so values are identical
+    // to the old window (spec-pinned) and the oracle is unchanged.
+    val ranked = graft.pipeline.Skew.groupedRank(scored,
+      groupCols = Seq("__lang"), orderCols = Seq("ppl", id))
+    val sizes = ranked.groupBy("__lang").agg(count(lit(1)).as("_gn"))
+    ranked.join(broadcast(sizes), "__lang")
+      .withColumn("__t", expr(
+        """CAST(CASE
+             WHEN rnk <= (_gn % 3) * (_gn DIV 3 + 1)
+             THEN (rnk - 1) DIV (_gn DIV 3 + 1) + 1
+             ELSE (_gn % 3) + (rnk - (_gn % 3) * (_gn DIV 3 + 1) - 1) DIV (_gn DIV 3) + 1
+           END AS INT)"""))
       .select(col(id), col("__lang").as(lang), col("n_bigrams"),
         col("avg_logp"), col("ppl"),
         when(col("__t") === 1, "head").when(col("__t") === 2, "middle")

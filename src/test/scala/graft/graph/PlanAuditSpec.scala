@@ -410,7 +410,21 @@ class PlanAuditSpec extends SparkSpec {
     "EventStreams.scala:(\"user_id\")" ->
       "transitionMatrix lead: event-sequence adjacency is an order-dependent per-user scan by definition (same contract as sessionizeBatch); downstream frames are |event types|^2",
     "EventStreams.scala:(\"user_id\")" ->
-      "sessionPaths: sessionization + in-session triples are the same order-dependent per-user scan; downstream is path-vocabulary-sized")
+      "sessionPaths: sessionization + in-session triples are the same order-dependent per-user scan; downstream is path-vocabulary-sized",
+    // ---- sites the first audit version missed (line-split Window
+    // .partitionBy — the regex fix): audited r18 ----
+    "EventStreams.scala:(\"event_type\")" ->
+      "topKSlice final rank: input is the ALREADY-AGGREGATED (group, key) count frame, partition = distinct keys per group — the exact-top-k contract is a bounded key space (streamingTopKApprox is the unbounded-keys path)",
+    "Olap.scala:(\"user_id\",\"event_type\")" ->
+      "interArrival lag: consecutive gaps of one (user, type) sequence are the semantics — many short runs, never a corpus order",
+    "Olap.scala:(\"user_id\")" ->
+      "movingAggregates trailing frame: a per-user rolling window is the semantics (the sessionize contract)",
+    "TextOps.scala:()" ->
+      "dsir corpus totals: whole-frame window over the B-row bucket count table (B = hash-LM buckets, constant), never data-sized",
+    "Ann.scala:(\"a_id\")" ->
+      "minePairs margin rank: same require()-guarded <= 100k input as the cosine ranks",
+    "Ann.scala:(\"query_id\")" ->
+      "ivf probe-cell rank: partition = centroid count per query (k-means cells, constant)")
 
   test("window audit: every Window.partitionBy site in main source is in the audited-bounds table") {
     import java.nio.file.{Files, Path, Paths}
@@ -424,11 +438,14 @@ class PlanAuditSpec extends SparkSpec {
       val flat = noBlock.linesIterator
         .map(l => if (l.contains("//")) l.substring(0, l.indexOf("//")) else l)
         .mkString(" ")
-      val marker = "Window.partitionBy"
+      // the marker is a REGEX, not indexOf: `Window\n  .partitionBy`
+      // spans lines in half the codebase, and the first audit version
+      // missed 7 sites that way — including one real hazard (the CCNet
+      // tertile window, since fixed)
+      val marker = "Window\\s*\\.\\s*partitionBy".r
       val out = Seq.newBuilder[String]
-      var i = flat.indexOf(marker)
-      while (i >= 0) {
-        var j = i + marker.length
+      marker.findAllMatchIn(flat).foreach { m =>
+        var j = m.end
         var depth = 0
         var end = j
         var done = false
@@ -442,8 +459,7 @@ class PlanAuditSpec extends SparkSpec {
           }
           j += 1
         }
-        out += s"${p.getFileName}:${flat.substring(i + marker.length, end).replaceAll("\\s", "")}"
-        i = flat.indexOf(marker, end)
+        out += s"${p.getFileName}:${flat.substring(m.end, end).replaceAll("\\s", "")}"
       }
       out.result()
     }

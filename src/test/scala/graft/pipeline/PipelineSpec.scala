@@ -845,6 +845,30 @@ class PipelineSpec extends SparkSpec {
     assert(s1.forall(_.getInt(5) == 1))
   }
 
+  test("perplexity tertiles: groupedRank arithmetic equals the ntile(3) window on a skewed corpus") {
+    import spark.implicits._
+    // 9:1 language skew — the shape where a grouped ntile window would
+    // put the dominant language in one task; the groupedRank + exact
+    // NTILE arithmetic must produce the identical bucketing
+    val docs = (1L to 200L).map { i =>
+      val lang = if (i <= 180) "en" else "fr"
+      val text = (1 to (i % 17 + 3).toInt).map(j => s"w${(i * j) % 23}")
+        .mkString(" ")
+      (i, text, lang)
+    }.toDF("doc_id", "text", "lang")
+    val out = TextOps.perplexity(docs).select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("ppl").asc, col("doc_id").asc)
+    val ref = TextOps.perplexity(docs).select("doc_id", "lang", "ppl")
+      .withColumn("t", ntile(3).over(w)).collect()
+      .map(r => r.getLong(0) -> (r.getInt(3) match {
+        case 1 => "head"; case 2 => "middle"; case _ => "tail"
+      })).toMap
+    assert(out == ref, "groupedRank tertiles diverge from the ntile window")
+    assert(out.values.toSet == Set("head", "middle", "tail"))
+  }
+
   test("frequencySpectrum: hand-computed log2 buckets on a planted corpus") {
     import spark.implicits._
     // token counts: a=4 (bucket 3), b=2 (bucket 2), c=1 (bucket 1)
