@@ -1132,6 +1132,11 @@ object SparkEntry {
         GraphLoader.eventsTable(lenient(s), dir),
         gapMinutes = 1440, minCount = 2L)),
 
+    // rolling active users: DAU + trailing-7-day WAU per integer day
+    // offset — distinct (user, day) reduction first, broadcast day list
+    "q_active_users" -> ((s, dir) =>
+      operators.Olap.activeUsers(GraphLoader.eventsTable(lenient(s), dir))),
+
     // funnel CONVERSION RATES: the q_funnel per-user surface reduced
     // to the dashboard numbers — users reaching each step, permille vs
     // step 1 and vs the previous step (integer division; step 1 = 1000)
@@ -1455,6 +1460,11 @@ object SparkEntry {
       algos.Algos.kCore(relatedTo(s, dir), k = 80, rounds = 10)
         .select(col("id").as("p_partkey"), col("core_degree"))
         .orderBy("p_partkey")),
+
+    // undirected degree spectrum: log2 frequency-of-degrees histogram,
+    // the graph dataset-card power-law diagnostic — all-integer
+    "q_degree_spectrum" -> ((s, dir) =>
+      algos.Algos.degreeSpectrum(relatedTo(s, dir))),
 
     // HyperBall (Boldi-Vigna '13): every node's ball size per radius on
     // HLL registers — one scatter-join + one (node,bucket) max-combine
@@ -2583,6 +2593,44 @@ object SparkEntry {
     "q_louvain" -> louvainOracle(3),
     "q_louvain2" -> louvainLevelsOracle(3, 2),
     "q_hyperball" -> hyperballOracle(3),
+    // degree-spectrum replay: undirected degrees over the related frame,
+    // bit-length log2 buckets, integer permille of node share
+    "q_degree_spectrum" ->
+      """WITH related AS MATERIALIZED (
+           SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         sym AS (SELECT p1 AS u, p2 AS v FROM related
+                 UNION ALL SELECT p2, p1 FROM related),
+         deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
+         spec AS (
+           SELECT CAST(length(bin(d)) AS INTEGER) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_nodes
+           FROM deg GROUP BY 1),
+         tn AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS t FROM spec)
+         SELECT bucket,
+           CAST(CAST(1 AS BIGINT) << (bucket - 1) AS BIGINT) AS deg_lo,
+           n_nodes,
+           CAST((1000 * n_nodes) // tn.t AS BIGINT) AS nodes_permille
+         FROM spec CROSS JOIN tn ORDER BY bucket""",
+    // active-users replay: distinct (user, integer day offset) pairs,
+    // per-day count + trailing-7-day distinct count
+    "q_active_users" ->
+      """WITH ud AS (
+           SELECT DISTINCT
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS uday,
+             user_id
+           FROM events),
+         days AS (SELECT DISTINCT uday AS day FROM ud),
+         dau AS (SELECT uday AS day, CAST(count(*) AS BIGINT) AS dau
+                 FROM ud GROUP BY 1),
+         wau AS (
+           SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+           FROM days d JOIN ud u
+             ON u.uday <= d.day AND u.uday >= d.day - 6
+           GROUP BY 1)
+         SELECT dau.day, dau.dau, wau.wau
+         FROM dau JOIN wau USING (day) ORDER BY day""",
     "q_betweenness" -> betweennessOracle(Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L)),
     "q_hits" -> hitsOracle(5),
     "q_mis" -> misOracle(4),

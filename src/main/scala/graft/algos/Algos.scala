@@ -283,6 +283,34 @@ object Algos {
       .orderBy("id", "t")
   }
 
+  /** Undirected degree SPECTRUM — the log2 frequency-of-degrees
+    * histogram (how many nodes have degree 1, 2-3, 4-7, …): the
+    * graph dataset-card one-glance power-law diagnostic, the graph
+    * analog of the corpus frequency spectrum. One degree aggregation
+    * + one ≤ ~64-row bucket rollup + a one-row broadcast total;
+    * all-integer output whatever the graph size. Returns
+    * (bucket, deg_lo, n_nodes, nodes_permille) ascending.
+    */
+  def degreeSpectrum(edges: DataFrame,
+      src: String = "_src", dst: String = "_dst"): DataFrame = {
+    val fwd = edges.select(col(src).as("u"), col(dst).as("v"))
+      .filter(col(src) =!= col(dst))
+    val sym = fwd.unionByName(fwd.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+    val deg = sym.groupBy("u").agg(count(lit(1)).cast(LongType).as("d"))
+    val spec = deg
+      .select(length(bin(col("d"))).cast(IntegerType).as("bucket"), col("d"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).cast(LongType).as("n_nodes"))
+    val total = spec.agg(sum(col("n_nodes")).cast(LongType).as("tn"))
+    spec.crossJoin(broadcast(total))
+      .select(col("bucket"),
+        call_function("shiftleft", lit(1L), col("bucket") - 1).as("deg_lo"),
+        col("n_nodes"),
+        expr("CAST((1000 * n_nodes) DIV tn AS BIGINT)").as("nodes_permille"))
+      .orderBy("bucket")
+  }
+
   /** Shared multi-source BFS: first-reach (seed, id, dist ≤ maxDepth)
     * rows for every seed, all seeds advancing in ONE frontier — the
     * level count, not the seed count, bounds the shuffles. Edge

@@ -100,6 +100,37 @@ object Olap {
       .orderBy("status")
   }
 
+  /** Rolling active users — DAU + trailing-window WAU per day, the
+    * dashboard pair next to [[cohortRetention]]: distinct users per
+    * day, and distinct users over the trailing `windowDays` days.
+    * Days are INTEGER offsets from 2024-01-01 (the cohortRetention
+    * idiom — no date values on the hashed surface). The event log
+    * reduces to distinct (user, day) FIRST (pair-keyed — a hot day
+    * spreads on the pair hash), so the trailing-window join fans out
+    * |users·days| × windowDays at most, with the ≤|days|-row day list
+    * broadcast; counts after the reduction are plain `count(*)` per
+    * day (already distinct), never a countDistinct over raw events.
+    * Returns (day, dau, wau) ascending.
+    */
+  def activeUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1)
+    val ud = events.select(
+        datediff(to_date(col("ts")), lit("2024-01-01")).cast(LongType).as("uday"),
+        col("user_id"))
+      .distinct()
+    val days = ud.select(col("uday").as("day")).distinct()
+    val dau = ud.groupBy(col("uday").as("day"))
+      .agg(count(lit(1)).cast(LongType).as("dau"))
+    val wau = ud.join(broadcast(days),
+        col("uday") <= col("day") &&
+          col("uday") >= col("day") - lit(windowDays.toLong - 1L))
+      .select(col("day"), col("user_id")).distinct()
+      .groupBy("day").agg(count(lit(1)).cast(LongType).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"))
+      .orderBy("day")
+  }
+
   /** Per-type inter-arrival statistics: consecutive gaps of each
     * (user, type) event sequence in epoch MICROS (integers end to end),
     * aggregated per type — n, sum, min, max, and the exact median.

@@ -319,6 +319,14 @@ class AlgosSpec extends SparkSpec {
     assert(again.sorted.toSeq == got.sorted.toSeq)
   }
 
+  test("degreeSpectrum: hand-computed log2 degree buckets") {
+    // star: center degree 4 (bucket 3), leaves degree 1 (bucket 1)
+    val e = edgesOf(1L -> 2L, 1L -> 3L, 1L -> 4L, 1L -> 5L)
+    val got = Algos.degreeSpectrum(e).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1, 1L, 4L, 800L), (3, 4L, 1L, 200L)))
+  }
+
   test("hyperBall: balls grow to the component; final registers equal the whole set") {
     val e = edgesOf(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L) // path, diameter 4
     val hb = Algos.hyperBall(e, rounds = 4, p = 4).collect()

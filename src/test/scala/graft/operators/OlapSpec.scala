@@ -294,4 +294,27 @@ class OlapSpec extends SparkSpec {
     assert(got(4L) == ((9000L, 3L, 3000000L)))  // window slid past 1
     assert(got(5L) == ((10000L, 1L, 10000000L))) // separate user
   }
+
+  test("activeUsers: hand-computed DAU/WAU on a planted log") {
+    import spark.implicits._
+    def ev(id: Long, u: Long, day: Int) = (id,
+      java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 10:00:00"),
+      u, "view", 0.0, "")
+    // day 0: users 1,2 ; day 1: user 1 (twice) ; day 8: user 3
+    val events = Seq(ev(1, 1, 0), ev(2, 2, 0), ev(3, 1, 1), ev(4, 1, 1),
+      ev(5, 3, 8)).toDF("event_id", "ts", "user_id", "event_type",
+      "value", "props")
+    val got = Olap.activeUsers(events, windowDays = 7).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // day 0: dau {1,2}; wau days -6..0 = {1,2}
+    // day 1: dau {1};   wau days -5..1 = {1,2}
+    // day 8: dau {3};   wau days  2..8 = {3} (day 0/1 aged out)
+    assert(got == Map(0L -> ((2L, 2L)), 1L -> ((1L, 2L)), 8L -> ((1L, 1L))))
+  }
+
+  test("activeUsers is partitioning-invariant") {
+    val a = Olap.activeUsers(events.repartition(2)).collect()
+    val b = Olap.activeUsers(events.repartition(11)).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq && a.nonEmpty)
+  }
 }
