@@ -1420,6 +1420,21 @@ object SparkEntry {
         .select(col("id").as("p_partkey"), round(col("rank"), 6).as("rank"))
         .orderBy("p_partkey")),
 
+    // WEIGHTED PageRank over the co-order multiplicity graph: rank
+    // splits proportionally to shared-order counts (rank*w/W(u));
+    // 10-round chained-CTE replay with the weighted contribution term
+    "q_pagerank_w" -> ((s, dir) => {
+      val li = GraphLoader.table(lenient(s), dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val w = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("_src"), col("b.pk").as("_dst"))
+        .agg(count(lit(1)).cast("long").as("_w"))
+      algos.Algos.pageRankWeighted(w, iterations = 10)
+        .select(col("id").as("p_partkey"), round(col("rank"), 6).as("rank"))
+        .orderBy("p_partkey")
+    }),
+
     // personalized PageRank: restart + dangling mass return to the seed
     // set — "related to these parts" by graph proximity
     "q_ppr" -> ((s, dir) =>
@@ -1586,6 +1601,12 @@ object SparkEntry {
     // the Σdeg² pair surface must be gate-bounded (q_mine rule)
     "q_ra" -> ((s, dir) =>
       algos.Algos.resourceAllocation(relatedTo(s, dir), sampleN = 512)),
+
+    // Adamic-Adar link prediction: same wedge enumeration with the
+    // logarithmic hub discount 1/ln(deg z) — completes the common-
+    // neighbor family (Jaccard, RA, AA)
+    "q_aa" -> ((s, dir) =>
+      algos.Algos.adamicAdar(relatedTo(s, dir), sampleN = 512)),
 
     // RA scoring of an EXTERNALLY SUPPLIED candidate set — the
     // production path (blocking stage proposes, RA scores): candidates
@@ -2133,6 +2154,44 @@ object SparkEntry {
        FROM r$iterations ORDER BY p_partkey"""
   }
 
+  /** Weighted-PageRank replay mirroring [[algos.Algos.pageRankWeighted]]
+    * term by term: weighted out-degree W(u), contribution
+    * rank·w/W(u) in the same expression order, dangling = W(u) = 0.
+    */
+  private def pageRankWeightedOracle(iterations: Int): String = {
+    val iters = (1 to iterations).map { i =>
+      val p = s"r${i - 1}"
+      s"""r$i AS MATERIALIZED (
+         SELECT d.id,
+           (1 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM params)
+           + CAST(0.85 AS DOUBLE) * (SELECT coalesce(sum(r.rank), 0)
+               FROM $p r JOIN wdeg dd ON dd.id = r.id WHERE dd.wout = 0)
+             / (SELECT n FROM params)
+           + CAST(0.85 AS DOUBLE) * coalesce(c.contrib, 0) AS rank
+         FROM wdeg d LEFT JOIN (
+           SELECT rel.p2 AS id, sum(r.rank * rel.w / dd.wout) AS contrib
+           FROM $p r JOIN wdeg dd ON dd.id = r.id AND dd.wout > 0
+           JOIN wrel rel ON rel.p1 = r.id
+           GROUP BY rel.p2) c ON c.id = d.id)"""
+    }.mkString(",\n")
+    s"""WITH wrel AS MATERIALIZED (
+         SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+           CAST(count(*) AS BIGINT) AS w
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2),
+       nodes AS MATERIALIZED (SELECT DISTINCT x AS id FROM
+         (SELECT p1 AS x FROM wrel UNION ALL SELECT p2 FROM wrel)),
+       wdeg AS MATERIALIZED (SELECT id, coalesce(s.wout, 0) AS wout FROM nodes
+         LEFT JOIN (SELECT p1, CAST(sum(w) AS BIGINT) AS wout
+                    FROM wrel GROUP BY 1) s ON s.p1 = id),
+       params AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       r0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM params) AS rank FROM nodes),
+       $iters
+       SELECT id AS p_partkey, round(rank, 6) AS rank
+       FROM r$iterations ORDER BY p_partkey"""
+  }
+
   /** Fixed-iteration personalized-PageRank replay mirroring
     * [[algos.Algos.personalizedPageRank]] term by term: restart and
     * dangling mass go to the seed set only, |S| is the CONSTANT size of
@@ -2588,6 +2647,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_pagerank" -> pageRankOracle(10),
+    "q_pagerank_w" -> pageRankWeightedOracle(10),
     "q_ppr" -> pprOracle(10, Seq(1L, 2L, 3L)),
     "q_labelprop" -> labelPropOracle(5),
     "q_louvain" -> louvainOracle(3),
@@ -3316,6 +3376,30 @@ object SparkEntry {
            FROM terms GROUP BY 1, 2)
          SELECT a AS part_a, b AS part_b, n_common, CAST(ra AS DOUBLE) AS ra
          FROM sc ORDER BY ra DESC, part_a, part_b LIMIT 50""",
+    // Adamic-Adar: the q_ra replay with the logarithmic hub discount
+    // 1/ln(deg) (deg >= 2 for any common neighbor, so ln > 0)
+    "q_aa" ->
+      """WITH related AS (
+           SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         und AS (SELECT p1 AS z, p2 AS nbr FROM related UNION ALL SELECT p2, p1 FROM related),
+         deg AS (SELECT z, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+         picked AS (
+           SELECT nbr FROM (SELECT DISTINCT nbr FROM und)
+           ORDER BY md5(CAST(nbr AS VARCHAR)), nbr LIMIT 512),
+         us AS (SELECT u.* FROM und u JOIN picked USING (nbr)),
+         terms AS (
+           SELECT u.nbr AS a, w.nbr AS b,
+             CAST(round(CAST(1.0 AS DOUBLE) / ln(CAST(d.deg AS DOUBLE)), 6) AS DECIMAL(18,6)) AS term
+           FROM us u JOIN us w ON w.z = u.z AND u.nbr < w.nbr
+           JOIN deg d ON d.z = u.z),
+         sc AS (
+           SELECT a, b, CAST(count(*) AS BIGINT) AS n_common,
+             CAST(sum(term) AS DECIMAL(18,6)) AS aa
+           FROM terms GROUP BY 1, 2)
+         SELECT a AS part_a, b AS part_b, n_common, CAST(aa AS DOUBLE) AS aa
+         FROM sc ORDER BY aa DESC, part_a, part_b LIMIT 50""",
     // streaming CMS replay: drained complete-mode counts equal the
     // batch sketch, so the q_cms oracle applies verbatim
     "q_stream_cms" ->

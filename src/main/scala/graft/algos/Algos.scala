@@ -1,6 +1,6 @@
 package graft.algos
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
@@ -1050,6 +1050,62 @@ object Algos {
     ranksOut
   }
 
+  /** WEIGHTED PageRank — [[pageRank]] with per-edge weights: node u
+    * splits its rank over out-neighbors PROPORTIONALLY to edge weight
+    * (contribution rank·w/W(u) with W(u) = Σ out-weights) instead of
+    * uniformly — the form every co-occurrence / similarity graph
+    * actually wants (a 500-shared-orders edge should carry 500× the
+    * rank of a single co-purchase). Identical iteration skeleton:
+    * parallel edges pre-summed once, one contribution shuffle + a
+    * broadcast one-row dangling aggregate per round (dangling =
+    * W(u) = 0), frames materialized with O(1) lineage. The per-term
+    * arithmetic order (rank·w then /W) is fixed so the DuckDB replay
+    * is expression-identical; rank magnitudes match the unweighted
+    * gate's, where round-6 output has been hash-stable since r9.
+    */
+  def pageRankWeighted(edges: DataFrame, iterations: Int = 10,
+      damping: Double = 0.85, src: String = "_src", dst: String = "_dst",
+      weight: String = "_w"): DataFrame = {
+    val spark = edges.sparkSession
+    val e0 = materialize(edges
+      .select(col(src).as("u"), col(dst).as("v"),
+        col(weight).cast(LongType).as("w"))
+      .groupBy("u", "v").agg(sum(col("w")).cast(LongType).as("w")))
+    val eCount = e0.count()
+    val nodes = materialize(
+      e0.select(col("u").as("id")).unionByName(e0.select(col("v").as("id"))).distinct())
+    val n = nodes.count().toDouble
+    val outW = e0.groupBy(col("u").as("id")).agg(sum(col("w")).as("wout"))
+    val graph0 = materialize(nodes.join(outW, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("wout"), lit(0L)).as("wout")))
+    val ranksOut = withLoopParts(spark, eCount) { sc =>
+    val e = sc.in(e0)
+    val graph = sc.in(graph0)
+    var ranks = materialize(graph.select(col("id"), lit(1.0 / n).as("rank")))
+    for (_ <- 1 to iterations) {
+      val withDeg = cache(ranks.join(graph, "id"))
+      val contribs = withDeg.filter(col("wout") > 0)
+        .join(e, col("id") === col("u"))
+        .select(col("v").as("id"),
+          (col("rank") * col("w") / col("wout")).as("c"))
+        .groupBy("id").agg(sum("c").as("contrib"))
+      val dangling = withDeg.filter(col("wout") === 0)
+        .agg(coalesce(sum("rank"), lit(0.0)).as("dmass"))
+      val prev = ranks
+      ranks = materialize(graph.select(col("id"))
+        .join(contribs, Seq("id"), "left_outer")
+        .crossJoin(broadcast(dangling))
+        .select(col("id"),
+          (lit((1.0 - damping) / n) + lit(damping) * col("dmass") / n +
+            lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank")))
+      release(prev); withDeg.unpersist()
+    }
+    sc.out(ranks)
+    }
+    release(e0, graph0, nodes)
+    ranksOut
+  }
+
   /** Personalized PageRank: random-walk-with-restart where the restart
     * mass (and any dangling mass) returns to the SEED set instead of the
     * whole graph — "what's similar to these nodes" by graph proximity,
@@ -1915,7 +1971,33 @@ object Algos {
     */
   def resourceAllocation(edges: DataFrame, topK: Int = 50,
       sampleN: Int = 0,
-      src: String = "_src", dst: String = "_dst"): DataFrame = {
+      src: String = "_src", dst: String = "_dst"): DataFrame =
+    commonNeighborScores(edges, topK, sampleN, src, dst, "ra")(
+      d => round(lit(1.0) / d.cast(DoubleType), 6))
+
+  /** Adamic–Adar link prediction (Adamic & Adar 2003) — the third
+    * member of the common-neighbor family (Jaccard: q_nodesim, RA:
+    * q_ra): aa(a,b) = Σ_{z ∈ Γa ∩ Γb} 1/ln(deg z), a LOGARITHMIC hub
+    * discount between RA's harsh 1/deg and raw common-neighbor
+    * counting. Same wedge enumeration, same per-term round-6
+    * DECIMAL(18,6) exact summation; ln is safe — a common neighbor has
+    * degree ≥ 2 by construction, so ln(deg) ≥ ln 2 > 0. Shares every
+    * scale property of [[resourceAllocation]] (sampled gate form,
+    * candidate-bounded composition via [[resourceAllocationScores]]'s
+    * shape).
+    */
+  def adamicAdar(edges: DataFrame, topK: Int = 50,
+      sampleN: Int = 0,
+      src: String = "_src", dst: String = "_dst"): DataFrame =
+    commonNeighborScores(edges, topK, sampleN, src, dst, "aa")(
+      d => round(lit(1.0) / log(d.cast(DoubleType)), 6))
+
+  /** Shared wedge-enumeration core of the common-neighbor link
+    * predictors: per-intermediary term from `termOf(deg z)`, exact
+    * DECIMAL(18,6) per-pair summation, deterministic top-K. */
+  private def commonNeighborScores(edges: DataFrame, topK: Int,
+      sampleN: Int, src: String, dst: String, scoreName: String)(
+      termOf: Column => Column): DataFrame = {
     val fwd = edges.select(col(src).as("p1"), col(dst).as("p2"))
       .filter(col(src) =!= col(dst)).distinct()
     val und = fwd.select(col("p1").as("z"), col("p2").as("nbr"))
@@ -1934,13 +2016,13 @@ object Algos {
       .filter(col("nbr") < col("nbr2"))
       .join(deg, Seq("z"))
       .select(col("nbr").as("a"), col("nbr2").as("b"),
-        round(lit(1.0) / col("deg").cast(DoubleType), 6).cast(dec).as("term"))
+        termOf(col("deg")).cast(dec).as("term"))
     terms.groupBy("a", "b")
       .agg(count(lit(1)).cast(LongType).as("n_common"),
-        sum(col("term")).cast(dec).as("ra_dec"))
+        sum(col("term")).cast(dec).as("score_dec"))
       .select(col("a").as("part_a"), col("b").as("part_b"),
-        col("n_common"), col("ra_dec").cast(DoubleType).as("ra"))
-      .orderBy(desc("ra"), asc("part_a"), asc("part_b"))
+        col("n_common"), col("score_dec").cast(DoubleType).as(scoreName))
+      .orderBy(desc(scoreName), asc("part_a"), asc("part_b"))
       .limit(topK)
   }
 

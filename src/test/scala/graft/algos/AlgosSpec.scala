@@ -319,6 +319,45 @@ class AlgosSpec extends SparkSpec {
     assert(again.sorted.toSeq == got.sorted.toSeq)
   }
 
+  test("adamicAdar: exact 1/ln(deg) terms; hub discount is gentler than RA") {
+    // z1 connects (1,2) with deg 2; z2 is a hub connecting (1,2) too
+    val e = edgesOf(10L -> 1L, 10L -> 2L, 20L -> 1L, 20L -> 2L,
+      20L -> 3L, 20L -> 4L, 20L -> 5L)
+    val aa = Algos.adamicAdar(e).collect()
+      .map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b")) ->
+        ((r.getAs[Long]("n_common"), r.getAs[Double]("aa")))).toMap
+    val t2 = BigDecimal(1.0 / math.log(2.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val t5 = BigDecimal(1.0 / math.log(5.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(aa((1L, 2L))._1 == 2L)
+    assert(aa((1L, 2L))._2 == (t2 + t5).toDouble)
+    // RA discounts the hub harder: 1/5 < 1/ln(5)
+    val ra = Algos.resourceAllocation(e).collect()
+      .map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b")) ->
+        r.getAs[Double]("ra")).toMap
+    assert(ra((1L, 2L)) < aa((1L, 2L))._2)
+  }
+
+  test("pageRankWeighted: mass sums to 1; heavy edge pulls rank; uniform weights equal pageRank") {
+    import spark.implicits._
+    // 1 feeds 2 (weight 9) and 3 (weight 1); 2 and 3 feed back to 1
+    val we = Seq((1L, 2L, 9L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+      .toDF("_src", "_dst", "_w")
+    val r = Algos.pageRankWeighted(we, iterations = 10).collect()
+      .map(row => row.getAs[Long]("id") -> row.getAs[Double]("rank")).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    assert(r(2L) > r(3L), s"nine-fold edge weight must pull rank: $r")
+    // all-equal weights reduce EXACTLY to the unweighted operator
+    val uni = Seq((1L, 2L, 7L), (2L, 3L, 7L), (3L, 1L, 7L), (1L, 3L, 7L))
+      .toDF("_src", "_dst", "_w")
+    val w10 = Algos.pageRankWeighted(uni, iterations = 10).collect()
+      .map(row => row.getAs[Long]("id") -> row.getAs[Double]("rank")).toMap
+    val u10 = Algos.pageRank(uni.select(col("_src"), col("_dst")),
+        iterations = 10).collect()
+      .map(row => row.getAs[Long]("id") -> row.getAs[Double]("rank")).toMap
+    w10.foreach { case (id, v) =>
+      assert(math.abs(v - u10(id)) < 1e-12, s"uniform weights diverge at $id") }
+  }
+
   test("degreeSpectrum: hand-computed log2 degree buckets") {
     // star: center degree 4 (bucket 3), leaves degree 1 (bucket 1)
     val e = edgesOf(1L -> 2L, 1L -> 3L, 1L -> 4L, 1L -> 5L)
