@@ -1137,6 +1137,12 @@ object SparkEntry {
     "q_active_users" -> ((s, dir) =>
       operators.Olap.activeUsers(GraphLoader.eventsTable(lenient(s), dir))),
 
+    // active users ON THE STREAM: stateful dropDuplicates holds the
+    // (day, user) pair set — the batch reduction as streaming state —
+    // so the drained rollup equals batch and shares its oracle
+    "q_stream_active" -> ((s, dir) =>
+      streaming.EventStreams.streamingActiveUsers(lenient(s), dir)),
+
     // funnel CONVERSION RATES: the q_funnel per-user surface reduced
     // to the dashboard numbers — users reaching each step, permille vs
     // step 1 and vs the previous step (integer division; step 1 = 1000)
@@ -2154,6 +2160,28 @@ object SparkEntry {
        FROM r$iterations ORDER BY p_partkey"""
   }
 
+  /** DAU/WAU replay shared by the batch (q_active_users) and streamed
+    * (q_stream_active) gates — the streamed pair dedup is
+    * order-insensitive, so both reduce to the same distinct
+    * (user, day) frame.
+    */
+  private val activeUsersOracleSql: String =
+    """WITH ud AS (
+         SELECT DISTINCT
+           CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS uday,
+           user_id
+         FROM events),
+       days AS (SELECT DISTINCT uday AS day FROM ud),
+       dau AS (SELECT uday AS day, CAST(count(*) AS BIGINT) AS dau
+               FROM ud GROUP BY 1),
+       wau AS (
+         SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+         FROM days d JOIN ud u
+           ON u.uday <= d.day AND u.uday >= d.day - 6
+         GROUP BY 1)
+       SELECT dau.day, dau.dau, wau.wau
+       FROM dau JOIN wau USING (day) ORDER BY day"""
+
   /** Weighted-PageRank replay mirroring [[algos.Algos.pageRankWeighted]]
     * term by term: weighted out-degree W(u), contribution
     * rank·w/W(u) in the same expression order, dangling = W(u) = 0.
@@ -2675,22 +2703,10 @@ object SparkEntry {
          FROM spec CROSS JOIN tn ORDER BY bucket""",
     // active-users replay: distinct (user, integer day offset) pairs,
     // per-day count + trailing-7-day distinct count
-    "q_active_users" ->
-      """WITH ud AS (
-           SELECT DISTINCT
-             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS uday,
-             user_id
-           FROM events),
-         days AS (SELECT DISTINCT uday AS day FROM ud),
-         dau AS (SELECT uday AS day, CAST(count(*) AS BIGINT) AS dau
-                 FROM ud GROUP BY 1),
-         wau AS (
-           SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
-           FROM days d JOIN ud u
-             ON u.uday <= d.day AND u.uday >= d.day - 6
-           GROUP BY 1)
-         SELECT dau.day, dau.dau, wau.wau
-         FROM dau JOIN wau USING (day) ORDER BY day""",
+    "q_active_users" -> activeUsersOracleSql,
+    // the streamed pair-set dedup is order-insensitive, so the batch
+    // active-users oracle gates the stream verbatim
+    "q_stream_active" -> activeUsersOracleSql,
     "q_betweenness" -> betweennessOracle(Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L)),
     "q_hits" -> hitsOracle(5),
     "q_mis" -> misOracle(4),

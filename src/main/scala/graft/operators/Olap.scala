@@ -112,12 +112,21 @@ object Olap {
     * day (already distinct), never a countDistinct over raw events.
     * Returns (day, dau, wau) ascending.
     */
-  def activeUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
-    require(windowDays >= 1)
-    val ud = events.select(
+  def activeUsers(events: DataFrame, windowDays: Int = 7): DataFrame =
+    activeUsersFromPairs(
+      events.select(
         datediff(to_date(col("ts")), lit("2024-01-01")).cast(LongType).as("uday"),
         col("user_id"))
-      .distinct()
+        .distinct(),
+      windowDays)
+
+  /** The DAU/WAU rollup over an ALREADY-DISTINCT (uday, user_id) pair
+    * frame — shared by the batch operator and the streaming twin
+    * (whose stateful dedup produces exactly this frame when drained).
+    */
+  private[graft] def activeUsersFromPairs(ud: DataFrame,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 1)
     val days = ud.select(col("uday").as("day")).distinct()
     val dau = ud.groupBy(col("uday").as("day"))
       .agg(count(lit(1)).cast(LongType).as("dau"))

@@ -631,6 +631,37 @@ object EventStreams {
       t3.getOrElse(-1L), Seq(t1, t2, t3).count(_.isDefined).toLong))
   }
 
+  /** Rolling active users ON THE STREAM — [[graft.operators.Olap.activeUsers]]'s
+    * incremental twin: one streaming `dropDuplicates(uday, user_id)`
+    * holds the distinct (day, user) pair set as its state — the SAME
+    * reduction the batch operator starts from, so the drained pairs
+    * feed the identical DAU/WAU rollup and the batch oracle gates the
+    * stream verbatim. State is |users × active days| rows — bounded by
+    * the pair cardinality, not the event count (an event-time
+    * watermark on uday evicts closed days when the horizon can be
+    * bounded, the q_stream_dedup_ttl trade; the gate pins the exact
+    * variant). Day arithmetic in integer offsets from 2024-01-01, no
+    * dates on the hashed surface.
+    */
+  def streamingActiveUsers(spark: SparkSession, eventsDir: String,
+      glob: String = "events.parquet", windowDays: Int = 7,
+      queryName: String = "q_stream_active"): DataFrame =
+    withStreamParts(spark, eventsDir, glob) { spark =>
+    val raw = eventsRawStream(spark, eventsDir, glob)
+    val query = raw
+      .select(datediff(to_date(col("ts")), lit("2024-01-01"))
+          .cast(LongType).as("uday"),
+        col("user_id"))
+      .dropDuplicates("uday", "user_id")
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    graft.operators.Olap.activeUsersFromPairs(
+      spark.table(queryName).localCheckpoint(), windowDays)
+    }
+
   /** First-order Markov transition matrix over per-user event
     * sequences: count and permille of (event_type → next event_type)
     * adjacencies, the "what do users do next" dashboard surface and

@@ -191,6 +191,16 @@ class StreamingSpec extends SparkSpec {
       ("click", "view", 1L, 1000L)))
   }
 
+  test("streamingActiveUsers equals the batch DAU/WAU rollup") {
+    val ev = graft.graph.GraphLoader.eventsTable(spark, sfDir)
+    val batch = graft.operators.Olap.activeUsers(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val streamed = EventStreams.streamingActiveUsers(spark, sfDir,
+        queryName = "stream_active_spec").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
   test("sessionPaths: triples count inside a session, never across the gap") {
     import spark.implicits._
     def e(id: Long, u: Long, minute: Int, ty: String) =
