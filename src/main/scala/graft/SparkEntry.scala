@@ -1535,6 +1535,12 @@ object SparkEntry {
     "q_drift" -> ((s, dir) =>
       pipeline.TextOps.sourceDrift(docs(s, dir))),
 
+    // drift ON THE STREAM: one complete-mode (source, lang) count is
+    // the whole state (grid-sized forever); the drained counts feed the
+    // same chi-square cell grid, so the batch oracle gates the stream
+    "q_stream_drift" -> ((s, dir) =>
+      streaming.EventStreams.streamingSourceDrift(lenient(s), dir)),
+
     // Jaccard node similarity (link prediction) over the customer—part
     // purchase relation: md5-sampled node set (the q_mine gate bound),
     // hub-capped postings, top-20 pairs; jaccard = one exact IEEE
@@ -2159,6 +2165,40 @@ object SparkEntry {
        SELECT id AS p_partkey, round(rank, 6) AS rank
        FROM r$iterations ORDER BY p_partkey"""
   }
+
+  /** Chi-square drift replay shared by the batch (q_drift) and
+    * streamed (q_stream_drift) gates — complete-mode counts are
+    * order-insensitive, so both reduce to the same (src, cat, o)
+    * frame.
+    */
+  private val driftOracleSql: String =
+    """WITH o AS (
+         SELECT source AS src, lang AS cat, CAST(count(*) AS BIGINT) AS o
+         FROM documents GROUP BY 1, 2),
+       ns AS (SELECT src, CAST(sum(o) AS BIGINT) AS ns FROM o GROUP BY 1),
+       nc AS (SELECT cat, CAST(sum(o) AS BIGINT) AS nc FROM o GROUP BY 1),
+       t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
+       cells AS (
+         SELECT s.src, c.cat, s.ns, c.nc, coalesce(o.o, 0) AS o, t.n
+         FROM ns s CROSS JOIN nc c
+         LEFT JOIN o ON o.src = s.src AND o.cat = c.cat
+         CROSS JOIN t),
+       term AS (
+         SELECT src, ns,
+           CAST(floor(CAST(dd * dd AS DOUBLE) /
+             CAST(CAST(n AS HUGEINT) * ns * nc AS DOUBLE) *
+             CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cell_e6
+         FROM (SELECT src, ns,
+             CAST(CAST(o AS DECIMAL(18,0)) * n -
+                  CAST(ns AS DECIMAL(18,0)) * nc AS DECIMAL(18,0)) AS dd,
+             n, nc
+           FROM cells))
+       SELECT src, CAST(max(ns) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(sum(cell_e6) AS BIGINT) AS chi2_e6,
+         CAST(CAST(sum(cell_e6) AS BIGINT) AS DOUBLE) /
+           CAST(1000000 AS DOUBLE) AS chi2
+       FROM term GROUP BY src ORDER BY src"""
 
   /** DAU/WAU replay shared by the batch (q_active_users) and streamed
     * (q_stream_active) gates — the streamed pair dedup is
@@ -2811,34 +2851,10 @@ object SparkEntry {
     // chi-square drift replay: same cross-multiplied integer cells over
     // the full source × category grid (O = 0 cells included), same
     // floor(x*1e6 + 0.5) quantization, BIGINT sums
-    "q_drift" ->
-      """WITH o AS (
-           SELECT source AS src, lang AS cat, CAST(count(*) AS BIGINT) AS o
-           FROM documents GROUP BY 1, 2),
-         ns AS (SELECT src, CAST(sum(o) AS BIGINT) AS ns FROM o GROUP BY 1),
-         nc AS (SELECT cat, CAST(sum(o) AS BIGINT) AS nc FROM o GROUP BY 1),
-         t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
-         cells AS (
-           SELECT s.src, c.cat, s.ns, c.nc, coalesce(o.o, 0) AS o, t.n
-           FROM ns s CROSS JOIN nc c
-           LEFT JOIN o ON o.src = s.src AND o.cat = c.cat
-           CROSS JOIN t),
-         term AS (
-           SELECT src, ns,
-             CAST(floor(CAST(dd * dd AS DOUBLE) /
-               CAST(CAST(n AS HUGEINT) * ns * nc AS DOUBLE) *
-               CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cell_e6
-           FROM (SELECT src, ns,
-               CAST(CAST(o AS DECIMAL(18,0)) * n -
-                    CAST(ns AS DECIMAL(18,0)) * nc AS DECIMAL(18,0)) AS dd,
-               n, nc
-             FROM cells))
-         SELECT src, CAST(max(ns) AS BIGINT) AS n_docs,
-           CAST(count(*) AS BIGINT) AS n_cells,
-           CAST(sum(cell_e6) AS BIGINT) AS chi2_e6,
-           CAST(CAST(sum(cell_e6) AS BIGINT) AS DOUBLE) /
-             CAST(1000000 AS DOUBLE) AS chi2
-         FROM term GROUP BY src ORDER BY src""",
+    "q_drift" -> driftOracleSql,
+    // the streamed complete-mode counts are order-insensitive, so the
+    // batch drift oracle gates the streamed run verbatim
+    "q_stream_drift" -> driftOracleSql,
     "q_kcore" -> kCoreOracle(80, 10),
     "q_lookup" ->
       "SELECT c_name, c_acctbal FROM customer WHERE c_custkey = 42",

@@ -649,10 +649,17 @@ object TextOps {
     * (source, n_docs, n_cells, chi2_e6, chi2) ordered by source.
     */
   def sourceDrift(docs: DataFrame, sourceCol: String = "source",
-      catCol: String = "lang"): DataFrame = {
+      catCol: String = "lang"): DataFrame =
+    sourceDriftFromCounts(
+      docs.groupBy(col(sourceCol).as("src"), col(catCol).as("cat"))
+        .agg(count(lit(1)).cast(LongType).as("o")))
+
+  /** The χ² cell grid over an ALREADY-AGGREGATED (src, cat, o) count
+    * frame — shared by the batch operator and the streaming twin
+    * (whose complete-mode count state drains to exactly this frame).
+    */
+  private[graft] def sourceDriftFromCounts(o: DataFrame): DataFrame = {
     val d18 = DecimalType(18, 0)
-    val o = docs.groupBy(col(sourceCol).as("src"), col(catCol).as("cat"))
-      .agg(count(lit(1)).cast(LongType).as("o"))
     val ns = o.groupBy("src").agg(sum(col("o")).cast(LongType).as("ns"))
     val nc = o.groupBy("cat").agg(sum(col("o")).cast(LongType).as("nc"))
     val n = o.agg(sum(col("o")).cast(LongType).as("n"))

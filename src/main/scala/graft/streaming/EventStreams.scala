@@ -866,6 +866,37 @@ object EventStreams {
     spark.table(queryName).localCheckpoint()
     }
 
+  /** Chi-square source drift ON THE STREAM —
+    * [[graft.pipeline.TextOps.sourceDrift]]'s incremental twin, the
+    * live "did this crawl slice shift the mixture" monitor: ONE
+    * streaming (source, category) count in complete mode is the whole
+    * state (≤ |sources × categories| rows forever — grid-sized, never
+    * corpus-sized), drained into the SAME χ² cell assembly as the
+    * batch operator, so counts being order-insensitive makes the
+    * result equal batch exactly and the batch q_drift oracle gates
+    * the streamed run verbatim.
+    */
+  def streamingSourceDrift(spark: SparkSession, docsDir: String,
+      glob: String = "documents.parquet",
+      queryName: String = "q_stream_drift"): DataFrame =
+    withStreamParts(spark, docsDir, glob) { spark =>
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val docs = rawFileStream(spark, docsDir, glob, schema)
+    val query = docs
+      .groupBy(col("source").as("src"), col("lang").as("cat"))
+      .agg(count(lit(1)).cast(LongType).as("o"))
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    graft.pipeline.TextOps.sourceDriftFromCounts(
+      spark.table(queryName).localCheckpoint())
+    }
+
   /** Cohort retention ON THE STREAM: the retention matrix's sufficient
     * state is just the distinct (user, day) activity set — a row-local
     * projection per arriving event + ONE streaming

@@ -191,6 +191,16 @@ class StreamingSpec extends SparkSpec {
       ("click", "view", 1L, 1000L)))
   }
 
+  test("streamingSourceDrift equals the batch chi-square grid") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val batch = graft.pipeline.TextOps.sourceDrift(docs).collect()
+      .map(_.toSeq).toSeq
+    val streamed = EventStreams.streamingSourceDrift(spark, sfDir,
+        queryName = "stream_drift_spec").collect()
+      .map(_.toSeq).toSeq
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
   test("streamingActiveUsers equals the batch DAU/WAU rollup") {
     val ev = graft.graph.GraphLoader.eventsTable(spark, sfDir)
     val batch = graft.operators.Olap.activeUsers(ev).collect()
