@@ -319,6 +319,24 @@ class AlgosSpec extends SparkSpec {
     assert(again.sorted.toSeq == got.sorted.toSeq)
   }
 
+  test("hyperBall: balls never cross components") {
+    // two disjoint triangles: after any number of rounds each node's
+    // registers are its own component's register set, never the union
+    val e = edgesOf(1L -> 2L, 2L -> 3L, 3L -> 1L,
+      10L -> 11L, 11L -> 12L, 12L -> 10L)
+    val hb = Algos.hyperBall(e, rounds = 3, p = 4).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("t"),
+        r.getAs[Long]("n_present"), r.getAs[Long]("sum_reg"),
+        r.getAs[Long]("z_num")))
+    val fin = hb.filter(_._2 == 3L)
+    val compA = fin.filter(_._1 < 10L).map(t => (t._3, t._4, t._5)).distinct
+    val compB = fin.filter(_._1 >= 10L).map(t => (t._3, t._4, t._5)).distinct
+    assert(compA.length == 1 && compB.length == 1,
+      "each component must converge to ONE register snapshot")
+    assert(compA.head != compB.head,
+      "disjoint components must not share register state")
+  }
+
   test("adamicAdar: exact 1/ln(deg) terms; hub discount is gentler than RA") {
     // z1 connects (1,2) with deg 2; z2 is a hub connecting (1,2) too
     val e = edgesOf(10L -> 1L, 10L -> 2L, 20L -> 1L, 20L -> 2L,

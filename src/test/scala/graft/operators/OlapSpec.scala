@@ -317,4 +317,14 @@ class OlapSpec extends SparkSpec {
     val b = Olap.activeUsers(events.repartition(11)).collect()
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq && a.nonEmpty)
   }
+
+  test("activeUsers: a 1-day window collapses WAU to DAU; WAU >= DAU always") {
+    val one = Olap.activeUsers(events, windowDays = 1).collect()
+    assert(one.nonEmpty)
+    one.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"windowDays=1 must make wau == dau: ${r.toSeq}"))
+    val seven = Olap.activeUsers(events, windowDays = 7).collect()
+    seven.foreach(r => assert(r.getLong(2) >= r.getLong(1),
+      s"trailing window can only add users: ${r.toSeq}"))
+  }
 }

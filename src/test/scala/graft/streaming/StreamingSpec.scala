@@ -191,6 +191,14 @@ class StreamingSpec extends SparkSpec {
       ("click", "view", 1L, 1000L)))
   }
 
+  test("streamingFunnel is rerun-stable in one session (memory sink replaced, not appended)") {
+    val a = EventStreams.streamingFunnel(spark, sfDir,
+      queryName = "stream_funnel_rerun").collect().map(_.toSeq).toSeq
+    val b = EventStreams.streamingFunnel(spark, sfDir,
+      queryName = "stream_funnel_rerun").collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty && a == b, "Bench reruns every query in one session")
+  }
+
   test("streamingSourceDrift equals the batch chi-square grid") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val batch = graft.pipeline.TextOps.sourceDrift(docs).collect()
