@@ -207,6 +207,37 @@ object Algos {
       .orderBy("seed")
   }
 
+  /** Bucket-wise max combine over PACKED HLL register vectors — one
+    * m-byte array per node instead of m rows. The point is the SHUFFLE
+    * SHAPE (the [[graft.pipeline.Ann.TopKAgg]] argument): the row-form
+    * union rule scatters |edges|·m rows per round; packed, the scatter
+    * is |edges| rows of one m-byte payload and this typed Aggregator
+    * gets map-side partial aggregation, so the shuffle constant drops
+    * m-fold (64× at p=6 — the r18 scale-weak flag). reduce/merge are
+    * COPY-on-write, never in-place: the typed-aggregate path hands the
+    * same buffer object to successive groups (measured: in-place max
+    * leaked group 1's registers into group 2), so mutating the incoming
+    * buffer corrupts neighbors; one fresh m-byte array per input row is
+    * noise next to the shuffle it replaces.
+    */
+  private[algos] final class RegMaxAgg(m: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Array[Byte], Array[Byte], Array[Byte]] {
+    def zero: Array[Byte] = new Array[Byte](m)
+    def reduce(b: Array[Byte], a: Array[Byte]): Array[Byte] = {
+      val out = java.util.Arrays.copyOf(b, m)
+      var i = 0
+      while (i < m) { if (a(i) > out(i)) out(i) = a(i); i += 1 }
+      out
+    }
+    def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] = reduce(x, y)
+    def finish(b: Array[Byte]): Array[Byte] = b
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
+
   /** HyperBall (Boldi & Vigna 2013): the ALL-NODES neighborhood
     * function on HLL registers — where [[effectiveDiameter]] runs
     * exact BFS from a seed SAMPLE, HyperBall tracks an approximate
@@ -216,53 +247,75 @@ object Algos {
     * were produced). Each node u carries an HLL register set of its
     * ball B(u,t); one round is the union rule
     * B(u,t+1) = B(u,t) ∪ ⋃_{u~v} B(v,t), which in register form is a
-    * bucket-wise max — so a round costs ONE equi-join (scatter
-    * neighbor registers) + ONE (node, bucket) max-combine, both
-    * map-side combinable, on a frame bounded by n·m rows (m = 2^p
-    * registers, p=6 → 64). Round count, never ball size, bounds the
-    * shuffles; register frames are materialized for O(1) lineage and
-    * released two-back. Registers come from the same md5-derived
-    * ρ geometric as [[graft.pipeline.Sketches.hllCells]], so a DuckDB
-    * replay is bit-exact. Output is one row per (node, t) with the
-    * EXACT integer register aggregates (n_present, Σregister, the
-    * z-numerator Z·2^c) plus the raw-HLL estimate to 3 dp (one double
-    * division, the q_hll discipline; same documented no-small-range-
-    * correction contract as [[graft.pipeline.Sketches.hllEstimate]]).
+    * bucket-wise max.
+    *
+    * Register representation (r19): each node's m registers are PACKED
+    * into one m-byte array, so a round costs ONE equi-join scattering
+    * |edges| rows of a single m-byte payload + ONE per-node
+    * [[RegMaxAgg]] byte-wise max-combine (map-side combinable) — the
+    * r18 row-form frame scattered |edges|·m rows per round, a 64×
+    * shuffle-volume constant at p=6 that dominated at billion-edge
+    * scale (published HyperBall packs registers per node for exactly
+    * this reason). Round count, never ball size, bounds the shuffles;
+    * register frames are materialized for O(1) lineage and released
+    * two-back. Registers come from the same md5-derived ρ geometric as
+    * [[graft.pipeline.Sketches.hllCells]] and the snapshots unpack to
+    * the identical integer aggregates, so the row-form DuckDB replay
+    * stays bit-exact (packed ≡ row-form is spec-pinned). Output is one
+    * row per (node, t) with the EXACT integer register aggregates
+    * (n_present, Σregister, the z-numerator Z·2^c) plus the raw-HLL
+    * estimate to 3 dp (one double division, the q_hll discipline; same
+    * documented no-small-range-correction contract as
+    * [[graft.pipeline.Sketches.hllEstimate]]).
     */
   def hyperBall(edges: DataFrame, rounds: Int = 3, p: Int = 6,
       src: String = "_src", dst: String = "_dst"): DataFrame = {
     require(rounds >= 1 && p >= 4 && p <= 16)
     val m = 1 << p
     val c = 60 - p + 1
+    val spark = edges.sparkSession
+    import spark.implicits._
     val fwd = edges.select(col(src).as("u"), col(dst).as("v"))
       .filter(col(src) =!= col(dst))
     val sym0 = materialize(
       fwd.unionByName(fwd.select(col("v").as("u"), col("u").as("v"))).distinct())
-    val out = withLoopParts(edges.sparkSession, sym0.count()) { sc =>
+    val out = withLoopParts(spark, sym0.count()) { sc =>
     val sym = sc.in(sym0)
     val nodes = sym.select(col("u").as("id")).distinct()
     val cells = graft.pipeline.Sketches.hllCells(
       nodes.select(col("id"), col("id").as("val")), "val", "id", p)
-    var regs = materialize(cells.groupBy(col("grp").as("id"), col("bucket"))
-      .agg(max(col("rho")).as("register")))
+    // each node contributes exactly one cell (its own hash), so its
+    // initial packed vector is a zero array with that one register set
+    var regs = materialize(cells
+      .select(col("grp").cast(LongType).as("id"),
+        col("bucket").cast(LongType), col("rho"))
+      .as[(Long, Long, Int)]
+      .map { case (id, b, r) =>
+        val a = new Array[Byte](m); a(b.toInt) = r.toByte; (id, a) }
+      .toDF("id", "regs"))
+    def combine(df: DataFrame): DataFrame =
+      df.as[(Long, Array[Byte])]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(new RegMaxAgg(m).toColumn.name("regs"))
+        .toDF("id", "regs")
     def snap(t: Int, r: DataFrame): DataFrame =
-      r.groupBy("id").agg(
-        count(lit(1)).cast(LongType).as("n_present"),
-        sum(col("register").cast(LongType)).cast(LongType).as("sum_reg"),
-        sum(call_function("shiftleft", lit(1L), lit(c) - col("register")))
-          .cast(LongType).as("z_present"))
-        .select(col("id"), lit(t.toLong).as("t"), col("n_present"),
-          col("sum_reg"),
-          (col("z_present") + (lit(m.toLong) - col("n_present")) *
-            lit(1L << c)).as("z_num"))
+      r.as[(Long, Array[Byte])].map { case (id, a) =>
+        var np = 0L; var sr = 0L; var zp = 0L
+        var i = 0
+        while (i < m) {
+          val v = a(i).toLong
+          if (v > 0L) { np += 1L; sr += v; zp += 1L << (c - v) }
+          i += 1
+        }
+        (id, t.toLong, np, sr, zp + (m.toLong - np) * (1L << c))
+      }.toDF("id", "t", "n_present", "sum_reg", "z_num")
     var acc = Vector(materialize(snap(0, regs)))
     var older: DataFrame = null
     for (t <- 1 to rounds) {
       val scattered = sym
         .join(regs.withColumnRenamed("id", "v"), "v")
-        .select(col("u").as("id"), col("bucket"), col("register"))
-      val next = materialize(scattered.unionByName(regs)
-        .groupBy("id", "bucket").agg(max(col("register")).as("register")))
+        .select(col("u").as("id"), col("regs"))
+      val next = materialize(combine(scattered.unionByName(regs)))
       acc = acc :+ materialize(snap(t, next))
       // regs of round t-1 feeds only round t's scatter — releasable
       // once round t materialized (snapshots are their own checkpoints)

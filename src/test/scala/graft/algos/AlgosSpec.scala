@@ -411,6 +411,50 @@ class AlgosSpec extends SparkSpec {
     assert(again.sorted.toSeq == hb.sorted.toSeq)
   }
 
+  test("hyperBall: packed registers equal the row-form union rule exactly") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    // re-derive the (node, bucket, register) ROW-form loop the packed
+    // RegMaxAgg replaced in r19 and pin full snapshot equality
+    val e = edgesOf(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 1L,
+      2L -> 6L, 6L -> 7L)
+    val p = 4; val m = 1 << p; val c = 60 - p + 1; val rounds = 3
+    val fwd = e.select(col("_src").as("u"), col("_dst").as("v"))
+      .filter(col("_src") =!= col("_dst"))
+    val sym = fwd.unionByName(fwd.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+    val nodes = sym.select(col("u").as("id")).distinct()
+    var regs = graft.pipeline.Sketches.hllCells(
+        nodes.select(col("id"), col("id").as("val")), "val", "id", p)
+      .groupBy(col("grp").as("id"), col("bucket"))
+      .agg(max(col("rho")).as("register"))
+    def snap(t: Int, r: DataFrame): DataFrame =
+      r.groupBy("id").agg(
+        count(lit(1)).cast(LongType).as("n_present"),
+        sum(col("register").cast(LongType)).cast(LongType).as("sum_reg"),
+        sum(call_function("shiftleft", lit(1L), lit(c) - col("register")))
+          .cast(LongType).as("z_present"))
+        .select(col("id"), lit(t.toLong).as("t"), col("n_present"),
+          col("sum_reg"),
+          (col("z_present") + (lit(m.toLong) - col("n_present")) *
+            lit(1L << c)).as("z_num"))
+    var expected = snap(0, regs)
+    for (t <- 1 to rounds) {
+      val scattered = sym
+        .join(regs.withColumnRenamed("id", "v"), "v")
+        .select(col("u").as("id"), col("bucket"), col("register"))
+      regs = scattered.unionByName(regs)
+        .groupBy("id", "bucket").agg(max(col("register")).as("register"))
+      expected = expected.unionByName(snap(t, regs))
+    }
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("id"), r.getAs[Long]("t"), r.getAs[Long]("n_present"),
+        r.getAs[Long]("sum_reg"), r.getAs[Long]("z_num"))
+    val want = expected.collect().map(key).sorted.toSeq
+    val got = Algos.hyperBall(e, rounds, p).collect().map(key).sorted.toSeq
+    assert(got == want, "packed register snapshots must equal the row form")
+  }
+
   test("betweennessSampled: exact Brandes dependencies on path and diamond") {
     // path 1→2→3→4 from seed 1: δ(2) = 2, δ(3) = 1, 4 absent (δ = 0)
     val path = edgesOf(1L -> 2L, 2L -> 3L, 3L -> 4L)
