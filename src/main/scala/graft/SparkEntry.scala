@@ -1115,6 +1115,15 @@ object SparkEntry {
     "q_stream_funnel" -> ((s, dir) =>
       streaming.EventStreams.streamingFunnel(lenient(s), dir)),
 
+    // funnel on the stream WITH a watermark-TTL horizon: step times
+    // below the watermark evict, horizon-idle users drop their state
+    // row (event-time timeout) — state bounds at in-horizon activity;
+    // chains inside the horizon are exact, so the 365-day horizon
+    // (covers the gate corpus, single AvailableNow batch) shares the
+    // q_funnel oracle verbatim
+    "q_stream_funnel_ttl" -> ((s, dir) =>
+      streaming.EventStreams.streamingFunnelTtl(lenient(s), dir)),
+
     // first-order Markov transition matrix: (event_type -> next) counts
     // from one lead over (user_id | ts, event_id) + permille of the
     // from-type marginal (integer division; output |types|^2 max)
@@ -1142,6 +1151,15 @@ object SparkEntry {
     // so the drained rollup equals batch and shares its oracle
     "q_stream_active" -> ((s, dir) =>
       streaming.EventStreams.streamingActiveUsers(lenient(s), dir)),
+
+    // active users on the stream WITH day eviction: watermark +
+    // dropDuplicatesWithinWatermark bounds state at |users ×
+    // days-in-horizon| (pairs recur at-least-once per horizon; the
+    // drain dedups before the rollup) — equal to batch within the
+    // horizon, so it shares the q_active_users oracle
+    "q_stream_active_ttl" -> ((s, dir) =>
+      streaming.EventStreams.streamingActiveUsers(lenient(s), dir,
+        horizon = Some("365 days"), queryName = "q_stream_active_ttl")),
 
     // funnel CONVERSION RATES: the q_funnel per-user surface reduced
     // to the dashboard numbers — users reaching each step, permille vs
@@ -2747,6 +2765,9 @@ object SparkEntry {
     // the streamed pair-set dedup is order-insensitive, so the batch
     // active-users oracle gates the stream verbatim
     "q_stream_active" -> activeUsersOracleSql,
+    // the TTL variant equals batch while each pair's duplicates fall
+    // inside the 365-day horizon (the whole gate corpus, one batch)
+    "q_stream_active_ttl" -> activeUsersOracleSql,
     "q_betweenness" -> betweennessOracle(Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L)),
     "q_hits" -> hitsOracle(5),
     "q_mis" -> misOracle(4),
@@ -4726,6 +4747,10 @@ object SparkEntry {
     // the streamed funnel is order-insensitive (per-step time SETS +
     // chain re-derivation), so the batch funnel oracle gates it verbatim
     "q_stream_funnel" -> funnelOracleSql,
+    // the TTL funnel equals batch while every chain fits the 365-day
+    // horizon (the whole gate corpus, one AvailableNow batch — the
+    // watermark never advances mid-drain)
+    "q_stream_funnel_ttl" -> funnelOracleSql,
     // session-path replay: lag-flag + running-sum sessionization (ROWS
     // frame == Spark's RANGE default because (ts, event_id) is unique),
     // two leads gated to the same session, grouped path counts

@@ -560,6 +560,12 @@ object EventStreams {
   }
 
   final case class FunnelEv(user_id: Long, step: Int, us: Long)
+  /** [[FunnelEv]] plus the raw timestamp: the event-time-timeout
+    * checker requires the WATERMARKED column itself to reach the
+    * stateful operator's input, so the TTL variant carries `ts`
+    * alongside the epoch-micros the state machine works in. */
+  final case class FunnelEvT(user_id: Long, step: Int, us: Long,
+      ts: java.sql.Timestamp)
   final case class FunnelOut(user_id: Long, version: Long, t1_us: Long,
       t2_us: Long, t3_us: Long, depth: Long)
 
@@ -575,7 +581,8 @@ object EventStreams {
     * that were below the old chain (spec pins exactly this), so no
     * time below the current chain may be discarded — state per user is
     * bounded by their funnel-event count (the sessionizeStream class;
-    * cap with an event-time horizon when a product needs less). Order-
+    * [[streamingFunnelTtl]] is the horizon-capped variant when a
+    * product can bound the chain window). Order-
     * insensitive by construction, so the drained result equals
     * [[funnelBatch]] whatever the batch arrangement, and the q_funnel
     * oracle gates the streamed run verbatim.
@@ -611,25 +618,155 @@ object EventStreams {
       .orderBy("user_id")
     }
 
+  /** Merge an already-sorted-distinct state seq with a batch of new
+    * times: O(|state| + |batch| log |batch|) per batch instead of the
+    * old full-history re-sort (the r18 verdict's compounding-cost
+    * note) — the state invariant (sorted, distinct) is maintained
+    * across batches, only the batch's own times ever see a sort.
+    */
+  private def mergeSorted(s0: Seq[Long], add: Seq[Long]): Seq[Long] =
+    if (add.isEmpty) s0
+    else {
+      val x = s0.iterator.buffered
+      val y = add.distinct.sorted.iterator.buffered
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (x.hasNext && y.hasNext) {
+        if (x.head < y.head) out += x.next()
+        else if (x.head > y.head) out += y.next()
+        else { out += x.next(); y.next() }
+      }
+      while (x.hasNext) out += x.next()
+      while (y.hasNext) out += y.next()
+      out.toSeq
+    }
+
+  /** The shared per-user funnel transition: merge the batch into the
+    * sorted per-step sets, evict times below `floorUs` (Long.MinValue
+    * = no horizon, the exact variant), re-derive the strict-after
+    * chain, emit the versioned row. Empty-after-eviction state is
+    * REMOVED (only reachable on the TTL path).
+    */
+  private def funnelCore(user: Long, batch: Seq[FunnelEv],
+      state: GroupState[(Long, Seq[Long], Seq[Long], Seq[Long])],
+      floorUs: Long, vFloor: Long = 0L): Iterator[FunnelOut] = {
+    val (v0, a0, b0, c0) = state.getOption
+      .getOrElse((0L, Seq.empty[Long], Seq.empty[Long], Seq.empty[Long]))
+    def upd(s0: Seq[Long], step: Int): Seq[Long] = {
+      val m = mergeSorted(s0, batch.collect { case e if e.step == step => e.us })
+      if (floorUs == Long.MinValue) m else m.dropWhile(_ < floorUs)
+    }
+    val a = upd(a0, 0)
+    val b = upd(b0, 1)
+    val c = upd(c0, 2)
+    if (a.isEmpty && b.isEmpty && c.isEmpty) {
+      if (state.exists) state.remove()
+      Iterator.empty
+    } else {
+      // vFloor (TTL path: the watermark in µs — data-derived, so still
+      // deterministic) keeps versions monotone ACROSS state lifetimes:
+      // a user whose state timed out restarts the counter, and without
+      // the floor their fresh v=1 row would tie their original v=1 row
+      // in the drain's latest-version join
+      val v = math.max(v0 + 1, vFloor)
+      state.update((v, a, b, c))
+      val t1 = a.headOption
+      val t2 = t1.flatMap(x => b.find(_ > x))
+      val t3 = t2.flatMap(x => c.find(_ > x))
+      if (t1.isEmpty) Iterator.empty
+      else Iterator(FunnelOut(user, v, t1.getOrElse(-1L), t2.getOrElse(-1L),
+        t3.getOrElse(-1L), Seq(t1, t2, t3).count(_.isDefined).toLong))
+    }
+  }
+
   /** The per-user state transition of [[streamingFunnel]], exposed for
     * MemoryStream specs. */
   private[streaming] def funnelUpdate(user: Long, it: Iterator[FunnelEv],
-      state: GroupState[(Long, Seq[Long], Seq[Long], Seq[Long])]): Iterator[FunnelOut] = {
-    val (v0, a0, b0, c0) = state.getOption
-      .getOrElse((0L, Seq.empty[Long], Seq.empty[Long], Seq.empty[Long]))
-    val batch = it.toSeq
-    val a = (a0 ++ batch.filter(_.step == 0).map(_.us)).distinct.sorted
-    val b = (b0 ++ batch.filter(_.step == 1).map(_.us)).distinct.sorted
-    val c = (c0 ++ batch.filter(_.step == 2).map(_.us)).distinct.sorted
-    val v = v0 + 1
-    state.update((v, a, b, c))
-    val t1 = a.headOption
-    val t2 = t1.flatMap(x => b.find(_ > x))
-    val t3 = t2.flatMap(x => c.find(_ > x))
-    if (t1.isEmpty) Iterator.empty
-    else Iterator(FunnelOut(user, v, t1.getOrElse(-1L), t2.getOrElse(-1L),
-      t3.getOrElse(-1L), Seq(t1, t2, t3).count(_.isDefined).toLong))
-  }
+      state: GroupState[(Long, Seq[Long], Seq[Long], Seq[Long])]): Iterator[FunnelOut] =
+    funnelCore(user, it.toSeq, state, Long.MinValue)
+
+  /** [[funnelUpdate]] with the event-time horizon: step times below the
+    * current watermark are evicted before the chain re-derives, and a
+    * user whose every retained time ages out has their state REMOVED
+    * via event-time timeout (one horizon past their newest retained
+    * step), so state is bounded by in-horizon activity, not history.
+    */
+  private[streaming] def funnelUpdateTtl(horizonMs: Long)(user: Long,
+      it: Iterator[FunnelEvT],
+      state: GroupState[(Long, Seq[Long], Seq[Long], Seq[Long])]): Iterator[FunnelOut] =
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      // the watermark already lags max event time by the horizon, so
+      // the eviction floor IS the watermark (0 before the first batch
+      // completes — nothing evicts on a single AvailableNow drain)
+      val floorUs = state.getCurrentWatermarkMs() * 1000L
+      // drop late arrivals below the floor too: deterministic whatever
+      // the engine's own late-row filtering for this operator
+      val out = funnelCore(user,
+        it.filter(_.us >= floorUs)
+          .map(e => FunnelEv(e.user_id, e.step, e.us)).toSeq,
+        state, floorUs, vFloor = floorUs)
+      if (state.exists) {
+        val (_, a, b, c) = state.get
+        // retained times are >= the watermark, so this is always ahead
+        // of it (the setTimeoutTimestamp precondition)
+        val maxMs = math.max(a.lastOption.getOrElse(Long.MinValue),
+          math.max(b.lastOption.getOrElse(Long.MinValue),
+            c.lastOption.getOrElse(Long.MinValue))) / 1000L
+        state.setTimeoutTimestamp(maxMs + horizonMs)
+      }
+      out
+    }
+
+  /** [[streamingFunnel]] with a watermark-TTL horizon — the r18
+    * verdict's missing #1, the [[streamingDedupTtl]] trade applied to
+    * the funnel's per-step sets: a watermark on `ts` evicts step times
+    * older than `horizonDays` below the max seen event time, and users
+    * with no retained step inside the horizon drop their state row
+    * entirely (event-time timeout), so state is bounded by in-horizon
+    * funnel activity — arrival rate × horizon — not by user history on
+    * an unbounded stream. The divergence contract, stated the
+    * q_stream_dedup_ttl way: chains whose qualifying step times all
+    * fall inside the horizon are EXACT (equal to [[funnelBatch]], the
+    * gate oracle — on the gate corpus the 365-day horizon covers the
+    * whole table and the single AvailableNow batch drains before any
+    * watermark advances); a chain whose early steps age out re-derives
+    * from the retained suffix only, so t1 can move forward and depth
+    * can shrink relative to the unbounded exact variant (spec pins
+    * exactly this, plus the state-row removal).
+    */
+  def streamingFunnelTtl(spark: SparkSession, eventsDir: String,
+      glob: String = "events.parquet",
+      steps: Seq[String] = Seq("view", "click", "purchase"),
+      horizonDays: Int = 365,
+      queryName: String = "q_stream_funnel_ttl"): DataFrame =
+    withStreamParts(spark, eventsDir, glob) { spark =>
+    import spark.implicits._
+    require(steps.length == 3, "the streaming funnel is specialized to 3 steps")
+    val raw = eventsRawStream(spark, eventsDir, glob)
+    val rows = raw.withWatermark("ts", s"$horizonDays days")
+      .select(col("user_id"),
+        when(col("event_type") === steps(0), 0)
+          .when(col("event_type") === steps(1), 1)
+          .when(col("event_type") === steps(2), 2).as("step"),
+        unix_micros(col("ts")).as("us"), col("ts"))
+      .filter(col("step").isNotNull)
+      .as[FunnelEvT]
+    val query = rows.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        funnelUpdateTtl(horizonDays.toLong * 86400000L))
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    val drained = spark.table(queryName).localCheckpoint()
+    val latest = drained.groupBy("user_id").agg(max(col("version")).as("version"))
+    drained.join(latest, Seq("user_id", "version"))
+      .select(col("user_id"), col("t1_us"), col("t2_us"), col("t3_us"),
+        col("depth"))
+      .orderBy("user_id")
+    }
 
   /** Rolling active users ON THE STREAM — [[graft.operators.Olap.activeUsers]]'s
     * incremental twin: one streaming `dropDuplicates(uday, user_id)`
@@ -637,29 +774,46 @@ object EventStreams {
     * reduction the batch operator starts from, so the drained pairs
     * feed the identical DAU/WAU rollup and the batch oracle gates the
     * stream verbatim. State is |users × active days| rows — bounded by
-    * the pair cardinality, not the event count (an event-time
-    * watermark on uday evicts closed days when the horizon can be
-    * bounded, the q_stream_dedup_ttl trade; the gate pins the exact
-    * variant). Day arithmetic in integer offsets from 2024-01-01, no
-    * dates on the hashed surface.
+    * the pair cardinality, not the event count. `horizon` (r19, the
+    * r18 verdict's missing #2) is the q_stream_dedup_ttl trade wired
+    * in rather than described: an event-time watermark +
+    * `dropDuplicatesWithinWatermark` evicts a (day, user) pair's state
+    * once the watermark passes its horizon, bounding state at
+    * |users × days-in-horizon| on an unbounded stream; a pair
+    * recurring after eviction re-emits (at-least-once per horizon), so
+    * the TTL drain dedups the pair frame before the rollup — equality
+    * with batch holds whenever each day's events span less than the
+    * horizon (the gate corpus trivially, single AvailableNow batch).
+    * Day arithmetic in integer offsets from 2024-01-01, no dates on
+    * the hashed surface.
     */
   def streamingActiveUsers(spark: SparkSession, eventsDir: String,
       glob: String = "events.parquet", windowDays: Int = 7,
+      horizon: Option[String] = None,
       queryName: String = "q_stream_active"): DataFrame =
     withStreamParts(spark, eventsDir, glob) { spark =>
     val raw = eventsRawStream(spark, eventsDir, glob)
-    val query = raw
-      .select(datediff(to_date(col("ts")), lit("2024-01-01"))
-          .cast(LongType).as("uday"),
-        col("user_id"))
-      .dropDuplicates("uday", "user_id")
+    val uday = datediff(to_date(col("ts")), lit("2024-01-01"))
+      .cast(LongType).as("uday")
+    val deduped = horizon match {
+      case Some(h) => raw
+        .withWatermark("ts", h)
+        .select(uday, col("user_id"), col("ts"))
+        .dropDuplicatesWithinWatermark("uday", "user_id")
+        .select(col("uday"), col("user_id"))
+      case None => raw
+        .select(uday, col("user_id"))
+        .dropDuplicates("uday", "user_id")
+    }
+    val query = deduped
       .writeStream.format("memory").queryName(queryName)
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
+    val pairs = spark.table(queryName).localCheckpoint()
     graft.operators.Olap.activeUsersFromPairs(
-      spark.table(queryName).localCheckpoint(), windowDays)
+      if (horizon.isDefined) pairs.distinct() else pairs, windowDays)
     }
 
   /** First-order Markov transition matrix over per-user event

@@ -219,6 +219,137 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty && streamed == batch)
   }
 
+  test("streamingFunnelTtl equals funnelBatch when the horizon covers the corpus") {
+    val ev = graft.graph.GraphLoader.eventsTable(spark, sfDir)
+    val batch = EventStreams.funnelBatch(ev, Seq("view", "click", "purchase"))
+      .select(col("user_id"),
+        coalesce(col("t1_us"), lit(-1L)).as("t1_us"),
+        coalesce(col("t2_us"), lit(-1L)).as("t2_us"),
+        coalesce(col("t3_us"), lit(-1L)).as("t3_us"),
+        col("depth"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sorted.toSeq
+    val streamed = EventStreams.streamingFunnelTtl(spark, sfDir,
+        queryName = "stream_funnel_ttl_spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sorted.toSeq
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
+  test("streamingFunnelTtl state: horizon evicts step times and timeout removes idle users") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val horizonDays = 30
+    val input = MemoryStream[Event]
+    val rows = input.toDS()
+      .withWatermark("ts", s"$horizonDays days")
+      .select(col("user_id"),
+        when(col("event_type") === "view", 0)
+          .when(col("event_type") === "click", 1)
+          .when(col("event_type") === "purchase", 2).as("step"),
+        unix_micros(col("ts")).as("us"), col("ts"))
+      .filter(col("step").isNotNull)
+      .as[EventStreams.FunnelEvT]
+    val query = rows.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout)(
+        EventStreams.funnelUpdateTtl(horizonDays.toLong * 86400000L))
+      .writeStream.format("memory").queryName("funnel_ttl_evict")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // +1 day: an event at epoch 0 ties the INITIAL watermark (0) and
+      // the engine's late filter drops ties
+      def day(d: Int) = new Timestamp((d + 1).toLong * 86400L * 1000L)
+      def dayUs(d: Int) = (d + 1).toLong * 86400L * 1000000L
+      // batch 1: user 7 starts a chain well inside the horizon
+      input.addData(Event(1, day(0), 7L, "view", 0.0),
+        Event(2, day(1), 7L, "click", 0.0))
+      query.processAllAvailable()
+      val b1 = spark.table("funnel_ttl_evict").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("t1_us"),
+          r.getAs[Long]("t2_us"), r.getAs[Long]("depth")))
+      assert(b1.toSeq == Seq((7L, dayUs(0), dayUs(1), 2L)),
+        s"in-horizon chain must be exact: ${b1.toSeq}")
+      // batch 2 advances the watermark far past user 7's chain
+      input.addData(Event(3, day(100), 8L, "view", 0.0))
+      query.processAllAvailable()
+      // batch 3: user 7's timeout (day 31) is below the watermark
+      // (day 70) -> their state row is REMOVED this trigger
+      input.addData(Event(4, day(101), 8L, "view", 0.0))
+      query.processAllAvailable()
+      val state = query.lastProgress.stateOperators
+      assert(state.nonEmpty && state.head.numRowsTotal == 1,
+        s"idle user's state must evict: ${state.map(_.numRowsTotal).toSeq}")
+      // batch 4: user 7 returns -> the chain RESTARTS from the retained
+      // horizon (old view/click gone), and the watermark-seeded version
+      // outranks the original rows in the drain
+      input.addData(Event(5, day(102), 7L, "view", 0.0))
+      query.processAllAvailable()
+      val rows7 = spark.table("funnel_ttl_evict").collect()
+        .filter(_.getAs[Long]("user_id") == 7L)
+        .map(r => (r.getAs[Long]("version"), r.getAs[Long]("t1_us"),
+          r.getAs[Long]("t2_us"), r.getAs[Long]("depth")))
+      val last7 = rows7.maxBy(_._1)
+      assert((last7._2, last7._3, last7._4) == ((dayUs(102), -1L, 1L)),
+        s"returning user must restart from the horizon: ${rows7.toSeq}")
+      // and the watermark-seeded version outranks the original rows
+      assert(rows7.count(_._1 == last7._1) == 1,
+        s"latest version must be unique per user: ${rows7.toSeq}")
+    } finally query.stop()
+  }
+
+  test("streamingActiveUsers with a horizon equals the batch rollup on the gate corpus") {
+    val ev = graft.graph.GraphLoader.eventsTable(spark, sfDir)
+    val batch = graft.operators.Olap.activeUsers(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val streamed = EventStreams.streamingActiveUsers(spark, sfDir,
+        horizon = Some("365 days"), queryName = "stream_active_ttl_spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
+  test("streamingActiveUsers horizon: pair state evicts and the drain dedups re-emissions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val pairs = input.toDS()
+      .withWatermark("ts", "30 days")
+      .select(datediff(to_date(col("ts")), lit("2024-01-01"))
+          .cast("long").as("uday"),
+        col("user_id"), col("ts"))
+      .dropDuplicatesWithinWatermark("uday", "user_id")
+      .select(col("uday"), col("user_id"))
+    val query = pairs.writeStream.format("memory")
+      .queryName("active_ttl_evict").outputMode(OutputMode.Append).start()
+    try {
+      def onDay(d: Int) = new Timestamp(
+        Timestamp.valueOf("2024-01-01 00:00:00").getTime + d.toLong * 86400000L)
+      // batch 1: user 7 active on day 0, with an in-horizon duplicate
+      input.addData(Event(1, onDay(0), 7L, "view", 0.0),
+        Event(2, onDay(0), 7L, "click", 0.0))
+      query.processAllAvailable()
+      assert(spark.table("active_ttl_evict").count() == 1)
+      // batch 2 advances the watermark past day 0's horizon
+      input.addData(Event(3, onDay(100), 8L, "view", 0.0))
+      query.processAllAvailable()
+      // batch 3: the SAME (day 0, user 7) pair recurs as late data long
+      // after eviction — if the engine admits it, it re-emits (the TTL
+      // trade); either way the DEDUPED drain (what
+      // streamingActiveUsers feeds the rollup) holds exactly one copy
+      input.addData(Event(4, onDay(0), 7L, "purchase", 0.0))
+      query.processAllAvailable()
+      val drained = spark.table("active_ttl_evict")
+      val deduped = drained.distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(deduped == Seq((0L, 7L), (100L, 8L)),
+        s"deduped drain must hold one copy per pair: $deduped")
+      // bounded state: the evicted day-0 pair no longer holds a row
+      val state = query.lastProgress.stateOperators
+      assert(state.nonEmpty && state.head.numRowsTotal <= 2,
+        s"state not bounded: ${state.map(_.numRowsTotal).toSeq}")
+    } finally query.stop()
+  }
+
   test("sessionPaths: triples count inside a session, never across the gap") {
     import spark.implicits._
     def e(id: Long, u: Long, minute: Int, ty: String) =
