@@ -1395,6 +1395,16 @@ object SparkEntry {
       algos.Algos.node2vecWalks(relatedTo(s, dir),
         nStarts = 64, steps = 6, walksPerStart = 2)),
 
+    // skip-gram PMI over the walk corpus — the walk->embedding loop
+    // closed: (center, context) pairs at step distance 1..2 inside the
+    // q_walks corpus, scored by the q_colloc rational lift; the oracle
+    // re-derives the pairs from the walk oracle's own CTE chain
+    "q_walk_pmi" -> ((s, dir) =>
+      algos.Algos.walkSkipGramLift(
+        algos.Algos.deterministicWalks(relatedTo(s, dir),
+          nStarts = 64, steps = 8, walksPerStart = 4),
+        window = 2, minCount = 2L, topN = 50)),
+
     // sampled betweenness (Brandes over the 8-seed fixed sample,
     // distance-bounded at 4): forward σ per level, backward δ per level
     // with round-7dp terms summed as exact DECIMAL — chained-CTE replay
@@ -1970,10 +1980,12 @@ object SparkEntry {
   }
 
   /** Deterministic-walk replay mirroring
-    * [[algos.Algos.deterministicWalks]]: per step, the out-neighbor
-    * minimizing (md5(start|t|w), w) via a per-start rank.
+    * [[algos.Algos.deterministicWalks]]: per step t, walk w takes the
+    * out-neighbor x minimizing (md5(start|w|t|x), x) via a per-(start,
+    * walk) rank — the walkId-salted hash stream that makes sibling
+    * walks diverge.
     */
-  private def walksOracle(nStarts: Int, steps: Int, walksPerStart: Int): String = {
+  private def walksCtes(nStarts: Int, steps: Int, walksPerStart: Int): String = {
     val iters = (1 to steps).map { t =>
       val p = s"w${t - 1}"
       s"""w$t AS MATERIALIZED (
@@ -1987,7 +1999,7 @@ object SparkEntry {
            WHERE rn = 1)"""
     }.mkString(",\n")
     val unions = (0 to steps).map(t => s"SELECT * FROM w$t").mkString("\n         UNION ALL ")
-    s"""WITH $relatedSql,
+    s"""$relatedSql,
        nodes AS MATERIALIZED (SELECT p1 AS n FROM related
                UNION SELECT p2 FROM related),
        wids AS MATERIALIZED (
@@ -1998,11 +2010,48 @@ object SparkEntry {
        w0 AS MATERIALIZED (
          SELECT start, walk_id, CAST(0 AS BIGINT) AS step, start AS node
          FROM starts CROSS JOIN wids),
-       $iters
-       SELECT start, walk_id, step, node FROM (
-         $unions)
-       ORDER BY start, walk_id, step"""
+       $iters,
+       walk AS MATERIALIZED (
+         SELECT start, walk_id, step, node FROM (
+           $unions))"""
   }
+
+  private def walksOracle(nStarts: Int, steps: Int, walksPerStart: Int): String =
+    s"""WITH ${walksCtes(nStarts, steps, walksPerStart)}
+       SELECT start, walk_id, step, node FROM walk
+       ORDER BY start, walk_id, step"""
+
+  /** Skip-gram lift replay mirroring [[algos.Algos.walkSkipGramLift]]:
+    * the SAME walk CTE chain as [[walksOracle]] (the pairs are
+    * re-derived from the oracle's own walks, not from Spark's), then
+    * ordered in-walk pairs at step distance 1..window, grouped counts,
+    * marginals, and the rational lift.
+    */
+  private def walkPmiOracle(nStarts: Int, steps: Int, walksPerStart: Int,
+      window: Int, minCount: Long, topN: Int): String =
+    s"""WITH ${walksCtes(nStarts, steps, walksPerStart)},
+       pairs AS MATERIALIZED (
+         SELECT a.node AS node, b.node AS ctx_node
+         FROM walk a JOIN walk b
+           ON a.start = b.start AND a.walk_id = b.walk_id
+          AND b.step > a.step AND b.step <= a.step + $window),
+       cxy AS MATERIALIZED (
+         SELECT node, ctx_node, CAST(count(*) AS BIGINT) AS c_xy
+         FROM pairs GROUP BY 1, 2),
+       cx AS (SELECT node, CAST(sum(c_xy) AS BIGINT) AS c_x
+              FROM cxy GROUP BY 1),
+       cy AS (SELECT ctx_node, CAST(sum(c_xy) AS BIGINT) AS c_y
+              FROM cxy GROUP BY 1),
+       nn AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n FROM cxy)
+       SELECT cxy.node, cxy.ctx_node, cxy.c_xy, cx.c_x, cy.c_y,
+         round(CAST(cxy.c_xy * nn.n AS DOUBLE) /
+           CAST(cx.c_x * cy.c_y AS DOUBLE), 6) AS lift
+       FROM cxy
+       JOIN cx ON cx.node = cxy.node
+       JOIN cy ON cy.ctx_node = cxy.ctx_node
+       CROSS JOIN nn
+       WHERE cxy.c_xy >= $minCount
+       ORDER BY lift DESC, cxy.node, cxy.ctx_node LIMIT $topN"""
 
   /** Strict-after funnel chain: per-user earliest step times with each
     * step conditioned on being after the previous, null → -1, epoch
@@ -2868,6 +2917,8 @@ object SparkEntry {
          GROUP BY s ORDER BY seed""",
     "q_sssp" -> ssspOracle(1L, 6),
     "q_walks" -> walksOracle(64, 8, 4),
+    "q_walk_pmi" -> walkPmiOracle(64, 8, 4, window = 2, minCount = 2L,
+      topN = 50),
     "q_walks_n2v" -> n2vWalksOracle(64, 6, 2, 250L, 1000L, 500L),
     // chi-square drift replay: same cross-multiplied integer cells over
     // the full source × category grid (O = 0 cells included), same

@@ -1483,6 +1483,56 @@ object Algos {
       .orderBy("start", "walk_id", "step")
   }
 
+  /** Skip-gram co-occurrence lift over walk corpora — the composition
+    * that closes the walk→embedding loop ([[deterministicWalks]] /
+    * [[node2vecWalks]] exist to produce DeepWalk/node2vec training
+    * pairs, and THESE are those pairs): count every ordered (center,
+    * context) pair of walk positions at distance 1..`window` within
+    * one walk, then score by the same rational lift as
+    * [[graft.pipeline.TextOps.collocations]] — c_xy·N/(c_x·c_y), the
+    * transcendental-free PMI surrogate (no logs on the hashed
+    * surface). Pair extraction is ONE self-equi-join on
+    * (start, walk_id): each walk is steps+1 rows, so the join output
+    * is |walks| × O(steps·window) — corpus-sized in the WALK corpus,
+    * never the graph. Marginals and N are two grouped sums and a
+    * one-row broadcast (the collocations shape). Forward direction
+    * only (context FOLLOWS center): symmetric context would exactly
+    * double every count and marginal, changing no lift and no
+    * ordering, so the directed form is the canonical surface. Returns
+    * (node, ctx_node, c_xy, c_x, c_y, lift) — top `topN` by
+    * (lift desc, node, ctx_node), c_xy ≥ minCount.
+    */
+  def walkSkipGramLift(walks: DataFrame, window: Int = 2,
+      minCount: Long = 2L, topN: Int = 50): DataFrame = {
+    require(window >= 1 && topN >= 1)
+    val a = walks.select(col("start"), col("walk_id"),
+      col("step").as("i"), col("node"))
+    val b = walks.select(col("start"), col("walk_id"),
+      col("step").as("j"), col("node").as("ctx_node"))
+    val cxy = a.join(b, Seq("start", "walk_id"))
+      .filter(col("j") > col("i") && col("j") <= col("i") + lit(window.toLong))
+      .groupBy("node", "ctx_node")
+      .agg(count(lit(1)).cast(LongType).as("c_xy"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cx = cxy.groupBy("node").agg(sum(col("c_xy")).cast(LongType).as("c_x"))
+    val cy = cxy.groupBy("ctx_node")
+      .agg(sum(col("c_xy")).cast(LongType).as("c_y"))
+    val n = cxy.agg(sum(col("c_xy")).cast(LongType).as("n"))
+    // force the ≤topN surface before releasing the shared pair counts
+    // (the collocations cache discipline)
+    val out = cxy.filter(col("c_xy") >= minCount)
+      .join(cx, "node").join(cy, "ctx_node").crossJoin(broadcast(n))
+      .select(col("node"), col("ctx_node"), col("c_xy"), col("c_x"),
+        col("c_y"),
+        round((col("c_xy") * col("n")).cast(DoubleType) /
+          (col("c_x") * col("c_y")).cast(DoubleType), 6).as("lift"))
+      .orderBy(desc("lift"), asc("node"), asc("ctx_node"))
+      .limit(topN)
+      .localCheckpoint()
+    cxy.unpersist()
+    out
+  }
+
   /** node2vec-BIASED deterministic walks (Grover & Leskovec 2016,
     * derandomized): [[deterministicWalks]]'s hash-argmin machinery with
     * the second-order return/in/out bias. Each candidate hop x from

@@ -411,6 +411,39 @@ class AlgosSpec extends SparkSpec {
     assert(again.sorted.toSeq == hb.sorted.toSeq)
   }
 
+  test("walkSkipGramLift: in-walk window pairs only, forward direction, exact lift") {
+    import spark.implicits._
+    // walk (1,0): 1>2>3>4 ; walk (9,0): 1>2>9 ; walk (1,1): 5>6 —
+    // the last shares walk (1,0)'s start, so any cross-walk leak
+    // between them (e.g. a 4->5 pair) would surface
+    val walks = Seq(
+      (1L, 0L, 0L, 1L), (1L, 0L, 1L, 2L), (1L, 0L, 2L, 3L), (1L, 0L, 3L, 4L),
+      (9L, 0L, 0L, 1L), (9L, 0L, 1L, 2L), (9L, 0L, 2L, 9L),
+      (1L, 1L, 0L, 5L), (1L, 1L, 1L, 6L)
+    ).toDF("start", "walk_id", "step", "node")
+    val got = Algos.walkSkipGramLift(walks, window = 2, minCount = 1L,
+        topN = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    // window-2 forward pairs: (1,2)x2, (1,3), (2,3), (2,4), (3,4),
+    // (1,9), (2,9), (5,6); N=9 — (1,4) is distance 3, (4,5)/(9,5)
+    // would cross walks: all absent
+    val want = Seq(
+      (5L, 6L, 1L, 1L, 1L, 9.0),
+      (3L, 4L, 1L, 1L, 2L, 4.5),
+      (1L, 2L, 2L, 4L, 2L, 2.25),
+      (2L, 3L, 1L, 3L, 2L, 1.5),
+      (2L, 4L, 1L, 3L, 2L, 1.5),
+      (2L, 9L, 1L, 3L, 2L, 1.5),
+      (1L, 3L, 1L, 4L, 2L, 1.125),
+      (1L, 9L, 1L, 4L, 2L, 1.125))
+    assert(got.toSeq == want, s"got ${got.toSeq}")
+    // minCount prunes the singletons; topN truncates deterministically
+    val pruned = Algos.walkSkipGramLift(walks, window = 2, minCount = 2L,
+      topN = 100).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pruned.toSeq == Seq((1L, 2L)))
+  }
+
   test("hyperBall: packed registers equal the row-form union rule exactly") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.LongType
