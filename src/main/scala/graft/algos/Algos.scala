@@ -1678,7 +1678,8 @@ object Algos {
     out.select(col("id"), col("c").as("community"))
   }
 
-  /** TWO-LEVEL Louvain — phase 1 ([[louvain]]'s integer local move) +
+  /** MULTI-LEVEL Louvain (default two levels) — phase 1 ([[louvain]]'s
+    * integer local move) +
     * the graph COARSENING phase 2 of Blondel et al. 2008 that the r17
     * verdict flagged as missing: phase-1 communities contract to
     * super-nodes (edge weight between super-nodes = ordered-pair count
@@ -1705,26 +1706,75 @@ object Algos {
     * communities × communities-adjacency sized, so the phase-2 loop
     * runs on a graph that SHRINKS with the quality of phase 1 — the
     * property that makes real Louvain feasible on 10⁹-edge graphs.
-    * Returns (id, community) with community a level-2 label.
+    *
+    * `levels` (r19) runs the contraction + local-move pair as a
+    * fixed-depth recursion — Blondel's full multi-level scheme: level
+    * l contracts the level-(l−1) WEIGHTED super-graph by its local
+    * move's labels (edge weight = SUM of member-pair weights, so
+    * self-loops accumulate and weighted degrees stay preserved at
+    * every tier) and reruns the same weighted move. Each level's
+    * coarse frame shrinks with the quality of the level below, so
+    * cost is dominated by level 1; levels = 2 is bit-identical to the
+    * r18 two-level form (the q_louvain2 gate). Returns (id, community)
+    * with community a level-`levels` label.
     */
   def louvainLevels(edges: DataFrame, rounds: Int = 3, rounds2: Int = 2,
+      levels: Int = 2,
       src: String = "_src", dst: String = "_dst"): DataFrame = {
     require(rounds2 >= 1, s"rounds2 >= 1, got $rounds2")
+    require(levels >= 2, s"levels >= 2 (levels = 1 IS louvain), got $levels")
     // already checkpoint-backed by louvain's loop — reads are plan-cheap
     val l1 = louvain(edges, rounds, src, dst)
     val fwd = edges.select(col(src).as("u"), col(dst).as("v"))
       .filter(col(src) =!= col(dst))
     val sym = fwd.unionByName(fwd.select(col("v").as("u"), col("u").as("v")))
-      .distinct()
-    // contraction: ordered-pair counts between community labels — sym
-    // carries both directions, so cross weights land symmetric and the
-    // self row (cu = cv) counts 2×intra-edges, preserving degrees
-    val wsym0 = materialize(sym
-      .join(l1.select(col("id").as("u"), col("community").as("cu")), "u")
-      .join(l1.select(col("id").as("v"), col("community").as("cv")), "v")
-      .groupBy(col("cu").as("u"), col("cv").as("v"))
-      .agg(count(lit(1)).cast(LongType).as("w")))
-    val out = withLoopParts(edges.sparkSession, wsym0.count()) { sc =>
+      .distinct().select(col("u"), col("v"), lit(1L).as("w"))
+    // wg: the current-level weighted graph; lab: its nodes' next-tier
+    // labels; mapping: original id -> current deepest label
+    var wg = sym
+    var lab = l1.select(col("id"), col("community").as("c"))
+    var mapping = l1
+    var prevWg: DataFrame = null
+    var prevMapping: DataFrame = null
+    for (_ <- 2 to levels) {
+      // contraction: weight between super-nodes = Σ member-pair weights
+      // — wg carries both directions (and self-rows from level 2 on),
+      // so cross weights land symmetric and the self row (cu = cv)
+      // accumulates 2×intra-weight, preserving weighted degrees
+      val wsym = materialize(wg
+        .join(lab.select(col("id").as("u"), col("c").as("cu")), "u")
+        .join(lab.select(col("id").as("v"), col("c").as("cv")), "v")
+        .groupBy(col("cu").as("u"), col("cv").as("v"))
+        .agg(sum(col("w")).cast(LongType).as("w")))
+      val move = louvainLocalMove(wsym, rounds2)
+      val nextMapping = mapping
+        .join(move.select(col("id").as("community"), col("c").as("c2")),
+          "community")
+        .select(col("id"), col("c2").as("community"))
+        .localCheckpoint()
+      if (prevWg != null) release(prevWg)
+      if (prevMapping != null) release(prevMapping)
+      prevWg = wsym
+      prevMapping = move
+      wg = wsym
+      lab = move
+      mapping = nextMapping
+    }
+    if (prevWg != null) release(prevWg)
+    if (prevMapping != null) release(prevMapping)
+    mapping
+  }
+
+  /** The weighted integer-surrogate local move shared by every coarse
+    * tier of [[louvainLevels]]: semi-synchronous md5-parity rounds of
+    * score(C) = S·k_{i,in}(C) − k_i·Σtot′ over a weighted symmetric
+    * frame (u, v, w) with degree-preserving self-rows (k_{i,in} sums
+    * non-self rows — the self-loop is internal whatever the choice, so
+    * it cancels in the argmax; k_i includes it). Input must be
+    * materialized; returns checkpointed (id, c) the caller releases.
+    */
+  private def louvainLocalMove(wsym0: DataFrame, rounds2: Int): DataFrame =
+    withLoopParts(wsym0.sparkSession, wsym0.count()) { sc =>
     val wsym = sc.in(wsym0)
     val deg = materialize(wsym.groupBy(col("u").as("id"))
       .agg(sum(col("w")).cast(LongType).as("k")))
@@ -1767,14 +1817,6 @@ object Algos {
     release(deg)
     sc.out(labels)
     }
-    val res = l1
-      .join(out.select(col("id").as("community"), col("c").as("c2")),
-        "community")
-      .select(col("id"), col("c2").as("community"))
-      .localCheckpoint()
-    release(wsym0, out)
-    res
-  }
 
   /** k-core: iteratively drop nodes whose (undirected) degree falls
     * below k until stable; returns the surviving nodes with their

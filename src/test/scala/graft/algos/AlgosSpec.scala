@@ -775,6 +775,63 @@ class AlgosSpec extends SparkSpec {
     assert(p2.values.toSet.size < p1.values.toSet.size)
   }
 
+  test("louvainLevels levels=3: recursion recovers a planted three-tier hierarchy") {
+    import spark.implicits._
+    def k6(base: Long): Seq[(Long, Long)] =
+      (for (i <- 0 until 6; j <- i + 1 until 6)
+        yield (base + i, base + j)).toSeq
+    // tier 1: K6 cliques. tier 2: sibling K6s tied by 9 bridges (4
+    // super-clusters of 12 nodes at bases 1/101/201/301; S·9 > k_α·k_β
+    // makes the sibling merge positive at level 2). tier 3: the A-B
+    // and C-D super-cluster PAIRS coupled by 28 cross links spread
+    // EVENLY (7 per K6-pair, strictly under the 9-bridge sibling
+    // pull) — a K6 inside its merged super-cluster always prefers
+    // staying (σ_stay = S·9 − k·k_sib beats every cross option), so
+    // level 2 structurally cannot move the whole cluster, while the
+    // THIRD contraction's single super-node clears S·28 > k_A·k_B —
+    // the reachability gap coarsening exists to close. One weak B-C
+    // link must never merge.
+    val bases = Seq(1L, 101L, 201L, 301L)
+    def superCluster(b: Long): Seq[(Long, Long)] =
+      k6(b) ++ k6(b + 6) ++
+        (0 until 6).map(i => (b + i, b + 6 + i)) ++
+        Seq((b, b + 7L), (b + 1, b + 8L), (b + 2, b + 9L))
+    val sevenPairs =
+      Seq((0L, 0L), (1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L), (5L, 5L), (0L, 1L))
+    def cross(a: Long, b: Long): Seq[(Long, Long)] =
+      for (sk <- Seq(0L, 6L); dk <- Seq(0L, 6L); (i, j) <- sevenPairs)
+        yield (a + sk + i, b + dk + j)
+    val edges = (bases.flatMap(superCluster) ++
+      cross(1L, 101L) ++ cross(201L, 301L) ++
+      Seq((101L + 11L, 201L))).toDF("_src", "_dst")
+    val l2 = Algos.louvainLevels(edges, rounds = 3, rounds2 = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val l3 = Algos.louvainLevels(edges, rounds = 3, rounds2 = 4, levels = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l2.keySet == l3.keySet)
+    // level 3 is a COARSENING of level 2
+    l2.groupBy(_._2).foreach { case (c2, members) =>
+      assert(members.keys.map(l3).toSet.size == 1,
+        s"level-2 community $c2 split by level 3")
+    }
+    def nodesOf(b: Long): Seq[Long] = (b until b + 12L)
+    // level 2 resolves the four super-clusters but NOT the tier-3 pairs
+    bases.foreach { b =>
+      assert(nodesOf(b).map(l2).toSet.size == 1, s"super-cluster $b split at level 2")
+    }
+    assert(l2.values.toSet.size == 4, s"level 2 must find 4 communities: $l2")
+    // level 3 merges exactly the planted pairs: {A,B} and {C,D}
+    val ab = (nodesOf(1L) ++ nodesOf(101L)).map(l3).toSet
+    val cd = (nodesOf(201L) ++ nodesOf(301L)).map(l3).toSet
+    assert(ab.size == 1, s"A-B pair split at level 3: $ab")
+    assert(cd.size == 1, s"C-D pair split at level 3: $cd")
+    assert(ab != cd, "the weak B-C link must not merge the tier-3 groups")
+    // levels=2 is the default: bit-identical to the two-arg form
+    val l2again = Algos.louvainLevels(edges, rounds = 3, rounds2 = 4,
+      levels = 2).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l2again == l2)
+  }
+
   test("nodeSimilarityTopK: planted hub equals the single-window definition") {
     import spark.implicits._
     // hub H shares feature 0 with 200 spokes (deg·occCap-style fan-out:
