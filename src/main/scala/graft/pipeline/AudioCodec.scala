@@ -51,7 +51,10 @@ object AudioCodec {
     while (i + 8 <= b.length && (dataLen < 0 || sampleRate == 0)) {
       val id = new String(b, i, 4, "US-ASCII")
       val len = le32(b, i + 4)
-      if (id == "fmt " && i + 24 <= b.length) {
+      // the chunk's own declared length must cover the 16 fmt bytes —
+      // a corrupt shorter fmt chunk would otherwise read bytes
+      // belonging to the NEXT chunk and return garbage as Some(WavMeta)
+      if (id == "fmt " && len >= 16 && i + 24 <= b.length) {
         val audioFormat = le16(b, i + 8)
         if (audioFormat != 1) return None // PCM only
         channels = le16(b, i + 10)

@@ -431,13 +431,12 @@ class PlanAuditSpec extends SparkSpec {
     import scala.jdk.CollectionConverters._
     val root = Paths.get("src/main/scala/graft")
     assert(Files.isDirectory(root), s"audit must run from the repo root, missing $root")
+    // comment stripping is STRING-AWARE (graft.AuditLex): '//' inside
+    // a string literal must not drop the rest of the line — a false
+    // negative in a guard test
     def sitesOf(p: Path): Seq[String] = {
       val raw = new String(Files.readAllBytes(p), "UTF-8")
-      // strip block comments (Scaladoc mentions the API) and // tails
-      val noBlock = raw.replaceAll("(?s)/\\*.*?\\*/", " ")
-      val flat = noBlock.linesIterator
-        .map(l => if (l.contains("//")) l.substring(0, l.indexOf("//")) else l)
-        .mkString(" ")
+      val flat = graft.AuditLex.stripComments(raw).replace('\n', ' ')
       // the marker is a REGEX, not indexOf: `Window\n  .partitionBy`
       // spans lines in half the codebase, and the first audit version
       // missed 7 sites that way — including one real hazard (the CCNet
@@ -467,8 +466,8 @@ class PlanAuditSpec extends SparkSpec {
       .filter(p => p.toString.endsWith(".scala") && !p.toString.contains("/tools/"))
       .flatMap(sitesOf).toVector.sorted
     val audited = auditedWindows.map(_._1).sorted
-    val unaudited = diffMultiset(found, audited)
-    val stale = diffMultiset(audited, found)
+    val unaudited = graft.AuditLex.diffMultiset(found, audited)
+    val stale = graft.AuditLex.diffMultiset(audited, found)
     assert(unaudited.isEmpty,
       s"NEW window site(s) without a pinned partition bound — add them to " +
         s"auditedWindows WITH the bound argument: $unaudited")
@@ -476,9 +475,4 @@ class PlanAuditSpec extends SparkSpec {
       s"audited window site(s) no longer exist — drop them: $stale")
   }
 
-  private def diffMultiset(a: Seq[String], b: Seq[String]): Seq[String] = {
-    val counts = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
-    b.foreach(k => counts(k) += 1)
-    a.filter { k => val c = counts(k); if (c > 0) { counts(k) = c - 1; false } else true }
-  }
 }

@@ -897,6 +897,19 @@ class PipelineSpec extends SparkSpec {
     assert(AudioCodec.parseWavHeader(wav.take(30)).isEmpty)
     val mangled = wav.clone; mangled(20) = 3 // fmt audioFormat != PCM
     assert(AudioCodec.parseWavHeader(mangled).isEmpty)
+    // a fmt chunk whose DECLARED length is under the 16 required bytes
+    // must filter, not read fields out of the following chunk — this
+    // payload is built so a fixed-offset read WOULD yield a plausible
+    // (garbage-sample-rate) Some: audioFormat/channels land in the
+    // short fmt payload, "data"'s id bytes land where sampleRate reads
+    def le32b(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val shortFmt = "RIFF".getBytes ++ le32b(44) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32b(4) ++ Array[Byte](1, 0, 2, 0) ++
+      "data".getBytes ++ le32b(20) ++
+      (Array[Byte](16, 0, 16, 0) ++ new Array[Byte](16))
+    assert(AudioCodec.parseWavHeader(shortFmt).isEmpty,
+      "a declared-short fmt chunk must filter, not parse the next chunk's bytes")
     // the Spark pipeline over the planted corpus: stats match the
     // waveform formulas computed independently in JVM code
     val stats = Multimodal.audioStats(Multimodal.plantedAudioTable(docs))
