@@ -949,6 +949,14 @@ object SparkEntry {
     "q_multimodal_audio" -> ((s, dir) =>
       pipeline.Multimodal.audioSummary(docs(s, dir))),
 
+    // r19 VIDEO tier: plant minimal spec-conformant MP4s (the JDK has
+    // no muxer — honesty contract on VideoCodec), then a GENERIC
+    // ISO-BMFF box walk: movie timescale/duration, track count, coded
+    // dimensions, video/audio codec fourccs; metadata is lossless so
+    // the surface gates full-value exact
+    "q_multimodal_video" -> ((s, dir) =>
+      pipeline.Multimodal.videoSummary(docs(s, dir))),
+
     // ================================================================
     // Sources tier under the gate: CSV / JSON / graph-snapshot
     // round-trips — write to a scratch dir, read back, aggregate; the
@@ -5084,6 +5092,20 @@ object SparkEntry {
            CAST(max(abs(s.v)) AS BIGINT) AS peak
          FROM p JOIN s ON s.media_id = p.media_id
          GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY p.media_id""",
+    // video replay: the planted MP4 container fields are pure formulas
+    // over doc_id — the box walk must recover each exactly
+    "q_multimodal_video" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(600 + (doc_id % 5) * 300 AS BIGINT) AS timescale,
+           CAST(2000 + (doc_id % 7) * 500 AS BIGINT) AS duration_ts,
+           CAST((2000 + (doc_id % 7) * 500) * 1000
+             // (600 + (doc_id % 5) * 300) AS BIGINT) AS duration_ms,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INTEGER) AS n_tracks,
+           CAST(320 + (doc_id % 4) * 16 AS INTEGER) AS width,
+           CAST(240 + (doc_id % 3) * 16 AS INTEGER) AS height,
+           CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'hvc1' END AS video_codec,
+           CASE WHEN doc_id % 3 = 0 THEN 'mp4a' ELSE '' END AS audio_codec
+         FROM documents ORDER BY media_id""",
     "q_degree" ->
       """SELECT c_custkey AS id, CAST(1 + coalesce(o.cnt, 0) AS BIGINT) AS outDegree,
          CAST(0 AS BIGINT) AS inDegree, CAST(1 + coalesce(o.cnt, 0) AS BIGINT) AS degree

@@ -262,4 +262,73 @@ object Multimodal {
         col("bits"), col("n_frames"), col("duration_ms"), col("sum_v"),
         col("sum_sq"), col("peak"))
       .orderBy("media_id")
+
+  // ---- video tier (r19): MP4 container metadata + codec id ----
+
+  final case class VideoStats(media_id: Long, timescale: Long,
+      duration_ts: Long, duration_ms: Long, n_tracks: Int, width: Int,
+      height: Int, video_codec: String, audio_codec: String)
+
+  // planted-container formulas — replayed verbatim by the DuckDB oracle
+  def plantTimescale(id: Long): Long = 600L + (id % 5) * 300L
+  def plantDurationTs(id: Long): Long = 2000L + (id % 7) * 500L
+  def plantVideoWidth(id: Long): Int = 320 + (id % 4).toInt * 16
+  def plantVideoHeight(id: Long): Int = 240 + (id % 3).toInt * 16
+  def plantVideoCodec(id: Long): String = if (id % 2 == 0) "avc1" else "hvc1"
+  def plantAudioTrack(id: Long): Boolean = id % 3 == 0
+
+  /** One MP4 byte stream per document: timescale / duration /
+    * dimensions / codec fourccs from the formulas above, every third
+    * document carrying an mp4a audio track. The JDK has no MP4 muxer
+    * (the honesty contract is stated on [[VideoCodec]]), so the corpus
+    * comes from the minimal box writer and the generic parse is
+    * spec-driven through layouts the writer never emits.
+    */
+  def plantedVideoTable(docs: DataFrame): Dataset[MediaRaw] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        MediaRaw(id, VideoCodec.encodeMp4(plantTimescale(id),
+          plantDurationTs(id), plantVideoWidth(id), plantVideoHeight(id),
+          plantVideoCodec(id),
+          if (plantAudioTrack(id)) "mp4a" else ""))
+      }
+    }
+  }
+
+  /** Video metadata pass: generic ISO-BMFF box walk (no frame decode —
+    * the bytes-only tier, same class as [[decodeMeta]] /
+    * [[AudioCodec.parseWavHeader]]): movie timescale + duration, track
+    * count, the video track's coded dimensions and fourcc, the audio
+    * track's fourcc. duration_ms is integer DIV (the house rule).
+    * Unparseable payloads drop (corpus-filter semantics); row-local
+    * end to end — a corpus run shuffles only at whatever the caller
+    * aggregates afterwards.
+    */
+  def videoStats(media: Dataset[MediaRaw]): Dataset[VideoStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        VideoCodec.parseMp4Header(r.payload).map { m =>
+          VideoStats(r.media_id, m.timescale, m.durationTs,
+            m.durationTs * 1000L / m.timescale, m.nTracks, m.width,
+            m.height, m.videoCodec, m.audioCodec)
+        }
+      }
+    }
+  }
+
+  /** Video gate (q_multimodal_video): plant → box walk, one row per
+    * document. The container is lossless metadata, so every column is
+    * exact and the oracle replays the plant formulas over doc_id — any
+    * box-walk defect breaks the hash.
+    */
+  def videoSummary(docs: DataFrame): DataFrame =
+    videoStats(plantedVideoTable(docs)).toDF()
+      .select(col("media_id"), col("timescale"), col("duration_ts"),
+        col("duration_ms"), col("n_tracks"), col("width"), col("height"),
+        col("video_codec"), col("audio_codec"))
+      .orderBy("media_id")
 }

@@ -928,6 +928,61 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("multimodal video: generic MP4 box walk, layouts the writer never emits, corrupt filtering") {
+    def be32(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+        ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+    val mp4 = VideoCodec.encodeMp4(1000L, 5000L, 320, 240, "avc1", "mp4a")
+    val want = VideoCodec.Mp4Meta(1000L, 5000L, 2, 320, 240, "avc1", "mp4a")
+    assert(VideoCodec.parseMp4Header(mp4).contains(want))
+    // video-only container
+    assert(VideoCodec.parseMp4Header(
+      VideoCodec.encodeMp4(600L, 2000L, 352, 256, "hvc1")).contains(
+      VideoCodec.Mp4Meta(600L, 2000L, 1, 352, 256, "hvc1", "")))
+    // layouts the writer never emits — the parse must be generic:
+    val ftypLen = be32(mp4, 0)
+    val moovLen = be32(mp4, ftypLen)
+    val ftyp = mp4.slice(0, ftypLen)
+    val moov = mp4.slice(ftypLen, ftypLen + moovLen)
+    val mdat = mp4.drop(ftypLen + moovLen)
+    // (a) moov AFTER mdat
+    assert(VideoCodec.parseMp4Header(ftyp ++ mdat ++ moov).contains(want))
+    // (b) moov as a 64-bit largesize box
+    val ls = moovLen.toLong + 8L
+    val large = Array[Byte](0, 0, 0, 1) ++ "moov".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, 0, ((ls >> 24) & 0xff).toByte,
+        ((ls >> 16) & 0xff).toByte, ((ls >> 8) & 0xff).toByte,
+        (ls & 0xff).toByte) ++ moov.drop(8)
+    assert(VideoCodec.parseMp4Header(ftyp ++ mdat ++ large).contains(want))
+    // (c) final box with size 0 extends to EOF
+    assert(VideoCodec.parseMp4Header(ftyp ++ moov ++
+      (Array[Byte](0, 0, 0, 0) ++ "mdat".getBytes("US-ASCII"))).contains(want))
+    // corrupt / truncated / non-MP4 payloads filter, not throw
+    assert(VideoCodec.parseMp4Header("garbage-not-a-video".getBytes).isEmpty)
+    assert(VideoCodec.parseMp4Header(mp4.take(60)).isEmpty)
+    assert(VideoCodec.parseMp4Header(ftyp ++ mdat).isEmpty) // no moov
+    assert(VideoCodec.parseMp4Header(moov ++ ftyp).isEmpty) // ftyp not first
+    val overrun = mp4.clone // moov's declared size runs past the buffer
+    overrun(ftypLen) = 0x7f.toByte
+    assert(VideoCodec.parseMp4Header(overrun).isEmpty)
+    // the Spark pipeline over the planted corpus equals the formulas
+    val stats = Multimodal.videoStats(Multimodal.plantedVideoTable(docs))
+      .collect().map(s => s.media_id -> s).toMap
+    assert(stats.size == docs.count())
+    stats.values.foreach { s =>
+      val id = s.media_id
+      assert(s.timescale == Multimodal.plantTimescale(id) &&
+        s.duration_ts == Multimodal.plantDurationTs(id) &&
+        s.duration_ms == s.duration_ts * 1000L / s.timescale &&
+        s.n_tracks == (if (Multimodal.plantAudioTrack(id)) 2 else 1) &&
+        s.width == Multimodal.plantVideoWidth(id) &&
+        s.height == Multimodal.plantVideoHeight(id) &&
+        s.video_codec == Multimodal.plantVideoCodec(id) &&
+        s.audio_codec == (if (Multimodal.plantAudioTrack(id)) "mp4a" else ""),
+        s"container fields diverge from the planted formulas for doc $id: $s")
+    }
+  }
+
   test("duplicateSpanCoverage merges overlapping duplicated spans") {
     import spark.implicits._
     val shared = (1 to 9).map(i => s"w$i").mkString(" ") // 9 tokens: two overlapping 8-grams
