@@ -1533,6 +1533,14 @@ object SparkEntry {
           col("sum_reg"), col("z_num"), col("est"))
         .orderBy("p_partkey", "t")),
 
+    // the neighborhood function NF(t) — HyperBall's headline summary
+    // (what the construction exists to produce): per-round DECIMAL
+    // sums of the ball estimates as integer thousandths + the reach
+    // permille a dataset card reads the effective diameter off;
+    // rounds+1 rows at any graph size
+    "q_hyperball_nf" -> ((s, dir) =>
+      algos.Algos.neighborhoodFunction(relatedTo(s, dir), rounds = 3, p = 6)),
+
     // ================================================================
     // Relational OLAP surface (graft.operators.Olap) + KMV sketch +
     // node similarity — r16 batch 3.
@@ -2500,7 +2508,7 @@ object SparkEntry {
     * precedent; m is a power of two so the constant is bit-identical
     * whatever the multiply order).
     */
-  private def hyperballOracle(rounds: Int): String = {
+  private def hyperballCtes(rounds: Int): String = {
     val iters = (1 to rounds).map { t =>
       val pr = s"hb${t - 1}"
       s"""hb$t AS MATERIALIZED (
@@ -2518,7 +2526,7 @@ object SparkEntry {
               + (64 - count(*)) * (CAST(1 AS BIGINT) << 55) AS BIGINT) AS z_num
           FROM hb$t GROUP BY id"""
     }.mkString("\n         UNION ALL ")
-    s"""WITH $relatedSql,
+    s"""$relatedSql,
        sym AS MATERIALIZED (SELECT p1 AS u, p2 AS v FROM related
                UNION ALL SELECT p2, p1 FROM related),
        nodes AS MATERIALIZED (SELECT DISTINCT u AS id FROM sym),
@@ -2532,14 +2540,41 @@ object SparkEntry {
        hb0 AS MATERIALIZED (
          SELECT id, bucket, max(rho) AS register FROM cells GROUP BY 1, 2),
        $iters,
-       snaps AS ($snaps)
-       SELECT id AS p_partkey, t, n_present, sum_reg, z_num,
-         round((CAST(0.7213 AS DOUBLE)
-             / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(64.0 AS DOUBLE)))
-           * CAST(4096.0 AS DOUBLE) * CAST(36028797018963968.0 AS DOUBLE)
-           / CAST(z_num AS DOUBLE), 3) AS est
-       FROM snaps ORDER BY p_partkey, t"""
+       snaps AS ($snaps),
+       hbout AS MATERIALIZED (
+         SELECT id, t, n_present, sum_reg, z_num,
+           round((CAST(0.7213 AS DOUBLE)
+               / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(64.0 AS DOUBLE)))
+             * CAST(4096.0 AS DOUBLE) * CAST(36028797018963968.0 AS DOUBLE)
+             / CAST(z_num AS DOUBLE), 3) AS est
+         FROM snaps)"""
   }
+
+  private def hyperballOracle(rounds: Int): String =
+    s"""WITH ${hyperballCtes(rounds)}
+       SELECT id AS p_partkey, t, n_present, sum_reg, z_num, est
+       FROM hbout ORDER BY p_partkey, t"""
+
+  /** Neighborhood-function replay mirroring
+    * [[algos.Algos.neighborhoodFunction]]: the SAME register chain as
+    * [[hyperballOracle]] (shared hyperballCtes), per-round DECIMAL
+    * sums of the per-node estimates (exact, order-independent),
+    * integer thousandths + reach permille.
+    */
+  private def hyperballNfOracle(rounds: Int): String =
+    s"""WITH ${hyperballCtes(rounds)},
+       perT AS (
+         SELECT t, CAST(count(*) AS BIGINT) AS n_nodes,
+           sum(CAST(est AS DECIMAL(20,3))) AS nf
+         FROM hbout GROUP BY t),
+       lastT AS (
+         SELECT CAST(nf * 1000 AS BIGINT) AS nf_last_e3 FROM perT
+         WHERE t = $rounds)
+       SELECT perT.t, perT.n_nodes,
+         CAST(perT.nf * 1000 AS BIGINT) AS nf_e3,
+         CAST((1000 * CAST(perT.nf * 1000 AS BIGINT)) // lastT.nf_last_e3
+           AS BIGINT) AS reach_permille
+       FROM perT CROSS JOIN lastT ORDER BY perT.t"""
 
   private def labelPropOracle(iterations: Int): String = {
     val iters = (1 to iterations).map { i =>
@@ -2796,6 +2831,7 @@ object SparkEntry {
     "q_louvain" -> louvainOracle(3),
     "q_louvain2" -> louvainLevelsOracle(3, 2),
     "q_hyperball" -> hyperballOracle(3),
+    "q_hyperball_nf" -> hyperballNfOracle(3),
     // degree-spectrum replay: undirected degrees over the related frame,
     // bit-length log2 buckets, integer permille of node share
     "q_degree_spectrum" ->

@@ -336,6 +336,35 @@ object Algos {
       .orderBy("id", "t")
   }
 
+  /** The NEIGHBORHOOD FUNCTION — HyperBall's headline output (Boldi &
+    * Vigna ran HyperBall precisely to produce NF(t) and the effective
+    * diameter from it): NF(t) = Σ_u |B(u,t)| estimated as the sum of
+    * per-node raw-HLL ball estimates, one row per round. The per-node
+    * 3-dp estimates are summed as DECIMAL(20,3) — exact and
+    * order-independent, so the cross-engine hash holds where a double
+    * sum would drift — and shipped as integer thousandths (nf_e3).
+    * reach_permille = 1000·NF(t) DIV NF(rounds) is the integer curve a
+    * dataset card reads the effective diameter off (first t at ≥ 900
+    * permille = the p90 effective diameter, [[effectiveDiameter]]'s
+    * estimator twin). Output is rounds+1 rows at ANY graph size; cost
+    * is one [[hyperBall]] run + one ≤(rounds+1)-group aggregate.
+    */
+  def neighborhoodFunction(edges: DataFrame, rounds: Int = 3, p: Int = 6,
+      src: String = "_src", dst: String = "_dst"): DataFrame = {
+    val hb = hyperBall(edges, rounds, p, src, dst)
+    val perT = hb.groupBy("t").agg(
+      count(lit(1)).cast(LongType).as("n_nodes"),
+      sum(col("est").cast(DecimalType(20, 3))).as("nf"))
+    val last = perT.filter(col("t") === rounds.toLong)
+      .select((col("nf") * 1000).cast(LongType).as("nf_last_e3"))
+    perT.crossJoin(broadcast(last))
+      .select(col("t"), col("n_nodes"),
+        (col("nf") * 1000).cast(LongType).as("nf_e3"),
+        expr("CAST((1000 * CAST(nf * 1000 AS BIGINT)) DIV nf_last_e3 AS BIGINT)")
+          .as("reach_permille"))
+      .orderBy("t")
+  }
+
   /** Undirected degree SPECTRUM — the log2 frequency-of-degrees
     * histogram (how many nodes have degree 1, 2-3, 4-7, …): the
     * graph dataset-card one-glance power-law diagnostic, the graph

@@ -488,6 +488,29 @@ class AlgosSpec extends SparkSpec {
     assert(got == want, "packed register snapshots must equal the row form")
   }
 
+  test("neighborhoodFunction: monotone NF curve, constant node count, final reach 1000") {
+    val e = edgesOf(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L) // path, diameter 4
+    val rounds = 4
+    val nf = Algos.neighborhoodFunction(e, rounds, p = 4).collect()
+      .map(r => (r.getAs[Long]("t"), r.getAs[Long]("n_nodes"),
+        r.getAs[Long]("nf_e3"), r.getAs[Long]("reach_permille")))
+    assert(nf.length == rounds + 1, "one row per round incl. t=0")
+    assert(nf.map(_._1).toSeq == (0L to rounds.toLong))
+    assert(nf.forall(_._2 == 5L), s"node count must be constant: ${nf.toSeq}")
+    // balls only grow -> NF and the reach permille are non-decreasing
+    assert(nf.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+    assert(nf.map(_._4).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+    assert(nf.last._4 == 1000L, "final round defines the reach baseline")
+    // NF equals the DECIMAL sum of the per-node hyperBall estimates
+    val est = Algos.hyperBall(e, rounds, p = 4).collect()
+      .map(r => r.getAs[Long]("t") ->
+        BigDecimal(r.getAs[Double]("est")).setScale(3, BigDecimal.RoundingMode.HALF_UP))
+    est.groupBy(_._1).foreach { case (t, xs) =>
+      val want = (xs.map(_._2).sum * 1000).toLongExact
+      assert(nf.find(_._1 == t).get._3 == want, s"NF diverges at t=$t")
+    }
+  }
+
   test("betweennessSampled: exact Brandes dependencies on path and diamond") {
     // path 1→2→3→4 from seed 1: δ(2) = 2, δ(3) = 1, 4 absent (δ = 0)
     val path = edgesOf(1L -> 2L, 2L -> 3L, 3L -> 4L)
