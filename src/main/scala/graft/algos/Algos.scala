@@ -352,9 +352,12 @@ object Algos {
   def neighborhoodFunction(edges: DataFrame, rounds: Int = 3, p: Int = 6,
       src: String = "_src", dst: String = "_dst"): DataFrame = {
     val hb = hyperBall(edges, rounds, p, src, dst)
-    val perT = hb.groupBy("t").agg(
+    // checkpoint the rounds+1-row aggregate: the reach-permille join
+    // reads it through TWO branches, which would otherwise each rescan
+    // the (node, t) estimate frame
+    val perT = materialize(hb.groupBy("t").agg(
       count(lit(1)).cast(LongType).as("n_nodes"),
-      sum(col("est").cast(DecimalType(20, 3))).as("nf"))
+      sum(col("est").cast(DecimalType(20, 3))).as("nf")))
     val last = perT.filter(col("t") === rounds.toLong)
       .select((col("nf") * 1000).cast(LongType).as("nf_last_e3"))
     perT.crossJoin(broadcast(last))
