@@ -1528,7 +1528,7 @@ object SparkEntry {
     // per round; exact integer register aggregates + the raw-HLL
     // estimate, replayed bit-for-bit by the chained-CTE oracle
     "q_hyperball" -> ((s, dir) =>
-      algos.Algos.hyperBall(relatedTo(s, dir), rounds = 3, p = 6)
+      hyperBall3(s, dir)
         .select(col("id").as("p_partkey"), col("t"), col("n_present"),
           col("sum_reg"), col("z_num"), col("est"))
         .orderBy("p_partkey", "t")),
@@ -1537,9 +1537,12 @@ object SparkEntry {
     // (what the construction exists to produce): per-round DECIMAL
     // sums of the ball estimates as integer thousandths + the reach
     // permille a dataset card reads the effective diameter off;
-    // rounds+1 rows at any graph size
+    // rounds+1 rows at any graph size. Reads the SAME memoized
+    // hyperBall frame as q_hyperball (neighborhoodFunctionFrom), so
+    // the family pays the iterative register run once per session —
+    // in the bench, steady runs measure the NF aggregate itself
     "q_hyperball_nf" -> ((s, dir) =>
-      algos.Algos.neighborhoodFunction(relatedTo(s, dir), rounds = 3, p = 6)),
+      algos.Algos.neighborhoodFunctionFrom(hyperBall3(s, dir), rounds = 3)),
 
     // ================================================================
     // Relational OLAP surface (graft.operators.Olap) + KMV sketch +
@@ -1848,13 +1851,14 @@ object SparkEntry {
   private val pairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
-  /** Fingerprint of the documents table's files (name, length, mtime):
-    * part of the memo key, so regenerating testdata in place invalidates
-    * the memoized pair frame instead of returning stale pairs (sessions
-    * that never hit the bench reset hook get correctness, not staleness).
+  /** Fingerprint of a table's files (name, length, mtime): part of the
+    * memo keys, so regenerating testdata in place invalidates memoized
+    * derived frames instead of returning stale ones (sessions that never
+    * hit the bench reset hook get correctness, not staleness).
     */
-  private def docsFingerprint(s: SparkSession, dir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+  private def tableFingerprint(s: SparkSession, dir: String,
+      table: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val statuses =
       if (!fs.exists(p)) Seq.empty
@@ -1865,7 +1869,7 @@ object SparkEntry {
   }
 
   private def dupPairs(s: SparkSession, dir: String): DataFrame = {
-    val fp = docsFingerprint(s, dir)
+    val fp = tableFingerprint(s, dir, "documents")
     // evict superseded generations of this (session, dir) so their
     // localCheckpoint-backed frames don't accumulate for the process life
     pairsCache.keys
@@ -1875,13 +1879,35 @@ object SparkEntry {
       pipeline.Dedup.jaccardPrefix(docs(s, dir)))
   }
 
-  /** Drop this session's memoized pair frames. The bench harness
-    * unpersists every RDD between queries — which frees the memoized
-    * frame's localCheckpoint blocks and would leave a dangling plan —
-    * so its reset hook must call this alongside GraphLoader.invalidate.
+  /** Memoized HyperBall frame at the gate parameters (rounds=3, p=6),
+    * shared by q_hyperball and q_hyperball_nf — NF is hyperBall's
+    * headline summary, and a caller wanting both should pay the
+    * iterative register run ONCE (r19 verdict #3; the dupPairs
+    * discipline: fingerprint-keyed, reset-hook-invalidated, the frame
+    * itself is checkpoint-backed by hyperBall's own loop).
     */
-  def invalidatePairs(s: SparkSession): Unit =
+  private val hbCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  private def hyperBall3(s: SparkSession, dir: String): DataFrame = {
+    val fp = tableFingerprint(s, dir, "lineitem")
+    hbCache.keys
+      .filter(k => k._1 == s && k._2 == dir && k._3 != fp)
+      .foreach(hbCache.remove)
+    hbCache.getOrElseUpdate((s, dir, fp),
+      algos.Algos.hyperBall(relatedTo(s, dir), rounds = 3, p = 6))
+  }
+
+  /** Drop this session's memoized derived frames (near-dup pairs,
+    * hyperBall registers). The bench harness unpersists every RDD
+    * between queries — which frees the memoized frames' localCheckpoint
+    * blocks and would leave dangling plans — so its reset hook must
+    * call this alongside GraphLoader.invalidate.
+    */
+  def invalidatePairs(s: SparkSession): Unit = {
     pairsCache.keys.filter(_._1 == s).foreach(pairsCache.remove)
+    hbCache.keys.filter(_._1 == s).foreach(hbCache.remove)
+  }
   private def embs(s: SparkSession, dir: String): DataFrame =
     GraphLoader.table(lenient(s), dir, "embeddings")
 

@@ -271,6 +271,17 @@ object Algos {
   def hyperBall(edges: DataFrame, rounds: Int = 3, p: Int = 6,
       src: String = "_src", dst: String = "_dst"): DataFrame = {
     require(rounds >= 1 && p >= 4 && p <= 16)
+    // the packed path keys register payloads by LONG node id (typed
+    // encoders through combine/snap). Non-integral ids would silently
+    // coerce (or null) through the cast — fail loudly instead; callers
+    // with string ids map them to longs first (xxhash64 / a dense-rank
+    // dictionary), the standard corpus-scale id normalization.
+    for (c <- Seq(src, dst)) {
+      val t = edges.schema(c).dataType
+      require(Seq(LongType, IntegerType, ShortType, ByteType).contains(t),
+        s"hyperBall requires integral node ids; column '$c' is $t — " +
+          "map ids to longs first (xxhash64 or a dense-rank dictionary)")
+    }
     val m = 1 << p
     val c = 60 - p + 1
     val spark = edges.sparkSession
@@ -346,25 +357,44 @@ object Algos {
     * reach_permille = 1000·NF(t) DIV NF(rounds) is the integer curve a
     * dataset card reads the effective diameter off (first t at ≥ 900
     * permille = the p90 effective diameter, [[effectiveDiameter]]'s
-    * estimator twin). Output is rounds+1 rows at ANY graph size; cost
-    * is one [[hyperBall]] run + one ≤(rounds+1)-group aggregate.
+    * estimator twin). Output is rounds+1 ROWS at any graph size; the
+    * nf_e3 integer-thousandths column saturates BIGINT once NF exceeds
+    * ~9.2·10¹⁵ (n ≳ 10⁸ fully-connected nodes) — the DECIMAL(38,3) sum
+    * and reach_permille (computed on the decimal BEFORE any BIGINT
+    * cast) stay exact far past that. Cost is one [[hyperBall]] run +
+    * one ≤(rounds+1)-group aggregate; a caller that already holds the
+    * per-node frame (the normal case — NF is hyperBall's headline
+    * summary) uses [[neighborhoodFunctionFrom]] and pays only the
+    * aggregate.
     */
   def neighborhoodFunction(edges: DataFrame, rounds: Int = 3, p: Int = 6,
-      src: String = "_src", dst: String = "_dst"): DataFrame = {
-    val hb = hyperBall(edges, rounds, p, src, dst)
+      src: String = "_src", dst: String = "_dst"): DataFrame =
+    neighborhoodFunctionFrom(hyperBall(edges, rounds, p, src, dst), rounds)
+
+  /** NF(t) over a PRECOMPUTED [[hyperBall]] frame — the overload that
+    * stops a caller wanting both the per-node balls and the NF curve
+    * from paying the iterative register run twice (r19 advice). `hb`
+    * must be a hyperBall output (or any frame with `t` and 3-dp `est`)
+    * computed at `rounds` rounds.
+    */
+  def neighborhoodFunctionFrom(hb: DataFrame, rounds: Int = 3): DataFrame = {
     // checkpoint the rounds+1-row aggregate: the reach-permille join
     // reads it through TWO branches, which would otherwise each rescan
-    // the (node, t) estimate frame
+    // the (node, t) estimate frame. DECIMAL(38,3), not (20,3): NF is
+    // bounded by n², so a (20,3) sum overflows to null near n ≈ 3·10⁸
+    // nodes (Spark non-ANSI sum) — 38 digits carry it to n ≈ 10¹⁷.
     val perT = materialize(hb.groupBy("t").agg(
       count(lit(1)).cast(LongType).as("n_nodes"),
-      sum(col("est").cast(DecimalType(20, 3))).as("nf")))
+      sum(col("est").cast(DecimalType(38, 3))).as("nf")))
     val last = perT.filter(col("t") === rounds.toLong)
-      .select((col("nf") * 1000).cast(LongType).as("nf_last_e3"))
+      .select(col("nf").as("nf_last"))
+    // reach_permille on the DECIMALS (value-identical to the former
+    // e3-integer form — both are floor(1000·NF(t)/NF(rounds)) exactly —
+    // but with no BIGINT intermediate to overflow)
     perT.crossJoin(broadcast(last))
       .select(col("t"), col("n_nodes"),
         (col("nf") * 1000).cast(LongType).as("nf_e3"),
-        expr("CAST((1000 * CAST(nf * 1000 AS BIGINT)) DIV nf_last_e3 AS BIGINT)")
-          .as("reach_permille"))
+        expr("CAST((1000 * nf) DIV nf_last AS BIGINT)").as("reach_permille"))
       .orderBy("t")
   }
 
@@ -1786,6 +1816,11 @@ object Algos {
         .localCheckpoint()
       if (prevWg != null) release(prevWg)
       if (prevMapping != null) release(prevMapping)
+      // the superseded full-node mapping checkpoint (levels ≥ 3): only
+      // nextMapping reads it, and that read just materialized — release
+      // now instead of retaining one checkpointed frame per extra level
+      // (never l1: louvain's own loop owns that frame's lifecycle)
+      if (!(mapping eq l1)) release(mapping)
       prevWg = wsym
       prevMapping = move
       wg = wsym

@@ -88,10 +88,10 @@ object VideoCodec {
       mvhd <- find(inMoov, "mvhd")
       (timescale, duration) <- mvhdFields(b, mvhd)
       traks = inMoov.filter(_.tpe == "trak")
-      vids = traks.flatMap(trackMeta(b, _)).collect {
-        case ("vide", w, h, c) => (w, h, c) }
-      auds = traks.flatMap(trackMeta(b, _)).collect {
-        case ("soun", _, _, c) => c }
+      // one box walk per trak; vids/auds both project from it
+      metas = traks.flatMap(trackMeta(b, _))
+      vids = metas.collect { case ("vide", w, h, c) => (w, h, c) }
+      auds = metas.collect { case ("soun", _, _, c) => c }
       v <- vids.headOption
     } yield Mp4Meta(timescale, duration, traks.length, v._1, v._2, v._3,
       auds.headOption.getOrElse(""))
