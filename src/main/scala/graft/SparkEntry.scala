@@ -1501,6 +1501,24 @@ object SparkEntry {
         .select(col("id").as("p_partkey"), col("community"))
         .orderBy("p_partkey")),
 
+    // WEIGHTED Louvain over the co-order multiplicity graph (the
+    // q_pagerank_w edge derivation): community detection that SEES the
+    // shared-order counts instead of flattening them to 1 — the
+    // semi-synchronous integer local move louvainLevels runs on coarse
+    // tiers, exposed at level 1; chained-CTE oracle replays the
+    // weighted move including the md5-parity mover gate
+    "q_louvain_w" -> ((s, dir) => {
+      val li = GraphLoader.table(lenient(s), dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val w = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("_src"), col("b.pk").as("_dst"))
+        .agg(count(lit(1)).cast("long").as("_w"))
+      algos.Algos.louvainWeighted(w, rounds = 3)
+        .select(col("id").as("p_partkey"), col("community"))
+        .orderBy("p_partkey")
+    }),
+
     // TWO-LEVEL Louvain (phase 1 + Blondel '08 phase-2 coarsening):
     // phase-1 communities contract to a weighted super-graph (self-loop
     // = 2×intra-edges, degrees preserved), then the same integer local
@@ -2474,8 +2492,14 @@ object SparkEntry {
     * move (the Scala semi-synchronous rule). kin sums non-self weights;
     * k is the full weighted degree including the self-loop.
     */
-  private def louvainLevelsOracle(rounds: Int, rounds2: Int): String = {
-    val iters = (1 to rounds2).map { i =>
+  /** The WEIGHTED semi-synchronous local-move iteration chain
+    * (mirroring [[algos.Algos.louvainLocalMove]]) over pre-defined CTEs
+    * `wsym` (u, v, w symmetric), `wdeg`, `ws`, `vlab0` — shared by the
+    * q_louvain2 (coarse tier) and q_louvain_w (weighted level 1)
+    * oracles.
+    */
+  private def weightedMoveCtes(rounds2: Int): String =
+    (1 to rounds2).map { i =>
       val p = s"vlab${i - 1}"
       s"""vtot$i AS MATERIALIZED (
            SELECT l.c, CAST(sum(d.k) AS BIGINT) AS tot
@@ -2509,6 +2533,8 @@ object SparkEntry {
              FROM vsc$i) WHERE rn = 1) m
            JOIN $p l ON l.id = m.id)"""
     }.mkString(",\n")
+
+  private def louvainLevelsOracle(rounds: Int, rounds2: Int): String =
     s"""WITH $relatedSql,
        ${louvainPhase1Ctes(rounds)},
        wsym AS MATERIALIZED (
@@ -2521,11 +2547,34 @@ object SparkEntry {
          SELECT u AS id, CAST(sum(w) AS BIGINT) AS k FROM wsym GROUP BY u),
        ws AS (SELECT CAST(sum(k) AS BIGINT) AS s FROM wdeg),
        vlab0 AS MATERIALIZED (SELECT id, id AS c FROM wdeg),
-       $iters
+       ${weightedMoveCtes(rounds2)}
        SELECT l1.id AS p_partkey, CAST(v.c AS BIGINT) AS community
        FROM lab$rounds l1 JOIN vlab$rounds2 v ON v.id = l1.c
        ORDER BY p_partkey"""
-  }
+
+  /** Weighted-Louvain replay mirroring [[algos.Algos.louvainWeighted]]
+    * over the co-order multiplicity graph (the q_pagerank_w edge
+    * derivation): symmetrized weighted pairs, then the SAME
+    * semi-synchronous weighted local-move chain as the q_louvain2
+    * coarse tier (shared [[weightedMoveCtes]]).
+    */
+  private def louvainWeightedOracle(rounds: Int): String =
+    s"""WITH wrel AS MATERIALIZED (
+         SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+           CAST(count(*) AS BIGINT) AS w
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2),
+       wsym AS MATERIALIZED (
+         SELECT p1 AS u, p2 AS v, w FROM wrel
+         UNION ALL SELECT p2 AS u, p1 AS v, w FROM wrel),
+       wdeg AS MATERIALIZED (
+         SELECT u AS id, CAST(sum(w) AS BIGINT) AS k FROM wsym GROUP BY u),
+       ws AS (SELECT CAST(sum(k) AS BIGINT) AS s FROM wdeg),
+       vlab0 AS MATERIALIZED (SELECT id, id AS c FROM wdeg),
+       ${weightedMoveCtes(rounds)}
+       SELECT id AS p_partkey, CAST(c AS BIGINT) AS community
+       FROM vlab$rounds ORDER BY p_partkey"""
 
   /** HyperBall replay mirroring [[algos.Algos.hyperBall]] at p=6
     * (m=64, ρ ceiling c=55): md5-derived registers, per-round
@@ -2855,6 +2904,7 @@ object SparkEntry {
     "q_ppr" -> pprOracle(10, Seq(1L, 2L, 3L)),
     "q_labelprop" -> labelPropOracle(5),
     "q_louvain" -> louvainOracle(3),
+    "q_louvain_w" -> louvainWeightedOracle(3),
     "q_louvain2" -> louvainLevelsOracle(3, 2),
     "q_hyperball" -> hyperballOracle(3),
     "q_hyperball_nf" -> hyperballNfOracle(3),

@@ -1832,6 +1832,40 @@ object Algos {
     mapping
   }
 
+  /** WEIGHTED Louvain phase 1 — [[louvainLocalMove]] (the integer-
+    * surrogate local move every coarse tier of [[louvainLevels]] runs)
+    * exposed over an arbitrary weighted edge frame, so community
+    * detection works directly on similarity / co-occurrence graphs
+    * (the q_pagerank_w multiplicity graph) instead of flattening their
+    * weights to 1 (r19 verdict #2: the machinery existed, only level 1
+    * hardwired w=1). Edges canonicalize to unordered pairs (duplicate /
+    * reverse listings merge by SUMMING — degree-preserving whatever the
+    * caller's listing convention) and both directions feed the move.
+    * Semantics are louvainLocalMove's: fixed semi-synchronous rounds
+    * (round-salted md5 parity gates movers — breaks mutually-attracted
+    * 2-cycles), score(C) = S·k_{i,in}(C) − k_i·Σtot′ on exact integers,
+    * smallest-community tie-break — chained-CTE replayable, and
+    * weight-SCALE invariant (w → c·w scales every score by c², so the
+    * labeling is identical; spec-pinned). Returns (id, community).
+    */
+  def louvainWeighted(edges: DataFrame, rounds: Int = 3,
+      src: String = "_src", dst: String = "_dst",
+      weight: String = "_w"): DataFrame = {
+    require(rounds >= 1, s"rounds >= 1, got $rounds")
+    val fwd = edges.select(col(src).as("u"), col(dst).as("v"),
+        col(weight).cast(LongType).as("w"))
+      .filter(col("u") =!= col("v"))
+    val und = fwd.select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"), col("w"))
+      .groupBy("a", "b").agg(sum(col("w")).cast(LongType).as("w"))
+    val wsym = materialize(
+      und.select(col("a").as("u"), col("b").as("v"), col("w"))
+        .unionByName(und.select(col("b").as("u"), col("a").as("v"), col("w"))))
+    val out = louvainLocalMove(wsym, rounds)
+    release(wsym)
+    out.select(col("id"), col("c").as("community"))
+  }
+
   /** The weighted integer-surrogate local move shared by every coarse
     * tier of [[louvainLevels]]: semi-synchronous md5-parity rounds of
     * score(C) = S·k_{i,in}(C) − k_i·Σtot′ over a weighted symmetric

@@ -855,6 +855,47 @@ class AlgosSpec extends SparkSpec {
     assert(l2again == l2)
   }
 
+  test("louvainWeighted: weights separate communities a flat topology cannot") {
+    import spark.implicits._
+    // complete graph on 8 nodes — the TOPOLOGY is fully symmetric, so
+    // only the weights carry the structure: intra-weight 100 inside
+    // {1..4} and {5..8}, cross-weight 1. An unweighted move cannot
+    // prefer any partition here; the weighted move must plant-recover.
+    val nodes = (1L to 8L).toSeq
+    val edges = (for (i <- nodes; j <- nodes if i < j)
+      yield (i, j, if ((i <= 4) == (j <= 4)) 100L else 1L))
+      .toDF("_src", "_dst", "_w")
+    val got = Algos.louvainWeighted(edges, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == nodes.toSet)
+    assert((1L to 4L).map(got).toSet.size == 1, s"group A split: $got")
+    assert((5L to 8L).map(got).toSet.size == 1, s"group B split: $got")
+    assert(got(1L) != got(5L), s"planted groups merged: $got")
+
+    // weight-SCALE invariance: w -> 7w scales every integer score by
+    // 49, preserving argmax, tie-breaks, and the md5 parity — the
+    // labeling must be bit-identical
+    val scaled = Algos.louvainWeighted(
+        edges.select(col("_src"), col("_dst"),
+          org.apache.spark.sql.functions.expr("_w * 7").as("_w")),
+        rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scaled == got, "weight scaling changed the labeling")
+
+    // listing-convention invariance: the same multigraph listed as a
+    // reversed copy + a forward copy with split weights canonicalizes
+    // (least/greatest + sum) to the identical symmetric frame
+    val split = edges
+      .select(col("_dst").as("_src"), col("_src").as("_dst"),
+        org.apache.spark.sql.functions.expr("_w DIV 2").as("_w"))
+      .unionByName(edges.select(col("_src"), col("_dst"),
+        org.apache.spark.sql.functions.expr("_w - (_w DIV 2)").as("_w")))
+      .filter(col("_w") > 0)
+    val relisted = Algos.louvainWeighted(split, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(relisted == got, "edge-listing convention changed the labeling")
+  }
+
   test("nodeSimilarityTopK: planted hub equals the single-window definition") {
     import spark.implicits._
     // hub H shares feature 0 with 200 spokes (deg·occCap-style fan-out:
