@@ -1423,6 +1423,17 @@ object SparkEntry {
           nStarts = 64, steps = 8, walksPerStart = 4),
         window = 2, minCount = 2L, topN = 50)),
 
+    // r20: the walk corpus factorized to node VECTORS — deterministic
+    // ±1 random projection (md5-parity hyperplanes) of the integer
+    // lift matrix, all-BIGINT (node, d, v) rows; the oracle re-derives
+    // pairs, lift millionths, and the projection from the walk
+    // oracle's own CTE chain
+    "q_pmi_embed" -> ((s, dir) =>
+      algos.Algos.walkPmiEmbedding(
+        algos.Algos.deterministicWalks(relatedTo(s, dir),
+          nStarts = 64, steps = 8, walksPerStart = 4),
+        window = 2, minCount = 2L, dim = 8)),
+
     // sampled betweenness (Brandes over the 8-seed fixed sample,
     // distance-bounded at 4): forward σ per level, backward δ per level
     // with round-7dp terms summed as exact DECIMAL — chained-CTE replay
@@ -2122,6 +2133,44 @@ object SparkEntry {
        CROSS JOIN nn
        WHERE cxy.c_xy >= $minCount
        ORDER BY lift DESC, cxy.node, cxy.ctx_node LIMIT $topN"""
+
+  /** Random-projection embedding replay mirroring
+    * [[algos.Algos.walkPmiEmbedding]]: the SAME walk CTE chain, pair
+    * counts and marginals as [[walkPmiOracle]], integer lift
+    * millionths (floor-div), then the md5(ctx|d)-parity ±1 projection
+    * summed per (node, d).
+    */
+  private def walkPmiEmbedOracle(nStarts: Int, steps: Int,
+      walksPerStart: Int, window: Int, minCount: Long, dim: Int): String =
+    s"""WITH ${walksCtes(nStarts, steps, walksPerStart)},
+       pairs AS MATERIALIZED (
+         SELECT a.node AS node, b.node AS ctx_node
+         FROM walk a JOIN walk b
+           ON a.start = b.start AND a.walk_id = b.walk_id
+          AND b.step > a.step AND b.step <= a.step + $window),
+       cxy AS MATERIALIZED (
+         SELECT node, ctx_node, CAST(count(*) AS BIGINT) AS c_xy
+         FROM pairs GROUP BY 1, 2),
+       cx AS (SELECT node, CAST(sum(c_xy) AS BIGINT) AS c_x
+              FROM cxy GROUP BY 1),
+       cy AS (SELECT ctx_node, CAST(sum(c_xy) AS BIGINT) AS c_y
+              FROM cxy GROUP BY 1),
+       nn AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n FROM cxy),
+       lifted AS MATERIALIZED (
+         SELECT cxy.node, cxy.ctx_node,
+           CAST((cxy.c_xy * nn.n * 1000000) // (cx.c_x * cy.c_y) AS BIGINT) AS le6
+         FROM cxy
+         JOIN cx ON cx.node = cxy.node
+         JOIN cy ON cy.ctx_node = cxy.ctx_node
+         CROSS JOIN nn
+         WHERE cxy.c_xy >= $minCount)
+       SELECT l.node, CAST(rd.range AS INTEGER) AS d,
+         CAST(sum(l.le6 * (CASE WHEN CAST(('0x' || substring(md5(
+             CAST(l.ctx_node AS VARCHAR) || '|' || CAST(rd.range AS VARCHAR)),
+             32, 1)) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END)) AS BIGINT) AS v
+       FROM lifted l CROSS JOIN range($dim) rd
+       GROUP BY 1, 2
+       ORDER BY node, d"""
 
   /** Strict-after funnel chain: per-user earliest step times with each
     * step conditioned on being after the previous, null → -1, epoch
@@ -3049,6 +3098,8 @@ object SparkEntry {
     "q_walks" -> walksOracle(64, 8, 4),
     "q_walk_pmi" -> walkPmiOracle(64, 8, 4, window = 2, minCount = 2L,
       topN = 50),
+    "q_pmi_embed" -> walkPmiEmbedOracle(64, 8, 4, window = 2,
+      minCount = 2L, dim = 8),
     "q_walks_n2v" -> n2vWalksOracle(64, 6, 2, 250L, 1000L, 500L),
     // chi-square drift replay: same cross-multiplied integer cells over
     // the full source × category grid (O = 0 cells included), same

@@ -896,6 +896,40 @@ class AlgosSpec extends SparkSpec {
     assert(relisted == got, "edge-listing convention changed the labeling")
   }
 
+  test("walkPmiEmbedding: identical-context nodes coincide; vectors feed the ANN tier") {
+    import spark.implicits._
+    // hand-built walk corpus (start, walk_id, step, node): nodes 10
+    // and 11 see IDENTICAL forward contexts (100 then 101) with equal
+    // counts, node 12 sees different ones — the projection must map
+    // 10 and 11 to the SAME integer vector (lift rows equal ⇒ every
+    // hyperplane sum equal) and 12 elsewhere
+    val walks = Seq(
+      (1L, 0L, 0L, 10L), (1L, 0L, 1L, 100L), (1L, 0L, 2L, 101L),
+      (2L, 0L, 0L, 11L), (2L, 0L, 1L, 100L), (2L, 0L, 2L, 101L),
+      (3L, 0L, 0L, 12L), (3L, 0L, 1L, 200L), (3L, 0L, 2L, 201L)
+    ).toDF("start", "walk_id", "step", "node")
+    def vecsOf(df: DataFrame): Map[Long, Seq[Long]] =
+      Algos.walkPmiEmbedding(df, window = 2, minCount = 1L, dim = 8)
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (n, rs) => n -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    val vecs = vecsOf(walks)
+    assert(vecs(10L) == vecs(11L), s"identical-context vectors diverge: $vecs")
+    assert(vecs(10L) != vecs(12L), s"distinct-context vectors coincide: $vecs")
+    assert(vecs(10L).exists(_ != 0L), "projection degenerated to zero")
+    // integer sums are partitioning-invariant (a float projection
+    // would not be — the reason the surface is exact BIGINT)
+    assert(vecsOf(walks.repartition(7)) == vecs)
+    // the vectors feed the existing ANN tier: nearest neighbor of 10
+    // is its context-twin 11 at cosine 1
+    val emb = vecs.toSeq
+      .map { case (n, v) => (n, v.map(_.toFloat).toArray) }
+      .toDF("vec_id", "embedding")
+    val nn1 = graft.pipeline.Ann.cosineTopK(emb, queryIds = Seq(10L), k = 1)
+      .collect().head
+    assert(nn1.getLong(1) == 11L, s"nearest neighbor of 10 not its twin: $nn1")
+  }
+
   test("nodeSimilarityTopK: planted hub equals the single-window definition") {
     import spark.implicits._
     // hub H shares feature 0 with 200 spokes (deg·occCap-style fan-out:
