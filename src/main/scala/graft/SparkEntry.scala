@@ -946,6 +946,18 @@ object SparkEntry {
     "q_multimodal_pixels" -> ((s, dir) =>
       pipeline.Multimodal.pixelSummary(docs(s, dir))),
 
+    // r20 deterministic BPE: fixed max-count pair merges (ties
+    // lexicographic) over the (word, freq) vocabulary table — the
+    // merge table itself, then per-doc token counts under the learned
+    // subword vocab (the currency real training budgets use); the
+    // oracle replays every merge round including the greedy
+    // double-separator application
+    "q_bpe_vocab" -> ((s, dir) =>
+      pipeline.TextOps.bpeMerges(docs(s, dir), merges = 8)),
+
+    "q_bpe_tokens" -> ((s, dir) =>
+      pipeline.TextOps.bpeTokenCounts(docs(s, dir), merges = 8)),
+
     // vocabulary frequency-of-frequencies spectrum (the Zipf /
     // Good-Turing dataset-card diagnostic): log2-bucketed type and
     // token counts with integer permille type shares
@@ -2172,6 +2184,75 @@ object SparkEntry {
        GROUP BY 1, 2
        ORDER BY node, d"""
 
+  /** BPE training replay mirroring [[pipeline.TextOps.bpeTrain]]: the
+    * (word, freq) vocab, char symbol sequences as double-U+001F-joined
+    * strings, and per round — pair counts, the (cnt DESC, l, r) argmax,
+    * and the single-replace greedy merge application (the
+    * half-boundary-consuming pattern that aligns matches to symbol
+    * boundaries; see bpeTrain's scaladoc).
+    */
+  private def bpeCtes(merges: Int): String = {
+    val sep = "chr(31)"
+    val sep2 = "repeat(chr(31), 2)"
+    val iters = (1 to merges).map { m =>
+      val p = s"bw${m - 1}"
+      s"""bp$m AS MATERIALIZED (
+           SELECT pr[1] AS l, pr[2] AS r2, CAST(sum(freq) AS BIGINT) AS cnt
+           FROM (
+             SELECT freq, unnest(list_transform(range(1, len(syms)),
+               i -> [syms[i], syms[i+1]])) AS pr
+             FROM (SELECT freq, list_filter(string_split(s, $sep2),
+                     x -> x <> '') AS syms FROM $p))
+           GROUP BY 1, 2),
+         bm$m AS MATERIALIZED (
+           SELECT l, r2, cnt FROM bp$m ORDER BY cnt DESC, l, r2 LIMIT 1),
+         bw$m AS MATERIALIZED (
+           SELECT word, freq, replace(s,
+             (SELECT $sep || l || $sep2 || r2 || $sep FROM bm$m),
+             (SELECT $sep || l || r2 || $sep FROM bm$m)) AS s
+           FROM $p)"""
+    }.mkString(",\n")
+    s"""btoks AS (
+         SELECT unnest(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\\s+'),
+           w -> w <> '')) AS word
+         FROM documents),
+       bwords AS MATERIALIZED (
+         SELECT word, CAST(count(*) AS BIGINT) AS freq FROM btoks
+         WHERE word NOT LIKE '%' || chr(31) || '%' GROUP BY word),
+       bw0 AS MATERIALIZED (
+         SELECT word, freq,
+           $sep2 || array_to_string(list_transform(range(1, len(word) + 1),
+             i -> word[i:i]), $sep2) || $sep2 AS s
+         FROM bwords),
+       $iters"""
+  }
+
+  private def bpeVocabOracle(merges: Int): String = {
+    val rows = (1 to merges).map(m =>
+      s"""SELECT CAST($m AS INTEGER) AS mrank, l AS lhs, r2 AS rhs,
+            l || r2 AS merged, cnt AS pair_count FROM bm$m""")
+      .mkString("\n         UNION ALL ")
+    s"""WITH ${bpeCtes(merges)}
+       SELECT * FROM ($rows) ORDER BY mrank"""
+  }
+
+  private def bpeTokensOracle(merges: Int): String =
+    s"""WITH ${bpeCtes(merges)},
+       pieces AS (
+         SELECT word, CAST(len(list_filter(string_split(s,
+           repeat(chr(31), 2)), x -> x <> '')) AS BIGINT) AS n_pieces_w
+         FROM bw$merges),
+       dw AS (
+         SELECT doc_id, unnest(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\\s+'),
+           w -> w <> '')) AS word
+         FROM documents)
+       SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(p.n_pieces_w) AS BIGINT) AS n_pieces
+       FROM dw JOIN pieces p USING (word)
+       GROUP BY dw.doc_id ORDER BY dw.doc_id"""
+
   /** Strict-after funnel chain: per-user earliest step times with each
     * step conditioned on being after the previous, null → -1, epoch
     * micros — shared by the batch (q_funnel) and streamed
@@ -3051,6 +3132,11 @@ object SparkEntry {
            GROUP BY 1, 2, 3 HAVING count(*) >= 3)
          SELECT x, y, z, support FROM t
          ORDER BY support DESC, x, y, z LIMIT 50""",
+    // full BPE-training replay: every merge round re-derived (pair
+    // counts, argmax, greedy application), so a tie-break or
+    // application-order defect on either engine breaks the hash
+    "q_bpe_vocab" -> bpeVocabOracle(8),
+    "q_bpe_tokens" -> bpeTokensOracle(8),
     // vocab-growth replay: same whitespace tokens (q_tokens form), same
     // (src, token) counts, integer-permille ratios
     "q_vocab" ->

@@ -1761,4 +1761,116 @@ object TextOps {
       .withColumn("rank", row_number().over(w).cast(LongType))
       .orderBy("rank")
   }
+
+  // ---- deterministic BPE vocabulary + subword token counting ----
+  // (q_bpe_vocab / q_bpe_tokens — r19 verdict #6: real token budgets
+  // are BPE-vocab counts, not whitespace lexemes)
+
+  private val BpeSep = "\u001f"
+  private val BpeSep2 = BpeSep + BpeSep
+
+  /** Deterministic byte-pair-encoding trainer (Sennrich et al. 2016,
+    * the standard public construction, derandomized trivially — BPE is
+    * already deterministic given a tie rule): `merges` fixed rounds of
+    * "count adjacent symbol pairs weighted by word frequency, merge
+    * the max-count pair (ties → lexicographically smallest (left,
+    * right))". Within-word merges only (whitespace words, lowercased,
+    * no end-of-word marker — documented choice).
+    *
+    * Scale shape: everything after the first aggregate runs on the
+    * (word, freq) VOCABULARY table, never the corpus — the classic BPE
+    * trick; pair counting is one explode + map-side-combined sum per
+    * round, and the argmax collects exactly ONE row per round (bounded
+    * driver state, the louvain-S discipline). Round states are
+    * localCheckpoint'd so round r's jobs don't replay rounds 1..r-1.
+    *
+    * Symbol-sequence state is a DOUBLE-separator-joined string
+    * ("␟␟c₁␟␟c₂␟␟…", U+001F): applying a merge is ONE literal
+    * replace(s, "␟l␟␟r␟", "␟lr␟") — the half-of-each-double-boundary
+    * consumption makes matches align to symbol boundaries exactly AND
+    * leaves the neighbor boundary intact, so left-to-right
+    * non-overlapping replacement equals BPE's greedy application rule
+    * (e.g. rule (a,a) on "aaaa" → [aa][aa], on "aaa" → [aa][a]) while
+    * being replayable by any engine's plain `replace` (no regex, no
+    * lookahead). Words containing U+001F are excluded (cannot occur in
+    * text corpora; keeps the encoding collision-free).
+    *
+    * Returns the merge seq (rank, left, right, count-at-selection) and
+    * the final vocabulary frame (word, freq, s).
+    */
+  private[pipeline] def bpeTrain(docs: DataFrame, merges: Int,
+      text: String): (Seq[(Int, String, String, Long)], DataFrame) = {
+    require(merges >= 1, s"merges >= 1, got $merges")
+    val words0 = docs
+      .select(explode(tokens(lower(col(text)))).as("word"))
+      .filter(col("word") =!= "" && !col("word").contains(BpeSep))
+      .groupBy("word").agg(count(lit(1)).cast(LongType).as("freq"))
+    var cur = words0
+      .withColumn("s", concat(lit(BpeSep2),
+        array_join(expr(
+          "transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+          BpeSep2),
+        lit(BpeSep2)))
+      .localCheckpoint()
+    val acc = Seq.newBuilder[(Int, String, String, Long)]
+    for (rank <- 1 to merges) {
+      val pairs = cur
+        .select(col("freq"),
+          filter(split(col("s"), BpeSep2), x => x =!= "").as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> named_struct('l', element_at(syms, i), " +
+            "'r', element_at(syms, i + 1)))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).cast(LongType).as("cnt"))
+      val top = pairs.orderBy(desc("cnt"), asc("l"), asc("r")).limit(1).collect()
+      require(top.nonEmpty,
+        s"bpe: corpus exhausted after ${rank - 1} merges — lower `merges`")
+      val (l, r, cnt) = (top(0).getString(0), top(0).getString(1),
+        top(0).getLong(2))
+      acc += ((rank, l, r, cnt))
+      val next = cur.withColumn("s", call_function("replace", col("s"),
+          lit(BpeSep + l + BpeSep2 + r + BpeSep),
+          lit(BpeSep + l + r + BpeSep)))
+        .localCheckpoint()
+      cur.unpersist()
+      cur = next
+    }
+    (acc.result(), cur)
+  }
+
+  /** The learned merge table: one row per round,
+    * (mrank, lhs, rhs, merged, pair_count) in merge order. */
+  def bpeMerges(docs: DataFrame, merges: Int = 8,
+      text: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (ms, fin) = bpeTrain(docs, merges, text)
+    fin.unpersist()
+    ms.map { case (rank, l, r, cnt) => (rank, l, r, l + r, cnt) }
+      .toDF("mrank", "lhs", "rhs", "merged", "pair_count")
+      .orderBy("mrank")
+  }
+
+  /** Per-document token counts UNDER the learned subword vocabulary —
+    * the currency actual training budgets are denominated in: n_words
+    * whitespace words, n_pieces BPE pieces after `merges` merges.
+    * The word → piece-count map is vocabulary-sized, so the corpus
+    * pass is one equi-join + one grouped sum.
+    */
+  def bpeTokenCounts(docs: DataFrame, merges: Int = 8,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val (_, fin) = bpeTrain(docs, merges, text)
+    val pieces = fin.select(col("word"),
+      size(filter(split(col("s"), BpeSep2), x => x =!= ""))
+        .cast(LongType).as("n_pieces_w"))
+    docs.select(col(id), explode(tokens(lower(col(text)))).as("word"))
+      .filter(col("word") =!= "" && !col("word").contains(BpeSep))
+      .join(pieces, "word")
+      .groupBy(id)
+      .agg(count(lit(1)).cast(LongType).as("n_words"),
+        sum(col("n_pieces_w")).cast(LongType).as("n_pieces"))
+      .orderBy(id)
+  }
 }

@@ -1030,6 +1030,40 @@ class PipelineSpec extends SparkSpec {
       s"unexpected near-dup pair set: $pairs")
   }
 
+  test("bpe: hand-computed merge order, greedy overlap application, subword counts") {
+    import spark.implicits._
+    // word freqs: aaab x3, aab x2, aaaaa x1. Hand-run:
+    //  round 1: (a,a)=12 (2·3 + 1·2 + 4·1), (a,b)=5 → merge (a,a)→aa;
+    //           GREEDY left-to-right: aaaaa → [aa, aa, a] (not [aa,a,aa])
+    //  round 2: (aa,a)=4 (3 from aaab + 1 from aaaaa), (a,b)=3,
+    //           (aa,b)=2, (aa,aa)=1 → merge (aa,a)→aaa;
+    //           aaaaa: [aa, aa, a] → [aa, aaa] (right-aligned pair only)
+    //  round 3: (aaa,b)=3, (aa,b)=2, (aa,aaa)=1 → merge (aaa,b)→aaab
+    //  pieces: aaab→1, aab→2 ([aa, b]), aaaaa→2 ([aa, aaa])
+    val d = Seq((1L, "aaab aab aaab"), (2L, "aaab aab aaaaa"))
+      .toDF("doc_id", "text")
+    val ms = TextOps.bpeMerges(d, merges = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(ms == Seq((1, "a", "a", "aa", 12L), (2, "aa", "a", "aaa", 4L),
+      (3, "aaa", "b", "aaab", 3L)), s"merge order diverged: $ms")
+    val tc = TextOps.bpeTokenCounts(d, merges = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(tc == Seq((1L, 3L, 4L), (2L, 3L, 5L)), s"subword counts: $tc")
+    // count ties break to the lexicographically smallest (left, right)
+    val tie = Seq((1L, "ab cd ab cd ab cd")).toDF("doc_id", "text")
+    val m1 = TextOps.bpeMerges(tie, merges = 1).collect().head
+    assert((m1.getString(1), m1.getString(2)) == (("a", "b")),
+      s"tie must pick (a,b): $m1")
+    // a corpus with fewer achievable merges than requested fails loudly
+    // (silent no-op rounds would diverge from the fixed-round oracle)
+    val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.bpeMerges(tiny, merges = 3).collect()
+    }
+    assert(e.getMessage.contains("corpus exhausted"))
+  }
+
   test("duplicateSpanCoverage merges overlapping duplicated spans") {
     import spark.implicits._
     val shared = (1 to 9).map(i => s"w$i").mkString(" ") // 9 tokens: two overlapping 8-grams
