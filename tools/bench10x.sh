@@ -14,6 +14,16 @@
 # run needs the bigger heap for cumulative multi-query JVM pressure
 # (q_triangles OOM'd at 48g with the full set), not per-task state.
 #
+# Heavy tail is FRESH-JVM PRIMARY (r19 verdict #5): at 200 queries the
+# in-suite number for the >=30s-at-10x tier mostly measures cumulative
+# JVM pressure, not the operator (q_ktruss read 219.6s in-suite vs
+# 74.4s isolated in r19). After the suite run, each query in
+# SPARK_GRAFT_10X_ISOLATED (default: the measured heavy tier) reruns
+# in its own cooled-down JVM and its median REPLACES the in-suite
+# number in BENCH_10x.json "queries"/"value"; the in-suite figure is
+# preserved under "queries_insuite" and the substituted set is listed
+# in "isolated_primary". Set SPARK_GRAFT_10X_ISOLATED= (empty) to skip.
+#
 # Usage: tools/bench10x.sh [dataDir]   (default /tmp/graft_sf10x)
 set -euo pipefail
 cd "$(dirname "$0")/.."
@@ -33,6 +43,36 @@ cp bench_out.json /tmp/bench_out.sf01.bak 2>/dev/null || true
 SPARK_GRAFT_SF_DIR=$OUT SPARK_GRAFT_BENCH_RUNS=${SPARK_GRAFT_BENCH_RUNS:-3} \
   SPARK_DRIVER_MEM=$MEM sbt -batch "runMain graft.Bench"
 cp BENCH_OUT.json BENCH_10x.json
+
+# fresh-JVM primaries for the heavy tail (see header). Cooldown default
+# matches probe_algos.sh's measured floor: a 32-core 1-min load average
+# needs ~3 min to decay below 1, and probes launched back-to-back
+# otherwise inherit the previous JVM's load.
+HEAVY=${SPARK_GRAFT_10X_ISOLATED-q_ktruss,q_hyperball_nf,q_triangles,q_kcore}
+for q in ${HEAVY//,/ }; do
+  echo "[bench10x] fresh-JVM primary: $q"
+  sleep "${SPARK_GRAFT_10X_COOLDOWN:-180}"
+  SPARK_GRAFT_SF_DIR=$OUT SPARK_GRAFT_BENCH_ONLY=$q \
+    SPARK_GRAFT_BENCH_RUNS=${SPARK_GRAFT_10X_PROBE_RUNS:-3} \
+    SPARK_DRIVER_MEM=$MEM sbt -batch "runMain graft.Bench"
+  python3 - "$q" <<'PY'
+import json, sys
+q = sys.argv[1]
+iso = json.load(open("BENCH_OUT.json"))
+big = json.load(open("BENCH_10x.json"))
+big.setdefault("queries_insuite", {})[q] = big["queries"].get(q)
+big.setdefault("isolated_primary", [])
+if q not in big["isolated_primary"]:
+    big["isolated_primary"].append(q)
+for k in ("queries", "queries_min", "queries_max"):
+    big[k][q] = iso[k][q]
+big["value"] = round(sum(big["queries"].values()), 3)
+json.dump(big, open("BENCH_10x.json", "w"))
+print(f"[bench10x] {q}: isolated {iso['queries'][q]}s "
+      f"(in-suite {big['queries_insuite'][q]}s)")
+PY
+done
+
 cp /tmp/BENCH_OUT.sf01.bak BENCH_OUT.json 2>/dev/null || true
 cp /tmp/bench_out.sf01.bak bench_out.json 2>/dev/null || true
 echo "wrote BENCH_10x.json"
