@@ -509,6 +509,16 @@ class AlgosSpec extends SparkSpec {
       val want = (xs.map(_._2).sum * 1000).toLongExact
       assert(nf.find(_._1 == t).get._3 == want, s"NF diverges at t=$t")
     }
+    // the precomputed-frame overload (r20) is value-identical to the
+    // edges form — the API a caller holding both surfaces uses to pay
+    // the iterative register run once
+    val viaFrame = Algos
+      .neighborhoodFunctionFrom(Algos.hyperBall(e, rounds, p = 4), rounds)
+      .collect()
+      .map(r => (r.getAs[Long]("t"), r.getAs[Long]("n_nodes"),
+        r.getAs[Long]("nf_e3"), r.getAs[Long]("reach_permille")))
+    assert(viaFrame.toSeq == nf.toSeq,
+      "neighborhoodFunctionFrom diverges from the edges form")
   }
 
   test("betweennessSampled: exact Brandes dependencies on path and diamond") {

@@ -45,13 +45,13 @@ SPARK_GRAFT_SF_DIR=$OUT SPARK_GRAFT_BENCH_RUNS=${SPARK_GRAFT_BENCH_RUNS:-3} \
 cp BENCH_OUT.json BENCH_10x.json
 
 # fresh-JVM primaries for the heavy tail (see header). Cooldown default
-# matches probe_algos.sh's measured floor: a 32-core 1-min load average
-# needs ~3 min to decay below 1, and probes launched back-to-back
-# otherwise inherit the previous JVM's load.
-HEAVY=${SPARK_GRAFT_10X_ISOLATED-q_ktruss,q_hyperball_nf,q_triangles,q_kcore}
+# 300s (r20: a q_louvain2 probe at 180s read 106.8s vs 33.1s tight at
+# 300s — the 1-min load average decays faster than the actual
+# cache/GC machine state, so 180s is NOT enough after a full suite).
+HEAVY=${SPARK_GRAFT_10X_ISOLATED-q_ktruss,q_hyperball_nf,q_triangles,q_kcore,q_louvain2}
 for q in ${HEAVY//,/ }; do
   echo "[bench10x] fresh-JVM primary: $q"
-  sleep "${SPARK_GRAFT_10X_COOLDOWN:-180}"
+  sleep "${SPARK_GRAFT_10X_COOLDOWN:-300}"
   SPARK_GRAFT_SF_DIR=$OUT SPARK_GRAFT_BENCH_ONLY=$q \
     SPARK_GRAFT_BENCH_RUNS=${SPARK_GRAFT_10X_PROBE_RUNS:-3} \
     SPARK_DRIVER_MEM=$MEM sbt -batch "runMain graft.Bench"

@@ -19,7 +19,7 @@ for q in ${ALGOS//,/ }; do
   # — cool down so each probe starts near-idle. 60s proved too short
   # (r16: load_start still 3.9-9.1, kcore median 2.5x its min); a
   # 32-core 1-min load average needs ~3 min to decay below 1.
-  sleep "${SPARK_GRAFT_PROBE_COOLDOWN:-180}"
+  sleep "${SPARK_GRAFT_PROBE_COOLDOWN:-300}"
   cp BENCH_OUT.json /tmp/BENCH_OUT.preprobe.bak 2>/dev/null || true
   cp bench_out.json /tmp/bench_out.preprobe.bak 2>/dev/null || true
   SPARK_GRAFT_SF_DIR=$DATA SPARK_GRAFT_BENCH_ONLY=$q \
