@@ -137,7 +137,13 @@ object Bench {
     // r2 verdict: the driver saw this line only through sbt's "[info] "
     // logger prefix and parsed nothing. Persist the JSON to files too
     // (cwd = sbt base dir for forked runs) so the handshake cannot miss.
-    for (p <- Seq("bench_out.json", "BENCH_OUT.json")) {
+    // r20: SUBSET runs (SPARK_GRAFT_BENCH_ONLY set) write to
+    // bench_subset.json instead — a single-query probe must never
+    // clobber the committed full-suite artifact (it did, twice).
+    val outFiles =
+      if (only.nonEmpty) Seq("bench_subset.json")
+      else Seq("bench_out.json", "BENCH_OUT.json")
+    for (p <- outFiles) {
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), fullLine + "\n")
       catch { case e: Throwable =>
         System.err.println(s"[bench] write $p failed: ${e.getMessage}")

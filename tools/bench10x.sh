@@ -58,7 +58,7 @@ for q in ${HEAVY//,/ }; do
   python3 - "$q" <<'PY'
 import json, sys
 q = sys.argv[1]
-iso = json.load(open("BENCH_OUT.json"))
+iso = json.load(open("bench_subset.json"))
 big = json.load(open("BENCH_10x.json"))
 big.setdefault("queries_insuite", {})[q] = big["queries"].get(q)
 big.setdefault("isolated_primary", [])

@@ -20,8 +20,8 @@ for q in ${ALGOS//,/ }; do
   # (r16: load_start still 3.9-9.1, kcore median 2.5x its min); a
   # 32-core 1-min load average needs ~3 min to decay below 1.
   sleep "${SPARK_GRAFT_PROBE_COOLDOWN:-300}"
-  cp BENCH_OUT.json /tmp/BENCH_OUT.preprobe.bak 2>/dev/null || true
-  cp bench_out.json /tmp/bench_out.preprobe.bak 2>/dev/null || true
+  # subset runs write bench_subset.json (r20) — the committed
+  # full-suite artifacts are never touched by a probe
   SPARK_GRAFT_SF_DIR=$DATA SPARK_GRAFT_BENCH_ONLY=$q \
     SPARK_GRAFT_BENCH_RUNS=${SPARK_GRAFT_BENCH_RUNS:-5} \
     SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-64g} \
@@ -30,14 +30,12 @@ for q in ${ALGOS//,/ }; do
   python3 - "$q" "$OUT" <<'EOF'
 import json, sys
 q, out = sys.argv[1], sys.argv[2]
-b = json.load(open("BENCH_OUT.json"))
+b = json.load(open("bench_subset.json"))
 d = json.load(open(out))
 d[q] = {"median": b["queries"][q], "min": b["queries_min"][q],
         "max": b["queries_max"][q], "load_start": b["load_start"]}
 json.dump(d, open(out, "w"), indent=1)
 print(q, d[q])
 EOF
-  cp /tmp/BENCH_OUT.preprobe.bak BENCH_OUT.json 2>/dev/null || true
-  cp /tmp/bench_out.preprobe.bak bench_out.json 2>/dev/null || true
 done
 echo "[probe] wrote $OUT"
