@@ -818,6 +818,16 @@ object SparkEntry {
       pipeline.Dedup.phash(
         pipeline.Multimodal.plantedPhashTable(docs(s, dir)))),
 
+    // the actionable media keep-list: phash pairs → connected
+    // components → min-id canonical rep per image (the q_dedup_groups
+    // composition over the media tier — dupGroupsFromPairs is
+    // pair-source-agnostic by design)
+    "q_dedup_phash_groups" -> ((s, dir) => {
+      val d = docs(s, dir)
+      pipeline.Dedup.dupGroupsFromPairs(d,
+        pipeline.Dedup.phash(pipeline.Multimodal.plantedPhashTable(d)))
+    }),
+
     "q_dedup_embed" -> ((s, dir) =>
       pipeline.Dedup.embedDupsExact(embs(s, dir)).orderBy("a_id", "b_id")),
 
@@ -2876,6 +2886,46 @@ object SparkEntry {
     * join, components via recursive CTE, min-id representative) —
     * shared by q_dedup_groups and the q_pipeline_e2e composition.
     */
+  /** Shared CTE chain deriving the planted dHash near-dup PAIRS from
+    * the phash planting formulas (see Multimodal.plantPhashBase) —
+    * consumed by the q_dedup_phash and q_dedup_phash_groups oracles.
+    */
+  private val phashCtes: String =
+    """cells AS MATERIALIZED (
+         SELECT d.doc_id, rx.range AS gx, ry.range AS gy,
+           ((((d.doc_id // 3) * 31 + rx.range * 53 + ry.range * 29
+              + (d.doc_id // 3) * rx.range * 7
+              + rx.range * ry.range * 13
+              + rx.range * rx.range * 41) % 200)
+            + (d.doc_id % 3) * 20) AS v
+         FROM documents d CROSS JOIN range(9) rx CROSS JOIN range(8) ry),
+       dbits AS MATERIALIZED (
+         SELECT a.doc_id, a.gy * 8 + a.gx AS b,
+           CASE WHEN a.v > c.v THEN 1 ELSE 0 END AS bit
+         FROM cells a JOIN cells c
+           ON c.doc_id = a.doc_id AND c.gy = a.gy AND c.gx = a.gx + 1),
+       sig AS MATERIALIZED (
+         SELECT doc_id, list(bit ORDER BY b) AS bits
+         FROM dbits GROUP BY doc_id),
+       blk AS MATERIALIZED (
+         SELECT doc_id, rb.range AS blk,
+           list_reduce(bits[rb.range * 16 + 1 : rb.range * 16 + 16],
+             (acc, x) -> acc * 2 + x) AS key
+         FROM sig CROSS JOIN range(4) rb),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM blk a JOIN blk b
+           ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id),
+       phash_pairs AS MATERIALIZED (
+         SELECT id_a, id_b,
+           CAST(list_sum(list_transform(range(1, 65),
+             i -> CASE WHEN sa.bits[i] <> sb.bits[i] THEN 1 ELSE 0 END))
+             AS BIGINT) AS hamming
+         FROM cand JOIN sig sa ON sa.doc_id = id_a
+                   JOIN sig sb ON sb.doc_id = id_b
+         WHERE list_sum(list_transform(range(1, 65),
+             i -> CASE WHEN sa.bits[i] <> sb.bits[i] THEN 1 ELSE 0 END)) <= 3)"""
+
   private val dupGroupsOracle: String =
     """WITH RECURSIVE t AS (
          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
@@ -4785,40 +4835,25 @@ object SparkEntry {
     // at index gy*8+gx, width-16 pigeonhole blocks, hamming verify —
     // mirroring Dedup.phash over Multimodal.plantedPhashTable.
     "q_dedup_phash" ->
-      """WITH cells AS MATERIALIZED (
-           SELECT d.doc_id, rx.range AS gx, ry.range AS gy,
-             ((((d.doc_id // 3) * 31 + rx.range * 53 + ry.range * 29
-                + (d.doc_id // 3) * rx.range * 7
-                + rx.range * ry.range * 13
-                + rx.range * rx.range * 41) % 200)
-              + (d.doc_id % 3) * 20) AS v
-           FROM documents d CROSS JOIN range(9) rx CROSS JOIN range(8) ry),
-         dbits AS MATERIALIZED (
-           SELECT a.doc_id, a.gy * 8 + a.gx AS b,
-             CASE WHEN a.v > c.v THEN 1 ELSE 0 END AS bit
-           FROM cells a JOIN cells c
-             ON c.doc_id = a.doc_id AND c.gy = a.gy AND c.gx = a.gx + 1),
-         sig AS MATERIALIZED (
-           SELECT doc_id, list(bit ORDER BY b) AS bits
-           FROM dbits GROUP BY doc_id),
-         blk AS MATERIALIZED (
-           SELECT doc_id, rb.range AS blk,
-             list_reduce(bits[rb.range * 16 + 1 : rb.range * 16 + 16],
-               (acc, x) -> acc * 2 + x) AS key
-           FROM sig CROSS JOIN range(4) rb),
-         cand AS (
-           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM blk a JOIN blk b
-             ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id)
-         SELECT id_a, id_b,
-           CAST(list_sum(list_transform(range(1, 65),
-             i -> CASE WHEN sa.bits[i] <> sb.bits[i] THEN 1 ELSE 0 END))
-             AS BIGINT) AS hamming
-         FROM cand JOIN sig sa ON sa.doc_id = id_a
-                   JOIN sig sb ON sb.doc_id = id_b
-         WHERE list_sum(list_transform(range(1, 65),
-             i -> CASE WHEN sa.bits[i] <> sb.bits[i] THEN 1 ELSE 0 END)) <= 3
+      s"""WITH $phashCtes
+         SELECT id_a, id_b, hamming FROM phash_pairs
          ORDER BY id_a, id_b""",
+    // pairs → connected components → min-id canonical keep-list — the
+    // media analog of q_dedup_groups (same recursive-CTE clustering)
+    "q_dedup_phash_groups" ->
+      s"""WITH RECURSIVE $phashCtes,
+         psym AS (SELECT id_a AS u, id_b AS v FROM phash_pairs
+                  UNION SELECT id_b, id_a FROM phash_pairs),
+         pcomp(k, c) AS (
+           SELECT u AS k, u AS c FROM (SELECT DISTINCT u FROM psym)
+           UNION
+           SELECT s2.v, pcomp.c FROM pcomp JOIN psym s2 ON s2.u = pcomp.k
+           WHERE pcomp.c < s2.v)
+         SELECT d.doc_id, coalesce(m.c, d.doc_id) AS rep_id,
+                d.doc_id <> coalesce(m.c, d.doc_id) AS is_dup
+         FROM documents d LEFT JOIN
+           (SELECT k, min(c) AS c FROM pcomp GROUP BY k) m ON m.k = d.doc_id
+         ORDER BY d.doc_id""",
     // Full derivation of the portable winnowing twin: ORDERED (bag)
     // 3-gram shingles, md5-prefix-60-bit hash, min of each width-4
     // sliding window, distinct minima exploded to rows.

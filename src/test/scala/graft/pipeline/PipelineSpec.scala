@@ -1023,11 +1023,20 @@ class PipelineSpec extends SparkSpec {
         (x, y) => if (x < 4 && y < 4) 255 else fam(0L)(x, y))),
       Multimodal.MediaRaw(9L, "definitely not an image".getBytes)
     ).toDS()
-    val pairs = Dedup.phash(corpus).collect()
+    val pairFrame = Dedup.phash(corpus)
+    val pairs = pairFrame.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(pairs == Set((0L, 1L, 0L), (0L, 2L, 0L), (1L, 2L, 0L),
       (0L, 4L, 1L), (1L, 4L, 1L), (2L, 4L, 1L)),
       s"unexpected near-dup pair set: $pairs")
+    // the keep-list composition: family {0,1,2,4} keeps min-id 0;
+    // the unrelated image and the undecodable payload keep themselves
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 9L).toDF("doc_id")
+    val groups = Dedup.dupGroupsFromPairs(ids, pairFrame).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(groups == Map(0L -> ((0L, false)), 1L -> ((0L, true)),
+      2L -> ((0L, true)), 3L -> ((3L, false)), 4L -> ((0L, true)),
+      9L -> ((9L, false))), s"unexpected keep-list: $groups")
   }
 
   test("bpe: hand-computed merge order, greedy overlap application, subword counts") {
