@@ -814,19 +814,18 @@ object SparkEntry {
     // 9×8 block-mean dHash, then the SimHash pigeonhole block-bucket
     // join + hamming verify; the oracle re-derives every hash from the
     // planting formulas (PNG lossless ⇒ block means = planted values)
-    "q_dedup_phash" -> ((s, dir) =>
-      pipeline.Dedup.phash(
-        pipeline.Multimodal.plantedPhashTable(docs(s, dir)))),
+    "q_dedup_phash" -> ((s, dir) => phashPairs(s, dir)),
 
     // the actionable media keep-list: phash pairs → connected
     // components → min-id canonical rep per image (the q_dedup_groups
     // composition over the media tier — dupGroupsFromPairs is
-    // pair-source-agnostic by design)
-    "q_dedup_phash_groups" -> ((s, dir) => {
-      val d = docs(s, dir)
-      pipeline.Dedup.dupGroupsFromPairs(d,
-        pipeline.Dedup.phash(pipeline.Multimodal.plantedPhashTable(d)))
-    }),
+    // pair-source-agnostic by design). Shares the memoized pair frame
+    // with q_dedup_phash (r21: the dupPairs discipline — decode+dHash
+    // is the dominant cost of both, and a real pipeline materializes
+    // the pair relation once; previously this entry re-decoded the
+    // whole image corpus to recompute pairs q_dedup_phash already built)
+    "q_dedup_phash_groups" -> ((s, dir) =>
+      pipeline.Dedup.dupGroupsFromPairs(docs(s, dir), phashPairs(s, dir))),
 
     "q_dedup_embed" -> ((s, dir) =>
       pipeline.Dedup.embedDupsExact(embs(s, dir)).orderBy("a_id", "b_id")),
@@ -962,11 +961,14 @@ object SparkEntry {
     // subword vocab (the currency real training budgets use); the
     // oracle replays every merge round including the greedy
     // double-separator application
+    // r21: both entries read ONE memoized training run (bpeTrained —
+    // the hbCache pay-once discipline flagged by the r20 verdict #5:
+    // previously each entry retrained the same 8-merge table)
     "q_bpe_vocab" -> ((s, dir) =>
-      pipeline.TextOps.bpeMerges(docs(s, dir), merges = 8)),
+      pipeline.TextOps.bpeMergesFromTrained(s, bpeTrained(s, dir))),
 
     "q_bpe_tokens" -> ((s, dir) =>
-      pipeline.TextOps.bpeTokenCounts(docs(s, dir), merges = 8)),
+      pipeline.TextOps.bpeTokenCountsFromTrained(docs(s, dir), bpeTrained(s, dir))),
 
     // vocabulary frequency-of-frequencies spectrum (the Zipf /
     // Good-Turing dataset-card diagnostic): log2-bucketed type and
@@ -1424,9 +1426,11 @@ object SparkEntry {
     // 64 md5-picked starts × 4 walks each × 8 steps, walk w's step t
     // the out-neighbor minimizing md5(start|w|t|x) — zero RNG state,
     // engine-replayable, sibling walks diverge via the walkId salt
-    "q_walks" -> ((s, dir) =>
-      algos.Algos.deterministicWalks(relatedTo(s, dir),
-        nStarts = 64, steps = 8, walksPerStart = 4)),
+    // r21: q_walks / q_walk_pmi / q_pmi_embed all consume the IDENTICAL
+    // (64, 8, 4) walk corpus — one memoized run (the dupPairs
+    // discipline; a real embedding pipeline materializes its walk
+    // corpus once and derives pairs/lift/vectors from it)
+    "q_walks" -> ((s, dir) => walks684(s, dir)),
 
     // node2vec-biased walks: return/in/out classes weighted 250/1000/500
     // (p=4, q=2 in permille), hop = argmin of hash60 DIV weight —
@@ -1440,9 +1444,7 @@ object SparkEntry {
     // q_walks corpus, scored by the q_colloc rational lift; the oracle
     // re-derives the pairs from the walk oracle's own CTE chain
     "q_walk_pmi" -> ((s, dir) =>
-      algos.Algos.walkSkipGramLift(
-        algos.Algos.deterministicWalks(relatedTo(s, dir),
-          nStarts = 64, steps = 8, walksPerStart = 4),
+      algos.Algos.walkSkipGramLift(walks684(s, dir),
         window = 2, minCount = 2L, topN = 50)),
 
     // r20: the walk corpus factorized to node VECTORS — deterministic
@@ -1451,9 +1453,7 @@ object SparkEntry {
     // pairs, lift millionths, and the projection from the walk
     // oracle's own CTE chain
     "q_pmi_embed" -> ((s, dir) =>
-      algos.Algos.walkPmiEmbedding(
-        algos.Algos.deterministicWalks(relatedTo(s, dir),
-          nStarts = 64, steps = 8, walksPerStart = 4),
+      algos.Algos.walkPmiEmbedding(walks684(s, dir),
         window = 2, minCount = 2L, dim = 8)),
 
     // sampled betweenness (Brandes over the 8-seed fixed sample,
@@ -1940,6 +1940,66 @@ object SparkEntry {
       pipeline.Dedup.jaccardPrefix(docs(s, dir)))
   }
 
+  /** Memoized perceptual-hash near-dup pairs (decode + dHash + pigeonhole
+    * verify), shared by q_dedup_phash and q_dedup_phash_groups — the
+    * dupPairs discipline: the image decode is the dominant cost of both
+    * queries, phash already localCheckpoints its result, and a real media
+    * pipeline materializes the pair relation once for exactly this reason.
+    * Keyed separately from pairsCache so evicting one family's
+    * generations never drops the other's.
+    */
+  private val phashPairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  private def phashPairs(s: SparkSession, dir: String): DataFrame = {
+    val fp = tableFingerprint(s, dir, "documents")
+    phashPairsCache.keys
+      .filter(k => k._1 == s && k._2 == dir && k._3 != fp)
+      .foreach(phashPairsCache.remove)
+    phashPairsCache.getOrElseUpdate((s, dir, fp),
+      pipeline.Dedup.phash(pipeline.Multimodal.plantedPhashTable(docs(s, dir))))
+  }
+
+  /** Memoized deterministic-walk corpus at the gate parameters
+    * (nStarts=64, steps=8, walksPerStart=4), shared by q_walks,
+    * q_walk_pmi and q_pmi_embed — the walk corpus is the shared input
+    * of the whole walk→embedding family, and each entry previously
+    * re-ran the identical 8-step frontier loop. Checkpoint-backed by
+    * deterministicWalks' own loop.
+    */
+  private val walksCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  private def walks684(s: SparkSession, dir: String): DataFrame = {
+    val fp = tableFingerprint(s, dir, "lineitem")
+    walksCache.keys
+      .filter(k => k._1 == s && k._2 == dir && k._3 != fp)
+      .foreach(walksCache.remove)
+    walksCache.getOrElseUpdate((s, dir, fp),
+      algos.Algos.deterministicWalks(relatedTo(s, dir),
+        nStarts = 64, steps = 8, walksPerStart = 4))
+  }
+
+  /** Memoized BPE training run at the gate parameters (merges=8), shared
+    * by q_bpe_vocab and q_bpe_tokens — one trained merge table + final
+    * vocabulary frame per (session, dir, data generation); the r20
+    * verdict #5 pay-once ask. The vocabulary frame is checkpoint-backed
+    * by bpeTrain's own loop.
+    */
+  private val bpeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String),
+      (Seq[(Int, String, String, Long)], DataFrame)]
+
+  private def bpeTrained(s: SparkSession,
+      dir: String): (Seq[(Int, String, String, Long)], DataFrame) = {
+    val fp = tableFingerprint(s, dir, "documents")
+    bpeCache.keys
+      .filter(k => k._1 == s && k._2 == dir && k._3 != fp)
+      .foreach(bpeCache.remove)
+    bpeCache.getOrElseUpdate((s, dir, fp),
+      pipeline.TextOps.bpeTrainArtifacts(docs(s, dir), merges = 8))
+  }
+
   /** Memoized HyperBall frame at the gate parameters (rounds=3, p=6),
     * shared by q_hyperball and q_hyperball_nf — NF is hyperBall's
     * headline summary, and a caller wanting both should pay the
@@ -1968,6 +2028,9 @@ object SparkEntry {
   def invalidatePairs(s: SparkSession): Unit = {
     pairsCache.keys.filter(_._1 == s).foreach(pairsCache.remove)
     hbCache.keys.filter(_._1 == s).foreach(hbCache.remove)
+    phashPairsCache.keys.filter(_._1 == s).foreach(phashPairsCache.remove)
+    bpeCache.keys.filter(_._1 == s).foreach(bpeCache.remove)
+    walksCache.keys.filter(_._1 == s).foreach(walksCache.remove)
   }
   private def embs(s: SparkSession, dir: String): DataFrame =
     GraphLoader.table(lenient(s), dir, "embeddings")

@@ -138,23 +138,26 @@ object Algos {
     val e0 = materialize(edges.select(col(src).as("es"), col(dst).as("ed")))
     val out = withLoopParts(spark, e0.count()) { sc =>
       val e = sc.in(e0)
-      var visited = sc.in(materialize(Seq((source, 0)).toDF("id", "dist")))
-      var frontier = visited
+      // r21: lazy visited union over checkpointed level frames — see
+      // multiSourceBfs (one materialize per level instead of two, no
+      // per-level rewrite of the whole visited set)
+      var fronts = Vector(sc.in(materialize(Seq((source, 0)).toDF("id", "dist"))))
+      var visited = fronts.head
+      var frontier = fronts.head
       var depth = 0
       while (depth < maxDepth && !frontier.isEmpty) {
         depth += 1
-        val (pv, pf) = (visited, frontier)
         val next = frontier.join(e, col("id") === col("es"))
           .select(col("ed").as("id"), lit(depth).as("dist"))
           .distinct()
           .join(visited.select("id"), Seq("id"), "left_anti")
         frontier = materialize(next)
-        visited = materialize(pv.unionByName(frontier))
-        // both new frames are checkpointed — the previous level is dead
-        if (!(pf eq pv)) release(pf)
-        release(pv)
+        fronts = fronts :+ frontier
+        visited = visited.unionByName(frontier)
       }
-      sc.out(visited)
+      val res = materialize(visited)
+      release(fronts: _*)
+      sc.out(res)
     }
     release(e0)
     out
@@ -386,7 +389,13 @@ object Algos {
     val perT = materialize(hb.groupBy("t").agg(
       count(lit(1)).cast(LongType).as("n_nodes"),
       sum(col("est").cast(DecimalType(38, 3))).as("nf")))
-    val last = perT.filter(col("t") === rounds.toLong)
+    // nf_last from the FRAME's max t, not the `rounds` parameter (r20
+    // advice): a frame built with fewer rounds than claimed made the
+    // old t === rounds filter empty (zero-row crossJoin, silently), and
+    // more rounds left reach_permille ending below 1000. Deriving from
+    // the data is value-identical when they match and correct when they
+    // don't. perT is rounds+1 rows, so the sort is sketch-sized.
+    val last = perT.orderBy(col("t").desc).limit(1)
       .select(col("nf").as("nf_last"))
     // reach_permille on the DECIMALS (value-identical to the former
     // e3-integer form — both are floor(1000·NF(t)/NF(rounds)) exactly —
@@ -439,6 +448,13 @@ object Algos {
     val e0 = materialize(edges.select(col(src).as("es"), col(dst).as("ed")))
     val visitedOut = withLoopParts(spark, e0.count()) { sc =>
       val e = sc.in(e0)
+      // NOTE (r21): a lazy visited-union over the checkpointed level
+      // frames (the betweennessSampled-forward shape) was tried here
+      // and measured WORSE on the deep-BFS consumer (q_diameter 1.3-1.8×
+      // across three probes): each level's anti-join then scans K
+      // separate front checkpoints, and the O(depth²·P) task launches
+      // outgrow the saved union write-outs. The incremental
+      // materialized union stays.
       var visited = sc.in(materialize(
         seeds.map(s => (s, s, 0)).toDF("seed", "id", "dist")))
       var frontier = visited
@@ -524,11 +540,11 @@ object Algos {
     // forward: per-level first-reach frames with path counts σ
     var levels = Vector(sc.in(materialize(
       seeds.map(s => (s, s, 1L)).toDF("seed", "id", "sigma"))))
-    // level frames stay live through the backward pass; only the
-    // visited-set UNION frames (owned here, separate checkpoints) are
-    // released as they are superseded
+    // r21: the visited set is a LAZY union view over the checkpointed
+    // level frames (which stay live through the backward pass anyway) —
+    // the old loop re-materialized the whole growing union every level
+    // (the multiSourceBfs fix, applied to the σ-carrying forward pass)
     var visited = levels.head
-    var prevUnion: DataFrame = null
     var depth = 0
     var frontier = visited
     while (depth < maxDepth && !frontier.isEmpty) {
@@ -541,12 +557,8 @@ object Algos {
         .select(col("seed"), col("nid").as("id"), col("sigma"))
       frontier = materialize(next)
       levels = levels :+ frontier
-      val nv = materialize(visited.unionByName(frontier))
-      if (prevUnion ne null) release(prevUnion)
-      prevUnion = nv
-      visited = nv
+      visited = visited.unionByName(frontier)
     }
-    if (prevUnion ne null) release(prevUnion)
     // backward: δ per level from deepest-1 up; level frames stay live
     var deltaNext: DataFrame = null
     var deltaLevels = Vector.empty[DataFrame]
@@ -1136,7 +1148,15 @@ object Algos {
     val e = sc.in(e0)
     val graph = sc.in(graph0)
     var ranks = materialize(graph.select(col("id"), lit(1.0 / n).as("rank")))
-    for (_ <- 1 to iterations) {
+    // r21: checkpoint every 2nd round (the labelPropagation / kCore
+    // cadence) — lineage depth stays <= 2 rounds while halving the eager
+    // write-out jobs, the loop's dominant fixed cost at small per-round
+    // data. Odd-round caches (each read twice: contribution join +
+    // dangling aggregate) are only dropped once the next checkpoint has
+    // materialized their consumers.
+    var lastMat = ranks
+    var pendingCaches: List[DataFrame] = Nil
+    for (i <- 1 to iterations) {
       // cached (lazily) once per iteration: the contribution join and the
       // dangling-mass aggregate both read it within the SAME job below
       val withDeg = cache(ranks.join(graph, "id"))
@@ -1149,15 +1169,22 @@ object Algos {
       // cost one extra job per iteration, 1/3 of the loop's fixed cost)
       val dangling = withDeg.filter(col("outdeg") === 0)
         .agg(coalesce(sum("rank"), lit(0.0)).as("dmass"))
-      val prev = ranks
-      ranks = materialize(graph.select(col("id"))
+      val next = graph.select(col("id"))
         .join(contribs, Seq("id"), "left_outer")
         .crossJoin(broadcast(dangling))
         .select(col("id"),
           (lit((1.0 - damping) / n) + lit(damping) * col("dmass") / n +
-            lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank")))
-      // new ranks is checkpointed — the previous iteration is dead
-      release(prev); withDeg.unpersist()
+            lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
+      if (i % 2 == 0 || i == iterations) {
+        ranks = materialize(next)
+        (withDeg :: pendingCaches).foreach(_.unpersist())
+        pendingCaches = Nil
+        release(lastMat)
+        lastMat = ranks
+      } else {
+        ranks = next
+        pendingCaches = withDeg :: pendingCaches
+      }
     }
     sc.out(ranks)
     }
@@ -1197,7 +1224,10 @@ object Algos {
     val e = sc.in(e0)
     val graph = sc.in(graph0)
     var ranks = materialize(graph.select(col("id"), lit(1.0 / n).as("rank")))
-    for (_ <- 1 to iterations) {
+    // r21: every-2nd-round checkpoint cadence — see pageRank
+    var lastMat = ranks
+    var pendingCaches: List[DataFrame] = Nil
+    for (i <- 1 to iterations) {
       val withDeg = cache(ranks.join(graph, "id"))
       val contribs = withDeg.filter(col("wout") > 0)
         .join(e, col("id") === col("u"))
@@ -1206,14 +1236,22 @@ object Algos {
         .groupBy("id").agg(sum("c").as("contrib"))
       val dangling = withDeg.filter(col("wout") === 0)
         .agg(coalesce(sum("rank"), lit(0.0)).as("dmass"))
-      val prev = ranks
-      ranks = materialize(graph.select(col("id"))
+      val next = graph.select(col("id"))
         .join(contribs, Seq("id"), "left_outer")
         .crossJoin(broadcast(dangling))
         .select(col("id"),
           (lit((1.0 - damping) / n) + lit(damping) * col("dmass") / n +
-            lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank")))
-      release(prev); withDeg.unpersist()
+            lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
+      if (i % 2 == 0 || i == iterations) {
+        ranks = materialize(next)
+        (withDeg :: pendingCaches).foreach(_.unpersist())
+        pendingCaches = Nil
+        release(lastMat)
+        lastMat = ranks
+      } else {
+        ranks = next
+        pendingCaches = withDeg :: pendingCaches
+      }
     }
     sc.out(ranks)
     }
@@ -1252,7 +1290,10 @@ object Algos {
     val graph = sc.in(graph0)
     var ranks = materialize(graph.select(col("id"),
       when(col("is_seed"), lit(1.0 / sN)).otherwise(lit(0.0)).as("rank")))
-    for (_ <- 1 to iterations) {
+    // r21: every-2nd-round checkpoint cadence — see pageRank
+    var lastMat = ranks
+    var pendingCaches: List[DataFrame] = Nil
+    for (i <- 1 to iterations) {
       val withDeg = cache(ranks.join(graph, "id"))
       val contribs = withDeg.filter(col("outdeg") > 0)
         .join(e, col("id") === col("u"))
@@ -1260,16 +1301,24 @@ object Algos {
         .groupBy("id").agg(sum("c").as("contrib"))
       val dangling = withDeg.filter(col("outdeg") === 0)
         .agg(coalesce(sum("rank"), lit(0.0)).as("dmass"))
-      val prev = ranks
-      ranks = materialize(graph.select(col("id"), col("is_seed"))
+      val next = graph.select(col("id"), col("is_seed"))
         .join(contribs, Seq("id"), "left_outer")
         .crossJoin(broadcast(dangling))
         .select(col("id"),
           (when(col("is_seed"),
             lit((1.0 - damping) / sN) + lit(damping) * col("dmass") / sN)
             .otherwise(lit(0.0)) +
-            lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank")))
-      release(prev); withDeg.unpersist()
+            lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
+      if (i % 2 == 0 || i == iterations) {
+        ranks = materialize(next)
+        (withDeg :: pendingCaches).foreach(_.unpersist())
+        pendingCaches = Nil
+        release(lastMat)
+        lastMat = ranks
+      } else {
+        ranks = next
+        pendingCaches = withDeg :: pendingCaches
+      }
     }
     sc.out(ranks)
     }
@@ -1435,6 +1484,11 @@ object Algos {
       val hMax = hRaw.agg(greatest(max(col("hr")), lit(1L)).as("hm"))
       val hub = hRaw.crossJoin(broadcast(hMax))
         .select(col("id"), expr("CAST((hr * 1000000) DIV hm AS BIGINT)").as("hub"))
+      // NOTE (r21): the every-2nd-round cadence was tried here and
+      // MEASURED WORSE (5.3s → 9.8s at sf0.1): auth feeds both hRaw and
+      // the final join, so a two-round fused plan duplicates the
+      // half-round subtrees faster than exchange reuse collapses them.
+      // HITS keeps the per-round checkpoint.
       scores = materialize(hub.join(auth, "id").select("id", "hub", "auth"))
       release(lastMat)
       lastMat = scores
@@ -1469,14 +1523,24 @@ object Algos {
     val e = sc.in(e0)
     var dist = sc.in(materialize(Seq((source, 0L)).toDF("id", "dist")))
     var lastMat = dist
-    for (_ <- 1 to rounds) {
+    var pendingCache: DataFrame = null
+    for (i <- 1 to rounds) {
       val relaxed = dist.join(e, col("id") === col("u"))
         .select(col("v").as("id"), (col("dist") + col("w")).as("dist"))
       val next = dist.unionByName(relaxed)
         .groupBy("id").agg(min(col("dist")).as("dist"))
-      dist = materialize(next)
-      release(lastMat)
-      lastMat = dist
+      // r21: every-2nd-round checkpoint cadence (the labelPropagation
+      // shape) — odd rounds cache only (dist has TWO consumers next
+      // round: the relax join and the union), even rounds cut lineage
+      if (i % 2 == 0 || i == rounds) {
+        dist = materialize(next)
+        if (pendingCache ne null) { pendingCache.unpersist(); pendingCache = null }
+        release(lastMat)
+        lastMat = dist
+      } else {
+        dist = cache(next)
+        pendingCache = dist
+      }
     }
     sc.out(dist)
     }
@@ -1523,7 +1587,8 @@ object Algos {
     var cur = starts
     var acc = Vector(starts)
     var t = 0L
-    while (t < steps && !cur.isEmpty) {
+    var exhausted = false
+    while (t < steps && !exhausted) {
       t += 1
       val key = md5(concat(col("start").cast(StringType), lit("|"),
         col("wid").cast(StringType), lit("|"),
@@ -1533,7 +1598,18 @@ object Algos {
         .groupBy("start", "wid")
         .agg(min_by(col("v"), struct(col("k"), col("v"))).as("node"))
         .select(col("start"), col("wid"), lit(t).as("step"), col("node"))
-      cur = materialize(next)
+      // r21: every-2nd-step checkpoint cadence (the labelPropagation
+      // shape) — odd steps cache only (cur feeds the next step's join
+      // AND the final union; release(acc) handles both storage kinds).
+      // The all-walks-at-sinks early exit is checked only on
+      // checkpointed steps: an extra round over an empty frontier
+      // unions nothing, so the output is identical.
+      if (t % 2 == 0 || t == steps) {
+        cur = materialize(next)
+        exhausted = cur.isEmpty
+      } else {
+        cur = cache(next)
+      }
       acc = acc :+ cur
     }
     val walk = materialize(acc.reduce(_ unionByName _))
@@ -1698,7 +1774,8 @@ object Algos {
     var cur = starts
     var acc = Vector(starts)
     var t = 0L
-    while (t < steps && !cur.isEmpty) {
+    var exhausted = false
+    while (t < steps && !exhausted) {
       t += 1
       val h = graft.pipeline.TextOps.md5Hash60(
         concat(col("start").cast(StringType), lit("|"),
@@ -1719,7 +1796,13 @@ object Algos {
           max(col("node")).as("prev")) // one row per walk — node is constant
         .select(col("start"), col("wid"), lit(t).as("step"), col("prev"),
           col("nx").as("node"))
-      cur = materialize(next)
+      // r21: every-2nd-step checkpoint cadence — see deterministicWalks
+      if (t % 2 == 0 || t == steps) {
+        cur = materialize(next)
+        exhausted = cur.isEmpty
+      } else {
+        cur = cache(next)
+      }
       acc = acc :+ cur
     }
     val walk = materialize(acc.reduce(_ unionByName _))
@@ -1791,6 +1874,10 @@ object Algos {
         .agg(max_by(struct(col("score"), (-col("cand")).as("neg")),
           struct(col("score"), (-col("cand")).as("neg"))).getField("neg").as("nc"))
         .select(col("id"), (-col("nc")).as("c"))
+      // NOTE (r21): the every-2nd-round cadence was tried here and
+      // measured WORSE (labels has four consumers per round — the fused
+      // two-round plan re-derives them faster than the saved checkpoint
+      // job pays back). Louvain keeps the per-round checkpoint.
       labels = materialize(next)
       release(lastMat)
       lastMat = labels
@@ -1914,6 +2001,20 @@ object Algos {
       src: String = "_src", dst: String = "_dst",
       weight: String = "_w"): DataFrame = {
     require(rounds >= 1, s"rounds >= 1, got $rounds")
+    // the hyperBall integral-id rule, applied to weights (r20 advice):
+    // the move runs on exact BIGINT weights, and a silent
+    // cast(LongType) of double weights < 1 truncated them to 0 (zero-
+    // weight edges still entered the move) while breaking the
+    // documented weight-scale invariance for non-integer scales — fail
+    // loudly; callers with fractional similarities pre-scale to
+    // integers (micro-units), the standard exact-arithmetic move.
+    locally {
+      val t = edges.schema(weight).dataType
+      require(Seq(LongType, IntegerType, ShortType, ByteType).contains(t),
+        s"louvainWeighted requires integral edge weights; column " +
+          s"'$weight' is $t — pre-scale fractional weights to integer " +
+          "micro-units first (the exact-arithmetic surface rule)")
+    }
     val fwd = edges.select(col(src).as("u"), col(dst).as("v"),
         col(weight).cast(LongType).as("w"))
       .filter(col("u") =!= col("v"))
@@ -1973,6 +2074,8 @@ object Algos {
       val next = moved.join(labels, "id")
         .select(col("id"),
           when(par === 0L, col("cNew")).otherwise(col("c")).as("c"))
+      // NOTE (r21): the every-2nd-round cadence measured worse here —
+      // see louvain. Per-round checkpoint stays.
       labels = materialize(next)
       release(lastMat)
       lastMat = labels

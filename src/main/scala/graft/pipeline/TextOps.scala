@@ -1750,16 +1750,48 @@ object TextOps {
       .withColumn("avg_w",
         round(col("__wsum").cast(DoubleType) / col("n_toks"), 6))
 
-    // m from the data: exact integer ceil-division (no float 0.2·N)
-    val nRaw = raw.select(col(id)).count()
-    val m = ((nRaw * selectPct + 99L) / 100L).toInt
-    val topped = scored
-      .orderBy(col("avg_w").desc, col(id).asc).limit(m)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("avg_w").desc, col(id).asc)
-    topped.select(col(id), col("n_toks"), col("avg_w"))
-      .withColumn("rank", row_number().over(w).cast(LongType))
+    // SELECTION (r20 verdict #1): m = ceil(selectPct% · N_raw) is
+    // corpus-sized, so the old orderBy.limit(m) planned a
+    // TakeOrderedAndProject whose per-partition heaps each held 20% of
+    // the corpus and whose result merged ON THE DRIVER, followed by a
+    // partitionless rank window in ONE task (and m.toInt wrapped past
+    // ~10.7B raw docs). Replace with the distributed prefix-sum rank
+    // the repo already ships (the packByBudgetFromCounts /
+    // Skew.groupedRank shape): range-partition by the global order,
+    // row_number per partition, add broadcast per-partition offsets,
+    // filter rank ≤ m — no driver merge, no single-task window, output
+    // stays distributed. N_raw (and so m, exact integer ceil-division,
+    // carried as a LONG) folds out of the P-row offset table itself —
+    // no separate corpus-count job.
+    import org.apache.spark.sql.expressions.Window
+    val parts = docs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    val local = scored.select(col(id), col("n_toks"), col("avg_w"))
+      .repartitionByRange(parts, col("avg_w").desc, col(id).asc)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_lrn", row_number().over(
+        Window.partitionBy("_pid").orderBy(col("avg_w").desc, col(id).asc)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // P-row offset table (bounded by the partition count, the
+    // packByBudgetFromCounts discipline) — both partitionless windows
+    // on this path run over these P rows
+    val offsets = local.groupBy("_pid").agg(count(lit(1)).as("_n"))
+      .withColumn("_off", coalesce(sum("_n").over(
+        Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("_nt", sum("_n").over(Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("_m",
+        expr(s"CAST((_nt * $selectPct + 99) DIV 100 AS BIGINT)"))
+      .select("_pid", "_off", "_m")
+    val out = local.join(broadcast(offsets), "_pid")
+      .withColumn("rank", (col("_off") + col("_lrn")).cast(LongType))
+      .filter(col("rank") <= col("_m"))
+      .select(col(id), col("n_toks"), col("avg_w"), col("rank"))
       .orderBy("rank")
+      .localCheckpoint()
+    local.unpersist()
+    out
   }
 
   // ---- deterministic BPE vocabulary + subword token counting ----
@@ -1840,29 +1872,32 @@ object TextOps {
     (acc.result(), cur)
   }
 
-  /** The learned merge table: one row per round,
-    * (mrank, lhs, rhs, merged, pair_count) in merge order. */
-  def bpeMerges(docs: DataFrame, merges: Int = 8,
-      text: String = "text"): DataFrame = {
-    val spark = docs.sparkSession
+  /** Train-once handle for compositions that want BOTH the merge table
+    * and token counts (r21, the hbCache / dupPairs pay-once discipline:
+    * the two gate entries previously each retrained): the raw
+    * (merge seq, final vocabulary frame) pair from one [[bpeTrain]]
+    * run. The vocabulary frame is checkpoint-backed; the caller owns
+    * its lifecycle.
+    */
+  def bpeTrainArtifacts(docs: DataFrame, merges: Int = 8,
+      text: String = "text"): (Seq[(Int, String, String, Long)], DataFrame) =
+    bpeTrain(docs, merges, text)
+
+  /** [[bpeMerges]] from a pre-trained [[bpeTrainArtifacts]] pair — no
+    * retrain, no vocabulary-frame release (the trainer's caller owns it). */
+  def bpeMergesFromTrained(spark: org.apache.spark.sql.SparkSession,
+      trained: (Seq[(Int, String, String, Long)], DataFrame)): DataFrame = {
     import spark.implicits._
-    val (ms, fin) = bpeTrain(docs, merges, text)
-    fin.unpersist()
-    ms.map { case (rank, l, r, cnt) => (rank, l, r, l + r, cnt) }
+    trained._1.map { case (rank, l, r, cnt) => (rank, l, r, l + r, cnt) }
       .toDF("mrank", "lhs", "rhs", "merged", "pair_count")
       .orderBy("mrank")
   }
 
-  /** Per-document token counts UNDER the learned subword vocabulary —
-    * the currency actual training budgets are denominated in: n_words
-    * whitespace words, n_pieces BPE pieces after `merges` merges.
-    * The word → piece-count map is vocabulary-sized, so the corpus
-    * pass is one equi-join + one grouped sum.
-    */
-  def bpeTokenCounts(docs: DataFrame, merges: Int = 8,
+  /** [[bpeTokenCounts]] from a pre-trained [[bpeTrainArtifacts]] pair. */
+  def bpeTokenCountsFromTrained(docs: DataFrame,
+      trained: (Seq[(Int, String, String, Long)], DataFrame),
       id: String = "doc_id", text: String = "text"): DataFrame = {
-    val (_, fin) = bpeTrain(docs, merges, text)
-    val pieces = fin.select(col("word"),
+    val pieces = trained._2.select(col("word"),
       size(filter(split(col("s"), BpeSep2), x => x =!= ""))
         .cast(LongType).as("n_pieces_w"))
     docs.select(col(id), explode(tokens(lower(col(text)))).as("word"))
@@ -1873,4 +1908,24 @@ object TextOps {
         sum(col("n_pieces_w")).cast(LongType).as("n_pieces"))
       .orderBy(id)
   }
+
+  /** The learned merge table: one row per round,
+    * (mrank, lhs, rhs, merged, pair_count) in merge order. */
+  def bpeMerges(docs: DataFrame, merges: Int = 8,
+      text: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val trained = bpeTrain(docs, merges, text)
+    trained._2.unpersist()
+    bpeMergesFromTrained(spark, trained)
+  }
+
+  /** Per-document token counts UNDER the learned subword vocabulary —
+    * the currency actual training budgets are denominated in: n_words
+    * whitespace words, n_pieces BPE pieces after `merges` merges.
+    * The word → piece-count map is vocabulary-sized, so the corpus
+    * pass is one equi-join + one grouped sum.
+    */
+  def bpeTokenCounts(docs: DataFrame, merges: Int = 8,
+      id: String = "doc_id", text: String = "text"): DataFrame =
+    bpeTokenCountsFromTrained(docs, bpeTrain(docs, merges, text), id, text)
 }

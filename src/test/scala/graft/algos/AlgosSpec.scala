@@ -865,6 +865,32 @@ class AlgosSpec extends SparkSpec {
     assert(l2again == l2)
   }
 
+  test("louvainWeighted rejects non-integral weight columns (r21: silent " +
+      "cast(Long) truncated fractional weights to 0)") {
+    import spark.implicits._
+    val frac = Seq((1L, 2L, 0.4), (2L, 3L, 0.9)).toDF("_src", "_dst", "_w")
+    val e = intercept[IllegalArgumentException] {
+      Algos.louvainWeighted(frac, rounds = 1)
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+    // integer types stay accepted
+    val ints = Seq((1L, 2L, 4), (2L, 3L, 9)).toDF("_src", "_dst", "_w")
+    assert(Algos.louvainWeighted(ints, rounds = 1).count() == 3)
+  }
+
+  test("neighborhoodFunctionFrom derives nf_last from the frame's max t " +
+      "(r21: a rounds mismatch no longer yields zero rows / a curve not ending at 1000)") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("_src", "_dst")
+    val hb = Algos.hyperBall(e, rounds = 2, p = 4)
+    // caller passes the WRONG rounds — the old t === rounds filter
+    // returned an empty nf_last and silently zero rows
+    val out = Algos.neighborhoodFunctionFrom(hb, rounds = 5).collect()
+    assert(out.length == 3, s"expected rounds+1 = 3 rows, got ${out.length}")
+    assert(out.last.getAs[Long]("reach_permille") == 1000L,
+      "the curve must end at 1000 permille whatever `rounds` claims")
+  }
+
   test("louvainWeighted: weights separate communities a flat topology cannot") {
     import spark.implicits._
     // complete graph on 8 nodes — the TOPOLOGY is fully symmetric, so

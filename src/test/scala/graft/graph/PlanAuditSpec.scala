@@ -385,10 +385,14 @@ class PlanAuditSpec extends SparkSpec {
       "groupedRank offset sum: partition = P partial-count rows per group (task count, not data)",
     "TextOps.scala:(\"pid\")" ->
       "token packing: per-Spark-partition greedy fill, bounded by partition size",
+    "TextOps.scala:(\"_pid\")" ->
+      "dsir selection local rank: per-Spark-partition row_number after range partitioning, bounded by partition size (the r20 verdict #1 fix)",
     "TextOps.scala:(\"pid\")" ->
       "hashSampleN local rank: per-partition, bounded by partition size",
     "TextOps.scala:(\"shard\")" ->
       "pack shards: docs per shard bounded by the token budget / mean doc length",
+    "TextOps.scala:()" ->
+      "dsir selection-size fold: whole-frame sum over the P-row offset table (task count, not docs)",
     "TextOps.scala:()" ->
       "balanceMixture global min: frame is |strata| rows (a grouped count), never data-sized",
     "TextOps.scala:()" ->
@@ -473,6 +477,84 @@ class PlanAuditSpec extends SparkSpec {
         s"auditedWindows WITH the bound argument: $unaudited")
     assert(stale.isEmpty,
       s"audited window site(s) no longer exist — drop them: $stale")
+  }
+
+  // ------------------------------------------------------------------
+  // Partition-LESS windows (r20 verdict #2): `Window.orderBy(...)` with
+  // no partitionBy runs the whole frame through ONE task — the audit
+  // above only matched `Window.partitionBy`, which let q_dsir's
+  // corpus-sized rank window hide for four rounds. Same discipline:
+  // every such site must pin why its input frame is BOUNDED (these
+  // windows are legitimate only over partition-count- or k-sized
+  // frames, never data-sized ones).
+  // ------------------------------------------------------------------
+
+  private val auditedOrderOnlyWindows: Seq[(String, String)] = Seq(
+    "Dedup.scala:(\"pid\")" ->
+      "sortedNeighborhood offset carry-in: P-row per-partition counts (task count, not docs)",
+    "Sketches.scala:(\"h\")" ->
+      "kmv union-theta rank: input is the distinct union of two k-min sketches, <= 2k rows",
+    "TextOps.scala:(\"pid\")" ->
+      "packByBudgetFromCounts offset carry-in: P-row per-partition totals (task count, not docs)",
+    "TextOps.scala:(\"pid\")" ->
+      "globalShuffle offset carry-in: same P-row shape",
+    "TextOps.scala:(col(\"hkey\"),col(id))" ->
+      "hashSampleN pick_rank: runs AFTER the constant-n limit cut — <= n rows ever enter",
+    "TextOps.scala:(col(\"score\").desc,col(id).asc)" ->
+      "bm25 rank: runs AFTER the constant-topK TakeOrderedAndProject cut — <= topK rows ever enter",
+    "TextOps.scala:(\"_pid\")" ->
+      "dsir offset carry-in: P-row per-partition counts (the r20 verdict #1 fix — the corpus-sized rank window this table exists to prevent)",
+    "TextOps.scala:(col(\"priority\").desc,col(id))" ->
+      "weighted-sample rank: runs after the constant-(k+1) limit cut",
+    "EventStreams.scala:(col(\"priority\").desc,col(\"doc_id\"))" ->
+      "streaming priority-sample rank: runs after the constant-(k+1) limit cut",
+    "Olap.scala:(\"price_cents\")" ->
+      "skyline cummax: input is the per-partition frontier union, bounded by P * per-partition frontier size")
+
+  test("window audit: every partitionless Window.orderBy site is in the audited-bounds table") {
+    import java.nio.file.{Files, Path, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get("src/main/scala/graft")
+    assert(Files.isDirectory(root), s"audit must run from the repo root, missing $root")
+    def sitesOf(p: Path): Seq[String] = {
+      val raw = new String(Files.readAllBytes(p), "UTF-8")
+      val flat = graft.AuditLex.stripComments(raw).replace('\n', ' ')
+      // matches Window.orderBy ONLY where orderBy is the FIRST call on
+      // the Window companion (a chained .partitionBy(...).orderBy is
+      // covered by the partitionBy audit above)
+      val marker = "Window\\s*\\.\\s*orderBy".r
+      val out = Seq.newBuilder[String]
+      marker.findAllMatchIn(flat).foreach { m =>
+        var j = m.end
+        var depth = 0
+        var end = j
+        var done = false
+        while (j < flat.length && !done) {
+          flat.charAt(j) match {
+            case '(' => depth += 1
+            case ')' =>
+              depth -= 1
+              if (depth == 0) { end = j + 1; done = true }
+            case _ => ()
+          }
+          j += 1
+        }
+        out += s"${p.getFileName}:${flat.substring(m.end, end).replaceAll("\\s", "")}"
+      }
+      out.result()
+    }
+    val found = Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala") && !p.toString.contains("/tools/"))
+      .flatMap(sitesOf).toVector.sorted
+    val audited = auditedOrderOnlyWindows.map(_._1).sorted
+    val unaudited = graft.AuditLex.diffMultiset(found, audited)
+    val stale = graft.AuditLex.diffMultiset(audited, found)
+    assert(unaudited.isEmpty,
+      s"NEW partitionless window site(s) without a pinned input bound — a " +
+        s"Window.orderBy with no partitionBy sorts its whole input in ONE " +
+        s"task; add them to auditedOrderOnlyWindows WITH the bound: $unaudited")
+    assert(stale.isEmpty,
+      s"audited partitionless window site(s) no longer exist — drop them: $stale")
   }
 
 }

@@ -83,16 +83,66 @@ class RetrievalSelectSpec extends SparkSpec {
     assert(out.forall(r => rawIds(r.getAs[Long]("doc_id"))))
   }
 
-  test("dsir plan: no doc-keyed exchange — scoring folds a one-row broadcast map row-locally") {
-    val plan = TextOps.dsirSelect(docs).queryExecution.executedPlan.toString
-    assert(plan.contains("TakeOrderedAndProject"))
-    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"))
-    // the ONLY hash exchange is the B-bounded bucket-count aggregation;
-    // token->doc scoring must not shuffle
-    val hashExchanges =
-      "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(hashExchanges == 1,
-      s"expected exactly the bucket-count exchange, got $hashExchanges:\n$plan")
+  test("dsir plan: selection is the distributed prefix-sum rank — no driver " +
+      "top-m merge, no corpus-sized single-task window, no doc-keyed exchange") {
+    // r21 (the r20 verdict #1 fix): m = 20% of the corpus, so the old
+    // orderBy.limit(m) TakeOrderedAndProject (per-partition heaps of m
+    // rows merged ON THE DRIVER) + partitionless rank window (ONE task)
+    // was the round's scale-killer. The selection now range-partitions
+    // by the global order and ranks via broadcast per-partition offsets.
+    // dsirSelect returns a checkpoint-backed frame (the frozen-range-
+    // partitioning contract), so capture the executed plans of the
+    // actions it runs via a QueryExecutionListener instead of reading
+    // the (post-checkpoint, opaque) result plan.
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      TextOps.dsirSelect(docs)
+      // listener delivery is async on the shared bus — poll until the
+      // checkpoint plan (the one with the range exchange) has arrived
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!plans.iterator().hasNext && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      var all = ""
+      while ({
+        import scala.jdk.CollectionConverters._
+        all = plans.iterator().asScala.mkString("\n=====\n")
+        !all.contains("rangepartitioning") && System.nanoTime() < deadline
+      }) Thread.sleep(50)
+      assert(all.contains("rangepartitioning"),
+        s"selection must range-partition by the global order:\n$all")
+      assert(!all.contains("TakeOrderedAndProject"),
+        s"no data-derived top-m heap merge on the driver:\n$all")
+      assert(!all.contains("SortMergeJoin") && !all.contains("ShuffledHashJoin"),
+        s"scoring must stay row-local; offsets attach by broadcast:\n$all")
+      // hash exchanges only on bounded keys: the B-row bucket-count agg
+      // and the P-row _pid offsets agg — never a doc- or token-keyed one
+      val hashLines = all.linesIterator
+        .filter(_.contains("Exchange hashpartitioning")).toVector
+      assert(hashLines.forall(l => l.contains("b#") || l.contains("_pid")),
+        s"unexpected hash exchange (doc/token-keyed?):\n${hashLines.mkString("\n")}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("dsir: selection is partitioning-invariant (distributed rank " +
+      "equals the global order at any input layout)") {
+    val base = TextOps.dsirSelect(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank"),
+        r.getAs[Double]("avg_w"))).sortBy(_._2)
+    for (p <- Seq(1, 7)) {
+      val got = TextOps.dsirSelect(docs.repartition(p)).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank"),
+          r.getAs[Double]("avg_w"))).sortBy(_._2)
+      assert(got.toSeq == base.toSeq, s"repartition($p) changed the selection")
+    }
   }
 
   test("dsir selection size derives from the data (auto-sizing rule)") {

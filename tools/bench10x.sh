@@ -40,6 +40,12 @@ fi
 # restored, silently leaving 10x numbers in the committed lowercase file).
 cp BENCH_OUT.json /tmp/BENCH_OUT.sf01.bak 2>/dev/null || true
 cp bench_out.json /tmp/bench_out.sf01.bak 2>/dev/null || true
+# r20 advice: the fresh-JVM loop (5 queries x >=300s cooldown + sbt +
+# a python patch step) widened the window where any set -e abort left
+# the committed artifacts holding 10x numbers — restore on ANY exit,
+# not just the happy path at script end.
+trap 'cp /tmp/BENCH_OUT.sf01.bak BENCH_OUT.json 2>/dev/null || true; \
+      cp /tmp/bench_out.sf01.bak bench_out.json 2>/dev/null || true' EXIT
 SPARK_GRAFT_SF_DIR=$OUT SPARK_GRAFT_BENCH_RUNS=${SPARK_GRAFT_BENCH_RUNS:-3} \
   SPARK_DRIVER_MEM=$MEM sbt -batch "runMain graft.Bench"
 cp BENCH_OUT.json BENCH_10x.json
@@ -60,6 +66,11 @@ import json, sys
 q = sys.argv[1]
 iso = json.load(open("bench_subset.json"))
 big = json.load(open("BENCH_10x.json"))
+# r20 advice: a probe whose query errored writes no entry — skip the
+# substitution instead of KeyError-ing the whole rehearsal
+if q not in iso.get("queries", {}):
+    print(f"[bench10x] {q}: probe has no timing (errored?) - keeping in-suite number")
+    sys.exit(0)
 big.setdefault("queries_insuite", {})[q] = big["queries"].get(q)
 big.setdefault("isolated_primary", [])
 if q not in big["isolated_primary"]:
